@@ -1,0 +1,68 @@
+"""siuba_spark — a PySpark-native analytics engine with the query
+capabilities of machow/siuba (dplyr-style pipeable verbs + lazy column
+expressions), re-expressed Spark-first.
+
+    from siuba_spark import _, tbl, group_by, summarize, collect
+
+    tbl(spark, "/data/lineitem.parquet") \
+        >> filter(_.l_shipdate <= "1998-09-02") \
+        >> group_by(_.l_returnflag, _.l_linestatus) \
+        >> summarize(sum_qty=_.l_quantity.sum()) \
+        >> collect()
+
+Everything lowers to DataFrame operations — Catalyst/Tungsten/AQE do the
+planning; the engine adds only expression lowering, verb mapping, and
+pandas/dplyr semantics shims (SURVEY.md §4).
+"""
+
+from .siu.calls import Symbolic
+from .functions.lowering import TranslationError
+from .plans.tbl import (
+    SparkTbl, tbl, collect, show_query, write_parquet, write_csv,
+)
+from .plans.pipe import Pipe, verb
+from .operators.core import (
+    select, rename, mutate, transmute, filter, arrange, distinct, head, top_n,
+)
+from .operators.grouping import (
+    group_by, ungroup, summarize, summarise, count, add_count,
+)
+from .operators.joins import (
+    join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
+)
+from .operators.reshape import (
+    gather, spread, separate, unite, extract, nest, unnest, expand, complete,
+    pivot_longer, pivot_wider, bind_rows,
+)
+from .functions.vector import (
+    row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
+    lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
+    if_else, case_when, desc, str_c, floor_date, ceil_date,
+    cumall, cumany, cummean,
+)
+from .functions.forcats import (
+    fct_lump, fct_recode, fct_collapse, fct_rev, fct_infreq, fct_inorder,
+    fct_reorder,
+)
+
+_ = Symbolic()
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "_", "Symbolic", "SparkTbl", "tbl", "collect", "show_query",
+    "write_parquet", "write_csv", "Pipe", "verb", "TranslationError",
+    "select", "rename", "mutate", "transmute", "filter", "arrange",
+    "distinct", "head", "top_n",
+    "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
+    "join", "inner_join", "left_join", "right_join", "full_join",
+    "semi_join", "anti_join",
+    "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
+    "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
+    "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
+    "coalesce", "na_if", "between", "if_else", "case_when", "desc", "str_c",
+    "floor_date", "ceil_date", "cumall", "cumany", "cummean",
+    "fct_lump", "fct_recode", "fct_collapse", "fct_rev", "fct_infreq",
+    "fct_inorder", "fct_reorder",
+]

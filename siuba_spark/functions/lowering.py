@@ -1,0 +1,432 @@
+"""Call-AST → ``pyspark.sql.Column`` lowering, context sensitive.
+
+The single "compiler" of the engine (SURVEY.md §4): the same expression
+compiles differently in aggregate context (``summarize``) vs row context
+(``mutate``/``filter``/``arrange``).  In row context, aggregate ops become
+windows partitioned by the table's group keys, and cumulative/offset ops
+become ordered windows fed by the table's ``arrange`` state — the reference
+encodes this trichotomy as AggOver / RankOver / CumlOver
+(siuba/sql/translate.py:87-166); here each maps onto a Spark ``Window``
+spec and Catalyst does the rest.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..siu.calls import (
+    BinaryOp, Call, FnCall, GetAttr, GetItem, Lit, MetaArg, MethodCall,
+    RawCallable, UnaryOp,
+)
+from .accessors import DT_METHODS, DT_PROPERTIES, STR_METHODS
+
+ROW = "row"        # mutate / filter / arrange context
+AGG = "agg"        # summarize context
+
+SCALAR = "scalar"  # row-level value
+AGGED = "agged"    # one value per group (only meaningful in AGG mode)
+
+
+class TranslationError(Exception):
+    """Raised at translation time for untranslatable expressions
+    (mirrors the reference's FunctionLookupError,
+    siuba/sql/translate.py:355-361)."""
+
+
+@dataclass
+class LowerCtx:
+    """Lowering context: grouping / ordering state + compilation mode."""
+
+    group_by: tuple[str, ...] = ()
+    order_by: tuple = ()  # tuple of (Call, ascending: bool)
+    mode: str = ROW
+    used_window: bool = field(default=False)
+
+    # -- window spec builders (AggOver / RankOver / CumlOver analogues) ----
+    def w_agg(self):
+        self.used_window = True
+        return Window.partitionBy(*[F.col(g) for g in self.group_by])
+
+    def _order_cols(self):
+        if not self.order_by:
+            return None
+        cols = []
+        sub = LowerCtx(self.group_by, (), ROW)
+        for call, asc in self.order_by:
+            c, _ = lower(call, sub)
+            cols.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
+        return cols
+
+    def w_ordered(self, order_cols=None):
+        self.used_window = True
+        cols = order_cols if order_cols is not None else self._order_cols()
+        if cols is None:
+            warnings.warn(
+                "window function requires ordering but no arrange() has been "
+                "applied; result order is undefined"
+            )
+            cols = [F.monotonically_increasing_id()]
+        return Window.partitionBy(*[F.col(g) for g in self.group_by]).orderBy(*cols)
+
+    def w_cuml(self):
+        return self.w_ordered().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def w_full(self):
+        return self.w_ordered().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+
+
+class _Accessor:
+    """Internal marker for `.str` / `.dt` accessor chains."""
+
+    __slots__ = ("col", "which")
+
+    def __init__(self, col, which):
+        self.col = col
+        self.which = which
+
+
+# --------------------------------------------------------------------------
+# Element-wise method registry (pandas-Series-style methods)
+# --------------------------------------------------------------------------
+
+_CAST_MAP = {
+    str: "string", "str": "string", "string": "string",
+    int: "long", "int": "long", "int64": "long", "long": "long",
+    float: "double", "float": "double", "float64": "double", "double": "double",
+    bool: "boolean", "bool": "boolean", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamp", "int32": "int",
+}
+
+
+def _replace(col, mapping):
+    out = col
+    for k, v in mapping.items():
+        out = F.when(col == F.lit(k), F.lit(v)).otherwise(out)
+    return out
+
+
+ELWISE_METHODS = {
+    "abs": lambda col: F.abs(col),
+    "round": lambda col, n=0: F.round(col, n),
+    "isin": lambda col, values: col.isin(list(values)),
+    "astype": lambda col, t: col.cast(_CAST_MAP.get(t, t if isinstance(t, str) else None)),
+    "fillna": lambda col, v: F.coalesce(col, F.lit(v) if not isinstance(v, Column) else v),
+    "isna": lambda col: col.isNull(),
+    "isnull": lambda col: col.isNull(),
+    "notna": lambda col: col.isNotNull(),
+    "notnull": lambda col: col.isNotNull(),
+    "clip": lambda col, lower=None, upper=None: _clip(col, lower, upper),
+    "between": lambda col, left, right: col.between(left, right),
+    "where": lambda col, cond, other=None: F.when(cond, col).otherwise(other),
+    "mask": lambda col, cond, other=None: F.when(cond, F.lit(other)).otherwise(col),
+    "replace": _replace,
+    "floor": lambda col: F.floor(col),
+    "ceil": lambda col: F.ceil(col),
+    "sqrt": lambda col: F.sqrt(col),
+    "pow": lambda col, p: F.pow(col, p),
+    "exp": lambda col: F.exp(col),
+    "log": lambda col: F.log(col),
+}
+
+
+def _clip(col, lower=None, upper=None):
+    out = col
+    if lower is not None:
+        out = F.greatest(out, F.lit(lower) if not isinstance(lower, Column) else lower)
+    if upper is not None:
+        out = F.least(out, F.lit(upper) if not isinstance(upper, Column) else upper)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Aggregate method registry.  Builders take (over, col, ...) where `over`
+# wraps each aggregate primitive: identity in AGG mode, `.over(w_agg)` in
+# ROW mode — so compound aggregates (sem, var of mean…) window correctly.
+# --------------------------------------------------------------------------
+
+AGG_METHODS = {
+    "mean": lambda over, col: over(F.avg(col)),
+    "sum": lambda over, col: over(F.sum(col)),
+    "min": lambda over, col: over(F.min(col)),
+    "max": lambda over, col: over(F.max(col)),
+    "median": lambda over, col: over(F.median(col)),
+    "std": lambda over, col: over(F.stddev_samp(col)),
+    "var": lambda over, col: over(F.var_samp(col)),
+    "count": lambda over, col: over(F.count(col)),
+    "size": lambda over, col: over(F.count(F.lit(1))),
+    "quantile": lambda over, col, q=0.5: over(F.percentile(col, F.lit(q))),
+    "all": lambda over, col: over(F.bool_and(col.cast("boolean"))),
+    "any": lambda over, col: over(F.bool_or(col.cast("boolean"))),
+    "prod": lambda over, col: over(F.product(col)),
+    "skew": lambda over, col: over(F.skewness(col)),
+    "kurt": lambda over, col: over(F.kurtosis(col)),
+    "corr": lambda over, col, other: over(F.corr(col, other)),
+    "cov": lambda over, col, other: over(F.covar_samp(col, other)),
+    "sem": lambda over, col: over(F.stddev_samp(col)) / F.sqrt(over(F.count(col))),
+    "mean_abs": lambda over, col: over(F.avg(F.abs(col))),
+}
+
+# nunique: Spark bans DISTINCT aggregates inside windows → collect_set
+AGG_WINDOW_OVERRIDES = {
+    "nunique": lambda ctx, col: F.size(F.collect_set(col).over(ctx.w_agg())),
+}
+AGG_PLAIN_OVERRIDES = {
+    "nunique": lambda col: F.count_distinct(col),
+}
+
+# --------------------------------------------------------------------------
+# Window (order-dependent) method registry — ROW mode only
+# --------------------------------------------------------------------------
+
+
+def _cumprod(ctx, col):
+    # no native cumprod: sign-aware exp(sum(log(abs)))
+    w = ctx.w_cuml()
+    logsum = F.sum(F.log(F.abs(col))).over(w)
+    negs = F.sum(F.when(col < 0, 1).otherwise(0)).over(w)
+    zero = F.min(F.when(col == 0, F.lit(0)).otherwise(F.lit(1))).over(w)
+    sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.when(zero == 0, F.lit(0.0)).otherwise(sign * F.exp(logsum))
+
+
+def _rank_average(ctx, col):
+    # pandas rank(method="average"): min_rank + (ties-1)/2
+    # (reference trick: siuba/sql/dialects/base.py:75-80)
+    w_rank = ctx.w_ordered([col.asc_nulls_last()])
+    w_ties = Window.partitionBy(*[F.col(g) for g in ctx.group_by], col)
+    r = F.rank().over(w_rank) + (F.count(col).over(w_ties) - 1) / 2.0
+    return F.when(col.isNotNull(), r)
+
+
+WINDOW_METHODS = {
+    "cumsum": lambda ctx, col: F.sum(col).over(ctx.w_cuml()),
+    "cummax": lambda ctx, col: F.max(col).over(ctx.w_cuml()),
+    "cummin": lambda ctx, col: F.min(col).over(ctx.w_cuml()),
+    "cummean": lambda ctx, col: F.avg(col).over(ctx.w_cuml()),
+    "cumall": lambda ctx, col: F.bool_and(col.cast("boolean")).over(ctx.w_cuml()),
+    "cumany": lambda ctx, col: F.bool_or(col.cast("boolean")).over(ctx.w_cuml()),
+    "cumcount": lambda ctx, col: F.count(F.lit(1)).over(ctx.w_cuml()) - 1,
+    "cumprod": _cumprod,
+    "diff": lambda ctx, col, periods=1: col - F.lag(col, periods).over(ctx.w_ordered()),
+    "pct_change": lambda ctx, col, periods=1: col / F.lag(col, periods).over(ctx.w_ordered()) - 1,
+    "shift": lambda ctx, col, periods=1: F.lag(col, periods).over(ctx.w_ordered()),
+    "ffill": lambda ctx, col: F.last(col, ignorenulls=True).over(ctx.w_cuml()),
+    "bfill": lambda ctx, col: F.first(col, ignorenulls=True).over(
+        ctx.w_ordered().rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ),
+    "rank": _rank_average,
+}
+
+
+# --------------------------------------------------------------------------
+# Free-function registry (populated by siuba_spark.functions.vector etc.)
+# --------------------------------------------------------------------------
+
+FN_REGISTRY: dict[str, callable] = {}
+
+
+def register_fn(name):
+    def deco(fn):
+        FN_REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# The lowering walk
+# --------------------------------------------------------------------------
+
+
+def lower(node, ctx: LowerCtx):
+    """Lower an AST node. Returns (Column, kind)."""
+    if isinstance(node, Lit):
+        return F.lit(node.value), SCALAR
+    if not isinstance(node, Call):
+        return F.lit(node), SCALAR
+
+    if isinstance(node, MetaArg):
+        raise TranslationError(
+            "bare `_` cannot be lowered to a column; reference a column like `_.x`"
+        )
+
+    if isinstance(node, GetAttr):
+        return _lower_getattr(node, ctx)
+
+    if isinstance(node, GetItem):
+        return _lower_getitem(node, ctx)
+
+    if isinstance(node, BinaryOp):
+        lc, lk = lower(node.left, ctx)
+        rc, rk = lower(node.right, ctx)
+        kind = AGGED if AGGED in (lk, rk) else SCALAR
+        return _apply_binop(node.op, lc, rc), kind
+
+    if isinstance(node, UnaryOp):
+        c, k = lower(node.operand, ctx)
+        if node.op == "__neg__":
+            return -c, k
+        if node.op == "__pos__":
+            return c, k
+        if node.op == "__invert__":
+            return ~c, k
+        if node.op == "__abs__":
+            return F.abs(c), k
+        raise TranslationError(f"unknown unary op {node.op}")
+
+    if isinstance(node, MethodCall):
+        return _lower_method(node, ctx)
+
+    if isinstance(node, FnCall):
+        impl = FN_REGISTRY.get(node.name)
+        if impl is None:
+            raise TranslationError(f"unknown function '{node.name}'")
+        return impl(ctx, node.args, node.kwargs)
+
+    if isinstance(node, RawCallable):
+        args = [lower(a, ctx)[0] if isinstance(a, Call) else a for a in node.args]
+        kwargs = {
+            k: lower(v, ctx)[0] if isinstance(v, Call) else v
+            for k, v in node.kwargs.items()
+        }
+        out = node.func(*args, **kwargs)
+        if not isinstance(out, Column):
+            out = F.lit(out)
+        return out, SCALAR
+
+    raise TranslationError(f"cannot lower node {node!r}")
+
+
+def _apply_binop(op, lc, rc):
+    if op == "__floordiv__":
+        # pandas // : floored division (int result for int operands)
+        return F.floor(lc / rc).cast("long")
+    if op == "__pow__":
+        return F.pow(lc, rc)
+    fn = getattr(lc, op, None)
+    if fn is None:
+        raise TranslationError(f"unsupported operator {op}")
+    return fn(rc)
+
+
+def _lower_getattr(node, ctx):
+    # accessor entry: _.x.str / _.x.dt
+    if node.name in ("str", "dt", "cat"):
+        col, kind = lower(node.obj, ctx)
+        return _Accessor(col, node.name), kind
+
+    # column reference off the table: _.colname
+    if isinstance(node.obj, MetaArg):
+        return F.col(node.name), SCALAR
+
+    obj, kind = lower(node.obj, ctx)
+    # dt property: _.ts.dt.year
+    if isinstance(obj, _Accessor):
+        if obj.which == "dt" and node.name in DT_PROPERTIES:
+            return DT_PROPERTIES[node.name](obj.col), kind
+        # leave method resolution to MethodCall; re-wrap
+        return _Accessor(obj.col, obj.which), kind
+    # struct field access
+    return obj.getField(node.name), kind
+
+
+def _lower_getitem(node, ctx):
+    if isinstance(node.obj, MetaArg):
+        if isinstance(node.key, str):
+            return F.col(node.key), SCALAR
+        raise TranslationError("`_[...]` with non-string keys is only valid in select()")
+    obj, kind = lower(node.obj, ctx)
+    key = node.key
+    if isinstance(key, Call):
+        key, _ = lower(key, ctx)
+    return obj.getItem(key), kind
+
+
+def _lower_args(args, kwargs, ctx):
+    largs, lkw = [], {}
+    kinds = []
+    for a in args:
+        if isinstance(a, Call):
+            c, k = lower(a, ctx)
+            largs.append(c)
+            kinds.append(k)
+        else:
+            largs.append(a)
+    for k, v in kwargs.items():
+        if isinstance(v, Call):
+            c, kk = lower(v, ctx)
+            lkw[k] = c
+            kinds.append(kk)
+        else:
+            lkw[k] = v
+    return largs, lkw, kinds
+
+
+def _unlit(args, kwargs):
+    """Unwrap Lit nodes to plain python values (for non-column params)."""
+    ua = [a.value if isinstance(a, Lit) else a for a in args]
+    uk = {k: (v.value if isinstance(v, Lit) else v) for k, v in kwargs.items()}
+    return ua, uk
+
+
+def _lower_method(node, ctx):
+    obj, obj_kind = lower(node.obj, ctx)
+
+    # ---- accessor methods (.str.lower(), .dt.strftime(...)) -------------
+    if isinstance(obj, _Accessor):
+        raw_args, raw_kw = _unlit(node.args, node.kwargs)
+        # column-valued args (e.g. str.cat(_.other)) get lowered
+        raw_args = [lower(a, ctx)[0] if isinstance(a, Call) else a for a in raw_args]
+        raw_kw = {k: lower(v, ctx)[0] if isinstance(v, Call) else v for k, v in raw_kw.items()}
+        table = {"str": STR_METHODS, "dt": DT_METHODS}.get(obj.which, {})
+        impl = table.get(node.name)
+        if impl is None:
+            raise TranslationError(
+                f"no translation for .{obj.which}.{node.name}() "
+                f"(reference SQL dialects raise the same way)"
+            )
+        return impl(obj.col, *raw_args, **raw_kw), obj_kind
+
+    name = node.name
+
+    # ---- element-wise methods -------------------------------------------
+    if name in ELWISE_METHODS:
+        raw_args, raw_kw = _unlit(node.args, node.kwargs)
+        raw_args = [lower(a, ctx)[0] if isinstance(a, Call) else a for a in raw_args]
+        raw_kw = {k: lower(v, ctx)[0] if isinstance(v, Call) else v for k, v in raw_kw.items()}
+        return ELWISE_METHODS[name](obj, *raw_args, **raw_kw), obj_kind
+
+    # ---- aggregate methods ----------------------------------------------
+    if name in AGG_METHODS or name in AGG_PLAIN_OVERRIDES:
+        raw_args, raw_kw = _unlit(node.args, node.kwargs)
+        raw_args = [lower(a, ctx)[0] if isinstance(a, Call) else a for a in raw_args]
+        if ctx.mode == AGG:
+            if name in AGG_PLAIN_OVERRIDES:
+                return AGG_PLAIN_OVERRIDES[name](obj, *raw_args, **raw_kw), AGGED
+            col = AGG_METHODS[name](lambda c: c, obj, *raw_args, **raw_kw)
+            return col, AGGED
+        # ROW mode: aggregate broadcast back over the group window (AggOver)
+        if name in AGG_WINDOW_OVERRIDES:
+            return AGG_WINDOW_OVERRIDES[name](ctx, obj, *raw_args, **raw_kw), SCALAR
+        w = ctx.w_agg()
+        col = AGG_METHODS[name](lambda c: c.over(w), obj, *raw_args, **raw_kw)
+        return col, SCALAR
+
+    # ---- order-dependent window methods ---------------------------------
+    if name in WINDOW_METHODS:
+        if ctx.mode == AGG:
+            raise TranslationError(
+                f"window function .{name}() is not allowed in summarize()"
+            )
+        raw_args, raw_kw = _unlit(node.args, node.kwargs)
+        return WINDOW_METHODS[name](ctx, obj, *raw_args, **raw_kw), SCALAR
+
+    raise TranslationError(
+        f"no translation for method .{name}(); "
+        "register one or use a pyspark function via verbs' escape hatch"
+    )

@@ -1,0 +1,351 @@
+"""Vector / window free functions: ``row_number``, ``lead``, ``n``, …
+
+Mirrors the reference's function surface (siuba/dply/vector.py, SQL
+translations at siuba/sql/dply/vector.py) as registered lowerings onto
+Spark windows.  Rank-family functions order by their operand (RankOver);
+offset/cumulative functions order by the table's ``arrange`` state
+(CumlOver); ``n``/``n_distinct`` are aggregates that broadcast in row
+context (AggOver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..siu.calls import Call, FnCall, Lit, MetaArg, Symbolic, UnaryOp, _node
+from .lowering import AGG, AGGED, SCALAR, LowerCtx, TranslationError, lower, register_fn
+
+__all__ = [
+    "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
+    "coalesce", "na_if", "between", "if_else", "case_when", "desc",
+    "str_c", "floor_date", "ceil_date", "cumall", "cumany", "cummean",
+]
+
+
+def _fn(name):
+    """Create the public factory for a registered function."""
+
+    def factory(*args, **kwargs):
+        return Symbolic(FnCall(
+            name,
+            tuple(_node(a) for a in args),
+            {k: _node(v) for k, v in kwargs.items()},
+        ))
+
+    factory.__name__ = name
+    return factory
+
+
+def _low(x, ctx):
+    if isinstance(x, Call):
+        return lower(x, ctx)[0]
+    return x
+
+
+def _lit(x):
+    return x.value if isinstance(x, Lit) else x
+
+
+def _rank_order_col(arg, ctx):
+    """Operand → window ORDER BY column; a leading ``-`` means descending
+    (reference strips __neg__ the same way, siuba/dply/verbs.py:819-826)."""
+    desc_flag = False
+    if isinstance(arg, UnaryOp) and arg.op == "__neg__":
+        arg, desc_flag = arg.operand, True
+    if isinstance(arg, FnCall) and arg.name == "desc":
+        arg, desc_flag = arg.args[0], True
+    col = _low(arg, ctx)
+    return (col.desc_nulls_last() if desc_flag else col.asc_nulls_last()), col
+
+
+def _guard_row(ctx, name):
+    if ctx.mode == AGG:
+        raise TranslationError(f"{name}() is a window function; not allowed in summarize()")
+
+
+# -- rank family ------------------------------------------------------------
+
+def _register_rank(name, builder, null_unranked=True):
+    @register_fn(name)
+    def impl(ctx, args, kwargs, _builder=builder, _nu=null_unranked, _name=name):
+        _guard_row(ctx, _name)
+        arg = args[0]
+        if isinstance(arg, MetaArg):
+            w = ctx.w_ordered()
+            return _builder(kwargs).over(w), SCALAR
+        order_col, plain = _rank_order_col(arg, ctx)
+        w = ctx.w_ordered([order_col])
+        out = _builder(kwargs).over(w)
+        if _nu:
+            # pandas leaves NaN unranked (reference NULL trick:
+            # siuba/sql/dply/vector.py:53-78)
+            out = F.when(plain.isNotNull(), out)
+        return out, SCALAR
+
+
+_register_rank("row_number", lambda kw: F.row_number(), null_unranked=False)
+_register_rank("min_rank", lambda kw: F.rank())
+_register_rank("dense_rank", lambda kw: F.dense_rank())
+_register_rank("percent_rank", lambda kw: F.percent_rank())
+_register_rank("cume_dist", lambda kw: F.cume_dist())
+
+
+@register_fn("ntile")
+def _ntile(ctx, args, kwargs):
+    _guard_row(ctx, "ntile")
+    arg = args[0]
+    nbuckets = _lit(args[1]) if len(args) > 1 else _lit(kwargs.get("n", 2))
+    if isinstance(arg, MetaArg):
+        w = ctx.w_ordered()
+    else:
+        order_col, _ = _rank_order_col(arg, ctx)
+        w = ctx.w_ordered([order_col])
+    return F.ntile(int(nbuckets)).over(w), SCALAR
+
+
+# -- offset -----------------------------------------------------------------
+
+def _register_offset(name, spark_fn):
+    @register_fn(name)
+    def impl(ctx, args, kwargs, _fn=spark_fn, _name=name):
+        _guard_row(ctx, _name)
+        col = _low(args[0], ctx)
+        n = int(_lit(args[1])) if len(args) > 1 else int(_lit(kwargs.get("n", 1)))
+        default = _lit(kwargs.get("default", None))
+        w = ctx.w_ordered()
+        return _fn(col, n, default).over(w), SCALAR
+
+
+_register_offset("lead", F.lead)
+_register_offset("lag", F.lag)
+
+
+# -- group size aggregates --------------------------------------------------
+
+@register_fn("n")
+def _n(ctx, args, kwargs):
+    agg = F.count(F.lit(1))
+    if ctx.mode == AGG:
+        return agg, AGGED
+    return agg.over(ctx.w_agg()), SCALAR
+
+
+@register_fn("n_distinct")
+def _n_distinct(ctx, args, kwargs):
+    cols = [_low(a, ctx) for a in args if not isinstance(a, MetaArg)]
+    if ctx.mode == AGG:
+        return F.count_distinct(*cols), AGGED
+    if len(cols) > 1:
+        packed = F.struct(*cols)
+    else:
+        packed = cols[0]
+    return F.size(F.collect_set(packed).over(ctx.w_agg())), SCALAR
+
+
+# -- positional -------------------------------------------------------------
+
+@register_fn("nth")
+def _nth(ctx, args, kwargs):
+    if ctx.mode == AGG:
+        raise TranslationError(
+            "nth()/first()/last() in summarize() require an ordered window; "
+            "the reference errors here too (siuba/sql/dply/vector.py:259-262)"
+        )
+    col = _low(args[0], ctx)
+    n = int(_lit(args[1]))
+    order_by = kwargs.get("order_by")
+    order_cols = None
+    if order_by is not None:
+        ob = order_by if isinstance(order_by, tuple) else (order_by,)
+        order_cols = [_rank_order_col(o, ctx)[0] for o in ob]
+    if n >= 0:
+        w = ctx.w_ordered(order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        return F.nth_value(col, n + 1).over(w), SCALAR
+    # negative: nth from the end → reverse order (desc trick,
+    # siuba/sql/dply/vector.py:234-262)
+    if order_cols is None:
+        cols = ctx._order_cols()
+        if cols is None:
+            cols = [F.monotonically_increasing_id().asc()]
+        order_cols = cols
+    rev = [_reverse_sort(c) for c in order_cols]
+    w = ctx.w_ordered(rev).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return F.nth_value(col, -n).over(w), SCALAR
+
+
+def _reverse_sort(col):
+    # Column sort expressions can't be introspected cheaply; re-sort desc
+    return col.desc() if "ASC" in str(col._jc) else col.asc()
+
+
+@register_fn("first")
+def _first(ctx, args, kwargs):
+    if ctx.mode == AGG:
+        return F.first(_low(args[0], ctx), ignorenulls=False), AGGED
+    return _nth(ctx, (args[0], Lit(0)), kwargs)
+
+
+@register_fn("last")
+def _last(ctx, args, kwargs):
+    if ctx.mode == AGG:
+        return F.last(_low(args[0], ctx), ignorenulls=False), AGGED
+    return _nth(ctx, (args[0], Lit(-1)), kwargs)
+
+
+# -- element-wise helpers ---------------------------------------------------
+
+@register_fn("coalesce")
+def _coalesce(ctx, args, kwargs):
+    cols = [c if isinstance(c := _low(a, ctx), Column) else F.lit(c) for a in args]
+    return F.coalesce(*cols), SCALAR
+
+
+@register_fn("na_if")
+def _na_if(ctx, args, kwargs):
+    col = _low(args[0], ctx)
+    y = _lit(args[1])
+    if isinstance(y, (list, tuple)):
+        return F.when(col.isin(list(y)), F.lit(None)).otherwise(col), SCALAR
+    y = _low(args[1], ctx)
+    return F.nullif(col, y if isinstance(y, Column) else F.lit(y)), SCALAR
+
+
+@register_fn("between")
+def _between(ctx, args, kwargs):
+    col = _low(args[0], ctx)
+    return col.between(_low(args[1], ctx), _low(args[2], ctx)), SCALAR
+
+
+@register_fn("if_else")
+def _if_else(ctx, args, kwargs):
+    cond = _low(args[0], ctx)
+    t, f = _low(args[1], ctx), _low(args[2], ctx)
+    t = t if isinstance(t, Column) else F.lit(t)
+    f = f if isinstance(f, Column) else F.lit(f)
+    # NA condition → false branch (reference: siuba/dply/verbs.py:1085)
+    return F.when(F.coalesce(cond, F.lit(False)), t).otherwise(f), SCALAR
+
+
+@register_fn("case_when")
+def _case_when(ctx, args, kwargs):
+    mapping = args[0]
+    if isinstance(mapping, Lit):
+        mapping = mapping.value
+    out = None
+    otherwise = None
+    # first matching key wins (reference: siuba/dply/verbs.py:1157)
+    for cond, value in mapping.items():
+        from ..siu.calls import strip_symbolic
+        cond = strip_symbolic(cond)
+        value = strip_symbolic(value)
+        v = _low(value, ctx)
+        v = v if isinstance(v, Column) else F.lit(v)
+        if cond is True or (isinstance(cond, Lit) and cond.value is True):
+            otherwise = v
+            continue
+        c = _low(cond, ctx)
+        out = F.when(c, v) if out is None else out.when(c, v)
+    if out is None:
+        return (otherwise if otherwise is not None else F.lit(None)), SCALAR
+    return (out.otherwise(otherwise) if otherwise is not None else out), SCALAR
+
+
+@register_fn("desc")
+def _desc(ctx, args, kwargs):
+    # appearing inside a general expression: numeric negate (matches the
+    # pandas engine, siuba/dply/vector.py:98-101)
+    col = _low(args[0], ctx)
+    return -col, SCALAR
+
+
+@register_fn("str_c")
+def _str_c(ctx, args, kwargs):
+    sep = _lit(kwargs.get("sep", ""))
+    cols = [c if isinstance(c := _low(a, ctx), Column) else F.lit(c) for a in args]
+    return F.concat_ws(sep, *[c.cast("string") for c in cols]), SCALAR
+
+
+@register_fn("floor_date")
+def _floor_date(ctx, args, kwargs):
+    from .accessors import _FREQ_UNIT
+    col = _low(args[0], ctx)
+    unit = _lit(args[1]) if len(args) > 1 else _lit(kwargs.get("unit", "D"))
+    return F.date_trunc(_FREQ_UNIT.get(unit, unit), col), SCALAR
+
+
+@register_fn("ceil_date")
+def _ceil_date(ctx, args, kwargs):
+    from .accessors import _FREQ_UNIT
+    col = _low(args[0], ctx)
+    unit = _lit(args[1]) if len(args) > 1 else _lit(kwargs.get("unit", "D"))
+    u = _FREQ_UNIT.get(unit, unit)
+    floored = F.date_trunc(u, col)
+    bumped = {
+        "day": lambda c: F.date_add(c.cast("date"), 1).cast("timestamp"),
+        "week": lambda c: F.date_add(c.cast("date"), 7).cast("timestamp"),
+        "month": lambda c: F.add_months(c.cast("date"), 1).cast("timestamp"),
+        "quarter": lambda c: F.add_months(c.cast("date"), 3).cast("timestamp"),
+        "year": lambda c: F.add_months(c.cast("date"), 12).cast("timestamp"),
+        "hour": lambda c: c + F.expr("INTERVAL 1 HOUR"),
+        "minute": lambda c: c + F.expr("INTERVAL 1 MINUTE"),
+        "second": lambda c: c + F.expr("INTERVAL 1 SECOND"),
+    }[u](floored)
+    return F.when(col == floored, col).otherwise(bumped), SCALAR
+
+
+# cumulative free-function forms (methods also exist)
+@register_fn("cumall")
+def _cumall(ctx, args, kwargs):
+    _guard_row(ctx, "cumall")
+    col = _low(args[0], ctx)
+    return F.bool_and(col.cast("boolean")).over(ctx.w_cuml()), SCALAR
+
+
+@register_fn("cumany")
+def _cumany(ctx, args, kwargs):
+    _guard_row(ctx, "cumany")
+    col = _low(args[0], ctx)
+    return F.bool_or(col.cast("boolean")).over(ctx.w_cuml()), SCALAR
+
+
+@register_fn("cummean")
+def _cummean(ctx, args, kwargs):
+    _guard_row(ctx, "cummean")
+    col = _low(args[0], ctx)
+    return F.avg(col).over(ctx.w_cuml()), SCALAR
+
+
+# public factories ----------------------------------------------------------
+row_number = _fn("row_number")
+min_rank = _fn("min_rank")
+dense_rank = _fn("dense_rank")
+percent_rank = _fn("percent_rank")
+cume_dist = _fn("cume_dist")
+ntile = _fn("ntile")
+lead = _fn("lead")
+lag = _fn("lag")
+n = _fn("n")
+n_distinct = _fn("n_distinct")
+nth = _fn("nth")
+first = _fn("first")
+last = _fn("last")
+coalesce = _fn("coalesce")
+na_if = _fn("na_if")
+between = _fn("between")
+if_else = _fn("if_else")
+desc = _fn("desc")
+str_c = _fn("str_c")
+floor_date = _fn("floor_date")
+ceil_date = _fn("ceil_date")
+cumall = _fn("cumall")
+cumany = _fn("cumany")
+cummean = _fn("cummean")
+
+
+def case_when(mapping):
+    """Expression form: ``mutate(x=case_when({_.a > 1: "hi", True: "lo"}))``."""
+    return Symbolic(FnCall("case_when", (mapping,), {}))

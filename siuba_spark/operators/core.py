@@ -1,0 +1,197 @@
+"""Core verbs: select, rename, mutate, transmute, filter, arrange, distinct,
+head, top_n — verb → DataFrame-API mapping with group/order state.
+
+Semantics follow the reference's SQL engine (the sanctioned cross-backend
+semantics, SURVEY.md §7.1): row order is meaningful only after ``arrange``;
+aggregates inside mutate/filter become group-partitioned windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.lowering import SCALAR, TranslationError, lower
+from ..siu.calls import Call, FnCall, GetAttr, MetaArg, UnaryOp, strip_symbolic
+from ..plans.pipe import verb
+from ..plans.tbl import SparkTbl
+from .tidyselect import resolve_names, resolve_select
+
+__all__ = [
+    "select", "rename", "mutate", "transmute", "filter", "arrange",
+    "distinct", "head", "top_n",
+]
+
+
+def _group_first(tbl, pairs):
+    """Grouping columns always stay selected (dplyr semantics)."""
+    selected_old = {old for old, _ in pairs}
+    missing = [(g, g) for g in tbl.group_by if g not in selected_old]
+    return missing + pairs
+
+
+@verb
+def select(tbl: SparkTbl, *args, **kwargs):
+    """Keep/drop/rename columns via tidyselect
+    (reference: siuba/sql/verbs/select.py:11-43)."""
+    pairs = resolve_select(args, kwargs, tbl.columns)
+    pairs = _group_first(tbl, pairs)
+    cols = [F.col(old).alias(new) for old, new in pairs]
+    renames = {old: new for old, new in pairs if old != new}
+    group_by = tuple(renames.get(g, g) for g in tbl.group_by)
+    return tbl.evolve(df=tbl.df.select(*cols), group_by=group_by)
+
+
+@verb
+def rename(tbl: SparkTbl, **kwargs):
+    """``rename(new=_.old)`` (reference: siuba/sql/verbs/select.py:46-67)."""
+    mapping = {}
+    for new, old in kwargs.items():
+        old = strip_symbolic(old)
+        if isinstance(old, GetAttr) and isinstance(old.obj, MetaArg):
+            old = old.name
+        if not isinstance(old, str):
+            raise TranslationError(f"rename target for {new!r} must be a column")
+        mapping[old] = new
+    df = tbl.df.withColumnsRenamed(mapping)
+    group_by = tuple(mapping.get(g, g) for g in tbl.group_by)
+    return tbl.evolve(df=df, group_by=group_by)
+
+
+@verb
+def mutate(tbl: SparkTbl, **kwargs):
+    """Add/overwrite columns; later kwargs see earlier ones; aggregates
+    broadcast over the group window (reference: siuba/sql/verbs/mutate.py:20-118).
+    Chained ``withColumn`` projections are collapsed by Catalyst
+    (CollapseProject), so no subquery-avoidance logic is needed (SURVEY §4).
+    """
+    df = tbl.df
+    for name, expr in kwargs.items():
+        ctx = tbl.row_ctx()
+        col, _ = lower(strip_symbolic(expr), ctx)
+        df = df.withColumn(name, col)
+    return tbl.evolve(df=df)
+
+
+@verb
+def transmute(tbl: SparkTbl, **kwargs):
+    """mutate, then keep only grouping + new columns
+    (reference: siuba/sql/verbs/mutate.py:121-133)."""
+    out = mutate(tbl, **kwargs)
+    keep = list(tbl.group_by) + [k for k in kwargs if k not in tbl.group_by]
+    return out.evolve(df=out.df.select(*keep))
+
+
+@verb
+def filter(tbl: SparkTbl, *conds, **kwargs):
+    """Keep rows where all conditions hold.  Window/aggregate conditions are
+    hoisted into computed columns first — Spark forbids windows in WHERE,
+    the same constraint the reference solves with a CTE
+    (siuba/sql/verbs/filter.py:13-64)."""
+    plain, windowed = [], []
+    for cond in conds:
+        ctx = tbl.row_ctx()
+        col, _ = lower(strip_symbolic(cond), ctx)
+        (windowed if ctx.used_window else plain).append(col)
+
+    df = tbl.df
+    if windowed:
+        # all conds must be evaluated against the *input* table
+        tmp_names = [f"__filter_{i}" for i in range(len(windowed))]
+        for nm, c in zip(tmp_names, windowed):
+            df = df.withColumn(nm, c)
+        cond_all = None
+        for c in plain + [F.col(nm) for nm in tmp_names]:
+            cond_all = c if cond_all is None else (cond_all & c)
+        df = df.filter(cond_all).drop(*tmp_names)
+    elif plain:
+        cond_all = None
+        for c in plain:
+            cond_all = c if cond_all is None else (cond_all & c)
+        df = df.filter(cond_all)
+    return tbl.evolve(df=df)
+
+
+def _parse_sort_arg(arg):
+    """Strip a leading ``-`` / ``desc()`` into a direction flag
+    (reference: siuba/dply/verbs.py:819-826)."""
+    node = strip_symbolic(arg)
+    asc = True
+    if isinstance(node, UnaryOp) and node.op == "__neg__":
+        node, asc = node.operand, False
+    elif isinstance(node, FnCall) and node.name == "desc":
+        node, asc = node.args[0], False
+    if isinstance(node, str):
+        node = GetAttr(MetaArg(), node)
+    return node, asc
+
+
+@verb
+def arrange(tbl: SparkTbl, *args):
+    """Sort rows; also records ``order_by`` state that later window
+    functions use as their ORDER BY (reference: siuba/sql/verbs/arrange.py).
+
+    NULLs sort last in both directions (pandas na_position='last').
+    At scale this is a global sort (range-partitioned shuffle) — it stays
+    lazy and Catalyst drops it when a later operator re-shuffles anyway.
+    """
+    order_state = tuple(_parse_sort_arg(a) for a in args)
+    sort_cols = []
+    tmp_cols = []
+    df = tbl.df
+    for i, (node, asc) in enumerate(order_state):
+        ctx = tbl.row_ctx()
+        col, _ = lower(node, ctx)
+        if ctx.used_window:
+            nm = f"__arrange_{i}"
+            df = df.withColumn(nm, col)
+            tmp_cols.append(nm)
+            col = F.col(nm)
+        sort_cols.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
+    df = df.orderBy(*sort_cols)
+    if tmp_cols:
+        df = df.drop(*tmp_cols)
+    return tbl.evolve(df=df, order_by=order_state)
+
+
+@verb
+def distinct(tbl: SparkTbl, *args, _keep_all: bool = False, **kwargs):
+    """Unique rows, optionally by (computed) columns
+    (reference: siuba/sql/verbs/distinct.py:9-38)."""
+    if not args and not kwargs:
+        return tbl.evolve(df=tbl.df.dropDuplicates())
+    work = mutate(tbl, **kwargs) if kwargs else tbl
+    names = list(tbl.group_by)
+    for nm in resolve_names(args, work.columns):
+        if nm not in names:
+            names.append(nm)
+    names += [k for k in kwargs if k not in names]
+    if _keep_all:
+        return work.evolve(df=work.df.dropDuplicates(names))
+    return work.evolve(df=work.df.select(*names).distinct())
+
+
+@verb
+def head(tbl: SparkTbl, n: int = 5):
+    return tbl.evolve(df=tbl.df.limit(n))
+
+
+@verb
+def top_n(tbl: SparkTbl, n: int, wt=None):
+    """Top (n>0) / bottom (n<0) rows per group by weight, ties kept —
+    implemented as filter(min_rank(desc(wt)) <= n) exactly like the
+    reference (siuba/dply/verbs.py:1863-1914)."""
+    from pyspark.sql import Window
+
+    if wt is None:
+        wt_node = GetAttr(MetaArg(), tbl.columns[-1])
+    else:
+        wt_node, _ = _parse_sort_arg(wt)
+    ctx = tbl.row_ctx()
+    col, _ = lower(wt_node, ctx)
+    order = col.desc_nulls_last() if n > 0 else col.asc_nulls_last()
+    w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]).orderBy(order)
+    rank = F.rank().over(w)
+    df = (tbl.df.withColumn("__tn_rank", rank)
+          .filter(F.col("__tn_rank") <= abs(n))
+          .drop("__tn_rank"))
+    return tbl.evolve(df=df)

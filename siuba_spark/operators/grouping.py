@@ -1,0 +1,135 @@
+"""Grouping & aggregation verbs: group_by, ungroup, summarize, count,
+add_count.
+
+``group_by`` records keys as table state — it does not aggregate
+(reference: siuba/sql/verbs/group_by.py:9-27).  ``summarize`` produces one
+row per group via ``groupBy(...).agg(...)`` (map-side partial aggregation
+plus a key shuffle — the right distributed shape at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.lowering import AGGED, TranslationError, lower
+from ..siu.calls import Call, GetAttr, Lit, MetaArg, strip_symbolic
+from ..plans.pipe import verb
+from ..plans.tbl import SparkTbl
+from .core import arrange, mutate
+from ..functions.vector import desc as _desc_fn
+
+__all__ = ["group_by", "ungroup", "summarize", "summarise", "count", "add_count"]
+
+
+def _names_from_args(args):
+    names = []
+    for a in args:
+        node = strip_symbolic(a)
+        if isinstance(node, str):
+            names.append(node)
+        elif isinstance(node, GetAttr) and isinstance(node.obj, MetaArg):
+            names.append(node.name)
+        else:
+            raise TranslationError(
+                "group_by()/count() args must be column references; "
+                "use kwargs to compute new columns"
+            )
+    return names
+
+
+@verb
+def group_by(tbl: SparkTbl, *args, add: bool = False, **kwargs):
+    """Set grouping keys; kwargs create columns first (mutate semantics);
+    ``add=True`` stacks onto existing groups
+    (reference: siuba/dply/verbs.py:280-368)."""
+    work = mutate(tbl, **kwargs) if kwargs else tbl
+    names = _names_from_args(args) + list(kwargs)
+    for nm in names:
+        if nm not in work.columns:
+            raise TranslationError(f"group_by: column '{nm}' not found")
+    new_groups = (tuple(tbl.group_by) + tuple(n for n in names if n not in tbl.group_by)
+                  if add else tuple(names))
+    return work.evolve(group_by=new_groups)
+
+
+@verb
+def ungroup(tbl: SparkTbl):
+    return tbl.evolve(group_by=())
+
+
+@verb
+def summarize(tbl: SparkTbl, **kwargs):
+    """One row per group (reference: siuba/sql/verbs/summarize.py:11-132).
+    Grouping columns come out first; the result is ungrouped."""
+    aggs = []
+    for name, expr in kwargs.items():
+        node = strip_symbolic(expr)
+        ctx = tbl.agg_ctx()
+        col, kind = lower(node, ctx)
+        if kind != AGGED and not isinstance(node, Lit) and isinstance(node, Call):
+            raise TranslationError(
+                f"summarize argument '{name}' must aggregate to one value "
+                "per group (reference raises the same way, "
+                "siuba/sql/verbs/summarize.py:96-106)"
+            )
+        aggs.append(col.alias(name))
+    if not aggs:
+        raise TranslationError("summarize() requires at least one aggregate")
+    df = tbl.df.groupBy(*[F.col(g) for g in tbl.group_by]).agg(*aggs)
+    return SparkTbl(df)
+
+
+summarise = summarize
+
+
+def _fresh_name(base, existing):
+    """Auto-bump the count column name on collision: n → nn → nnn
+    (reference _check_name: siuba/dply/verbs.py:1268-1282)."""
+    name = base
+    while name in existing:
+        name += base
+    return name
+
+
+@verb
+def count(tbl: SparkTbl, *args, wt=None, sort: bool = False, name: str | None = None,
+          **kwargs):
+    """Group sizes, optionally weighted (reference: siuba/sql/verbs/count.py:21-55)."""
+    work = mutate(tbl, **kwargs) if kwargs else tbl
+    names = list(tbl.group_by)
+    for nm in _names_from_args(args) + list(kwargs):
+        if nm not in names:
+            names.append(nm)
+    out_name = name or _fresh_name("n", names)
+    if wt is None:
+        agg = F.count(F.lit(1))
+    else:
+        ctx = work.row_ctx()
+        agg = F.sum(lower(strip_symbolic(wt), ctx)[0])
+    df = work.df.groupBy(*[F.col(c) for c in names]).agg(agg.alias(out_name))
+    if sort:
+        df = df.orderBy(F.col(out_name).desc_nulls_last())
+    return SparkTbl(df)
+
+
+@verb
+def add_count(tbl: SparkTbl, *args, wt=None, sort: bool = False,
+              name: str | None = None, **kwargs):
+    """Like count but joined back as a column — implemented as a window
+    aggregate, exactly the reference's AggOver(count) approach
+    (siuba/sql/verbs/count.py:58-86)."""
+    work = mutate(tbl, **kwargs) if kwargs else tbl
+    names = list(tbl.group_by)
+    for nm in _names_from_args(args) + list(kwargs):
+        if nm not in names:
+            names.append(nm)
+    out_name = name or _fresh_name("n", work.columns)
+    if wt is None:
+        agg = F.count(F.lit(1))
+    else:
+        ctx = work.row_ctx()
+        agg = F.sum(lower(strip_symbolic(wt), ctx)[0])
+    w = Window.partitionBy(*[F.col(c) for c in names])
+    df = work.df.withColumn(out_name, agg.over(w))
+    return work.evolve(df=df)

@@ -1,0 +1,165 @@
+"""Join verbs: inner/left/right/full + semi/anti + theta joins.
+
+Key semantics follow the reference (siuba/sql/verbs/join.py): keys given as
+a name, list of names, or ``{left: right}`` mapping; shared non-key columns
+are suffixed ``_x``/``_y``; full joins coalesce the key columns; if
+``on=None`` shared column names are inferred with a warning.
+
+Scale notes: Spark/AQE picks broadcast-hash vs shuffled-hash vs sort-merge
+per side size at runtime; pass ``hint="broadcast"`` to force broadcasting a
+dimension table when its size is known to be small.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import functions as F
+
+from ..plans.pipe import join_verb, wrap_table
+from ..plans.tbl import SparkTbl
+
+__all__ = [
+    "join", "inner_join", "left_join", "right_join", "full_join",
+    "semi_join", "anti_join",
+]
+
+
+def _normalize_on(left_cols, right_cols, on):
+    """→ list of (left_key, right_key)."""
+    if on is None:
+        shared = [c for c in left_cols if c in right_cols]
+        if not shared:
+            raise ValueError("no common columns to join on; pass `on=`")
+        warnings.warn(f"joining on shared columns: {shared}")
+        return [(c, c) for c in shared]
+    if isinstance(on, str):
+        return [(on, on)]
+    if isinstance(on, dict):
+        return list(on.items())
+    return [(c, c) if isinstance(c, str) else tuple(c) for c in on]
+
+
+def _suffix_shared(ldf, rdf, keys):
+    """Rename shared non-key columns to _x/_y (reference: join.py:11-53)."""
+    lkeys = {lk for lk, _ in keys}
+    rkeys = {rk for _, rk in keys}
+    shared = [c for c in ldf.columns
+              if c in set(rdf.columns) and not (c in lkeys and c in rkeys)]
+    lmap = {c: f"{c}_x" for c in shared if c not in lkeys}
+    rmap = {c: f"{c}_y" for c in shared if c not in rkeys}
+    # a shared *key* column on one side only still collides → suffix it there
+    for c in shared:
+        if c in lkeys and c not in rkeys:
+            rmap[c] = f"{c}_y"
+        if c in rkeys and c not in lkeys:
+            lmap[c] = f"{c}_x"
+    return ldf.withColumnsRenamed(lmap), rdf.withColumnsRenamed(rmap), lmap, rmap
+
+
+def _apply_hint(rdf, hint):
+    if hint == "broadcast":
+        return F.broadcast(rdf)
+    if hint:
+        return rdf.hint(hint)
+    return rdf
+
+
+@join_verb
+def join(left, right, on=None, how: str = "inner", *, sql_on=None,
+         null_safe: bool = False, hint: str | None = None):
+    """Core join (reference: siuba/dply/verbs.py:1545-1677,
+    siuba/sql/verbs/join.py:56-107).
+
+    ``sql_on=lambda lhs, rhs: <Column>`` gives an arbitrary theta join
+    (reference: siuba/sql/verbs/join.py:223-233); ``null_safe=True`` makes
+    NULL keys match each other (pandas-merge semantics) via ``<=>`` —
+    default off because the oracle (SQL) semantics treat NULL ≠ NULL and
+    eqNullSafe can block some Catalyst optimizations.
+    """
+    left = wrap_table(left)
+    right = wrap_table(right)
+    how = {"outer": "full"}.get(how, how)
+    ldf, rdf = left.df, right.df
+
+    if sql_on is not None:
+        ldf_a, rdf_a = ldf.alias("lhs"), rdf.alias("rhs")
+        cond = sql_on(ldf_a, rdf_a)
+        out = ldf_a.join(_apply_hint(rdf_a, hint), cond, how)
+        return SparkTbl(out)
+
+    keys = _normalize_on(ldf.columns, rdf.columns, on)
+    same_named = all(lk == rk for lk, rk in keys)
+    ldf, rdf, _, rmap = _suffix_shared(ldf, rdf, keys)
+    rdf = _apply_hint(rdf, hint)
+
+    if same_named and not null_safe:
+        # USING-style join: Spark merges key columns (coalesced on full join,
+        # matching the reference's coalesce, siuba/sql/verbs/join.py:29-36)
+        out = ldf.join(rdf, [lk for lk, _ in keys], how)
+        return SparkTbl(out)
+
+    ldf_a, rdf_a = ldf.alias("lhs"), rdf.alias("rhs")
+    conds = []
+    for lk, rk in keys:
+        rk = rmap.get(rk, rk)
+        lcol, rcol = ldf_a[lk], rdf_a[rk]
+        conds.append(lcol.eqNullSafe(rcol) if null_safe else (lcol == rcol))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    out = ldf_a.join(rdf_a, cond, how)
+
+    if same_named:
+        # coalesce duplicate key cols into one, as pandas merge does
+        sel = []
+        rkeys = {rmap.get(rk, rk) for _, rk in keys}
+        for lk, rk in keys:
+            rk = rmap.get(rk, rk)
+            sel.append(F.coalesce(ldf_a[lk], rdf_a[rk]).alias(lk))
+        for c in ldf.columns:
+            if c not in {lk for lk, _ in keys}:
+                sel.append(ldf_a[c])
+        for c in rdf.columns:
+            if c not in rkeys:
+                sel.append(rdf_a[c])
+        out = out.select(*sel)
+    return SparkTbl(out)
+
+
+def _make_join(how):
+    @join_verb
+    def _join(left, right, on=None, *, sql_on=None, null_safe=False, hint=None):
+        return join(left, right, on=on, how=how, sql_on=sql_on,
+                    null_safe=null_safe, hint=hint)
+    _join.__name__ = f"{how}_join"
+    return _join
+
+
+inner_join = _make_join("inner")
+left_join = _make_join("left")
+right_join = _make_join("right")
+full_join = _make_join("full")
+
+
+def _make_filter_join(how, ref):
+    @join_verb
+    def _join(left, right, on=None, *, sql_on=None, hint=None):
+        left = wrap_table(left)
+        right = wrap_table(right)
+        ldf, rdf = left.df, right.df
+        if sql_on is not None:
+            cond = sql_on(ldf.alias("lhs"), rdf.alias("rhs"))
+            out = ldf.alias("lhs").join(_apply_hint(rdf.alias("rhs"), hint), cond, how)
+            return left.evolve(df=out)
+        keys = _normalize_on(ldf.columns, rdf.columns, on)
+        rsel = rdf.select(*[F.col(rk).alias(lk) for lk, rk in keys]).distinct()
+        out = ldf.join(_apply_hint(rsel, hint), [lk for lk, _ in keys], how)
+        return left.evolve(df=out)
+    _join.__name__ = f"{how.replace('left_', '')}_join"
+    _join.__doc__ = f"Filtering join ({how}); reference: {ref}."
+    return _join
+
+
+semi_join = _make_filter_join("left_semi", "siuba/sql/verbs/join.py:110-136")
+anti_join = _make_filter_join("left_anti", "siuba/sql/verbs/join.py:139-163")

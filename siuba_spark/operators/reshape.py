@@ -1,0 +1,365 @@
+"""Reshape / tidyr verbs: gather, spread, separate, unite, extract,
+nest, unnest, expand, complete, pivot_longer, pivot_wider, bind_rows.
+
+Spark-first implementations (reference semantics from
+siuba/dply/verbs.py:1919-2543 and siuba/experimental/pivot/*):
+wide→long uses an explode of an array of structs (one shuffle-free
+projection); long→wide uses ``groupBy().pivot()`` (Spark's native pivot
+does map-side partial aggregation).  ``pivot_wider``/``spread`` must learn
+the distinct key values first — the reference has the same constraint
+(sql_pivot_wide.py:31-38); we cap the collected spec to guard the driver.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.lowering import TranslationError, lower
+from ..siu.calls import GetAttr, MetaArg, strip_symbolic
+from ..plans.pipe import verb, wrap_table
+from ..plans.tbl import SparkTbl
+from .tidyselect import resolve_names
+
+__all__ = [
+    "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
+    "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
+]
+
+MAX_PIVOT_KEYS = 10_000  # driver-side spec guard
+
+
+def _colname(arg, columns=None):
+    node = strip_symbolic(arg)
+    if isinstance(node, str):
+        return node
+    if isinstance(node, GetAttr) and isinstance(node.obj, MetaArg):
+        return node.name
+    raise TranslationError(f"expected a column reference, got {node!r}")
+
+
+def _common_value_type(df, cols):
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    types = {fields[c].simpleString() for c in cols}
+    if len(types) == 1:
+        return types.pop()
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+    if all(any(t.startswith(n) for n in numeric) for t in types):
+        return "double"
+    return "string"
+
+
+@verb
+def gather(tbl: SparkTbl, key: str = "key", value: str = "value", *args,
+           drop_na: bool = False, convert: bool = False):
+    """Wide→long (reference: siuba/dply/verbs.py:1919-2000)."""
+    measure = resolve_names(args, tbl.columns) if args else [
+        c for c in tbl.columns if c not in tbl.group_by
+    ]
+    ids = [c for c in tbl.columns if c not in measure]
+    vtype = _common_value_type(tbl.df, measure)
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias(key), F.col(c).cast(vtype).alias(value))
+        for c in measure
+    ])
+    df = (tbl.df
+          .withColumn("__kv", F.explode(pairs))
+          .select(*ids, F.col("__kv")[key].alias(key), F.col("__kv")[value].alias(value)))
+    if drop_na:
+        df = df.filter(F.col(value).isNotNull())
+    return tbl.evolve(df=df)
+
+
+def _agg_fn(fn):
+    table = {
+        "first": lambda c: F.first(c, ignorenulls=True), "max": F.max,
+        "min": F.min, "sum": F.sum, "mean": F.avg, "avg": F.avg,
+        "count": F.count, "median": F.median,
+    }
+    if callable(fn):
+        return fn
+    if fn in table:
+        return table[fn]
+    raise TranslationError(f"unknown values_fn {fn!r}")
+
+
+def _distinct_keys(df, col):
+    rows = df.select(col).distinct().limit(MAX_PIVOT_KEYS + 1).collect()
+    if len(rows) > MAX_PIVOT_KEYS:
+        raise TranslationError(
+            f"pivot spec exceeds {MAX_PIVOT_KEYS} distinct keys; pivoting "
+            "that wide is a driver hazard — aggregate first"
+        )
+    return sorted([r[0] for r in rows], key=lambda v: (v is None, str(v)))
+
+
+@verb
+def spread(tbl: SparkTbl, key, value, fill=None, sep: str | None = None):
+    """Long→wide (reference: siuba/dply/verbs.py:2013-2082)."""
+    keyc = _colname(key)
+    valc = _colname(value)
+    ids = [c for c in tbl.columns if c not in (keyc, valc)]
+    keys = _distinct_keys(tbl.df, keyc)
+    out_names = [f"{keyc}{sep}{k}" if sep else str(k) for k in keys]
+    df = tbl.df.groupBy(*ids).pivot(keyc, keys).agg(F.first(valc, ignorenulls=True))
+    if sep:
+        df = df.withColumnsRenamed(dict(zip([str(k) for k in keys], out_names)))
+    if fill is not None:
+        df = df.fillna(fill, subset=out_names)
+    return tbl.evolve(df=df)
+
+
+@verb
+def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
+             remove: bool = True, convert: bool = False,
+             extra: str = "warn", fill: str = "warn"):
+    """Split a string column into several by a regex separator
+    (reference: siuba/dply/verbs.py:2284-2398)."""
+    name = _colname(col)
+    parts = F.split(F.col(name), sep)
+    df = tbl.df
+    for i, new in enumerate(into):
+        if new is None:
+            continue
+        c = parts.getItem(i)
+        if convert:
+            # numeric-looking parts become numbers; others null (pandas
+            # to_numeric-ish): prefer int, fall back to double
+            c = F.coalesce(c.try_cast("bigint").cast("double"),
+                           c.try_cast("double"))
+        df = df.withColumn(new, c)
+    if remove and name not in into:
+        df = df.drop(name)
+    return tbl.evolve(df=df)
+
+
+@verb
+def unite(tbl: SparkTbl, name: str, *cols, sep: str = "_", remove: bool = True):
+    """Concatenate columns into one string column
+    (reference: siuba/dply/verbs.py:2413-2471)."""
+    names = resolve_names(cols, tbl.columns)
+    df = tbl.df.withColumn(name, F.concat_ws(sep, *[F.col(c).cast("string") for c in names]))
+    if remove:
+        df = df.drop(*[c for c in names if c != name])
+    # place united column where the first source column was
+    order = []
+    for c in tbl.columns:
+        if c == names[0]:
+            order.append(name)
+        elif c in names and remove:
+            continue
+        elif c != name:
+            order.append(c)
+    if name not in order:
+        order.append(name)
+    return tbl.evolve(df=df.select(*order))
+
+
+@verb
+def extract(tbl: SparkTbl, col, into, regex: str = r"(\w+)",
+            remove: bool = True, convert: bool = False):
+    """Regex capture groups → new columns
+    (reference: siuba/dply/verbs.py:2476-2543)."""
+    name = _colname(col)
+    df = tbl.df
+    for i, new in enumerate(into):
+        c = F.regexp_extract(F.col(name), regex, i + 1)
+        c = F.when(c == "", None).otherwise(c)
+        if convert:
+            c = c.try_cast("bigint")
+        df = df.withColumn(new, c)
+    if remove and name not in into:
+        df = df.drop(name)
+    return tbl.evolve(df=df)
+
+
+@verb
+def nest(tbl: SparkTbl, *args, key: str = "data"):
+    """Pack non-key columns into an array<struct> column
+    (reference: siuba/dply/verbs.py:1414-1485).  Distributed-safe: one
+    shuffle on the nest keys, no driver materialization."""
+    nested = resolve_names(args, tbl.columns) if args else [
+        c for c in tbl.columns if c not in tbl.group_by
+    ]
+    keys = [c for c in tbl.columns if c not in nested]
+    df = (tbl.df.groupBy(*keys)
+          .agg(F.collect_list(F.struct(*[F.col(c) for c in nested])).alias(key)))
+    return SparkTbl(df, group_by=tbl.group_by)
+
+
+@verb
+def unnest(tbl: SparkTbl, col: str = "data"):
+    """Explode an array<struct> column back to rows
+    (reference: siuba/dply/verbs.py:1492-1535)."""
+    name = _colname(col)
+    others = [c for c in tbl.columns if c != name]
+    dt = dict((f.name, f.dataType) for f in tbl.df.schema.fields)[name]
+    df = tbl.df.withColumn(name, F.explode(name))
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        df = df.select(*others, f"{name}.*")
+    return tbl.evolve(df=df)
+
+
+@verb
+def expand(tbl: SparkTbl, *args):
+    """Distinct cartesian crossing of columns
+    (reference: siuba/dply/verbs.py:2113-2182)."""
+    names = resolve_names(args, tbl.columns)
+    out = None
+    for nm in names:
+        d = tbl.df.select(nm).distinct()
+        out = d if out is None else out.crossJoin(d)
+    return SparkTbl(out.orderBy(*names), group_by=tbl.group_by)
+
+
+@verb
+def complete(tbl: SparkTbl, *args, fill: dict | None = None):
+    """expand + outer join back + fill
+    (reference: siuba/dply/verbs.py:2185-2279)."""
+    names = resolve_names(args, tbl.columns)
+    grid = expand(tbl, *args)
+    df = grid.df.join(tbl.df, names, "left")
+    if fill:
+        df = df.fillna(fill)
+    return tbl.evolve(df=df)
+
+
+# --------------------------------------------------------------------------
+# tidyr v1 pivots (reference: siuba/experimental/pivot/)
+# --------------------------------------------------------------------------
+
+
+@verb
+def pivot_longer(tbl: SparkTbl, *args, names_to="name", values_to: str = "value",
+                 names_sep: str | None = None, names_pattern: str | None = None,
+                 names_prefix: str | None = None, values_drop_na: bool = False):
+    """tidyr pivot_longer: multi-part names via names_sep/names_pattern and
+    the ``.value`` spec (reference: siuba/experimental/pivot/pivot_long.py:45-250;
+    SQL strategy = union-all of per-spec selects, sql_pivot_long.py:56+)."""
+    cols = resolve_names(args, tbl.columns)
+    if isinstance(names_to, str):
+        names_to = (names_to,)
+    names_to = tuple(names_to)
+
+    # ---- build the spec in pure Python (names only, no data) -------------
+    spec = []  # (source_col, {name_to_part: value})
+    for c in cols:
+        label = c
+        if names_prefix and label.startswith(names_prefix):
+            label = label[len(names_prefix):]
+        if len(names_to) == 1:
+            parts = [label]
+        elif names_pattern:
+            m = re.match(names_pattern, label)
+            if not m:
+                raise TranslationError(f"names_pattern does not match column '{c}'")
+            parts = list(m.groups())
+        elif names_sep is not None:
+            parts = re.split(names_sep, label)
+        else:
+            raise TranslationError("multiple names_to requires names_sep or names_pattern")
+        if len(parts) != len(names_to):
+            raise TranslationError(f"column '{c}' splits into {len(parts)} parts, "
+                                   f"expected {len(names_to)}")
+        spec.append((c, dict(zip(names_to, parts))))
+
+    ids = [c for c in tbl.columns if c not in cols]
+
+    if ".value" in names_to:
+        # group spec rows by the non-value name parts; union-all of selects
+        other_keys = [k for k in names_to if k != ".value"]
+        groups: dict[tuple, dict] = {}
+        for c, parts in spec:
+            gk = tuple(parts[k] for k in other_keys)
+            groups.setdefault(gk, {})[parts[".value"]] = c
+        value_names = sorted({p[".value"] for _, p in spec})
+        pieces = []
+        for gk, mapping in groups.items():
+            sel = [F.col(c) for c in ids]
+            sel += [F.lit(v).alias(k) for k, v in zip(other_keys, gk)]
+            for vn in value_names:
+                src = mapping.get(vn)
+                sel.append((F.col(src) if src else F.lit(None)).alias(vn))
+            pieces.append(tbl.df.select(*sel))
+        df = pieces[0]
+        for p in pieces[1:]:
+            df = df.unionByName(p)
+        return SparkTbl(df)
+
+    vtype = _common_value_type(tbl.df, cols)
+    structs = [
+        F.struct(*[F.lit(parts[k]).alias(k) for k in names_to],
+                 F.col(c).cast(vtype).alias(values_to))
+        for c, parts in spec
+    ]
+    df = (tbl.df.withColumn("__kv", F.explode(F.array(*structs)))
+          .select(*ids, *[F.col("__kv")[k].alias(k) for k in names_to],
+                  F.col("__kv")[values_to].alias(values_to)))
+    if values_drop_na:
+        df = df.filter(F.col(values_to).isNotNull())
+    return SparkTbl(df)
+
+
+@verb
+def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
+                values_from: str = "value", names_prefix: str = "",
+                names_sep: str = "_", values_fill=None, values_fn="max"):
+    """tidyr pivot_wider (reference: siuba/experimental/pivot/pivot_wide.py:97-275;
+    SQL default agg MAX, sql_pivot_wide.py:29,48)."""
+    names_from = [_colname(names_from)] if not isinstance(names_from, (list, tuple)) \
+        else [_colname(c) for c in names_from]
+    values_from = [_colname(values_from)] if not isinstance(values_from, (list, tuple)) \
+        else [_colname(c) for c in values_from]
+    if id_cols is None:
+        ids = [c for c in tbl.columns if c not in names_from + values_from]
+    else:
+        ids = resolve_names(id_cols if isinstance(id_cols, (list, tuple)) else [id_cols],
+                            tbl.columns)
+    fn = _agg_fn(values_fn)
+
+    if len(names_from) == 1:
+        key_col = F.col(names_from[0])
+        keys = _distinct_keys(tbl.df, names_from[0])
+        key_strs = [str(k) for k in keys]
+        work = tbl.df
+    else:
+        work = tbl.df.withColumn("__pw_key", F.concat_ws(names_sep, *names_from))
+        key_col = F.col("__pw_key")
+        keys = _distinct_keys(work, "__pw_key")
+        key_strs = [str(k) for k in keys]
+        work = work.drop(*names_from)
+
+    key_name = names_from[0] if len(names_from) == 1 else "__pw_key"
+    if len(values_from) == 1:
+        df = work.groupBy(*ids).pivot(key_name, keys).agg(fn(F.col(values_from[0])))
+        rename = {ks: f"{names_prefix}{ks}" for ks in key_strs} if names_prefix else {}
+        out_names = [f"{names_prefix}{ks}" for ks in key_strs]
+        if rename:
+            df = df.withColumnsRenamed(rename)
+    else:
+        aggs = [fn(F.col(v)).alias(v) for v in values_from]
+        df = work.groupBy(*ids).pivot(key_name, keys).agg(*aggs)
+        # spark names these "<key>_<value>"; tidyr uses "<value>_<key>"
+        rename = {}
+        out_names = []
+        for ks in key_strs:
+            for v in values_from:
+                tidy = f"{names_prefix}{v}{names_sep}{ks}"
+                rename[f"{ks}_{v}"] = tidy
+                out_names.append(tidy)
+        df = df.withColumnsRenamed(rename)
+    if values_fill is not None:
+        df = df.fillna(values_fill, subset=out_names)
+    return SparkTbl(df)
+
+
+@verb
+def bind_rows(tbl: SparkTbl, *others):
+    """Row-bind by column name (absent from the reference — SURVEY §2.6 —
+    but free via unionByName)."""
+    df = tbl.df
+    for o in others:
+        df = df.unionByName(wrap_table(o).df, allowMissingColumns=True)
+    return SparkTbl(df)

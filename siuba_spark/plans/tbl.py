@@ -1,0 +1,140 @@
+"""SparkTbl: the lazy table handle.
+
+The reference's ``LazyTbl`` carries a stack of SQLAlchemy SELECTs plus
+group/order state (siuba/sql/backend.py:182-224).  Spark's DataFrame *is*
+a lazy logical plan, so the select stack disappears; what remains is the
+sticky ``group_by`` / ``order_by`` state that later verbs consult to build
+window specs (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.lowering import AGG, ROW, LowerCtx
+from .pipe import Pipe, verb
+
+
+class SparkTbl:
+    """A Spark DataFrame + grouping/ordering metadata. Immutable."""
+
+    __slots__ = ("df", "group_by", "order_by")
+
+    def __init__(self, df: DataFrame, group_by: tuple = (), order_by: tuple = ()):
+        self.df = df
+        self.group_by = tuple(group_by)
+        self.order_by = tuple(order_by)
+
+    # -- state helpers -----------------------------------------------------
+    def evolve(self, df=None, group_by=None, order_by=None) -> "SparkTbl":
+        return SparkTbl(
+            df if df is not None else self.df,
+            self.group_by if group_by is None else group_by,
+            self.order_by if order_by is None else order_by,
+        )
+
+    def row_ctx(self) -> LowerCtx:
+        return LowerCtx(self.group_by, self.order_by, ROW)
+
+    def agg_ctx(self) -> LowerCtx:
+        return LowerCtx(self.group_by, self.order_by, AGG)
+
+    @property
+    def columns(self):
+        return self.df.columns
+
+    # -- convenience -------------------------------------------------------
+    def show(self, n=20, truncate=True):
+        self.df.show(n, truncate)
+
+    def explain(self, mode="formatted"):
+        self.df.explain(mode=mode)
+
+    def __repr__(self):
+        g = f" groups={list(self.group_by)}" if self.group_by else ""
+        return f"<SparkTbl [{', '.join(self.df.columns)}]{g}>"
+
+
+# --------------------------------------------------------------------------
+# sources (reference: tbl(), siuba/dply/verbs.py:2550-2641)
+# --------------------------------------------------------------------------
+
+_READERS = {
+    "parquet": lambda s, p, **kw: s.read.parquet(p),
+    "csv": lambda s, p, **kw: s.read.csv(p, header=True, inferSchema=True, **kw),
+    "json": lambda s, p, **kw: s.read.json(p, **kw),
+    "orc": lambda s, p, **kw: s.read.orc(p),
+}
+
+
+def tbl(source, name_or_path: str | None = None, format: str | None = None, **kwargs):
+    """Create a SparkTbl from a SparkSession + table/path, or from a DataFrame.
+
+    - ``tbl(df)`` wraps an existing DataFrame
+    - ``tbl(spark, "catalog_table")`` resolves through the catalog
+    - ``tbl(spark, "/path/data.parquet")`` infers the reader from the suffix
+    """
+    if isinstance(source, SparkTbl):
+        return source
+    if isinstance(source, DataFrame):
+        return SparkTbl(source)
+    if isinstance(source, SparkSession):
+        if name_or_path is None:
+            raise ValueError("tbl(spark, ...) requires a table name or path")
+        fmt = format
+        if fmt is None:
+            for suffix, f in ((".parquet", "parquet"), (".csv", "csv"),
+                              (".json", "json"), (".orc", "orc")):
+                if name_or_path.endswith(suffix):
+                    fmt = f
+                    break
+        if fmt is None and ("/" not in name_or_path):
+            return SparkTbl(source.table(name_or_path))
+        fmt = fmt or "parquet"
+        return SparkTbl(_READERS[fmt](source, name_or_path, **kwargs))
+    raise TypeError(f"cannot create tbl from {type(source).__name__}")
+
+
+# --------------------------------------------------------------------------
+# sinks / execution
+# --------------------------------------------------------------------------
+
+
+@verb
+def collect(tbl: SparkTbl):
+    """Execute and return a local pandas DataFrame
+    (reference: siuba/sql/verbs/compute.py:8-47)."""
+    return tbl.df.toPandas()
+
+
+@verb
+def show_query(tbl: SparkTbl, simplify: bool = False):
+    """Print the physical plan (the Spark analogue of compiled SQL;
+    reference: siuba/sql/verbs/explain.py:16-38). Returns the tbl."""
+    tbl.df.explain(mode="simple" if simplify else "formatted")
+    return tbl
+
+
+@verb
+def write_parquet(tbl: SparkTbl, path: str, mode: str = "overwrite",
+                  partition_by=None, bucket_by=None, n_buckets: int = 0,
+                  table_name: str | None = None):
+    """Parquet sink with optional hive-style partitioning or bucketing
+    (bucketing enables shuffle-free co-located joins at scale)."""
+    w = tbl.df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        if not table_name:
+            raise ValueError("bucketBy requires a table_name (saveAsTable)")
+        w.bucketBy(n_buckets, *bucket_by).sortBy(*bucket_by).format("parquet") \
+            .option("path", path).saveAsTable(table_name)
+        return tbl
+    w.parquet(path)
+    return tbl
+
+
+@verb
+def write_csv(tbl: SparkTbl, path: str, mode: str = "overwrite", header: bool = True):
+    tbl.df.write.mode(mode).option("header", header).csv(path)
+    return tbl

@@ -1,0 +1,254 @@
+"""Expression AST ("siu expressions") for the PySpark engine.
+
+A tiny lazy AST recording column computations, built by operating on the
+``_`` Symbolic placeholder.  Re-expresses the concept of the reference's
+Call tree (reference: siuba/siu/calls.py:91, siuba/siu/symbolic.py:28) with
+a brand-new, Spark-oriented node set: nodes are lowered to
+``pyspark.sql.Column`` by :mod:`siuba_spark.functions.lowering` — there is
+no pandas evaluation path.
+
+Why an AST at all (instead of raw ``Column``): the same expression must
+compile differently in aggregate vs window context (``_.x.mean()`` is an
+aggregate in ``summarize`` but a partitioned window in ``mutate``),
+tidyselect evaluates expressions against column *names*, and ``arrange``
+must strip a leading ``-`` into a sort direction.  See SURVEY.md §7.1.
+"""
+
+from __future__ import annotations
+
+# Binary dunders we capture.  r-variants are normalized at capture time by
+# swapping operands, so lowering only ever sees the plain form.
+BINARY_OPS = (
+    "__add__", "__sub__", "__mul__", "__truediv__", "__floordiv__",
+    "__mod__", "__pow__",
+    "__eq__", "__ne__", "__lt__", "__le__", "__gt__", "__ge__",
+    "__and__", "__or__", "__xor__",
+)
+
+UNARY_OPS = ("__neg__", "__pos__", "__invert__", "__abs__")
+
+
+class Call:
+    """Base class for AST nodes."""
+
+    __hash__ = object.__hash__
+
+    def __repr__(self):
+        return f"{type(self).__name__}({', '.join(repr(v) for v in self._parts())})"
+
+    def _parts(self):
+        return ()
+
+    # Allow raw Call objects in pipes: ``df >> some_call`` is not supported,
+    # but composing Calls with operators is (used internally).
+
+
+class MetaArg(Call):
+    """The ``_`` placeholder itself (a reference to "the current table")."""
+
+    def _parts(self):
+        return ("_",)
+
+
+class Lit(Call):
+    """A literal constant embedded in an expression."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def _parts(self):
+        return (self.value,)
+
+
+class BinaryOp(Call):
+    def __init__(self, op: str, left, right):
+        self.op = op
+        self.left = left
+        self.right = right
+
+    def _parts(self):
+        return (self.op, self.left, self.right)
+
+
+class UnaryOp(Call):
+    def __init__(self, op: str, operand):
+        self.op = op
+        self.operand = operand
+
+    def _parts(self):
+        return (self.op, self.operand)
+
+
+class GetAttr(Call):
+    def __init__(self, obj, name: str):
+        self.obj = obj
+        self.name = name
+
+    def _parts(self):
+        return (self.obj, self.name)
+
+
+class GetItem(Call):
+    def __init__(self, obj, key):
+        self.obj = obj
+        self.key = key
+
+    def _parts(self):
+        return (self.obj, self.key)
+
+
+class MethodCall(Call):
+    """``_.x.mean(...)`` — a method invoked on a lowered expression."""
+
+    def __init__(self, obj, name: str, args: tuple, kwargs: dict):
+        self.obj = obj
+        self.name = name
+        self.args = args
+        self.kwargs = kwargs
+
+    def _parts(self):
+        return (self.obj, self.name, self.args, self.kwargs)
+
+
+class FnCall(Call):
+    """A registered free function, e.g. ``lead(_.x, 2)`` or ``n(_)``.
+
+    ``name`` keys into the lowering registry; args/kwargs are Calls or
+    literals.
+    """
+
+    def __init__(self, name: str, args: tuple = (), kwargs: dict | None = None):
+        self.name = name
+        self.args = args
+        self.kwargs = kwargs or {}
+
+    def _parts(self):
+        return (self.name, self.args, self.kwargs)
+
+
+class RawCallable(Call):
+    """Escape hatch: an arbitrary Python callable applied to lowered args.
+
+    The callable receives ``pyspark.sql.Column`` arguments and must return a
+    Column (mirrors the reference's any-callable-in-a-pipe behavior,
+    siuba/siu/dispatchers.py:304-368, but against Spark columns).
+    """
+
+    def __init__(self, func, args: tuple, kwargs: dict):
+        self.func = func
+        self.args = args
+        self.kwargs = kwargs
+
+    def _parts(self):
+        return (self.func, self.args, self.kwargs)
+
+
+# --------------------------------------------------------------------------
+# Symbolic: the user-facing ``_`` object
+# --------------------------------------------------------------------------
+
+_RSWAP = {
+    "__radd__": "__add__", "__rsub__": "__sub__", "__rmul__": "__mul__",
+    "__rtruediv__": "__truediv__", "__rfloordiv__": "__floordiv__",
+    "__rmod__": "__mod__", "__rpow__": "__pow__",
+    "__rand__": "__and__", "__ror__": "__or__", "__rxor__": "__xor__",
+}
+
+
+def strip_symbolic(x):
+    """Return the underlying Call for a Symbolic, else x unchanged."""
+    return x._call if isinstance(x, Symbolic) else x
+
+
+def _node(x):
+    """Coerce a value to an AST node (Symbolic→Call, other→Lit)."""
+    if isinstance(x, Symbolic):
+        return x._call
+    if isinstance(x, Call):
+        return x
+    return Lit(x)
+
+
+def _make_binary(op):
+    def method(self, other):
+        return Symbolic(BinaryOp(op, self._call, _node(other)))
+    method.__name__ = op
+    return method
+
+
+def _make_rbinary(rop, op):
+    def method(self, other):
+        return Symbolic(BinaryOp(op, _node(other), self._call))
+    method.__name__ = rop
+    return method
+
+
+def _make_unary(op):
+    def method(self):
+        return Symbolic(UnaryOp(op, self._call))
+    method.__name__ = op
+    return method
+
+
+class Symbolic:
+    """Builds Call trees from natural Python syntax: ``_.x + 1``."""
+
+    __slots__ = ("_call",)
+
+    def __init__(self, call: Call | None = None):
+        object.__setattr__(self, "_call", call if call is not None else MetaArg())
+
+    # -- structure builders ------------------------------------------------
+    def __getattr__(self, name):
+        if name.startswith("__") and name.endswith("__"):
+            raise AttributeError(name)
+        return Symbolic(GetAttr(self._call, name))
+
+    def __getitem__(self, key):
+        return Symbolic(GetItem(self._call, key))
+
+    def __call__(self, *args, **kwargs):
+        call = self._call
+        if isinstance(call, GetAttr):
+            return Symbolic(MethodCall(
+                call.obj, call.name,
+                tuple(_node(a) for a in args),
+                {k: _node(v) for k, v in kwargs.items()},
+            ))
+        raise TypeError(f"cannot call expression of type {type(call).__name__}")
+
+    # -- pipes -------------------------------------------------------------
+    def __rshift__(self, other):
+        from ..plans.pipe import as_pipe
+        if isinstance(self._call, MetaArg):
+            return as_pipe(other)
+        raise TypeError("only bare `_` may start a pipe")
+
+    def __rrshift__(self, data):
+        raise TypeError(
+            "a bare symbolic expression cannot be applied to data; "
+            "use verbs like mutate()/filter()"
+        )
+
+    # -- misc protocol -----------------------------------------------------
+    def __bool__(self):
+        raise TypeError(
+            "Symbolic expressions are lazy and have no truth value. "
+            "Use & | ~ instead of `and` / `or` / `not`."
+        )
+
+    def __iter__(self):
+        raise TypeError("Symbolic expressions are not iterable")
+
+    def __repr__(self):
+        return f"Symbolic({self._call!r})"
+
+    __hash__ = object.__hash__
+
+
+for _op in BINARY_OPS:
+    setattr(Symbolic, _op, _make_binary(_op))
+for _rop, _op in _RSWAP.items():
+    setattr(Symbolic, _rop, _make_rbinary(_rop, _op))
+for _op in UNARY_OPS:
+    setattr(Symbolic, _op, _make_unary(_op))
