@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is implemented with the siuba_spark DSL (this repo's
+engine) and has a DuckDB oracle in ``oracle_sql()``.  Determinism rules used
+throughout so Spark and DuckDB value-hashes match exactly:
+
+- double sums go through DECIMAL(30,6) on both engines (exact arithmetic,
+  order-independent), then cast back to double;
+- averages = exact-decimal sum / count, divided in double;
+- inexact aggregates (stddev/var/corr/quantile) are rounded to 4 decimals
+  on both sides;
+- window/rank outputs always order by a unique key tie-break;
+- timestamps are emitted as formatted strings.
 """
 
 from __future__ import annotations
@@ -13,26 +19,1212 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from siuba_spark import (  # noqa: F401
+    _, tbl, select, rename, mutate, transmute, filter, arrange, distinct,
+    head, top_n, group_by, ungroup, summarize, count, add_count,
+    join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
+    gather, spread, separate, unite, extract, nest, unnest, expand, complete,
+    pivot_longer, pivot_wider, bind_rows,
+    row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
+    lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
+    if_else, case_when, desc, str_c, floor_date, ceil_date,
+    fct_lump,
+)
+from siuba_spark.corpus.text import (
+    text_stats, lang_score, fingerprint, token_count_bpe,
+)
+from siuba_spark.corpus.dedup import (
+    exact_dedup, add_shingles, jaccard_pairs, minhash_near_dups, add_simhash,
+)
+from siuba_spark.corpus.similarity import brute_force_topk, lsh_topk
+from siuba_spark.streaming.windows import tumble, sessionize
+
+
+def _t(spark, sf_dir, name):
+    if name == "events":
+        return _events(spark, sf_dir)
+    return tbl(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark, sf_dir):
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read nanos as long and floor to microseconds — the same
+    truncation DuckDB applies when it coerces ns → µs on read, so both
+    engines see identical instants."""
+    from pyspark.sql import functions as F
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    # schema-driven (the conf may already be set from a prior query)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return tbl(df)
+
+
+# exact decimal-sum helper (see module docstring)
+def _dsum(col_expr):
+    return col_expr.astype("decimal(30,6)").sum().astype("double")
+
+
+# ===========================================================================
+# core parity queries (SURVEY.md §2)
+# ===========================================================================
+
+
+def q_tpch_q1(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> filter(_.l_shipdate <= "1998-09-02")
+        >> group_by(_.l_returnflag, _.l_linestatus)
+        >> summarize(
+            sum_qty=_.l_quantity.sum(),
+            sum_base_price=_dsum(_.l_extendedprice),
+            sum_disc_price=_dsum(_.l_extendedprice * (1 - _.l_discount)),
+            sum_charge=_dsum(_.l_extendedprice * (1 - _.l_discount) * (1 + _.l_tax)),
+            avg_qty=(_.l_quantity.sum() / _.l_quantity.count()),
+            avg_price=(_dsum(_.l_extendedprice) / _.l_extendedprice.count()),
+            avg_disc=(_dsum(_.l_discount) / _.l_discount.count()),
+            count_order=n(_),
+        )
+        >> arrange(_.l_returnflag, _.l_linestatus)
+    ).df
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_select_rename(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        >> select(_.c_custkey, _.c_mktsegment, balance=_.c_acctbal)
+        >> filter(_.balance > 0)
+    ).df
+
+
+SQL_SELECT_RENAME = """
+SELECT c_custkey, c_mktsegment, c_acctbal AS balance
+FROM customer WHERE c_acctbal > 0
+"""
+
+
+def q_mutate_arith(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> mutate(
+            revenue=(_.l_extendedprice * (1 - _.l_discount)).round(4),
+            qty_int_div=_.l_quantity // 7,
+            qty_mod=_.l_quantity % 7,
+            disc_sq=(_.l_discount ** 2).round(6),
+            flag_hi=if_else(_.l_quantity > 30, "hi", "lo"),
+        )
+        >> select(_.l_orderkey, _.l_linenumber, _.revenue, _.qty_int_div,
+                  _.qty_mod, _.disc_sq, _.flag_hi)
+    ).df
+
+
+SQL_MUTATE_ARITH = """
+SELECT l_orderkey, l_linenumber,
+  ROUND(l_extendedprice*(1-l_discount), 4) AS revenue,
+  CAST(FLOOR(l_quantity/7) AS BIGINT) AS qty_int_div,
+  l_quantity % 7 AS qty_mod,
+  ROUND(l_discount*l_discount, 6) AS disc_sq,
+  CASE WHEN l_quantity > 30 THEN 'hi' ELSE 'lo' END AS flag_hi
+FROM lineitem
+"""
+
+
+def q_filter_compound(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> filter(
+            between(_.o_totalprice, 100.0, 200000.0),
+            _.o_orderpriority.isin(["1-URGENT", "2-HIGH"]),
+            _.o_orderstatus != "F",
+        )
+        >> select(_.o_orderkey, _.o_totalprice, _.o_orderpriority, _.o_orderstatus)
+    ).df
+
+
+SQL_FILTER_COMPOUND = """
+SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+FROM orders
+WHERE o_totalprice BETWEEN 100.0 AND 200000.0
+  AND o_orderpriority IN ('1-URGENT','2-HIGH')
+  AND o_orderstatus <> 'F'
+"""
+
+
+def q_arrange_limit(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> arrange(-_.o_totalprice, _.o_orderkey)
+        >> head(100)
+        >> select(_.o_orderkey, _.o_totalprice)
+    ).df
+
+
+SQL_ARRANGE_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST LIMIT 100
+"""
+
+
+def q_distinct_pairs(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> distinct(_.l_returnflag, _.l_linestatus)
+        >> arrange(_.l_returnflag, _.l_linestatus)
+    ).df
+
+
+SQL_DISTINCT_PAIRS = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+def q_count_sorted(spark, sf):
+    return (_t(spark, sf, "orders") >> count(_.o_orderpriority, sort=True)).df
+
+
+SQL_COUNT_SORTED = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1
+"""
+
+
+def q_add_count(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        >> add_count(_.c_mktsegment, name="seg_n")
+        >> select(_.c_custkey, _.c_mktsegment, _.seg_n)
+    ).df
+
+
+SQL_ADD_COUNT = """
+SELECT c_custkey, c_mktsegment,
+       COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_n
+FROM customer
+"""
+
+
+def q_grouped_mutate_zscore(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> mutate(
+            dev=(_.l_quantity - _.l_quantity.sum() / _.l_quantity.count()).round(4),
+            pct_of_mean=(_.l_quantity
+                         / (_.l_quantity.sum() / _.l_quantity.count())).round(6),
+        )
+        >> ungroup()
+        >> select(_.l_orderkey, _.l_linenumber, _.l_returnflag, _.dev, _.pct_of_mean)
+    ).df
+
+
+SQL_GROUPED_MUTATE_ZSCORE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+  ROUND(l_quantity - SUM(l_quantity) OVER w / COUNT(l_quantity) OVER w, 4) AS dev,
+  ROUND(l_quantity / (SUM(l_quantity) OVER w / COUNT(l_quantity) OVER w), 6)
+        AS pct_of_mean
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+"""
+
+
+def q_grouped_filter(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> filter(_.l_quantity > _.l_quantity.sum() / _.l_quantity.count())
+        >> ungroup()
+        >> count(_.l_returnflag)
+        >> arrange(_.l_returnflag)
+    ).df
+
+
+SQL_GROUPED_FILTER = """
+WITH w AS (
+  SELECT *, SUM(l_quantity) OVER (PARTITION BY l_returnflag)
+            / COUNT(l_quantity) OVER (PARTITION BY l_returnflag) AS m
+  FROM lineitem)
+SELECT l_returnflag, COUNT(*) AS n FROM w WHERE l_quantity > m GROUP BY 1
+"""
+
+
+def q_window_ranks(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_orderpriority)
+        >> mutate(
+            rk=min_rank(-_.o_totalprice),
+            drk=dense_rank(-_.o_totalprice),
+        )
+        >> ungroup()
+        >> filter(_.rk <= 5)
+        >> select(_.o_orderpriority, _.o_orderkey, _.o_totalprice, _.rk, _.drk)
+    ).df
+
+
+SQL_WINDOW_RANKS = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC NULLS LAST) AS rk,
+    DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC NULLS LAST) AS drk
+  FROM orders)
+SELECT * FROM r WHERE rk <= 5
+"""
+
+
+def q_lead_lag(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_custkey)
+        >> arrange(_.o_orderdate, _.o_orderkey)
+        >> mutate(
+            prev_price=lag(_.o_totalprice),
+            next_price=lead(_.o_totalprice),
+            delta=(_.o_totalprice - lag(_.o_totalprice)).round(4),
+        )
+        >> ungroup()
+        >> select(_.o_custkey, _.o_orderkey, _.prev_price, _.next_price, _.delta)
+    ).df
+
+
+SQL_LEAD_LAG = """
+SELECT o_custkey, o_orderkey,
+  LAG(o_totalprice) OVER w AS prev_price,
+  LEAD(o_totalprice) OVER w AS next_price,
+  ROUND(o_totalprice - LAG(o_totalprice) OVER w, 4) AS delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST)
+"""
+
+
+def q_cumsum_running(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_custkey)
+        >> arrange(_.o_orderdate, _.o_orderkey)
+        >> mutate(run_spend=_.o_totalprice.astype("decimal(30,6)").cumsum()
+                  .astype("double"))
+        >> ungroup()
+        >> select(_.o_custkey, _.o_orderkey, _.run_spend)
+    ).df
+
+
+SQL_CUMSUM_RUNNING = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+FROM orders
+"""
+
+
+def q_ntile_quartiles(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        >> arrange(_.c_acctbal, _.c_custkey)
+        >> mutate(quartile=ntile(_, 4),
+                  pr=percent_rank(_.c_custkey),
+                  cd=cume_dist(_.c_custkey))
+        >> select(_.c_custkey, _.quartile, _.pr, _.cd)
+    ).df
+
+
+SQL_NTILE_QUARTILES = """
+SELECT c_custkey,
+  NTILE(4) OVER (ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC NULLS LAST) AS quartile,
+  PERCENT_RANK() OVER (ORDER BY c_custkey ASC NULLS LAST) AS pr,
+  CUME_DIST() OVER (ORDER BY c_custkey ASC NULLS LAST) AS cd
+FROM customer
+"""
+
+
+def q_join_inner(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> inner_join(_t(spark, sf, "customer"),
+                      on={"o_custkey": "c_custkey"}, hint="broadcast")
+        >> select(_.o_orderkey, _.o_totalprice, _.c_name, _.c_mktsegment)
+    ).df
+
+
+SQL_JOIN_INNER = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_join_left_agg(spark, sf):
+    orders_per_cust = (
+        _t(spark, sf, "orders")
+        >> count(_.o_custkey, name="n_orders")
+    )
+    return (
+        _t(spark, sf, "customer")
+        >> left_join(orders_per_cust, on={"c_custkey": "o_custkey"})
+        >> mutate(n_orders=coalesce(_.n_orders, 0))
+        >> select(_.c_custkey, _.c_mktsegment, _.n_orders)
+    ).df
+
+
+SQL_JOIN_LEFT_AGG = """
+SELECT c_custkey, c_mktsegment, COALESCE(o.n_orders, 0) AS n_orders
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_full_join_coalesce(spark, sf):
+    cust = (_t(spark, sf, "customer") >> count(_.c_nationkey, name="n_cust")
+            >> rename(nationkey=_.c_nationkey))
+    supp = (_t(spark, sf, "supplier") >> count(_.s_nationkey, name="n_supp")
+            >> rename(nationkey=_.s_nationkey))
+    return (
+        cust
+        >> full_join(supp, on="nationkey")
+        >> mutate(n_cust=coalesce(_.n_cust, 0), n_supp=coalesce(_.n_supp, 0))
+    ).df
+
+
+SQL_FULL_JOIN_COALESCE = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+USING (nationkey)
+"""
+
+
+def q_semi_anti(spark, sf):
+    ords = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    with_orders = (cust >> semi_join(ords, on={"c_custkey": "o_custkey"})
+                   >> count(_.c_mktsegment, name="with_orders"))
+    without = (cust >> anti_join(ords, on={"c_custkey": "o_custkey"})
+               >> count(_.c_mktsegment, name="without_orders"))
+    return (
+        with_orders
+        >> full_join(without, on="c_mktsegment")
+        >> mutate(with_orders=coalesce(_.with_orders, 0),
+                  without_orders=coalesce(_.without_orders, 0))
+    ).df
+
+
+SQL_SEMI_ANTI = """
+SELECT COALESCE(a.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+       COALESCE(a.with_orders, 0) AS with_orders,
+       COALESCE(b.without_orders, 0) AS without_orders
+FROM (SELECT c_mktsegment, COUNT(*) AS with_orders FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY 1) a
+FULL JOIN (SELECT c_mktsegment, COUNT(*) AS without_orders FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY 1) b
+USING (c_mktsegment)
+"""
+
+
+def q_theta_join(spark, sf):
+    nat = _t(spark, sf, "nation")
+    return (
+        join(nat, nat,
+             sql_on=lambda l, r: (l["n_regionkey"] == r["n_regionkey"])
+                                 & (l["n_nationkey"] < r["n_nationkey"]))
+        .df.selectExpr("lhs.n_name as nation_a", "rhs.n_name as nation_b",
+                       "lhs.n_regionkey as regionkey")
+    )
+
+
+SQL_THETA_JOIN = """
+SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+"""
+
+
+def q_tpch_q3(spark, sf):
+    cust = _t(spark, sf, "customer") >> filter(_.c_mktsegment == "BUILDING")
+    ords = _t(spark, sf, "orders") >> filter(_.o_orderdate < "1997-06-01")
+    li = _t(spark, sf, "lineitem") >> filter(_.l_shipdate > "1997-06-01")
+    return (
+        ords
+        >> inner_join(cust, on={"o_custkey": "c_custkey"}, hint="broadcast")
+        >> inner_join(li, on={"o_orderkey": "l_orderkey"})
+        >> group_by(_.o_orderkey, _.o_orderpriority)
+        >> summarize(revenue=_dsum(_.l_extendedprice * (1 - _.l_discount)))
+        >> arrange(-_.revenue, _.o_orderkey)
+        >> head(10)
+    ).df
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1997-06-01'
+  AND l_shipdate > '1997-06-01'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC NULLS FIRST, o_orderkey LIMIT 10
+"""
+
+
+def q_revenue_by_nation(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "supplier"),
+                      on={"l_suppkey": "s_suppkey"}, hint="broadcast")
+        >> inner_join(_t(spark, sf, "nation"),
+                      on={"s_nationkey": "n_nationkey"}, hint="broadcast")
+        >> inner_join(_t(spark, sf, "region"),
+                      on={"n_regionkey": "r_regionkey"}, hint="broadcast")
+        >> group_by(_.r_name, _.n_name)
+        >> summarize(revenue=_dsum(_.l_extendedprice * (1 - _.l_discount)),
+                     n_items=n(_))
+        >> arrange(_.r_name, _.n_name)
+    ).df
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_spread_wide(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> count(_.l_returnflag, _.l_linestatus)
+        >> spread(_.l_linestatus, _.n, fill=0)
+        >> arrange(_.l_returnflag)
+    ).df
+
+
+SQL_SPREAD_WIDE = """
+SELECT l_returnflag,
+  COALESCE(SUM(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END), 0) AS "F",
+  COALESCE(SUM(CASE WHEN l_linestatus='O' THEN 1 ELSE 0 END), 0) AS "O"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_pivot_longer(spark, sf):
+    wide = (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> summarize(qty=_.l_quantity.sum(),
+                     price=_dsum(_.l_extendedprice))
+    )
+    return (
+        wide
+        >> pivot_longer(_.qty, _.price, names_to="metric", values_to="value")
+    ).df
+
+
+SQL_PIVOT_LONGER = """
+WITH wide AS (
+  SELECT l_returnflag, SUM(l_quantity) AS qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS price
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'price' AS metric, price AS value FROM wide
+"""
+
+
+def q_pivot_wider(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> inner_join(_t(spark, sf, "customer"),
+                      on={"o_custkey": "c_custkey"}, hint="broadcast")
+        >> group_by(_.c_mktsegment, _.o_orderpriority)
+        >> summarize(avg_price=(_dsum(_.o_totalprice) / _.o_totalprice.count()).round(4))
+        >> pivot_wider(names_from=_.o_orderpriority, values_from=_.avg_price,
+                       id_cols=_.c_mktsegment)
+        >> arrange(_.c_mktsegment)
+    ).df
+
+
+SQL_PIVOT_WIDER = """
+WITH a AS (
+  SELECT c_mktsegment, o_orderpriority,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+          / COUNT(o_totalprice), 4) AS avg_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment,
+  MAX(CASE WHEN o_orderpriority='1-URGENT' THEN avg_price END) AS "1-URGENT",
+  MAX(CASE WHEN o_orderpriority='2-HIGH' THEN avg_price END) AS "2-HIGH",
+  MAX(CASE WHEN o_orderpriority='3-MEDIUM' THEN avg_price END) AS "3-MEDIUM",
+  MAX(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN avg_price END) AS "4-NOT SPECIFIED",
+  MAX(CASE WHEN o_orderpriority='5-LOW' THEN avg_price END) AS "5-LOW"
+FROM a GROUP BY c_mktsegment
+"""
+
+
+def q_separate_unite(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        >> separate(_.p_name, into=["p_adj", "p_noun"], sep=" ")
+        >> unite("brand_type", _.p_brand, _.p_type, sep="/")
+        >> select(_.p_partkey, _.p_adj, _.p_noun, _.brand_type)
+    ).df
+
+
+SQL_SEPARATE_UNITE = """
+SELECT p_partkey,
+  string_split(p_name, ' ')[1] AS p_adj,
+  string_split(p_name, ' ')[2] AS p_noun,
+  p_brand || '/' || p_type AS brand_type
+FROM part
+"""
+
+
+def q_str_functions(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        >> mutate(
+            up=_.p_name.str.upper(),
+            lo=_.p_type.str.lower(),
+            ln=_.p_name.str.len(),
+            has_red=_.p_name.str.contains("red", regex=False),
+            first3=_.p_name.str.slice(0, 3),
+            clean=_.p_name.str.replace("[aeiou]", "_"),
+            titled=_.p_name.str.title(),
+        )
+        >> select(_.p_partkey, _.up, _.lo, _.ln, _.has_red, _.first3,
+                  _.clean, _.titled)
+    ).df
+
+
+SQL_STR_FUNCTIONS = """
+SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_type) AS lo,
+  LENGTH(p_name) AS ln,
+  CASE WHEN p_name LIKE '%red%' THEN TRUE ELSE FALSE END AS has_red,
+  SUBSTRING(p_name, 1, 3) AS first3,
+  REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS clean,
+  -- initcap equivalent: duckdb lacks initcap; build it for two-word names
+  ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
+    w -> UPPER(w[1]) || w[2:]), ' ') AS titled
+FROM part
+"""
+
+
+def q_dt_functions(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> mutate(
+            yr=_.o_orderdate.dt.year,
+            mo=_.o_orderdate.dt.month,
+            dy=_.o_orderdate.dt.day,
+            qtr=_.o_orderdate.dt.quarter,
+            dow_mon0=_.o_orderdate.dt.dayofweek,
+            doy=_.o_orderdate.dt.dayofyear,
+            month_str=_.o_orderdate.dt.strftime("%Y-%m"),
+            month_floor=floor_date(_.o_orderdate, "month").dt.strftime("%Y-%m-%d"),
+        )
+        >> select(_.o_orderkey, _.yr, _.mo, _.dy, _.qtr, _.dow_mon0, _.doy,
+                  _.month_str, _.month_floor)
+    ).df
+
+
+SQL_DT_FUNCTIONS = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(month(o_orderdate) AS INT) AS mo,
+  CAST(day(o_orderdate) AS INT) AS dy,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  CAST((dayofweek(o_orderdate) + 6) % 7 AS INT) AS dow_mon0,
+  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+  strftime(o_orderdate, '%Y-%m') AS month_str,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_floor
+FROM orders
+"""
+
+
+def q_agg_stats(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> summarize(
+            sd=_.l_quantity.std().round(4),
+            vr=_.l_quantity.var().round(4),
+            med=_.l_quantity.median(),
+            q25=_.l_quantity.quantile(0.25),
+            uniq_parts=_.l_partkey.nunique(),
+            cor=_.l_quantity.corr(_.l_extendedprice).round(4),
+        )
+        >> arrange(_.l_returnflag)
+    ).df
+
+
+SQL_AGG_STATS = """
+SELECT l_returnflag,
+  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd,
+  ROUND(VAR_SAMP(l_quantity), 4) AS vr,
+  MEDIAN(l_quantity) AS med,
+  QUANTILE_CONT(l_quantity, 0.25) AS q25,
+  COUNT(DISTINCT l_partkey) AS uniq_parts,
+  ROUND(CORR(l_quantity, l_extendedprice), 4) AS cor
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_window_share(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> mutate(share=(_.l_extendedprice
+                         / _.l_extendedprice.astype("decimal(30,6)").sum()
+                         .astype("double")).round(8))
+        >> ungroup()
+        >> select(_.l_orderkey, _.l_linenumber, _.l_returnflag, _.share)
+    ).df
+
+
+SQL_WINDOW_SHARE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+  ROUND(l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+    OVER (PARTITION BY l_returnflag) AS DOUBLE), 8) AS share
+FROM lineitem
+"""
+
+
+def q_nunique_window(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_partkey)
+        >> mutate(n_supp=n_distinct(_.l_suppkey))
+        >> ungroup()
+        >> distinct(_.l_partkey, _.n_supp)
+    ).df
+
+
+SQL_NUNIQUE_WINDOW = """
+SELECT DISTINCT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+def q_case_when_bands(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> mutate(band=case_when({
+            _.o_totalprice < 50000: "small",
+            _.o_totalprice < 200000: "medium",
+            True: "large",
+        }))
+        >> count(_.band)
+        >> arrange(_.band)
+    ).df
+
+
+SQL_CASE_WHEN_BANDS = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS band, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_fct_lump(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> mutate(prio=fct_lump(_.o_orderpriority, n=2))
+        >> count(_.prio)
+        >> arrange(_.prio)
+    ).df
+
+
+SQL_FCT_LUMP = """
+WITH c AS (SELECT *, COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+           FROM orders),
+r AS (SELECT *, DENSE_RANK() OVER (ORDER BY cnt DESC, o_orderpriority ASC) AS rk
+      FROM c)
+SELECT CASE WHEN rk <= 2 THEN o_orderpriority ELSE 'Other' END AS prio,
+       COUNT(*) AS n
+FROM r GROUP BY 1
+"""
+
+
+def q_top_n(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> inner_join(_t(spark, sf, "customer"),
+                      on={"o_custkey": "c_custkey"}, hint="broadcast")
+        >> group_by(_.c_mktsegment)
+        >> top_n(3, _.o_totalprice)
+        >> ungroup()
+        >> select(_.c_mktsegment, _.o_orderkey, _.o_totalprice)
+    ).df
+
+
+SQL_TOP_N = """
+WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+r AS (SELECT *, RANK() OVER (PARTITION BY c_mktsegment
+                             ORDER BY o_totalprice DESC NULLS LAST) AS rk FROM j)
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM r WHERE rk <= 3
+"""
+
+
+def q_complete_grid(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> count(_.l_returnflag, _.l_linestatus)
+        >> complete(_.l_returnflag, _.l_linestatus, fill={"n": 0})
+        >> arrange(_.l_returnflag, _.l_linestatus)
+    ).df
+
+
+SQL_COMPLETE_GRID = """
+WITH c AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+g AS (SELECT a.l_returnflag, b.l_linestatus
+      FROM (SELECT DISTINCT l_returnflag FROM c) a
+      CROSS JOIN (SELECT DISTINCT l_linestatus FROM c) b)
+SELECT g.l_returnflag, g.l_linestatus, COALESCE(c.n, 0) AS n
+FROM g LEFT JOIN c USING (l_returnflag, l_linestatus)
+"""
+
+
+def q_null_semantics(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> mutate(
+            disc_or_null=na_if(_.l_discount, 0.0),
+            has_disc=if_else(na_if(_.l_discount, 0.0) > 0.05, "big", "small"),
+            filled=coalesce(na_if(_.l_discount, 0.0), -1.0),
+        )
+        >> count(_.has_disc)
+        >> arrange(_.has_disc)
+    ).df
+
+
+SQL_NULL_SEMANTICS = """
+SELECT CASE WHEN COALESCE(NULLIF(l_discount, 0.0) > 0.05, FALSE)
+            THEN 'big' ELSE 'small' END AS has_disc, COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_nest_unnest(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> select(_.l_orderkey, _.l_linenumber, _.l_quantity)
+        >> nest(_.l_linenumber, _.l_quantity, key="items")
+        >> unnest("items")
+    ).df
+
+
+SQL_NEST_UNNEST = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+"""
+
+
+# ===========================================================================
+# beyond-parity: events / streaming-shaped
+# ===========================================================================
+
+
+def q_events_tumbling(spark, sf):
+    t = tumble(_t(spark, sf, "events"), ts="ts", every="10 minutes",
+               by=["event_type"],
+               n_events=("count", None), total_value=("dsum", "value"))
+    return (
+        t
+        >> mutate(w_start=_.w_start.dt.strftime("%Y-%m-%d %H:%M:%S"),
+                  total_value=_.total_value.round(4))
+        >> select(_.w_start, _.event_type, _.n_events, _.total_value)
+        >> arrange(_.w_start, _.event_type)
+    ).df
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL 10 MINUTES, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type, COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf):
+    s = sessionize(_t(spark, sf, "events"), ts="ts", by="user_id",
+                   gap_minutes=30)
+    return (
+        s
+        >> group_by(_.user_id, _.session_id)
+        >> summarize(n_events=n(_),
+                     sess_value=_dsum(_.value))
+        >> arrange(_.user_id, _.session_id)
+    ).df
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+            THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST)),
+s AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sess_value
+FROM s GROUP BY 1, 2
+"""
+
+
+# ===========================================================================
+# beyond-parity: corpus operators (documents / embeddings)
+# ===========================================================================
+
+
+def q_text_stats(spark, sf):
+    return (
+        text_stats(_t(spark, sf, "documents"))
+        >> select(_.doc_id, _.n_tokens, _.avg_token_len, _.punct_ratio,
+                  _.stopword_ratio, _.type_token_ratio)
+    ).df
+
+
+SQL_TEXT_STATS = """
+WITH t AS (SELECT doc_id, text,
+    string_split(lower(trim(text)), ' ') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  ROUND(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+        / len(toks), 4) AS avg_token_len,
+  ROUND((length(text) - length(regexp_replace(text,
+        '[\\.,;:!\\?\\-''"\\(\\)]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4)
+        AS punct_ratio,
+  ROUND(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is',
+        'on','for','with','order','window','table','row','group')))
+        / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+  ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+        AS type_token_ratio
+FROM t
+"""
+
+
+def q_lang_score(spark, sf):
+    return (
+        lang_score(_t(spark, sf, "documents"))
+        >> mutate(pred_en=if_else(_.en_score > 0.15, True, False))
+        >> select(_.doc_id, _.lang, _.en_score, _.pred_en)
+    ).df
+
+
+SQL_LANG_SCORE = """
+WITH t AS (SELECT doc_id, lang,
+    string_split(lower(trim(text)), ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+  ROUND(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is',
+        'on','for','with','order','window','table','row','group')))
+        / CAST(len(toks) AS DOUBLE), 4) AS en_score,
+  COALESCE(ROUND(len(list_filter(toks, x -> x IN ('the','a','of','and','to',
+        'in','is','on','for','with','order','window','table','row','group')))
+        / CAST(len(toks) AS DOUBLE), 4) > 0.15, FALSE) AS pred_en
+FROM t
+"""
+
+
+def q_fingerprint(spark, sf):
+    return (
+        fingerprint(_t(spark, sf, "documents"))
+        >> add_count(_.fingerprint, name="fp_count")
+        >> select(_.doc_id, _.fingerprint, _.fp_count)
+    ).df
+
+
+SQL_FINGERPRINT = """
+WITH t AS (SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(
+        string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint,
+  COUNT(*) OVER (PARTITION BY fingerprint) AS fp_count
+FROM t
+"""
+
+
+def q_token_count_bpe(spark, sf):
+    return (
+        token_count_bpe(_t(spark, sf, "documents"))
+        >> select(_.doc_id, _.n_bpe_tokens)
+    ).df
+
+
+SQL_TOKEN_COUNT_BPE = """
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf):
+    return (
+        exact_dedup(_t(spark, sf, "documents"), cols=("text",), id_col="doc_id")
+        >> select(_.doc_id, _.n_dups)
+    ).df
+
+
+SQL_DEDUP_EXACT = """
+WITH d AS (SELECT doc_id,
+    COUNT(*) OVER (PARTITION BY text) AS n_dups,
+    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id, n_dups FROM d WHERE rn = 1
+"""
+
+
+def q_jaccard_pairs(spark, sf):
+    sh = add_shingles(_t(spark, sf, "documents"), col="text", k=3)
+    return jaccard_pairs(sh, id_col="doc_id", set_col="shingles",
+                         block_col="source", threshold=0.1).df
+
+
+SQL_JACCARD_PAIRS = """
+WITH t AS (SELECT doc_id, source,
+    string_split(lower(trim(text)), ' ') AS toks FROM documents),
+s AS (SELECT doc_id, source,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(toks) - 2, 1)),
+      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
+"""
+
+
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb >> filter(_.vec_id < 5)
+    return brute_force_topk(emb, queries, k=10).df
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS nbr_id, embedding AS nv FROM embeddings),
+s AS (SELECT query_id, nbr_id,
+        ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])), 4) AS score
+      FROM q CROSS JOIN c WHERE query_id <> nbr_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, nbr_id ASC) AS INT) AS rk FROM s)
+SELECT query_id, nbr_id, score, rk FROM r WHERE rk <= 10
+"""
+
+
+def q_knn_label_vote(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb >> filter(_.vec_id < 20)
+    topk = brute_force_topk(emb, queries, k=10)
+    labels = emb >> select(_.vec_id, _.label)
+    return (
+        topk
+        >> inner_join(labels, on={"nbr_id": "vec_id"}, hint="broadcast")
+        >> count(_.query_id, _.label)
+        >> group_by(_.query_id)
+        >> top_n(1, _.n)
+        >> ungroup()
+        >> group_by(_.query_id)
+        >> summarize(pred_label=_.label.min(), votes=_.n.max())
+        >> arrange(_.query_id)
+    ).df
+
+
+SQL_KNN_LABEL_VOTE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS nbr_id, embedding AS nv, label FROM embeddings),
+s AS (SELECT query_id, nbr_id, label,
+        ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(nv AS DOUBLE[])), 4) AS score
+      FROM q CROSS JOIN c WHERE query_id <> nbr_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, nbr_id ASC) AS rk FROM s),
+v AS (SELECT query_id, label, COUNT(*) AS n FROM r WHERE rk <= 10 GROUP BY 1, 2),
+t AS (SELECT *, RANK() OVER (PARTITION BY query_id ORDER BY n DESC NULLS LAST) AS vr
+      FROM v)
+SELECT query_id, MIN(label) AS pred_label, MAX(n) AS votes
+FROM t WHERE vr = 1 GROUP BY query_id
+"""
+
+
+# -- rows-only checks (no SQL oracle: xxhash64 / LSH internals) -------------
+
+
+def q_minhash_near_dups(spark, sf):
+    return minhash_near_dups(_t(spark, sf, "documents"), col="text",
+                             id_col="doc_id", threshold=0.3).df
+
+
+def q_simhash(spark, sf):
+    return (
+        add_simhash(_t(spark, sf, "documents"), col="text", bits=16)
+        >> select(_.doc_id, _.simhash)
+    ).df
+
+
+def q_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb >> filter(_.vec_id < 5)
+    return lsh_topk(emb, queries, k=10, n_planes=6).df
+
+
+def q_multimodal_decode(spark, sf):
+    from siuba_spark.corpus.multimodal import decode_images
+    from pyspark.sql import functions as F
+    docs = _t(spark, sf, "documents")
+    with_bin = docs.evolve(df=docs.df.withColumn("image", F.encode(F.col("text"), "UTF-8")))
+    return (
+        decode_images(with_bin, col="image", decoder="fake")
+        >> mutate(width=_.decoded.width, height=_.decoded.height,
+                  n_bytes=_.decoded.n_bytes)
+        >> select(_.doc_id, _.width, _.height, _.n_bytes)
+    ).df
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": q_tpch_q1,
+        "select_rename": q_select_rename,
+        "mutate_arith": q_mutate_arith,
+        "filter_compound": q_filter_compound,
+        "arrange_limit": q_arrange_limit,
+        "distinct_pairs": q_distinct_pairs,
+        "count_sorted": q_count_sorted,
+        "add_count": q_add_count,
+        "grouped_mutate_zscore": q_grouped_mutate_zscore,
+        "grouped_filter": q_grouped_filter,
+        "window_ranks": q_window_ranks,
+        "lead_lag": q_lead_lag,
+        "cumsum_running": q_cumsum_running,
+        "ntile_quartiles": q_ntile_quartiles,
+        "join_inner": q_join_inner,
+        "join_left_agg": q_join_left_agg,
+        "full_join_coalesce": q_full_join_coalesce,
+        "semi_anti": q_semi_anti,
+        "theta_join": q_theta_join,
+        "tpch_q3": q_tpch_q3,
+        "revenue_by_nation": q_revenue_by_nation,
+        "spread_wide": q_spread_wide,
+        "pivot_longer": q_pivot_longer,
+        "pivot_wider": q_pivot_wider,
+        "separate_unite": q_separate_unite,
+        "str_functions": q_str_functions,
+        "dt_functions": q_dt_functions,
+        "agg_stats": q_agg_stats,
+        "window_share": q_window_share,
+        "nunique_window": q_nunique_window,
+        "case_when_bands": q_case_when_bands,
+        "fct_lump": q_fct_lump,
+        "top_n": q_top_n,
+        "complete_grid": q_complete_grid,
+        "null_semantics": q_null_semantics,
+        "nest_unnest": q_nest_unnest,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "text_stats": q_text_stats,
+        "lang_score": q_lang_score,
+        "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "knn_label_vote": q_knn_label_vote,
+        # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub)
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": SQL_TPCH_Q1,
+        "select_rename": SQL_SELECT_RENAME,
+        "mutate_arith": SQL_MUTATE_ARITH,
+        "filter_compound": SQL_FILTER_COMPOUND,
+        "arrange_limit": SQL_ARRANGE_LIMIT,
+        "distinct_pairs": SQL_DISTINCT_PAIRS,
+        "count_sorted": SQL_COUNT_SORTED,
+        "add_count": SQL_ADD_COUNT,
+        "grouped_mutate_zscore": SQL_GROUPED_MUTATE_ZSCORE,
+        "grouped_filter": SQL_GROUPED_FILTER,
+        "window_ranks": SQL_WINDOW_RANKS,
+        "lead_lag": SQL_LEAD_LAG,
+        "cumsum_running": SQL_CUMSUM_RUNNING,
+        "ntile_quartiles": SQL_NTILE_QUARTILES,
+        "join_inner": SQL_JOIN_INNER,
+        "join_left_agg": SQL_JOIN_LEFT_AGG,
+        "full_join_coalesce": SQL_FULL_JOIN_COALESCE,
+        "semi_anti": SQL_SEMI_ANTI,
+        "theta_join": SQL_THETA_JOIN,
+        "tpch_q3": SQL_TPCH_Q3,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "spread_wide": SQL_SPREAD_WIDE,
+        "pivot_longer": SQL_PIVOT_LONGER,
+        "pivot_wider": SQL_PIVOT_WIDER,
+        "separate_unite": SQL_SEPARATE_UNITE,
+        "str_functions": SQL_STR_FUNCTIONS,
+        "dt_functions": SQL_DT_FUNCTIONS,
+        "agg_stats": SQL_AGG_STATS,
+        "window_share": SQL_WINDOW_SHARE,
+        "nunique_window": SQL_NUNIQUE_WINDOW,
+        "case_when_bands": SQL_CASE_WHEN_BANDS,
+        "fct_lump": SQL_FCT_LUMP,
+        "top_n": SQL_TOP_N,
+        "complete_grid": SQL_COMPLETE_GRID,
+        "null_semantics": SQL_NULL_SEMANTICS,
+        "nest_unnest": SQL_NEST_UNNEST,
+        "events_tumbling": SQL_EVENTS_TUMBLING,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "text_stats": SQL_TEXT_STATS,
+        "lang_score": SQL_LANG_SCORE,
+        "fingerprint": SQL_FINGERPRINT,
+        "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "ann_topk": SQL_ANN_TOPK,
+        "knn_label_vote": SQL_KNN_LABEL_VOTE,
+    }

@@ -1,0 +1,78 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query and total wall time.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+serialization-to-driver cost), after a warmup pass that absorbs JVM/codegen
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("siuba_spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    HEADLINE = [
+        "tpch_q1", "tpch_q3", "revenue_by_nation", "join_inner",
+        "grouped_mutate_zscore", "window_ranks", "lead_lag", "cumsum_running",
+        "agg_stats", "pivot_wider", "events_tumbling", "events_sessionize",
+        "text_stats", "fingerprint", "dedup_exact", "minhash_near_dups",
+        "ann_topk", "simhash",
+    ]
+    queries = entry.queries()
+
+    def run(name):
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: absorb JVM/codegen/reader startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    run("tpch_q1")
+
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        try:
+            run(name)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench line intact
+            timings[name] = None
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline (broadcast the small
+query side — the corpus side streams, no shuffle), and an LSH
+(random-hyperplane) bucketed variant as the scale path: at 100 TB the
+bucket join touches only colliding candidates instead of |Q|×|N| pairs.
+
+Dot products run through ``F.zip_with`` + ``F.aggregate`` — JVM-side
+folds, no Python UDF, vectorizable by codegen.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..plans.pipe import verb
+from ..plans.tbl import SparkTbl
+
+__all__ = ["cosine_sim_col", "brute_force_topk", "lsh_topk", "add_hyperplane_bucket"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _to_double(a):
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine_sim_col(a, b):
+    """Cosine similarity of two array columns (computed in double)."""
+    ad, bd = _to_double(a), _to_double(b)
+    return _dot(ad, bd) / F.sqrt(_dot(ad, ad) * _dot(bd, bd))
+
+
+@verb
+def brute_force_topk(tbl: SparkTbl, queries, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int = 4):
+    """Exact top-k by cosine: broadcast the query set against the corpus.
+
+    Deterministic tie-break by corpus id so results are stable across
+    engines and partitionings."""
+    corpus = tbl.df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
+    qdf = queries.df if isinstance(queries, SparkTbl) else queries
+    qdf = qdf.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    scored = (corpus.join(F.broadcast(qdf),
+                          F.col("query_id") != F.col("nbr_id"))
+              .withColumn("score", F.round(cosine_sim_col("query_vec", "nbr_vec"), round_to)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
+    out = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k)
+           .select("query_id", "nbr_id", "score", "rk"))
+    return SparkTbl(out)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes without numpy RNG drift:
+    plane[i][j] derives from a hash of (seed, i, j) mapped into [-1, 1]."""
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = (seed * 1_000_003 + i * 10_007 + j * 101) % 2_147_483_647
+            # xorshift-ish scramble
+            h ^= (h << 13) & 0xFFFFFFFF
+            h ^= h >> 17
+            h ^= (h << 5) & 0xFFFFFFFF
+            row.append(((h % 20001) - 10000) / 10000.0)
+        planes.append(row)
+    return planes
+
+
+@verb
+def add_hyperplane_bucket(tbl: SparkTbl, vec_col: str = "embedding",
+                          n_planes: int = 8, out: str = "bucket", seed: int = 42):
+    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i)."""
+    sample_dim = len(tbl.df.select(vec_col).first()[0])
+    planes = _hyperplanes(sample_dim, n_planes, seed)
+    vd = _to_double(F.col(vec_col))
+    bits = None
+    for i, p in enumerate(planes):
+        proj = _dot(vd, F.array(*[F.lit(v) for v in p]))
+        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return tbl.evolve(df=tbl.df.withColumn(out, bits.cast("int")))
+
+
+@verb
+def lsh_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_planes: int = 8, round_to: int = 4):
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket, then exact cosine within bucket.  Trades recall for a
+    |bucket|-sized candidate set — the 100 TB path."""
+    bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes)
+    qt = add_hyperplane_bucket(
+        queries if isinstance(queries, SparkTbl) else SparkTbl(queries),
+        vec_col=vec_col, n_planes=n_planes)
+    corpus = bt.df.select(F.col(id_col).alias("nbr_id"),
+                          F.col(vec_col).alias("nbr_vec"), "bucket")
+    qdf = qt.df.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("query_vec"), "bucket")
+    scored = (corpus.join(F.broadcast(qdf), "bucket")
+              .filter(F.col("query_id") != F.col("nbr_id"))
+              .withColumn("score", F.round(cosine_sim_col("query_vec", "nbr_vec"), round_to)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
+    out = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k)
+           .select("query_id", "nbr_id", "score", "rk"))
+    return SparkTbl(out)

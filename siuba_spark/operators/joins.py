@@ -65,6 +65,24 @@ def _apply_hint(rdf, hint):
     return rdf
 
 
+class _AliasProxy:
+    """Column factory bound to a join-side alias: produces ``F.col("lhs.x")``
+    so self-joins resolve unambiguously via alias scoping."""
+
+    __slots__ = ("_alias",)
+
+    def __init__(self, alias):
+        self._alias = alias
+
+    def __getitem__(self, name):
+        return F.col(f"{self._alias}.{name}")
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return F.col(f"{self._alias}.{name}")
+
+
 @join_verb
 def join(left, right, on=None, how: str = "inner", *, sql_on=None,
          null_safe: bool = False, hint: str | None = None):
@@ -84,7 +102,7 @@ def join(left, right, on=None, how: str = "inner", *, sql_on=None,
 
     if sql_on is not None:
         ldf_a, rdf_a = ldf.alias("lhs"), rdf.alias("rhs")
-        cond = sql_on(ldf_a, rdf_a)
+        cond = sql_on(_AliasProxy("lhs"), _AliasProxy("rhs"))
         out = ldf_a.join(_apply_hint(rdf_a, hint), cond, how)
         return SparkTbl(out)
 

@@ -1,0 +1,101 @@
+"""Time-window operators over event streams.
+
+The reference has no streaming surface (SURVEY.md §2.9) — this is
+beyond-parity, built on Spark's native constructs so the same code path
+serves batch (`spark.read`) and Structured Streaming (`spark.readStream`):
+``F.window`` for tumbling/sliding aggregation, watermarks for late data,
+``F.session_window`` / lag-based sessionization for gaps-and-islands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..plans.pipe import verb
+from ..plans.tbl import SparkTbl
+
+__all__ = ["tumble", "slide", "sessionize", "stream_tumble", "read_event_stream"]
+
+
+def _agg_exprs(aggs):
+    out = []
+    for name, (fn, col) in aggs.items():
+        table = {"count": lambda c: F.count(F.lit(1)), "sum": F.sum, "avg": F.avg,
+                 "mean": F.avg, "min": F.min, "max": F.max,
+                 "n_distinct": F.count_distinct,
+                 # exact (order-independent) double sum via decimal
+                 "dsum": lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")}
+        out.append(table[fn](F.col(col) if col else F.lit(1)).alias(name))
+    return out
+
+
+@verb
+def tumble(tbl: SparkTbl, ts: str, every: str, by=(), **aggs):
+    """Tumbling-window aggregation: ``tumble(t, "ts", "10 minutes",
+    by=["user_id"], n=("count", None), total=("sum", "value"))``.
+    Window start/end come out as ``w_start``/``w_end`` timestamps."""
+    by = list(by)
+    win = F.window(F.col(ts), every)
+    df = (tbl.df.groupBy(win.alias("__w"), *[F.col(b) for b in by])
+          .agg(*_agg_exprs(aggs))
+          .select(F.col("__w.start").alias("w_start"),
+                  F.col("__w.end").alias("w_end"),
+                  *by, *aggs.keys()))
+    return SparkTbl(df)
+
+
+@verb
+def slide(tbl: SparkTbl, ts: str, every: str, period: str, by=(), **aggs):
+    """Sliding-window aggregation (window length `every`, slide `period`)."""
+    by = list(by)
+    win = F.window(F.col(ts), every, period)
+    df = (tbl.df.groupBy(win.alias("__w"), *[F.col(b) for b in by])
+          .agg(*_agg_exprs(aggs))
+          .select(F.col("__w.start").alias("w_start"),
+                  F.col("__w.end").alias("w_end"),
+                  *by, *aggs.keys()))
+    return SparkTbl(df)
+
+
+@verb
+def sessionize(tbl: SparkTbl, ts: str, by, gap_minutes: float = 30.0,
+               out: str = "session_id"):
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    since the previous event (per `by`) exceeds `gap_minutes`.  Classic
+    lag + cumulative-sum window pattern — one shuffle on `by`."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*[F.col(b) for b in by]).orderBy(F.col(ts).asc())
+    prev = F.lag(F.col(ts)).over(w)
+    gap = F.col(ts).cast("double") - prev.cast("double")
+    is_new = F.when(prev.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return tbl.evolve(df=tbl.df.withColumn(out, sess.cast("long")))
+
+
+def read_event_stream(spark, path: str, schema=None, max_files: int = 1):
+    """Structured Streaming source over a parquet directory.
+
+    ``maxFilesPerTrigger`` bounds per-microbatch work; pair with
+    ``stream_tumble`` + watermark for late-data-safe windowed aggs."""
+    reader = spark.readStream.option("maxFilesPerTrigger", max_files)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return SparkTbl(reader.schema(schema).parquet(path))
+
+
+@verb
+def stream_tumble(tbl: SparkTbl, ts: str, every: str, watermark: str = "30 minutes",
+                  by=(), **aggs):
+    """Streaming tumbling aggregation with a watermark: state for windows
+    older than the watermark is evicted, so state size is bounded by
+    (watermark / every) × |keys| regardless of stream length."""
+    by = list(by)
+    win = F.window(F.col(ts), every)
+    df = (tbl.df.withWatermark(ts, watermark)
+          .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+          .agg(*_agg_exprs(aggs))
+          .select(F.col("__w.start").alias("w_start"),
+                  F.col("__w.end").alias("w_end"),
+                  *by, *aggs.keys()))
+    return SparkTbl(df)
