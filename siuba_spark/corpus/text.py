@@ -42,23 +42,31 @@ def tokenize(tbl: SparkTbl, col: str = "text", out: str = "tokens"):
 @verb
 def text_stats(tbl: SparkTbl, col: str = "text"):
     """Quality-scoring features: token counts, length stats, punctuation
-    and stopword ratios, type-token ratio.  Pure projection — no shuffle."""
+    and stopword ratios, type-token ratio.  Pure projection — no shuffle.
+
+    The token array is materialized once into a temp column so the split
+    runs once per row, not once per derived stat (Catalyst does not CSE
+    across withColumn chains reliably)."""
     c = F.col(col)
-    toks = tokens_col(c)
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     df = (tbl.df
+          .withColumn("__toks", tokens_col(c))
           .withColumn("n_chars_calc", F.length(c))
           .withColumn("n_tokens", n_tok)
+          # sum of token lengths == chars minus whitespace; regexp stays in
+          # whole-stage codegen, unlike an interpreted F.aggregate fold
           .withColumn("avg_token_len",
-                      F.round(F.aggregate(toks, F.lit(0).cast("double"),
-                                          lambda acc, x: acc + F.length(x)) / n_tok, 4))
+                      F.round(F.length(F.regexp_replace(F.trim(F.lower(c)), r"\s+", ""))
+                              / n_tok.cast("double"), 4))
           .withColumn("punct_ratio",
                       F.round((F.length(c) - F.length(F.regexp_replace(c, _PUNCT_RE, "")))
                               / F.length(c), 4))
           .withColumn("stopword_ratio",
                       F.round(F.size(F.filter(toks, lambda x: x.isin(EN_MARKERS))) / n_tok, 4))
           .withColumn("type_token_ratio",
-                      F.round(F.size(F.array_distinct(toks)) / n_tok, 4)))
+                      F.round(F.size(F.array_distinct(toks)) / n_tok, 4))
+          .drop("__toks"))
     return tbl.evolve(df=df)
 
 
