@@ -154,32 +154,21 @@ def _nth(ctx, args, kwargs):
             "the reference errors here too (siuba/sql/dply/vector.py:259-262)"
         )
     col = _low(args[0], ctx)
-    n = int(_lit(args[1]))
+    nidx = int(_lit(args[1]))
     order_by = kwargs.get("order_by")
     order_cols = None
     if order_by is not None:
         ob = order_by if isinstance(order_by, tuple) else (order_by,)
         order_cols = [_rank_order_col(o, ctx)[0] for o in ob]
-    if n >= 0:
-        w = ctx.w_ordered(order_cols).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)
-        return F.nth_value(col, n + 1).over(w), SCALAR
-    # negative: nth from the end → reverse order (desc trick,
-    # siuba/sql/dply/vector.py:234-262)
-    if order_cols is None:
-        cols = ctx._order_cols()
-        if cols is None:
-            cols = [F.monotonically_increasing_id().asc()]
-        order_cols = cols
-    rev = [_reverse_sort(c) for c in order_cols]
-    w = ctx.w_ordered(rev).rowsBetween(
+    w = ctx.w_ordered(order_cols).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-    return F.nth_value(col, -n).over(w), SCALAR
-
-
-def _reverse_sort(col):
-    # Column sort expressions can't be introspected cheaply; re-sort desc
-    return col.desc() if "ASC" in str(col._jc) else col.asc()
+    if nidx >= 0:
+        return F.nth_value(col, nidx + 1).over(w), SCALAR
+    # negative index: from the end — try_element_at supports negative
+    # positions over an order-preserving collect_list full frame (the
+    # reference uses a desc-sort trick, siuba/sql/dply/vector.py:234-262);
+    # try_ variant: out-of-bounds → NULL instead of an ANSI-mode error
+    return F.try_element_at(F.collect_list(col).over(w), F.lit(nidx)), SCALAR
 
 
 @register_fn("first")

@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 
 from ..functions.lowering import TranslationError, lower
 from ..siu.calls import GetAttr, MetaArg, strip_symbolic
-from ..plans.pipe import verb, wrap_table
+from ..plans.pipe import join_verb, verb, wrap_table
 from ..plans.tbl import SparkTbl
 from .tidyselect import resolve_names
 
@@ -355,7 +355,7 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
     return SparkTbl(df)
 
 
-@verb
+@join_verb
 def bind_rows(tbl: SparkTbl, *others):
     """Row-bind by column name (absent from the reference — SURVEY §2.6 —
     but free via unionByName)."""

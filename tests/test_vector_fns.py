@@ -1,0 +1,151 @@
+"""Window/vector function tests (reference model:
+siuba/tests/test_dply_vector.py): ranks, offsets, cumulatives,
+positional, null-handling."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from siuba_spark import (
+    _, arrange, group_by, mutate, ungroup, row_number, min_rank, dense_rank,
+    percent_rank, ntile, lead, lag, nth, first, last, coalesce, na_if,
+    between, str_c, floor_date, ceil_date,
+)
+from .helpers import data_frame
+
+
+def _col(tbl, name, sort_by=None):
+    pdf = tbl.df.toPandas()
+    if sort_by:
+        pdf = pdf.sort_values(sort_by)
+    return list(pdf[name])
+
+
+def test_row_number_follows_arrange(spark):
+    t = data_frame(spark, x=[30, 10, 20])
+    out = t >> arrange(_.x) >> mutate(rn=row_number(_))
+    assert _col(out, "rn", "x") == [1, 2, 3]
+
+
+def test_min_rank_ties_and_nulls(spark):
+    t = data_frame(spark, x=[1.0, 2.0, 2.0, None])
+    out = t >> mutate(r=min_rank(_.x))
+    got = out.df.toPandas().sort_values("x", na_position="last")
+    assert list(got.r[:3]) == [1, 2, 2]
+    assert pd.isna(got.r.iloc[3])  # NULLs unranked, like pandas
+
+
+def test_dense_rank_desc(spark):
+    t = data_frame(spark, x=[10, 20, 20, 30])
+    out = t >> mutate(r=dense_rank(-_.x))
+    assert _col(out, "r", "x") == [3, 2, 2, 1]
+
+
+def test_ranks_partition_by_group(spark):
+    t = data_frame(spark, g=["a", "a", "b"], x=[2, 1, 5])
+    out = t >> group_by(_.g) >> mutate(r=min_rank(_.x)) >> ungroup()
+    got = out.df.toPandas().sort_values(["g", "x"])
+    assert list(got.r) == [1, 2, 1]
+
+
+def test_ntile_buckets(spark):
+    t = data_frame(spark, x=[1, 2, 3, 4])
+    out = t >> arrange(_.x) >> mutate(q=ntile(_, 2))
+    assert _col(out, "q", "x") == [1, 1, 2, 2]
+
+
+def test_lead_lag_default(spark):
+    t = data_frame(spark, x=[1, 2, 3])
+    out = t >> arrange(_.x) >> mutate(p=lag(_.x), f=lead(_.x))
+    got = out.df.toPandas().sort_values("x")
+    assert pd.isna(got.p.iloc[0]) and list(got.p[1:]) == [1, 2]
+    assert list(got.f[:2]) == [2, 3] and pd.isna(got.f.iloc[2])
+
+
+def test_lag_n_and_default(spark):
+    t = data_frame(spark, x=[1, 2, 3])
+    out = t >> arrange(_.x) >> mutate(p=lag(_.x, 2, default=-1))
+    assert _col(out, "p", "x") == [-1, -1, 1]
+
+
+def test_cumulatives(spark):
+    t = data_frame(spark, x=[1, 2, 3])
+    out = (t >> arrange(_.x)
+           >> mutate(cs=_.x.cumsum(), cm=_.x.cummax(), cn=_.x.cummin(),
+                     ca=_.x.cummean()))
+    got = out.df.toPandas().sort_values("x")
+    assert list(got.cs) == [1, 3, 6]
+    assert list(got.cm) == [1, 2, 3]
+    assert list(got.cn) == [1, 1, 1]
+    assert list(got.ca) == [1.0, 1.5, 2.0]
+
+
+def test_diff_pct_change(spark):
+    t = data_frame(spark, x=[1.0, 2.0, 4.0])
+    out = t >> arrange(_.x) >> mutate(d=_.x.diff(), p=_.x.pct_change())
+    got = out.df.toPandas().sort_values("x")
+    assert pd.isna(got.d.iloc[0]) and list(got.d[1:]) == [1.0, 2.0]
+    assert list(got.p[1:]) == [1.0, 1.0]
+
+
+def test_ffill_bfill(spark):
+    t = data_frame(spark, i=[1, 2, 3], x=[1.0, None, 3.0])
+    out = t >> arrange(_.i) >> mutate(f=_.x.ffill(), b=_.x.bfill())
+    got = out.df.toPandas().sort_values("i")
+    assert list(got.f) == [1.0, 1.0, 3.0]
+    assert list(got.b) == [1.0, 3.0, 3.0]
+
+
+def test_nth_first_last(spark):
+    t = data_frame(spark, i=[1, 2, 3], x=["a", "b", "c"])
+    out = (t >> arrange(_.i)
+           >> mutate(f=first(_.x), l=last(_.x), n1=nth(_.x, 1)))
+    got = out.df.toPandas()
+    assert set(got.f) == {"a"} and set(got.l) == {"c"} and set(got.n1) == {"b"}
+
+
+def test_rank_method_average(spark):
+    # pandas .rank(): ties get averaged rank
+    t = data_frame(spark, x=[1, 2, 2, 3])
+    out = t >> mutate(r=_.x.rank())
+    assert _col(out, "r", "x") == [1.0, 2.5, 2.5, 4.0]
+
+
+def test_coalesce_na_if_between(spark):
+    t = data_frame(spark, x=[1.0, None], y=[9.0, 9.0])
+    out = t >> mutate(c=coalesce(_.x, _.y), ni=na_if(_.y, 9.0),
+                      bw=between(_.y, 5, 10))
+    got = out.df.toPandas().sort_values("x", na_position="last")
+    assert list(got.c) == [1.0, 9.0]
+    assert got.ni.isna().all()
+    assert list(got.bw) == [True, True]
+
+
+def test_str_c(spark):
+    t = data_frame(spark, a=["x"], b=[1])
+    out = t >> mutate(j=str_c(_.a, _.b, sep="-"))
+    assert out.df.collect()[0].j == "x-1"
+
+
+def test_floor_ceil_date(spark):
+    t = data_frame(spark, d=pd.to_datetime(["2024-03-15 13:45:00"]))
+    out = t >> mutate(fm=floor_date(_.d, "month").dt.strftime("%Y-%m-%d"),
+                      cm=ceil_date(_.d, "month").dt.strftime("%Y-%m-%d"))
+    row = out.df.collect()[0]
+    assert row.fm == "2024-03-01" and row.cm == "2024-04-01"
+
+
+def test_str_accessor_chain(spark):
+    t = data_frame(spark, s=["  Hello World  "])
+    out = t >> mutate(x=_.s.str.strip().str.lower(),
+                      n=_.s.str.strip().str.len())
+    row = out.df.collect()[0]
+    assert row.x == "hello world" and row.n == 11
+
+
+def test_dt_accessor(spark):
+    t = data_frame(spark, d=pd.to_datetime(["2024-01-01"]))  # a Monday
+    out = t >> mutate(dow=_.d.dt.dayofweek, y=_.d.dt.year, q=_.d.dt.quarter)
+    row = out.df.collect()[0]
+    assert row.dow == 0 and row.y == 2024 and row.q == 1  # Monday=0 shim

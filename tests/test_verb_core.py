@@ -1,0 +1,205 @@
+"""Per-verb tests for select/rename/mutate/transmute/filter/arrange/
+distinct/head/top_n (reference model: siuba/tests/test_verb_*.py —
+small literal frames, one behavior per test)."""
+
+import pandas as pd
+import pytest
+
+from siuba_spark import (
+    _, select, rename, mutate, transmute, filter, arrange, distinct, head,
+    top_n, group_by, ungroup, collect, if_else, case_when, desc,
+    TranslationError,
+)
+from .helpers import data_frame, assert_equal_query
+
+DATA = dict(a=[1, 2, 3], b=[9, 8, 7], c=["x", "y", "z"])
+
+
+# ---- select / rename ------------------------------------------------------
+
+def test_select_names(spark):
+    t = data_frame(spark, **DATA)
+    assert (t >> select(_.a, _.c)).columns == ["a", "c"]
+
+
+def test_select_drop(spark):
+    t = data_frame(spark, **DATA)
+    assert (t >> select(-_.b)).columns == ["a", "c"]
+    assert (t >> select(~_.b)).columns == ["a", "c"]
+
+
+def test_select_rename_kwarg(spark):
+    t = data_frame(spark, **DATA)
+    out = t >> select(_.a, z=_.c)
+    assert out.columns == ["a", "z"]
+
+
+def test_select_slice_and_predicates(spark):
+    t = data_frame(spark, aa=[1], ab=[2], ba=[3])
+    assert (t >> select(_.startswith("a"))).columns == ["aa", "ab"]
+    assert (t >> select(_.endswith("a"))).columns == ["aa", "ba"]
+    assert (t >> select(_["aa":"ab"])).columns == ["aa", "ab"]
+
+
+def test_select_keeps_group_cols(spark):
+    t = data_frame(spark, **DATA) >> group_by(_.c)
+    out = t >> select(_.a)
+    assert out.columns == ["c", "a"]
+    assert out.group_by == ("c",)
+
+
+def test_rename(spark):
+    t = data_frame(spark, **DATA)
+    out = t >> rename(z=_.a)
+    assert "z" in out.columns and "a" not in out.columns
+
+
+# ---- mutate / transmute ---------------------------------------------------
+
+def test_mutate_sequential_refs(spark):
+    t = data_frame(spark, a=[1, 2])
+    out = t >> mutate(b=_.a + 1, c=_.b * 10)
+    assert_equal_query(out, pd.DataFrame(dict(a=[1, 2], b=[2, 3], c=[20, 30])))
+
+
+def test_mutate_overwrite(spark):
+    t = data_frame(spark, a=[1, 2])
+    assert_equal_query(t >> mutate(a=_.a * 2), pd.DataFrame(dict(a=[2, 4])))
+
+
+def test_grouped_mutate_broadcast(spark):
+    t = data_frame(spark, g=["a", "a", "b"], x=[1.0, 3.0, 10.0])
+    out = t >> group_by(_.g) >> mutate(m=_.x.mean()) >> ungroup()
+    assert_equal_query(out, pd.DataFrame(dict(
+        g=["a", "a", "b"], x=[1.0, 3.0, 10.0], m=[2.0, 2.0, 10.0])))
+
+
+def test_transmute(spark):
+    t = data_frame(spark, **DATA)
+    out = t >> transmute(d=_.a + _.b)
+    assert out.columns == ["d"]
+
+
+def test_transmute_keeps_groups(spark):
+    t = data_frame(spark, **DATA) >> group_by(_.c)
+    assert (t >> transmute(d=_.a)).columns == ["c", "d"]
+
+
+# ---- filter ---------------------------------------------------------------
+
+def test_filter_multiple_conds_anded(spark):
+    t = data_frame(spark, **DATA)
+    out = t >> filter(_.a > 1, _.b > 7)
+    assert_equal_query(out, pd.DataFrame(dict(a=[2], b=[8], c=["y"])))
+
+
+def test_grouped_filter_agg_cond(spark):
+    t = data_frame(spark, g=["a", "a", "b", "b"], x=[1, 3, 5, 7])
+    out = t >> group_by(_.g) >> filter(_.x > _.x.mean())
+    assert_equal_query(out, pd.DataFrame(dict(g=["a", "b"], x=[3, 7])))
+
+
+def test_filter_window_cond_uses_input_table(spark):
+    # all conditions evaluate against the input, not sequentially
+    t = data_frame(spark, g=["a", "a", "a"], x=[1, 2, 9])
+    out = t >> group_by(_.g) >> filter(_.x < 5, _.x > _.x.mean())
+    # mean is 4 (over all three rows, incl x=9): keep nothing <5 and >4
+    assert len(out.df.collect()) == 0
+
+
+# ---- arrange --------------------------------------------------------------
+
+def test_arrange_asc_desc(spark):
+    t = data_frame(spark, a=[2, 1, 3], b=[1, 2, 3])
+    out = (t >> arrange(-_.a)).df.toPandas()
+    assert list(out.a) == [3, 2, 1]
+    out2 = (t >> arrange(desc(_.a))).df.toPandas()
+    assert list(out2.a) == [3, 2, 1]
+
+
+def test_arrange_nulls_last(spark):
+    t = data_frame(spark, a=[2.0, None, 1.0])
+    out = (t >> arrange(_.a)).df.toPandas()
+    assert list(out.a[:2]) == [1.0, 2.0] and pd.isna(out.a.iloc[2])
+    out2 = (t >> arrange(-_.a)).df.toPandas()
+    assert list(out2.a[:2]) == [2.0, 1.0] and pd.isna(out2.a.iloc[2])
+
+
+def test_arrange_feeds_window_order(spark):
+    t = data_frame(spark, x=[3, 1, 2])
+    out = t >> arrange(_.x) >> mutate(cs=_.x.cumsum())
+    got = out.df.toPandas().sort_values("x")
+    assert list(got.cs) == [1, 3, 6]
+
+
+def test_arrange_expression(spark):
+    t = data_frame(spark, a=[-3, 1, 2])
+    out = (t >> arrange(_.a.abs())).df.toPandas()
+    assert list(out.a) == [1, 2, -3]
+
+
+# ---- distinct / head / top_n ---------------------------------------------
+
+def test_distinct_all(spark):
+    t = data_frame(spark, a=[1, 1, 2], b=["x", "x", "y"])
+    assert len((t >> distinct()).df.collect()) == 2
+
+
+def test_distinct_cols(spark):
+    t = data_frame(spark, a=[1, 1, 2], b=["x", "y", "y"])
+    out = t >> distinct(_.a)
+    assert out.columns == ["a"]
+    assert len(out.df.collect()) == 2
+
+
+def test_distinct_computed(spark):
+    t = data_frame(spark, a=[1, 2, 3])
+    out = t >> distinct(parity=_.a % 2)
+    assert_equal_query(out, pd.DataFrame(dict(parity=[0, 1])))
+
+
+def test_head(spark):
+    t = data_frame(spark, a=list(range(10)))
+    assert len((t >> head(3)).df.collect()) == 3
+
+
+def test_top_n_ties_kept(spark):
+    t = data_frame(spark, g=["a"] * 4, x=[1, 3, 3, 2])
+    out = t >> top_n(1, _.x)
+    assert sorted(r.x for r in out.df.collect()) == [3, 3]
+
+
+def test_top_n_negative_bottom(spark):
+    t = data_frame(spark, x=[5, 1, 3])
+    out = t >> top_n(-1, _.x)
+    assert [r.x for r in out.df.collect()] == [1]
+
+
+# ---- conditionals ---------------------------------------------------------
+
+def test_if_else_na_condition_is_false(spark):
+    # reference: siuba/dply/verbs.py:1085 — NA cond → false branch
+    t = data_frame(spark, a=[1.0, None, 3.0])
+    out = t >> mutate(r=if_else(_.a > 2, "big", "small"))
+    got = out.df.toPandas().sort_values("a", na_position="first")
+    assert list(got.r) == ["small", "small", "big"]
+
+
+def test_case_when_first_match_wins(spark):
+    t = data_frame(spark, a=[1, 5, 50])
+    out = t >> mutate(band=case_when({_.a < 3: "lo", _.a < 10: "mid", True: "hi"}))
+    got = out.df.toPandas().sort_values("a")
+    assert list(got.band) == ["lo", "mid", "hi"]
+
+
+# ---- errors ---------------------------------------------------------------
+
+def test_unknown_method_errors_at_translation(spark):
+    t = data_frame(spark, a=[1])
+    with pytest.raises(TranslationError):
+        t >> mutate(x=_.a.frobnicate())
+
+
+def test_symbolic_has_no_truth_value(spark):
+    with pytest.raises(TypeError):
+        bool(_.a > 1)

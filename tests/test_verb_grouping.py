@@ -1,0 +1,115 @@
+"""group_by / ungroup / summarize / count / add_count tests
+(reference model: siuba/tests/test_verb_summarize.py etc.)."""
+
+import pandas as pd
+import pytest
+
+from siuba_spark import (
+    _, group_by, ungroup, summarize, count, add_count, mutate, n,
+    n_distinct, TranslationError, lag,
+)
+from .helpers import data_frame, assert_equal_query
+
+GDATA = dict(g=["a", "a", "b"], x=[1.0, 3.0, 10.0], y=[2, 4, 6])
+
+
+def test_group_by_sets_state_only(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(_.g)
+    assert out.group_by == ("g",)
+    assert len(out.df.collect()) == 3  # no aggregation happened
+
+
+def test_group_by_kwargs_mutate_semantics(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(big=_.x > 2)
+    assert out.group_by == ("big",)
+    assert "big" in out.columns
+
+
+def test_group_by_add_stacks(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(_.g) >> group_by(_.y, add=True)
+    assert out.group_by == ("g", "y")
+
+
+def test_ungroup(spark):
+    t = data_frame(spark, **GDATA) >> group_by(_.g)
+    assert (t >> ungroup()).group_by == ()
+
+
+def test_summarize_grouped(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(_.g) >> summarize(m=_.x.mean(), cnt=n(_))
+    assert_equal_query(out, pd.DataFrame(dict(
+        g=["a", "b"], m=[2.0, 10.0], cnt=[2, 1])))
+
+
+def test_summarize_ungrouped_single_row(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> summarize(total=_.x.sum())
+    assert_equal_query(out, pd.DataFrame(dict(total=[14.0])))
+
+
+def test_summarize_result_is_ungrouped(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(_.g) >> summarize(m=_.x.mean())
+    assert out.group_by == ()
+
+
+def test_summarize_compound_aggregates(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(_.g) >> summarize(span=_.x.max() - _.x.min())
+    assert_equal_query(out, pd.DataFrame(dict(g=["a", "b"], span=[2.0, 0.0])))
+
+
+def test_summarize_rejects_window_fn(spark):
+    t = data_frame(spark, **GDATA)
+    with pytest.raises(TranslationError):
+        t >> group_by(_.g) >> summarize(bad=lag(_.x))
+
+
+def test_summarize_n_distinct(spark):
+    t = data_frame(spark, g=["a", "a", "a"], x=[1, 1, 2])
+    out = t >> group_by(_.g) >> summarize(u=n_distinct(_.x))
+    assert_equal_query(out, pd.DataFrame(dict(g=["a"], u=[2])))
+
+
+def test_count(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> count(_.g)
+    assert_equal_query(out, pd.DataFrame(dict(g=["a", "b"], n=[2, 1])))
+
+
+def test_count_weighted(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> count(_.g, wt=_.y)
+    assert_equal_query(out, pd.DataFrame(dict(g=["a", "b"], n=[6, 6])))
+
+
+def test_count_name_collision_bumps(spark):
+    t = data_frame(spark, n=["a", "a"])
+    out = t >> count(_.n)
+    assert sorted(out.columns) == ["n", "nn"]
+
+
+def test_count_respects_existing_groups(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(_.g) >> count(_.y)
+    assert sorted(out.columns) == ["g", "n", "y"]
+
+
+def test_add_count_no_row_change(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> add_count(_.g)
+    assert len(out.df.collect()) == 3
+    got = out.df.toPandas().sort_values(["g", "x"])
+    assert list(got.n) == [2, 2, 1]
+
+
+def test_grouped_mutate_mixed_elwise_agg(spark):
+    # the semantic core: _.x - _.x.mean() broadcasts the aggregate
+    t = data_frame(spark, **GDATA)
+    out = (t >> group_by(_.g) >> mutate(dev=_.x - _.x.mean()) >> ungroup())
+    got = out.df.toPandas().sort_values(["g", "x"])
+    assert list(got.dev) == [-1.0, 1.0, 0.0]

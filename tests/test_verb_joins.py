@@ -1,0 +1,106 @@
+"""Join semantics tests (reference model: siuba/tests/test_verb_joins.py):
+key forms, _x/_y suffixing, full-join key coalesce, semi/anti, theta,
+implicit-key inference warning."""
+
+import warnings
+
+import pandas as pd
+import pytest
+
+from siuba_spark import (
+    _, inner_join, left_join, right_join, full_join, semi_join, anti_join,
+    join,
+)
+from .helpers import data_frame, assert_equal_query
+
+
+def test_inner_join_on_name(spark):
+    l = data_frame(spark, k=[1, 2, 3], a=["x", "y", "z"])
+    r = data_frame(spark, k=[2, 3, 4], b=[20, 30, 40])
+    out = l >> inner_join(r, on="k")
+    assert_equal_query(out, pd.DataFrame(dict(
+        k=[2, 3], a=["y", "z"], b=[20, 30])))
+
+
+def test_join_mapping_keeps_both_keys(spark):
+    l = data_frame(spark, lk=[1, 2], a=["x", "y"])
+    r = data_frame(spark, rk=[2, 3], b=[20, 30])
+    out = l >> inner_join(r, on={"lk": "rk"})
+    assert sorted(out.columns) == ["a", "b", "lk", "rk"]
+
+
+def test_shared_nonkey_cols_suffixed(spark):
+    l = data_frame(spark, k=[1], v=[10])
+    r = data_frame(spark, k=[1], v=[99])
+    out = l >> inner_join(r, on="k")
+    assert sorted(out.columns) == ["k", "v_x", "v_y"]
+    row = out.df.collect()[0]
+    assert row.v_x == 10 and row.v_y == 99
+
+
+def test_left_join_nulls(spark):
+    l = data_frame(spark, k=[1, 2], a=["x", "y"])
+    r = data_frame(spark, k=[1], b=[10])
+    out = (l >> left_join(r, on="k")).df.toPandas().sort_values("k")
+    assert list(out.b.isna()) == [False, True]
+
+
+def test_right_join(spark):
+    l = data_frame(spark, k=[1], a=["x"])
+    r = data_frame(spark, k=[1, 2], b=[10, 20])
+    out = l >> right_join(r, on="k")
+    assert len(out.df.collect()) == 2
+
+
+def test_full_join_coalesces_key(spark):
+    l = data_frame(spark, k=[1, 2], a=["x", "y"])
+    r = data_frame(spark, k=[2, 3], b=[20, 30])
+    out = (l >> full_join(r, on="k")).df.toPandas().sort_values("k")
+    # single coalesced key column covering both sides
+    assert list(out.k) == [1, 2, 3]
+    assert "k_x" not in out.columns and "k_y" not in out.columns
+
+
+def test_semi_join(spark):
+    l = data_frame(spark, k=[1, 2, 3])
+    r = data_frame(spark, k=[2, 2, 3])  # dup right rows must not duplicate
+    out = l >> semi_join(r, on="k")
+    assert sorted(r.k for r in out.df.collect()) == [2, 3]
+
+
+def test_anti_join(spark):
+    l = data_frame(spark, k=[1, 2, 3])
+    r = data_frame(spark, k=[2])
+    out = l >> anti_join(r, on="k")
+    assert sorted(r.k for r in out.df.collect()) == [1, 3]
+
+
+def test_theta_join_sql_on(spark):
+    l = data_frame(spark, a=[1, 2, 3])
+    r = data_frame(spark, b=[1, 2, 3])
+    out = join(l, r, sql_on=lambda lhs, rhs: lhs.a < rhs.b)
+    assert len(out.df.collect()) == 3  # (1,2),(1,3),(2,3)
+
+
+def test_implicit_key_warns(spark):
+    l = data_frame(spark, k=[1, 2], a=["x", "y"])
+    r = data_frame(spark, k=[2], b=[20])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = l >> inner_join(r)
+        assert any("shared columns" in str(x.message) for x in w)
+    assert len(out.df.collect()) == 1
+
+
+def test_null_keys_dont_match_by_default(spark):
+    l = data_frame(spark, k=[1.0, None], a=["x", "y"])
+    r = data_frame(spark, k=[1.0, None], b=[10, 20])
+    out = l >> inner_join(r, on="k")
+    assert len(out.df.collect()) == 1  # SQL semantics: NULL != NULL
+
+
+def test_null_safe_join_matches_nulls(spark):
+    l = data_frame(spark, k=[1.0, None], a=["x", "y"])
+    r = data_frame(spark, k=[1.0, None], b=[10, 20])
+    out = l >> inner_join(r, on="k", null_safe=True)
+    assert len(out.df.collect()) == 2  # pandas-merge semantics via <=>

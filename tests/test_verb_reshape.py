@@ -1,0 +1,138 @@
+"""Reshape verb tests (reference model: siuba/tests/test_tidy_*.py):
+gather/spread roundtrip, separate/unite/extract, nest/unnest,
+expand/complete, pivots, bind_rows."""
+
+import pandas as pd
+
+from siuba_spark import (
+    _, gather, spread, separate, unite, extract, nest, unnest, expand,
+    complete, pivot_longer, pivot_wider, bind_rows, arrange, select,
+)
+from .helpers import data_frame, assert_equal_query
+
+
+def test_gather(spark):
+    t = data_frame(spark, id=[1, 2], x=[10, 20], y=[30, 40])
+    out = t >> gather("key", "value", _.x, _.y)
+    assert_equal_query(out, pd.DataFrame(dict(
+        id=[1, 2, 1, 2], key=["x", "x", "y", "y"], value=[10, 20, 30, 40])))
+
+
+def test_gather_drop_na(spark):
+    t = data_frame(spark, id=[1], x=[10.0], y=[None])
+    out = t >> gather("k", "v", _.x, _.y, drop_na=True)
+    assert len(out.df.collect()) == 1
+
+
+def test_spread_roundtrip(spark):
+    t = data_frame(spark, id=[1, 1, 2, 2], k=["x", "y", "x", "y"],
+                   v=[1, 2, 3, 4])
+    out = t >> spread(_.k, _.v)
+    assert_equal_query(out, pd.DataFrame(dict(id=[1, 2], x=[1, 3], y=[2, 4])))
+
+
+def test_spread_fill(spark):
+    t = data_frame(spark, id=[1, 2], k=["x", "y"], v=[1, 2])
+    out = t >> spread(_.k, _.v, fill=0)
+    assert_equal_query(out, pd.DataFrame(dict(id=[1, 2], x=[1, 0], y=[0, 2])))
+
+
+def test_separate(spark):
+    t = data_frame(spark, s=["a-1", "b-2"])
+    out = t >> separate(_.s, into=["ch", "num"], sep="-")
+    assert_equal_query(out, pd.DataFrame(dict(ch=["a", "b"], num=["1", "2"])))
+
+
+def test_separate_convert(spark):
+    t = data_frame(spark, s=["a-1"])
+    out = t >> separate(_.s, into=["ch", "num"], sep="-", convert=True)
+    row = out.df.collect()[0]
+    assert row.num == 1
+
+
+def test_unite(spark):
+    t = data_frame(spark, a=["x"], b=[1], c=[True])
+    out = t >> unite("u", _.a, _.b, sep="_")
+    assert out.df.collect()[0].u == "x_1"
+    assert "a" not in out.columns and "b" not in out.columns
+
+
+def test_extract(spark):
+    t = data_frame(spark, s=["ab12", "cd34"])
+    out = t >> extract(_.s, into=["letters", "digits"],
+                       regex=r"([a-z]+)(\d+)")
+    assert_equal_query(out, pd.DataFrame(dict(
+        letters=["ab", "cd"], digits=["12", "34"])))
+
+
+def test_nest_unnest_roundtrip(spark):
+    t = data_frame(spark, g=["a", "a", "b"], x=[1, 2, 3], y=[4, 5, 6])
+    nested = t >> nest(_.x, _.y, key="data")
+    assert sorted(nested.columns) == ["data", "g"]
+    assert len(nested.df.collect()) == 2
+    back = nested >> unnest("data")
+    assert_equal_query(back, pd.DataFrame(dict(
+        g=["a", "a", "b"], x=[1, 2, 3], y=[4, 5, 6])))
+
+
+def test_expand(spark):
+    t = data_frame(spark, a=[1, 1, 2], b=["x", "y", "x"])
+    out = t >> expand(_.a, _.b)
+    assert len(out.df.collect()) == 4
+
+
+def test_complete_fills(spark):
+    t = data_frame(spark, a=[1, 2], b=["x", "y"], v=[10, 20])
+    out = t >> complete(_.a, _.b, fill={"v": 0})
+    got = out.df.toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == 4
+    assert got.v.tolist() == [10, 0, 0, 20]
+
+
+def test_pivot_longer(spark):
+    t = data_frame(spark, id=[1], x=[10], y=[20])
+    out = t >> pivot_longer(_.x, _.y, names_to="name", values_to="value")
+    assert_equal_query(out, pd.DataFrame(dict(
+        id=[1, 1], name=["x", "y"], value=[10, 20])))
+
+
+def test_pivot_longer_names_sep(spark):
+    t = data_frame(spark, id=[1], wk_1=[10], wk_2=[20])
+    out = t >> pivot_longer(_.startswith("wk"), names_to=("prefix", "week"),
+                            names_sep="_")
+    got = out.df.toPandas().sort_values("week")
+    assert list(got.week) == ["1", "2"] and list(got.value) == [10, 20]
+
+
+def test_pivot_longer_dot_value(spark):
+    t = data_frame(spark, id=[1], x_mean=[1.0], x_sd=[0.1],
+                   y_mean=[2.0], y_sd=[0.2])
+    out = t >> pivot_longer(_.contains("_"), names_to=("var", ".value"),
+                            names_sep="_")
+    got = out.df.toPandas().sort_values("var").reset_index(drop=True)
+    assert list(got.columns) == ["id", "var", "mean", "sd"]
+    assert got["mean"].tolist() == [1.0, 2.0]
+
+
+def test_pivot_wider(spark):
+    t = data_frame(spark, id=[1, 1, 2, 2], name=["x", "y", "x", "y"],
+                   value=[1, 2, 3, 4])
+    out = t >> pivot_wider(names_from=_.name, values_from=_.value)
+    assert_equal_query(out, pd.DataFrame(dict(id=[1, 2], x=[1, 3], y=[2, 4])))
+
+
+def test_pivot_wider_values_fn_fill(spark):
+    t = data_frame(spark, id=[1, 1, 2], name=["x", "x", "y"], value=[1, 5, 2])
+    out = t >> pivot_wider(names_from=_.name, values_from=_.value,
+                           values_fn="sum", values_fill=-1)
+    got = out.df.toPandas().sort_values("id").reset_index(drop=True)
+    assert got.x.tolist() == [6, -1] and got.y.tolist() == [-1, 2]
+
+
+def test_bind_rows(spark):
+    a = data_frame(spark, x=[1], y=["a"])
+    b = data_frame(spark, x=[2], z=[True])
+    out = a >> bind_rows(b)
+    got = out.df.toPandas().sort_values("x")
+    assert sorted(got.columns) == ["x", "y", "z"]
+    assert len(got) == 2
