@@ -28,7 +28,7 @@ from siuba_spark import (  # noqa: F401
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
     if_else, case_when, desc, str_c, floor_date, ceil_date,
-    fct_lump,
+    cumall, cumany, fct_lump,
 )
 from siuba_spark.corpus.text import (
     text_stats, lang_score, fingerprint, token_count_bpe,
@@ -1114,6 +1114,295 @@ def q_multimodal_decode(spark, sf):
 
 
 # ===========================================================================
+# batch 2: additional §2 coverage
+# ===========================================================================
+
+
+def q_gather_long(spark, sf):
+    wide = (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> summarize(qty=_.l_quantity.sum(), items=n(_).astype("double"))
+    )
+    return (wide >> gather("metric", "value", _.qty, _.items)).df
+
+
+SQL_GATHER_LONG = """
+WITH wide AS (SELECT l_returnflag, SUM(l_quantity) AS qty,
+                     CAST(COUNT(*) AS DOUBLE) AS items
+              FROM lineitem GROUP BY 1)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'items' AS metric, items AS value FROM wide
+"""
+
+
+def q_extract_regex(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        >> extract(_.p_name, into=["word1", "word2"],
+                   regex=r"^(\w+) (\w+)$", remove=False)
+        >> select(_.p_partkey, _.word1, _.word2)
+    ).df
+
+
+SQL_EXTRACT_REGEX = """
+SELECT p_partkey,
+  NULLIF(regexp_extract(p_name, '^(\\w+) (\\w+)$', 1), '') AS word1,
+  NULLIF(regexp_extract(p_name, '^(\\w+) (\\w+)$', 2), '') AS word2
+FROM part
+"""
+
+
+def q_offsets_family(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_custkey)
+        >> arrange(_.o_orderdate, _.o_orderkey)
+        >> mutate(
+            d=(_.o_totalprice.diff()).round(4),
+            pc=(_.o_totalprice.pct_change()).round(6),
+            cmax=_.o_totalprice.cummax(),
+            cmin=_.o_totalprice.cummin(),
+        )
+        >> ungroup()
+        >> select(_.o_custkey, _.o_orderkey, _.d, _.pc, _.cmax, _.cmin)
+    ).df
+
+
+SQL_OFFSETS_FAMILY = """
+SELECT o_custkey, o_orderkey,
+  ROUND(o_totalprice - LAG(o_totalprice) OVER w, 4) AS d,
+  ROUND(o_totalprice / LAG(o_totalprice) OVER w - 1, 6) AS pc,
+  MAX(o_totalprice) OVER cw AS cmax,
+  MIN(o_totalprice) OVER cw AS cmin
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST),
+       cw AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ffill_gaps(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        >> group_by(_.user_id)
+        >> arrange(_.ts, _.event_id)
+        >> mutate(v=na_if(_.value, 0.0), filled=na_if(_.value, 0.0).ffill())
+        >> ungroup()
+        >> select(_.event_id, _.user_id, _.v, _.filled)
+    ).df
+
+
+SQL_FFILL_GAPS = """
+SELECT event_id, user_id, NULLIF(value, 0.0) AS v,
+  LAST_VALUE(NULLIF(value, 0.0) IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events
+"""
+
+
+def q_rank_average(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> mutate(r=_.l_quantity.rank())
+        >> ungroup()
+        >> select(_.l_orderkey, _.l_linenumber, _.l_returnflag, _.r)
+    ).df
+
+
+SQL_RANK_AVERAGE = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+  CASE WHEN l_quantity IS NOT NULL THEN
+    RANK() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity ASC NULLS LAST)
+    + (COUNT(l_quantity) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+  END AS r
+FROM lineitem
+"""
+
+
+def q_elwise_family(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        >> transmute(
+            c_custkey=_.c_custkey,
+            clipped=_.c_acctbal.clip(0, 5000),
+            as_int=_.c_acctbal.astype(int),
+            filled=na_if(_.c_acctbal, 0.0).fillna(-999.0),
+            is_null=na_if(_.c_acctbal, 0.0).isna(),
+            absval=(-_.c_acctbal).abs(),
+            rounded=_.c_acctbal.round(1),
+        )
+    ).df
+
+
+SQL_ELWISE_FAMILY = """
+SELECT c_custkey,
+  LEAST(GREATEST(c_acctbal, 0), 5000) AS clipped,
+  CAST(TRUNC(c_acctbal) AS BIGINT) AS as_int,  -- Spark/pandas truncate; duckdb CAST rounds
+  COALESCE(NULLIF(c_acctbal, 0.0), -999.0) AS filled,
+  NULLIF(c_acctbal, 0.0) IS NULL AS is_null,
+  ABS(-c_acctbal) AS absval,
+  ROUND(c_acctbal, 1) AS rounded
+FROM customer
+"""
+
+
+def q_cumall_cumany(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        >> group_by(_.user_id)
+        >> arrange(_.ts, _.event_id)
+        >> mutate(all_small=cumall(_.value < 50), any_big=cumany(_.value > 90))
+        >> ungroup()
+        >> select(_.event_id, _.user_id, _.all_small, _.any_big)
+    ).df
+
+
+SQL_CUMALL_CUMANY = """
+SELECT event_id, user_id,
+  BOOL_AND(value < 50) OVER cw AS all_small,
+  BOOL_OR(value > 90) OVER cw AS any_big
+FROM events
+WINDOW cw AS (PARTITION BY user_id
+              ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_str_pad_family(spark, sf):
+    return (
+        _t(spark, sf, "nation")
+        >> transmute(
+            n_nationkey=_.n_nationkey,
+            padded=_.n_nationkey.astype(str).str.zfill(4),
+            joined=str_c(_.n_name, _.n_regionkey, sep="#"),
+            cap=_.n_name.str.lower().str.capitalize(),
+            swapped=_.n_name.str.replace("A", "@", regex=False),
+        )
+    ).df
+
+
+SQL_STR_PAD_FAMILY = """
+SELECT n_nationkey,
+  LPAD(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+  n_name || '#' || CAST(n_regionkey AS VARCHAR) AS joined,
+  UPPER(SUBSTRING(LOWER(n_name), 1, 1)) || SUBSTRING(LOWER(n_name), 2) AS cap,
+  REPLACE(n_name, 'A', '@') AS swapped
+FROM nation
+"""
+
+
+def q_bind_rows_slices(spark, sf):
+    hi = (_t(spark, sf, "orders") >> filter(_.o_totalprice > 400000)
+          >> transmute(o_orderkey=_.o_orderkey, tier="hi"))
+    lo = (_t(spark, sf, "orders") >> filter(_.o_totalprice < 1000)
+          >> transmute(o_orderkey=_.o_orderkey, tier="lo"))
+    return (hi >> bind_rows(lo)).df
+
+
+SQL_BIND_ROWS_SLICES = """
+SELECT o_orderkey, 'hi' AS tier FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, 'lo' AS tier FROM orders WHERE o_totalprice < 1000
+"""
+
+
+def q_events_sliding(spark, sf):
+    from siuba_spark.streaming.windows import slide
+    t = slide(_t(spark, sf, "events"), ts="ts", every="10 minutes",
+              period="5 minutes", n_events=("count", None))
+    return (
+        t
+        >> mutate(w_start=_.w_start.dt.strftime("%Y-%m-%d %H:%M:%S"))
+        >> select(_.w_start, _.n_events)
+        >> arrange(_.w_start)
+    ).df
+
+
+SQL_EVENTS_SLIDING = """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS s FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts) - INTERVAL 5 MINUTES FROM events),
+w AS (SELECT DISTINCT s FROM starts),
+j AS (SELECT w.s, e.event_id FROM w JOIN events e
+      ON e.ts >= w.s AND e.ts < w.s + INTERVAL 10 MINUTES)
+SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n_events
+FROM j GROUP BY 1
+"""
+
+
+def q_row_number_per_group(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_orderpriority)
+        >> arrange(_.o_totalprice, _.o_orderkey)
+        >> mutate(rn=row_number(_))
+        >> ungroup()
+        >> filter(_.rn <= 3)
+        >> select(_.o_orderpriority, _.o_orderkey, _.rn)
+    ).df
+
+
+SQL_ROW_NUMBER_PER_GROUP = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC NULLS LAST) AS rn
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, rn FROM r WHERE rn <= 3
+"""
+
+
+def q_first_last_agg(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_custkey)
+        >> arrange(_.o_orderdate, _.o_orderkey)
+        >> mutate(first_price=first(_.o_totalprice),
+                  last_price=last(_.o_totalprice))
+        >> ungroup()
+        >> distinct(_.o_custkey, _.first_price, _.last_price)
+    ).df
+
+
+SQL_FIRST_LAST_AGG = """
+SELECT DISTINCT o_custkey,
+  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+  LAST_VALUE(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_across_agg(spark, sf):
+    from siuba_spark import across, Fx
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> summarize(across(["l_quantity", "l_discount"],
+                            {"mn": Fx.min(), "mx": Fx.max()}))
+        >> arrange(_.l_returnflag)
+    ).df
+
+
+SQL_ACROSS_AGG = """
+SELECT l_returnflag,
+  MIN(l_quantity) AS l_quantity_mn, MAX(l_quantity) AS l_quantity_mx,
+  MIN(l_discount) AS l_discount_mn, MAX(l_discount) AS l_discount_mx
+FROM lineitem GROUP BY 1
+"""
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -1171,6 +1460,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "knn_label_vote": q_knn_label_vote,
+        "gather_long": q_gather_long,
+        "extract_regex": q_extract_regex,
+        "offsets_family": q_offsets_family,
+        "ffill_gaps": q_ffill_gaps,
+        "rank_average": q_rank_average,
+        "elwise_family": q_elwise_family,
+        "cumall_cumany": q_cumall_cumany,
+        "str_pad_family": q_str_pad_family,
+        "bind_rows_slices": q_bind_rows_slices,
+        "events_sliding": q_events_sliding,
+        "row_number_per_group": q_row_number_per_group,
+        "first_last_agg": q_first_last_agg,
+        "across_agg": q_across_agg,
         # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
@@ -1227,4 +1529,17 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "ann_topk": SQL_ANN_TOPK,
         "knn_label_vote": SQL_KNN_LABEL_VOTE,
+        "gather_long": SQL_GATHER_LONG,
+        "extract_regex": SQL_EXTRACT_REGEX,
+        "offsets_family": SQL_OFFSETS_FAMILY,
+        "ffill_gaps": SQL_FFILL_GAPS,
+        "rank_average": SQL_RANK_AVERAGE,
+        "elwise_family": SQL_ELWISE_FAMILY,
+        "cumall_cumany": SQL_CUMALL_CUMANY,
+        "str_pad_family": SQL_STR_PAD_FAMILY,
+        "bind_rows_slices": SQL_BIND_ROWS_SLICES,
+        "events_sliding": SQL_EVENTS_SLIDING,
+        "row_number_per_group": SQL_ROW_NUMBER_PER_GROUP,
+        "first_last_agg": SQL_FIRST_LAST_AGG,
+        "across_agg": SQL_ACROSS_AGG,
     }

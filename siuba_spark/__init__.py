@@ -27,6 +27,7 @@ from .operators.core import (
 from .operators.grouping import (
     group_by, ungroup, summarize, summarise, count, add_count,
 )
+from .operators.across import across, Fx, Across
 from .operators.joins import (
     join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
 )
@@ -56,7 +57,7 @@ __all__ = [
     "distinct", "head", "top_n",
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
     "join", "inner_join", "left_join", "right_join", "full_join",
-    "semi_join", "anti_join",
+    "semi_join", "anti_join", "across", "Fx",
     "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",

@@ -22,6 +22,22 @@ __all__ = [
 ]
 
 
+def _merge_across(tbl, args, kwargs):
+    """Expand positional across() objects into named expressions."""
+    if not args:
+        return kwargs
+    from .across import Across, expand_across
+    merged = {}
+    for a in args:
+        if not isinstance(a, Across):
+            raise TranslationError(
+                "positional arguments to mutate/transmute/summarize must be "
+                "across(...) expansions")
+        merged.update(expand_across(a, tbl.columns))
+    merged.update(kwargs)
+    return merged
+
+
 def _group_first(tbl, pairs):
     """Grouping columns always stay selected (dplyr semantics)."""
     selected_old = {old for old, _ in pairs}
@@ -58,12 +74,14 @@ def rename(tbl: SparkTbl, **kwargs):
 
 
 @verb
-def mutate(tbl: SparkTbl, **kwargs):
+def mutate(tbl: SparkTbl, *args, **kwargs):
     """Add/overwrite columns; later kwargs see earlier ones; aggregates
     broadcast over the group window (reference: siuba/sql/verbs/mutate.py:20-118).
     Chained ``withColumn`` projections are collapsed by Catalyst
     (CollapseProject), so no subquery-avoidance logic is needed (SURVEY §4).
+    Positional args must be across() expansions (siuba/dply/across.py).
     """
+    kwargs = _merge_across(tbl, args, kwargs)
     df = tbl.df
     for name, expr in kwargs.items():
         ctx = tbl.row_ctx()
@@ -73,9 +91,10 @@ def mutate(tbl: SparkTbl, **kwargs):
 
 
 @verb
-def transmute(tbl: SparkTbl, **kwargs):
+def transmute(tbl: SparkTbl, *args, **kwargs):
     """mutate, then keep only grouping + new columns
     (reference: siuba/sql/verbs/mutate.py:121-133)."""
+    kwargs = _merge_across(tbl, args, kwargs)
     out = mutate(tbl, **kwargs)
     keep = list(tbl.group_by) + [k for k in kwargs if k not in tbl.group_by]
     return out.evolve(df=out.df.select(*keep))

@@ -59,9 +59,12 @@ def ungroup(tbl: SparkTbl):
 
 
 @verb
-def summarize(tbl: SparkTbl, **kwargs):
+def summarize(tbl: SparkTbl, *args, **kwargs):
     """One row per group (reference: siuba/sql/verbs/summarize.py:11-132).
-    Grouping columns come out first; the result is ungrouped."""
+    Grouping columns come out first; the result is ungrouped.
+    Positional args must be across() expansions."""
+    from .core import _merge_across
+    kwargs = _merge_across(tbl, args, kwargs)
     aggs = []
     for name, expr in kwargs.items():
         node = strip_symbolic(expr)

@@ -1,0 +1,68 @@
+"""Structured Streaming end-to-end: the same tumble logic runs as a real
+stream (readStream → watermark → windowed agg → memory sink) and matches
+the batch result.  Beyond-parity (the reference has no streaming,
+SURVEY.md §2.9)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from siuba_spark import SparkTbl
+from siuba_spark.streaming.windows import (
+    read_event_stream, sessionize, stream_tumble, tumble,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    """Microsecond-timestamp copy of events (streaming can't read the
+    nanos parquet either), split into 3 files to force multi-batch."""
+    import __spark_entry__ as entry
+    tmp = tempfile.mkdtemp(prefix="events_us_")
+    df = entry._events(spark, "/root/testdata/sf0.001").df
+    df.repartition(3).write.mode("overwrite").parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_tumble_matches_batch(spark, event_dir):
+    batch = tumble(SparkTbl(spark.read.parquet(event_dir)),
+                   ts="ts", every="10 minutes", n=("count", None))
+    expected = {(r.w_start, r.n) for r in batch.df.collect()}
+
+    stream = read_event_stream(spark, event_dir, max_files=1)
+    agg = stream_tumble(stream, ts="ts", every="10 minutes",
+                        watermark="1 hour", n=("count", None))
+    q = (agg.df.writeStream.format("memory").queryName("tumble_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.w_start, r.n) for r in spark.sql("select * from tumble_test").collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_is_incremental(spark, event_dir):
+    # append-mode with watermark: finalized windows only, state bounded
+    stream = read_event_stream(spark, event_dir, max_files=1)
+    agg = stream_tumble(stream, ts="ts", every="10 minutes",
+                        watermark="10 minutes", n=("count", None))
+    q = (agg.df.writeStream.format("memory").queryName("tumble_append")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n_append = spark.sql("select count(*) c from tumble_append").first().c
+    # every window except those still within the watermark is emitted
+    total = tumble(SparkTbl(spark.read.parquet(event_dir)),
+                   ts="ts", every="10 minutes", n=("count", None)).df.count()
+    assert 0 < n_append <= total
+
+
+def test_sessionize_batch_vs_event_count(spark, event_dir):
+    t = SparkTbl(spark.read.parquet(event_dir))
+    s = sessionize(t, ts="ts", by="user_id", gap_minutes=30)
+    assert s.df.count() == t.df.count()  # row-preserving
+    per_user = (s.df.groupBy("user_id")
+                .agg(F.max("session_id").alias("m"), F.count("*").alias("c")))
+    bad = per_user.filter(F.col("m") > F.col("c")).count()
+    assert bad == 0  # session ids are dense per user

@@ -113,3 +113,20 @@ def test_grouped_mutate_mixed_elwise_agg(spark):
     out = (t >> group_by(_.g) >> mutate(dev=_.x - _.x.mean()) >> ungroup())
     got = out.df.toPandas().sort_values(["g", "x"])
     assert list(got.dev) == [-1.0, 1.0, 0.0]
+
+
+def test_across_summarize(spark):
+    from siuba_spark import across, Fx
+    t = data_frame(spark, g=["a", "a", "b"], x=[1.0, 3.0, 10.0], y=[2.0, 4.0, 6.0])
+    out = (t >> group_by(_.g)
+             >> summarize(across(["x", "y"], {"mn": Fx.min(), "mx": Fx.max()})))
+    assert sorted(out.columns) == ["g", "x_mn", "x_mx", "y_mn", "y_mx"]
+    got = out.df.toPandas().sort_values("g")
+    assert got.x_mn.tolist() == [1.0, 10.0] and got.y_mx.tolist() == [4.0, 6.0]
+
+
+def test_across_mutate_single_fn(spark):
+    from siuba_spark import across, Fx, mutate
+    t = data_frame(spark, x=[1.0], y=[2.0])
+    out = t >> mutate(across(_.startswith("x"), Fx * 10))
+    assert out.df.collect()[0].x == 10.0
