@@ -53,11 +53,10 @@ def _events(spark, sf_dir):
     engines see identical instants."""
     from pyspark.sql import functions as F
     path = f"{sf_dir}/events.parquet"
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    # set up front: the lazy failure path otherwise aborts a schema-merge job
+    # (noisy executor errors) before the retry succeeds
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     # schema-driven (the conf may already be set from a prior query)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
