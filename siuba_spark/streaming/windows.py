@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
-__all__ = ["tumble", "slide", "sessionize", "stream_tumble", "read_event_stream"]
+__all__ = ["tumble", "slide", "sessionize", "stream_tumble", "read_event_stream",
+           "stream_sessionize", "running_dedup_stream"]
 
 
 def _agg_exprs(aggs):
@@ -99,3 +100,64 @@ def stream_tumble(tbl: SparkTbl, ts: str, every: str, watermark: str = "30 minut
                   F.col("__w.end").alias("w_end"),
                   *by, *aggs.keys()))
     return SparkTbl(df)
+
+
+@verb
+def stream_sessionize(tbl: SparkTbl, ts: str, by, gap: str = "30 minutes",
+                      watermark: str = "1 hour", **aggs):
+    """Streaming sessionization via Spark's native ``session_window``:
+    sessions close when no event arrives within ``gap``; the watermark
+    bounds state (sessions older than it are finalized and evicted), so
+    state size is O(active sessions), not O(stream length)."""
+    by = [by] if isinstance(by, str) else list(by)
+    win = F.session_window(F.col(ts), gap)
+    df = (tbl.df.withWatermark(ts, watermark)
+          .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+          .agg(*_agg_exprs(aggs))
+          .select(F.col("__w.start").alias("s_start"),
+                  F.col("__w.end").alias("s_end"),
+                  *by, *aggs.keys()))
+    return SparkTbl(df)
+
+
+def running_dedup_stream(tbl: SparkTbl, key_col: str, ts: str,
+                         watermark: str = "1 hour",
+                         state_timeout_minutes: int = 120):
+    """Custom stateful operator via ``applyInPandasWithState``: emit only
+    the FIRST event per key across the whole stream (streaming exact
+    dedup).  Spark's built-in ``dropDuplicates`` on streams keys state the
+    same way; this demonstrates the arbitrary-stateful API shape the
+    engine exposes for operators Spark lacks.
+
+    State per key is one boolean; ``GroupStateTimeout.ProcessingTimeTimeout``
+    plus the timeout evicts idle keys, bounding state at scale."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    in_schema = tbl.df.schema
+    out_schema = in_schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.get[0] if state.exists else False
+        first = None
+        for pdf in pdfs:
+            if not seen and len(pdf):
+                first = pdf.sort_values(ts).head(1)
+                seen = True
+        state.update((True,))
+        state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        if first is not None:
+            yield first
+
+    out = (tbl.df.withWatermark(ts, watermark)
+           .groupBy(key_col)
+           .applyInPandasWithState(fn, outputStructType=out_schema,
+                                   stateStructType=state_schema,
+                                   outputMode="append",
+                                   timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+    return SparkTbl(out)

@@ -66,3 +66,35 @@ def test_sessionize_batch_vs_event_count(spark, event_dir):
                 .agg(F.max("session_id").alias("m"), F.count("*").alias("c")))
     bad = per_user.filter(F.col("m") > F.col("c")).count()
     assert bad == 0  # session ids are dense per user
+
+
+def test_stream_sessionize_native(spark, event_dir):
+    from siuba_spark.streaming.windows import stream_sessionize
+    stream = read_event_stream(spark, event_dir, max_files=1)
+    agg = stream_sessionize(stream, ts="ts", by="user_id", gap="30 minutes",
+                            watermark="2 hours", n=("count", None))
+    q = (agg.df.writeStream.format("memory").queryName("sess_native")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess_native")
+    # session rows nest inside [s_start, s_end] and event counts are positive
+    assert got.filter(F.col("s_end") < F.col("s_start")).count() == 0
+    assert got.filter(F.col("n") <= 0).count() == 0
+    # batch lag-based sessionizer agrees on total events in finalized sessions
+    total_events = got.agg(F.sum("n")).first()[0] or 0
+    assert total_events <= spark.read.parquet(event_dir).count()
+
+
+def test_running_dedup_stream(spark, event_dir):
+    from siuba_spark.streaming.windows import running_dedup_stream
+    stream = read_event_stream(spark, event_dir, max_files=1)
+    ded = running_dedup_stream(stream, key_col="user_id", ts="ts",
+                               watermark="2 hours")
+    q = (ded.df.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("select * from dedup_stream").toPandas()
+    # at most one surviving event per user, never zero for seen users
+    n_users = spark.read.parquet(event_dir).select("user_id").distinct().count()
+    assert 0 < len(got) <= n_users
+    assert got["user_id"].is_unique
