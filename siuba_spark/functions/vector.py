@@ -76,13 +76,18 @@ def _register_rank(name, builder, null_unranked=True):
             w = ctx.w_ordered()
             return _builder(kwargs).over(w), SCALAR
         order_col, plain = _rank_order_col(arg, ctx)
-        w = ctx.w_ordered([order_col])
-        out = _builder(kwargs).over(w)
         if _nu:
-            # pandas leaves NaN unranked (reference NULL trick:
-            # siuba/sql/dply/vector.py:53-78)
-            out = F.when(plain.isNotNull(), out)
-        return out, SCALAR
+            # pandas leaves NaN unranked AND excludes it from rank
+            # denominators (percent_rank/cume_dist); the reference routes
+            # NULLs into their own window partition for the same effect
+            # (siuba/sql/dply/vector.py:53-78)
+            ctx.used_window = True
+            w = Window.partitionBy(
+                *[F.col(g) for g in ctx.group_by], plain.isNull()
+            ).orderBy(order_col)
+            return F.when(plain.isNotNull(), _builder(kwargs).over(w)), SCALAR
+        w = ctx.w_ordered([order_col])
+        return _builder(kwargs).over(w), SCALAR
 
 
 _register_rank("row_number", lambda kw: F.row_number(), null_unranked=False)
