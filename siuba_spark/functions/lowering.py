@@ -310,9 +310,21 @@ def lower(node, ctx: LowerCtx):
 
 
 def _apply_binop(op, lc, rc):
+    # zero divisors yield NULL (SQL semantics — duckdb/postgres-as-oracle),
+    # not the ANSI-mode DIVIDE_BY_ZERO error Spark 4 raises by default
+    if op == "__truediv__":
+        return F.try_divide(lc, rc)
+    if op == "__rtruediv__":
+        return F.try_divide(rc, lc)
+    if op == "__mod__":
+        return F.try_mod(lc, rc)
+    if op == "__rmod__":
+        return F.try_mod(rc, lc)
     if op == "__floordiv__":
         # pandas // : floored division (int result for int operands)
-        return F.floor(lc / rc).cast("long")
+        return F.floor(F.try_divide(lc, rc)).cast("long")
+    if op == "__rfloordiv__":
+        return F.floor(F.try_divide(rc, lc)).cast("long")
     if op == "__pow__":
         return F.pow(lc, rc)
     fn = getattr(lc, op, None)

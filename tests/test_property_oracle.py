@@ -1,0 +1,86 @@
+"""Property-based cross-engine tests (beyond the reference's strategy —
+it has no randomized testing, SURVEY.md §5): hypothesis generates small
+frames with nulls / ties / empty-ish groups, and grouped aggregation and
+window pipelines must match DuckDB exactly.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from siuba_spark import SparkTbl, _, arrange, group_by, mutate, summarize
+
+finite_x = st.one_of(
+    st.none(),
+    st.integers(-1000, 1000).map(lambda v: v / 8.0),  # exact in binary fp
+)
+
+rows_st = st.lists(
+    st.tuples(st.sampled_from("abc"), finite_x, st.integers(0, 5)),
+    min_size=1, max_size=25,
+)
+
+
+def _mk(spark, rows):
+    data = [(i, g, x, float(y)) for i, (g, x, y) in enumerate(rows)]
+    sdf = spark.createDataFrame(data, schema="i long, g string, x double, y double")
+    pdf = pd.DataFrame(data, columns=["i", "g", "x", "y"])
+    con = duckdb.connect()
+    con.register("d", pdf)
+    return SparkTbl(sdf), con
+
+
+def _eq(got, want, keys):
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert list(got.columns.sort_values()) == list(want.columns.sort_values())
+    assert len(got) == len(want)
+    for c in want.columns:
+        a = pd.to_numeric(got[c], errors="ignore")
+        b = pd.to_numeric(want[c], errors="ignore")
+        if getattr(a, "dtype", None) is not None and a.dtype.kind in "fc":
+            a, b = a.round(7), pd.to_numeric(b).round(7)
+            assert ((a.isna() & b.isna()) | (a == b)).all(), (c, list(a), list(b))
+        else:
+            assert all(
+                x == y or (pd.isna(x) and pd.isna(y))
+                for x, y in zip(a, b)
+            ), (c, list(a), list(b))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st)
+def test_grouped_summarize_matches_duckdb(spark, rows):
+    t, con = _mk(spark, rows)
+    got = (
+        summarize(group_by(t, _.g),
+                  m=_.x.mean(), s=_.x.sum(), c=_.x.count(),
+                  mx=_.x.max(), nu=_.y.nunique(), md=_.x.median())
+    ).df.toPandas()
+    want = con.execute(
+        "SELECT g, avg(x) AS m, sum(x) AS s, count(x) AS c, max(x) AS mx, "
+        "count(DISTINCT y) AS nu, median(x) AS md FROM d GROUP BY g"
+    ).df()
+    _eq(got, want, ["g"])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st)
+def test_grouped_window_matches_duckdb(spark, rows):
+    t, con = _mk(spark, rows)
+    got = (
+        mutate(arrange(group_by(t, _.g), _.i),
+               z=_.x - _.x.mean(), cs=_.x.cumsum(), lg=_.x.shift(1),
+               share=_.y / _.y.sum())
+    ).df.select("i", "z", "cs", "lg", "share").toPandas()
+    want = con.execute(
+        "SELECT i, x - avg(x) OVER (PARTITION BY g) AS z, "
+        "sum(x) OVER (PARTITION BY g ORDER BY i ROWS UNBOUNDED PRECEDING) AS cs, "
+        "lag(x, 1) OVER (PARTITION BY g ORDER BY i) AS lg, "
+        "y / sum(y) OVER (PARTITION BY g) AS share FROM d"
+    ).df()
+    _eq(got, want, ["i"])
