@@ -1514,6 +1514,36 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_cube_agg(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag, _.l_linestatus)
+        >> summarize(sum_qty=_.l_quantity.sum(), n_rows=n(_), _sets="cube")
+    ).df
+
+
+SQL_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_rollup_agg(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_orderstatus, _.o_orderpriority)
+        >> summarize(total=_dsum(_.o_totalprice).round(2), _sets="rollup")
+    ).df
+
+
+SQL_ROLLUP_AGG = """
+SELECT o_orderstatus, o_orderpriority,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN (k-means cells + probe scan) — approximate by construction,
     no SQL oracle; the driver's rows-only check applies.  Exactness of the
@@ -1600,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_moments": q_agg_moments,
         "expand_grid": q_expand_grid,
         "embedding_near_dups": q_embedding_near_dups,
+        "cube_agg": q_cube_agg,
+        "rollup_agg": q_rollup_agg,
         # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub /
         # k-means IVF)
         "minhash_near_dups": q_minhash_near_dups,
@@ -1676,4 +1708,6 @@ def oracle_sql() -> dict[str, str]:
         "agg_moments": SQL_AGG_MOMENTS,
         "expand_grid": SQL_EXPAND_GRID,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "cube_agg": SQL_CUBE_AGG,
+        "rollup_agg": SQL_ROLLUP_AGG,
     }

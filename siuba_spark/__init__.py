@@ -19,6 +19,7 @@ from .siu.calls import Symbolic
 from .functions.lowering import TranslationError
 from .plans.tbl import (
     SparkTbl, tbl, collect, show_query, write_parquet, write_csv,
+    repartition, coalesce_partitions, cache,
 )
 from .plans.pipe import Pipe, verb
 from .operators.core import (
@@ -53,6 +54,7 @@ __version__ = "0.1.0"
 __all__ = [
     "_", "Symbolic", "SparkTbl", "tbl", "collect", "show_query",
     "write_parquet", "write_csv", "Pipe", "verb", "TranslationError",
+    "repartition", "coalesce_partitions", "cache",
     "select", "rename", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n",
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",

@@ -59,10 +59,14 @@ def ungroup(tbl: SparkTbl):
 
 
 @verb
-def summarize(tbl: SparkTbl, *args, **kwargs):
+def summarize(tbl: SparkTbl, *args, _sets: str | None = None, **kwargs):
     """One row per group (reference: siuba/sql/verbs/summarize.py:11-132).
     Grouping columns come out first; the result is ungrouped.
-    Positional args must be across() expansions."""
+    Positional args must be across() expansions.
+
+    ``_sets="cube"`` / ``"rollup"`` aggregate over all prefix/power-set
+    grouping combinations (absent from the reference — SURVEY §2.4 marks
+    it free Spark upside; super-aggregate rows carry NULL keys)."""
     from .core import _merge_across
     kwargs = _merge_across(tbl, args, kwargs)
     aggs = []
@@ -79,8 +83,16 @@ def summarize(tbl: SparkTbl, *args, **kwargs):
         aggs.append(col.alias(name))
     if not aggs:
         raise TranslationError("summarize() requires at least one aggregate")
-    df = tbl.df.groupBy(*[F.col(g) for g in tbl.group_by]).agg(*aggs)
-    return SparkTbl(df)
+    keys = [F.col(g) for g in tbl.group_by]
+    if _sets == "cube":
+        grouped = tbl.df.cube(*keys)
+    elif _sets == "rollup":
+        grouped = tbl.df.rollup(*keys)
+    elif _sets is None:
+        grouped = tbl.df.groupBy(*keys)
+    else:
+        raise TranslationError(f"summarize: unknown _sets={_sets!r}")
+    return SparkTbl(grouped.agg(*aggs))
 
 
 summarise = summarize

@@ -138,3 +138,34 @@ def write_parquet(tbl: SparkTbl, path: str, mode: str = "overwrite",
 def write_csv(tbl: SparkTbl, path: str, mode: str = "overwrite", header: bool = True):
     tbl.df.write.mode(mode).option("header", header).csv(path)
     return tbl
+
+
+# --------------------------------------------------------------------------
+# scale utilities (partitioning is the unit of parallelism at 100 TB)
+# --------------------------------------------------------------------------
+
+
+@verb
+def repartition(tbl: SparkTbl, num_or_cols, *cols):
+    """Hash-repartition by column(s) (pre-shuffling before a wide window or
+    repeated same-key joins reuses one exchange across stages) or to a
+    partition count."""
+    if isinstance(num_or_cols, int):
+        df = tbl.df.repartition(num_or_cols, *cols) if cols else tbl.df.repartition(num_or_cols)
+    else:
+        df = tbl.df.repartition(num_or_cols, *cols)
+    return tbl.evolve(df=df)
+
+
+@verb
+def coalesce_partitions(tbl: SparkTbl, n: int):
+    """Shrink partition count without a shuffle (write-side small-file
+    control)."""
+    return tbl.evolve(df=tbl.df.coalesce(n))
+
+
+@verb
+def cache(tbl: SparkTbl):
+    """Mark for storage-level caching (reuse across several downstream
+    actions; unpersists with the session)."""
+    return tbl.evolve(df=tbl.df.cache())

@@ -130,3 +130,28 @@ def test_across_mutate_single_fn(spark):
     t = data_frame(spark, x=[1.0], y=[2.0])
     out = t >> mutate(across(_.startswith("x"), Fx * 10))
     assert out.df.collect()[0].x == 10.0
+
+
+def test_summarize_rollup_grand_total(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(_.g) >> summarize(total=_.x.sum(), _sets="rollup")
+    rows = {(r.g, r.total) for r in out.df.collect()}
+    grand = next(v for k, v in rows if k is None)
+    assert grand == sum(v for k, v in rows if k is not None)
+
+
+def test_summarize_cube_row_count(spark):
+    t = data_frame(spark, **GDATA)
+    out = t >> group_by(_.g, _.y) >> summarize(n_rows=n(_), _sets="cube")
+    # observed (g,y) combos (3) + g margins (2) + y margins (3) + grand (1)
+    assert out.df.count() == 3 + 2 + 3 + 1
+
+
+def test_scale_utilities_roundtrip(spark):
+    from siuba_spark import cache, coalesce_partitions, repartition
+    t = data_frame(spark, **GDATA)
+    t1 = repartition(t, 4, "g")
+    assert t1.df.rdd.getNumPartitions() == 4
+    t2 = coalesce_partitions(t1, 1)
+    assert t2.df.rdd.getNumPartitions() == 1
+    assert cache(t2).df.count() == t.df.count()
