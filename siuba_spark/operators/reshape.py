@@ -120,15 +120,25 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
     name = _colname(col)
     parts = F.split(F.col(name), sep)
     df = tbl.df
+    convertible = {}
+    if convert:
+        # pandas to_numeric(errors="ignore") semantics: a column converts
+        # only if EVERY value parses — one combined agg probe (single cheap
+        # scan, like pivot_wider's spec collect)
+        probes = [
+            F.bool_and(parts.getItem(i).isNull()
+                       | parts.getItem(i).try_cast("double").isNotNull()).alias(f"p{i}")
+            for i, new in enumerate(into) if new is not None
+        ]
+        row = df.agg(*probes).first()
+        convertible = {int(k[1:]): bool(v) for k, v in row.asDict().items()
+                       if v is not None}
     for i, new in enumerate(into):
         if new is None:
             continue
         c = parts.getItem(i)
-        if convert:
-            # numeric-looking parts become numbers; others null (pandas
-            # to_numeric-ish): prefer int, fall back to double
-            c = F.coalesce(c.try_cast("bigint").cast("double"),
-                           c.try_cast("double"))
+        if convert and convertible.get(i):
+            c = F.coalesce(c.try_cast("bigint").cast("double"), c.try_cast("double"))
         df = df.withColumn(new, c)
     if remove and name not in into:
         df = df.drop(name)

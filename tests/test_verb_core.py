@@ -203,3 +203,12 @@ def test_unknown_method_errors_at_translation(spark):
 def test_symbolic_has_no_truth_value(spark):
     with pytest.raises(TypeError):
         bool(_.a > 1)
+
+
+def test_show_query_prints_plan_and_passes_through(spark, capsys):
+    from siuba_spark import show_query
+    t = data_frame(spark, a=[1, 2, 3])
+    out = t >> mutate(b=_.a + 1) >> show_query()
+    captured = capsys.readouterr().out
+    assert "Physical Plan" in captured or "Project" in captured
+    assert out.df.count() == 3  # pipe keeps flowing (reference returns tbl)

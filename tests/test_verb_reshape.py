@@ -136,3 +136,12 @@ def test_bind_rows(spark):
     got = out.df.toPandas().sort_values("x")
     assert sorted(got.columns) == ["x", "y", "z"]
     assert len(got) == 2
+
+
+def test_separate_convert_is_column_level(spark):
+    # pandas to_numeric(errors="ignore"): a column converts only when every
+    # value parses — mixed columns stay strings, never become NULLs
+    t = data_frame(spark, s=["x-1", "y-2"])
+    out = separate(t, _.s, into=["k", "v"], sep="-", convert=True)
+    assert dict(out.df.dtypes) == {"k": "string", "v": "double"}
+    assert sorted(map(tuple, out.df.collect())) == [("x", 1.0), ("y", 2.0)]
