@@ -1087,10 +1087,8 @@ def q_minhash_near_dups(spark, sf):
 
 
 def q_simhash(spark, sf):
-    return (
-        add_simhash(_t(spark, sf, "documents"), col="text", bits=16)
-        >> select(_.doc_id, _.simhash)
-    ).df
+    return add_simhash(_t(spark, sf, "documents"), col="text", bits=16,
+                       id_col="doc_id").df
 
 
 def q_lsh_ann(spark, sf):

@@ -190,10 +190,34 @@ def minhash_near_dups(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
 
 @verb
 def add_simhash(tbl: SparkTbl, col: str = "text", bits: int = 16,
-                out: str = "simhash"):
+                out: str = "simhash", id_col: str | None = None):
     """SimHash document signature (bits ≤ 32): bit j is the sign of the
-    sum over tokens of ±1 according to bit j of the token hash.  Built
-    from per-bit F.aggregate folds — JVM-side, no UDF."""
+    sum over tokens of ±1 according to bit j of the token hash.
+
+    With ``id_col``: explode → hash each token ONCE → per-bit SUM
+    aggregates (whole-stage-codegen hash-aggregate, one shuffle on id with
+    map-side partials) — same pattern as ``add_minhash``; the per-row
+    ``F.aggregate`` fold is interpreted and rehashes every token per bit.
+
+    Without ``id_col``: per-row fold fallback (keeps all other columns,
+    no shuffle)."""
+    if id_col is not None:
+        hashed = (tbl.df
+                  .select(F.col(id_col),
+                          F.explode(tokens_col(F.col(col))).alias("__t"))
+                  .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
+        aggs = [
+            F.sum(F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"__c{j}")
+            for j in range(bits)
+        ]
+        per_doc = hashed.groupBy(id_col).agg(*aggs)
+        sig = None
+        for j in range(bits):
+            b = F.when(F.col(f"__c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sig = b if sig is None else sig + b
+        return SparkTbl(per_doc.select(F.col(id_col), sig.cast("long").alias(out)))
+
     toks = tokens_col(F.col(col))
 
     def bit_merge(j):

@@ -38,6 +38,19 @@ def cosine_sim_col(a, b):
     return _dot(ad, bd) / F.sqrt(_dot(ad, ad) * _dot(bd, bd))
 
 
+def _norm_sq(a):
+    ad = _to_double(a)
+    return _dot(ad, ad)
+
+
+def _cosine_from_parts(a, b, na_sq, nb_sq):
+    """Same expression as ``cosine_sim_col`` (dot / sqrt(na²·nb²), bit-for-
+    bit identical floats) but with the norms precomputed once per ROW
+    instead of once per PAIR — zip_with/aggregate folds are interpreted,
+    not codegen'd, so at |pairs| ≫ |rows| this is the dominant cost."""
+    return _dot(_to_double(a), _to_double(b)) / F.sqrt(na_sq * nb_sq)
+
+
 @verb
 def brute_force_topk(tbl: SparkTbl, queries, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -46,12 +59,15 @@ def brute_force_topk(tbl: SparkTbl, queries, k: int = 10,
 
     Deterministic tie-break by corpus id so results are stable across
     engines and partitionings."""
-    corpus = tbl.df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
+    corpus = tbl.df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"),
+                           _norm_sq(F.col(vec_col)).alias("__nn"))
     qdf = queries.df if isinstance(queries, SparkTbl) else queries
-    qdf = qdf.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    qdf = qdf.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+                     _norm_sq(F.col(vec_col)).alias("__qn"))
     scored = (corpus.join(F.broadcast(qdf),
                           F.col("query_id") != F.col("nbr_id"))
-              .withColumn("score", F.round(cosine_sim_col("query_vec", "nbr_vec"), round_to)))
+              .withColumn("score", F.round(_cosine_from_parts(
+                  "query_vec", "nbr_vec", F.col("__qn"), F.col("__nn")), round_to)))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
     out = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)
@@ -102,12 +118,15 @@ def lsh_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
         queries if isinstance(queries, SparkTbl) else SparkTbl(queries),
         vec_col=vec_col, n_planes=n_planes)
     corpus = bt.df.select(F.col(id_col).alias("nbr_id"),
-                          F.col(vec_col).alias("nbr_vec"), "bucket")
+                          F.col(vec_col).alias("nbr_vec"), "bucket",
+                          _norm_sq(F.col(vec_col)).alias("__nn"))
     qdf = qt.df.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("query_vec"), "bucket")
+                       F.col(vec_col).alias("query_vec"), "bucket",
+                       _norm_sq(F.col(vec_col)).alias("__qn"))
     scored = (corpus.join(F.broadcast(qdf), "bucket")
               .filter(F.col("query_id") != F.col("nbr_id"))
-              .withColumn("score", F.round(cosine_sim_col("query_vec", "nbr_vec"), round_to)))
+              .withColumn("score", F.round(_cosine_from_parts(
+                  "query_vec", "nbr_vec", F.col("__qn"), F.col("__nn")), round_to)))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
     out = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)
@@ -133,16 +152,19 @@ def cosine_near_dups(tbl: SparkTbl, threshold: float = 0.9,
     if method == "lsh":
         bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes)
         a = bt.df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-                         F.col("bucket"))
+                         F.col("bucket"), _norm_sq(F.col(vec_col)).alias("__na"))
         b = bt.df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-                         F.col("bucket"))
+                         F.col("bucket"), _norm_sq(F.col(vec_col)).alias("__nb"))
         pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
     else:
-        a = tbl.df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-        b = tbl.df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        a = tbl.df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                          _norm_sq(F.col(vec_col)).alias("__na"))
+        b = tbl.df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                          _norm_sq(F.col(vec_col)).alias("__nb"))
         pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     out = (pairs
-           .withColumn("score", F.round(cosine_sim_col("vec_a", "vec_b"), round_to))
+           .withColumn("score", F.round(_cosine_from_parts(
+               "vec_a", "vec_b", F.col("__na"), F.col("__nb")), round_to))
            .filter(F.col("score") >= threshold)
            .select("id_a", "id_b", "score"))
     return SparkTbl(out)
@@ -170,6 +192,7 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
     assigned = (model.transform(corpus_f)
                 .select(F.col(id_col).alias("nbr_id"),
                         F.col(vec_col).alias("nbr_vec"),
+                        _norm_sq(F.col(vec_col)).alias("__nn"),
                         F.col("prediction").alias("__cell")))
 
     # tiny (n_lists × dim) centroid table → broadcast against the queries
@@ -178,7 +201,8 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
     cdf = spark.createDataFrame(centers, ["__cell", "__center"])
 
     qdf = queries.df if isinstance(queries, SparkTbl) else queries
-    qdf = qdf.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    qdf = qdf.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+                     _norm_sq(F.col(vec_col)).alias("__qn"))
     dist = F.sqrt(F.aggregate(
         F.zip_with(_to_double(F.col("query_vec")), F.col("__center"),
                    lambda x, y: (x - y) * (x - y)),
@@ -188,11 +212,12 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
               .withColumn("__dist", dist)
               .withColumn("__pr", F.row_number().over(wq))
               .filter(F.col("__pr") <= n_probes)
-              .select("query_id", "query_vec", "__cell"))
+              .select("query_id", "query_vec", "__qn", "__cell"))
 
     scored = (assigned.join(F.broadcast(probes), "__cell")
               .filter(F.col("query_id") != F.col("nbr_id"))
-              .withColumn("score", F.round(cosine_sim_col("query_vec", "nbr_vec"), round_to)))
+              .withColumn("score", F.round(_cosine_from_parts(
+                  "query_vec", "nbr_vec", F.col("__qn"), F.col("__nn")), round_to)))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
     out = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)

@@ -86,6 +86,10 @@ def _agg_fn(fn):
 
 
 def _distinct_keys(df, col):
+    """Collect the pivot spec (the reference also requires a collected spec,
+    sql_pivot_wide.py:31-38).  The caller should ``persist`` the input
+    first — the spec scan and the pivot itself otherwise each recompute the
+    full upstream plan."""
     rows = df.select(col).distinct().limit(MAX_PIVOT_KEYS + 1).collect()
     if len(rows) > MAX_PIVOT_KEYS:
         raise TranslationError(
@@ -101,7 +105,9 @@ def spread(tbl: SparkTbl, key, value, fill=None, sep: str | None = None):
     keyc = _colname(key)
     valc = _colname(value)
     ids = [c for c in tbl.columns if c not in (keyc, valc)]
-    keys = _distinct_keys(tbl.df, keyc)
+    base = tbl.df.persist()
+    keys = _distinct_keys(base, keyc)
+    tbl = tbl.evolve(df=base)
     out_names = [f"{keyc}{sep}{k}" if sep else str(k) for k in keys]
     df = tbl.df.groupBy(*ids).pivot(keyc, keys).agg(F.first(valc, ignorenulls=True))
     if sep:
@@ -331,11 +337,11 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
 
     if len(names_from) == 1:
         key_col = F.col(names_from[0])
-        keys = _distinct_keys(tbl.df, names_from[0])
+        work = tbl.df.persist()
+        keys = _distinct_keys(work, names_from[0])
         key_strs = [str(k) for k in keys]
-        work = tbl.df
     else:
-        work = tbl.df.withColumn("__pw_key", F.concat_ws(names_sep, *names_from))
+        work = tbl.df.withColumn("__pw_key", F.concat_ws(names_sep, *names_from)).persist()
         key_col = F.col("__pw_key")
         keys = _distinct_keys(work, "__pw_key")
         key_strs = [str(k) for k in keys]
