@@ -1512,6 +1512,81 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 shape: pure filter + global agg — pushdown showcase."""
+    return (
+        _t(spark, sf, "lineitem")
+        >> filter(_.l_shipdate >= "1996-01-01", _.l_shipdate < "1997-01-01",
+                  _.l_discount.between(0.05, 0.07), _.l_quantity < 24)
+        >> summarize(revenue=_dsum(_.l_extendedprice * _.l_discount).round(2))
+    ).df
+
+
+SQL_TPCH_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+      AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape (shipmode → returnflag): join + conditional counts."""
+    urgent = ["1-URGENT", "2-HIGH"]
+    return (
+        _t(spark, sf, "lineitem")
+        >> filter(_.l_shipdate >= "1997-01-01", _.l_shipdate < "1998-01-01")
+        >> inner_join(_t(spark, sf, "orders"), on={"l_orderkey": "o_orderkey"})
+        >> group_by(_.l_returnflag)
+        >> summarize(
+            high_line_count=_.o_orderpriority.isin(urgent).astype(int).sum(),
+            low_line_count=(~_.o_orderpriority.isin(urgent)).astype(int).sum(),
+        )
+        >> arrange(_.l_returnflag)
+    ).df
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+      AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+      AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 shape: promo revenue share; part is a broadcast dim."""
+    return (
+        _t(spark, sf, "lineitem")
+        >> filter(_.l_shipdate >= "1997-09-01", _.l_shipdate < "1997-10-01")
+        >> inner_join(_t(spark, sf, "part"),
+                      on={"l_partkey": "p_partkey"}, hint="broadcast")
+        >> mutate(disc_price=_.l_extendedprice * (1 - _.l_discount))
+        >> summarize(
+            promo_share=(100 * _dsum(if_else(_.p_type == "PROMO",
+                                             _.disc_price, 0.0))
+                         / _dsum(_.disc_price)).round(4),
+        )
+    ).df
+
+
+SQL_TPCH_Q14 = """
+SELECT ROUND(
+  100 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                 AS DECIMAL(30,6))) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(30,6))) AS DOUBLE), 4) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+"""
+
+
 def q_cube_agg(spark, sf):
     return (
         _t(spark, sf, "lineitem")
@@ -1630,6 +1705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
         # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub /
         # k-means IVF)
         "minhash_near_dups": q_minhash_near_dups,
@@ -1708,4 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "cube_agg": SQL_CUBE_AGG,
         "rollup_agg": SQL_ROLLUP_AGG,
+        "tpch_q6": SQL_TPCH_Q6,
+        "tpch_q12": SQL_TPCH_Q12,
+        "tpch_q14": SQL_TPCH_Q14,
     }
