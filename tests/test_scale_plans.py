@@ -1,0 +1,80 @@
+"""Plan-shape assertions: the engine must not defeat Catalyst.
+
+These tests read `explain()` output rather than results — at 100 TB the
+plan IS the behavior: filters must reach the parquet scan, dimension
+joins must broadcast, and bucketed tables must join without an Exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siuba_spark import (
+    _, filter, group_by, inner_join, mutate, select, summarize, tbl,
+    write_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushes_down_to_scan(spark):
+    t = (tbl(spark, f"{SF}/lineitem.parquet")
+         >> filter(_.l_quantity < 10)
+         >> select(_.l_orderkey, _.l_quantity))
+    explained = t.df._jdf.queryExecution().toString()
+    assert "PushedFilters" in explained
+    assert "LessThan(l_quantity,10" in explained
+    # column pruning: only the two selected columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in explained
+
+
+def test_dim_join_broadcasts(spark):
+    fact = tbl(spark, f"{SF}/lineitem.parquet")
+    dim = tbl(spark, f"{SF}/part.parquet")
+    out = inner_join(fact, dim, on={"l_partkey": "p_partkey"}, hint="broadcast")
+    assert "BroadcastHashJoin" in _plan(out.df)
+
+
+def test_grouped_mutate_is_single_window_no_join(spark):
+    t = (tbl(spark, f"{SF}/lineitem.parquet")
+         >> group_by(_.l_returnflag)
+         >> mutate(z=_.l_quantity - _.l_quantity.mean()))
+    plan = _plan(t.df)
+    # agg broadcast back to rows = one Window, never a self-join
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """write_parquet(bucket_by=...) → co-located join, no shuffle on
+    either side (the repeated-same-key-join pattern at scale)."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders = tbl(spark, f"{SF}/orders.parquet")
+    customer = tbl(spark, f"{SF}/customer.parquet")
+    write_parquet(orders, str(tmp_path / "b_orders"), bucket_by=["o_custkey"],
+                  n_buckets=8, table_name="b_orders")
+    write_parquet(customer, str(tmp_path / "b_customer"), bucket_by=["c_custkey"],
+                  n_buckets=8, table_name="b_customer")
+    joined = inner_join(
+        tbl(spark, "b_orders"),
+        tbl(spark, "b_customer").df.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey",
+    )
+    # force a non-broadcast join so bucketing is what saves the shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _plan(joined.df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
