@@ -231,14 +231,29 @@ def expand(tbl: SparkTbl, *args):
 
 
 @verb
-def complete(tbl: SparkTbl, *args, fill: dict | None = None):
+def complete(tbl: SparkTbl, *args, fill: dict | None = None,
+             explicit: bool = True):
     """expand + outer join back + fill
-    (reference: siuba/dply/verbs.py:2185-2279)."""
+    (reference: siuba/dply/verbs.py:2185-2279).
+
+    ``explicit=False`` fills only the NULLs *created by completion* (rows
+    absent from the original data), leaving pre-existing NULLs alone —
+    the reference implements this with a merge indicator
+    (siuba/dply/verbs.py:2254-2277); here a marker join plays that role."""
     names = resolve_names(args, tbl.columns)
     grid = expand(tbl, *args)
     df = grid.df.join(tbl.df, names, "left")
     if fill:
-        df = df.fillna(fill)
+        if explicit:
+            df = df.fillna(fill)
+        else:
+            marker = tbl.df.select(names).distinct().withColumn("__orig", F.lit(1))
+            df = df.join(marker, names, "left")
+            for c, v in fill.items():
+                df = df.withColumn(
+                    c, F.when(F.col("__orig").isNull() & F.col(c).isNull(),
+                              F.lit(v)).otherwise(F.col(c)))
+            df = df.drop("__orig")
     return tbl.evolve(df=df)
 
 

@@ -145,3 +145,22 @@ def test_separate_convert_is_column_level(spark):
     out = separate(t, _.s, into=["k", "v"], sep="-", convert=True)
     assert dict(out.df.dtypes) == {"k": "string", "v": "double"}
     assert sorted(map(tuple, out.df.collect())) == [("x", 1.0), ("y", 2.0)]
+
+
+def test_complete_explicit_false_fills_only_new_rows(spark):
+    # pre-existing NULL (a,1) survives; the completion-created (b,1) row
+    # gets the fill (reference indicator semantics, verbs.py:2254-2277)
+    t = data_frame(spark, g=["a", "b"], k=[1, 2], v=[None, 5.0])
+    out = complete(t, _.g, _.k, fill={"v": 0.0}, explicit=False)
+    got = {(r.g, r.k): r.v for r in out.df.collect()}
+    assert got[("a", 1)] is None          # pre-existing NULL kept
+    assert got[("b", 1)] == 0.0           # new row filled
+    assert got[("a", 2)] == 0.0           # new row filled
+    assert got[("b", 2)] == 5.0
+
+
+def test_complete_explicit_true_fills_everything(spark):
+    t = data_frame(spark, g=["a", "b"], k=[1, 2], v=[None, 5.0])
+    out = complete(t, _.g, _.k, fill={"v": 0.0})
+    got = {(r.g, r.k): r.v for r in out.df.collect()}
+    assert got[("a", 1)] == 0.0
