@@ -84,3 +84,52 @@ def test_grouped_window_matches_duckdb(spark, rows):
         "y / sum(y) OVER (PARTITION BY g) AS share FROM d"
     ).df()
     _eq(got, want, ["i"])
+
+
+join_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 4)), st.integers(0, 9)),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=join_rows, right=join_rows)
+def test_joins_match_duckdb(spark, left, right):
+    """Equi-joins on a nullable key (SQL semantics: NULL keys never match)
+    and shared non-key column suffixing, vs duckdb."""
+    from siuba_spark import anti_join, inner_join, left_join, semi_join
+
+    ldata = [(k, v, float(v) / 2) for k, v in left]
+    rdata = [(k, v * 10) for k, v in right]
+    lt = SparkTbl(spark.createDataFrame(ldata, "k int, v int, w double")
+                  if ldata else spark.createDataFrame([], "k int, v int, w double"))
+    rt = SparkTbl(spark.createDataFrame(rdata, "k int, v int")
+                  if rdata else spark.createDataFrame([], "k int, v int"))
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(ldata, columns=["k", "v", "w"]))
+    con.register("r", pd.DataFrame(rdata, columns=["k", "v"]))
+
+    inner = inner_join(lt, rt, on="k").df.toPandas()
+    want_inner = con.execute(
+        "SELECT l.k, l.v AS v_x, l.w, r.v AS v_y FROM l JOIN r USING (k)").df()
+    assert len(inner) == len(want_inner)
+    assert sorted(inner.columns) == sorted(want_inner.columns)
+
+    louter = left_join(lt, rt, on="k").df.toPandas()
+    n_louter = con.execute(
+        "SELECT COUNT(*) c FROM l LEFT JOIN r USING (k)").df()["c"][0]
+    assert len(louter) == n_louter
+
+    semi = semi_join(lt, rt, on="k").df.toPandas()
+    n_semi = con.execute(
+        "SELECT COUNT(*) c FROM l WHERE EXISTS "
+        "(SELECT 1 FROM r WHERE r.k = l.k)").df()["c"][0]
+    assert len(semi) == n_semi
+    assert sorted(semi.columns) == ["k", "v", "w"]  # left cols only
+
+    anti = anti_join(lt, rt, on="k").df.toPandas()
+    n_anti = con.execute(
+        "SELECT COUNT(*) c FROM l WHERE NOT EXISTS "
+        "(SELECT 1 FROM r WHERE r.k = l.k)").df()["c"][0]
+    assert len(anti) == n_anti
