@@ -29,6 +29,7 @@ from .operators.grouping import (
     group_by, ungroup, summarize, summarise, count, add_count,
 )
 from .operators.across import across, Fx, Across
+from .functions.udf import call, py_func
 from .operators.joins import (
     join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
 )
@@ -59,7 +60,7 @@ __all__ = [
     "distinct", "head", "top_n",
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
     "join", "inner_join", "left_join", "right_join", "full_join",
-    "semi_join", "anti_join", "across", "Fx",
+    "semi_join", "anti_join", "across", "Fx", "call", "py_func",
     "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",

@@ -149,3 +149,28 @@ def test_dt_accessor(spark):
     out = t >> mutate(dow=_.d.dt.dayofweek, y=_.d.dt.year, q=_.d.dt.quarter)
     row = out.df.collect()[0]
     assert row.dow == 0 and row.y == 2024 and row.q == 1  # Monday=0 shim
+
+
+def test_call_column_level_escape_hatch(spark):
+    from pyspark.sql import functions as F
+    from siuba_spark import call
+    t = data_frame(spark, s=["ab", "cd"])
+    out = mutate(t, up=call(lambda c: F.upper(c), _.s))
+    assert sorted(r.up for r in out.df.collect()) == ["AB", "CD"]
+
+
+def test_py_func_pandas_udf_escape_hatch(spark):
+    from siuba_spark import py_func
+    clip01 = py_func(lambda s: s.clip(0.0, 1.0), returns="double")
+    t = data_frame(spark, x=[-0.5, 0.25, 7.0])
+    out = mutate(t, x01=clip01(_.x))
+    assert sorted(r.x01 for r in out.df.collect()) == [0.0, 0.25, 1.0]
+
+
+def test_py_func_composes_with_groups(spark):
+    # UDF output feeds a grouped aggregate — plan stays one ArrowEval + agg
+    from siuba_spark import group_by, py_func, summarize
+    neg = py_func(lambda s: -s, returns="double")
+    t = data_frame(spark, g=["a", "a", "b"], x=[1.0, 2.0, 3.0])
+    out = summarize(group_by(mutate(t, nx=neg(_.x)), _.g), s=_.nx.sum())
+    assert {(r.g, r.s) for r in out.df.collect()} == {("a", -3.0), ("b", -3.0)}
