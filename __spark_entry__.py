@@ -27,7 +27,7 @@ from siuba_spark import (  # noqa: F401
     pivot_longer, pivot_wider, bind_rows,
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
-    if_else, case_when, desc, str_c, floor_date, ceil_date,
+    if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
     cumall, cumany, fct_lump,
 )
 from siuba_spark.corpus.text import (
@@ -1587,6 +1587,29 @@ WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
 """
 
 
+def q_json_props(spark, sf):
+    """JSON metadata parsing over the events stream (training-pipeline
+    shape: extract typed fields from a props blob, aggregate)."""
+    return (
+        _t(spark, sf, "events")
+        >> mutate(k=json_extract(_.props, "$.k").astype(int))
+        >> group_by(_.event_type)
+        >> summarize(avg_k=(_.k.sum() / _.k.count()).round(4),
+                     max_k=_.k.max(), n_rows=n(_))
+        >> arrange(_.event_type)
+    ).df
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+  ROUND(SUM(CAST(props->>'$.k' AS BIGINT))
+        / CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE), 4) AS avg_k,
+  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+  COUNT(*) AS n_rows
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_cube_agg(spark, sf):
     return (
         _t(spark, sf, "lineitem")
@@ -1708,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
+        "json_props": q_json_props,
         # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub /
         # k-means IVF)
         "minhash_near_dups": q_minhash_near_dups,
@@ -1789,4 +1813,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": SQL_TPCH_Q6,
         "tpch_q12": SQL_TPCH_Q12,
         "tpch_q14": SQL_TPCH_Q14,
+        "json_props": SQL_JSON_PROPS,
     }

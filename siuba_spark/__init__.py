@@ -40,7 +40,7 @@ from .operators.reshape import (
 from .functions.vector import (
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
-    if_else, case_when, desc, str_c, floor_date, ceil_date,
+    if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
     cumall, cumany, cummean,
 )
 from .functions.forcats import (
@@ -66,7 +66,7 @@ __all__ = [
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
     "coalesce", "na_if", "between", "if_else", "case_when", "desc", "str_c",
-    "floor_date", "ceil_date", "cumall", "cumany", "cummean",
+    "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
     "fct_lump", "fct_recode", "fct_collapse", "fct_rev", "fct_infreq",
     "fct_inorder", "fct_reorder",
 ]

@@ -21,6 +21,7 @@ __all__ = [
     "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
     "coalesce", "na_if", "between", "if_else", "case_when", "desc",
     "str_c", "floor_date", "ceil_date", "cumall", "cumany", "cummean",
+    "json_extract",
 ]
 
 
@@ -291,6 +292,16 @@ def _ceil_date(ctx, args, kwargs):
     return F.when(col == floored, col).otherwise(bumped), SCALAR
 
 
+@register_fn("json_extract")
+def _json_extract(ctx, args, kwargs):
+    """json_extract(_.props, "$.k") — JSONPath extraction over string
+    columns (training-pipeline metadata parsing; stays JVM-side via
+    get_json_object, no UDF)."""
+    col = _low(args[0], ctx)
+    path = _lit(args[1]) if len(args) > 1 else _lit(kwargs.get("path", "$"))
+    return F.get_json_object(col, path), SCALAR
+
+
 # cumulative free-function forms (methods also exist)
 @register_fn("cumall")
 def _cumall(ctx, args, kwargs):
@@ -338,6 +349,7 @@ ceil_date = _fn("ceil_date")
 cumall = _fn("cumall")
 cumany = _fn("cumany")
 cummean = _fn("cummean")
+json_extract = _fn("json_extract")
 
 
 def case_when(mapping):
