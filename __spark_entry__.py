@@ -41,6 +41,9 @@ from siuba_spark.streaming.windows import tumble, sessionize
 
 
 def _t(spark, sf_dir, name):
+    # pin the session TZ so timestamp formatting matches duckdb's naive
+    # timestamps regardless of the host environment
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
     return tbl(spark, f"{sf_dir}/{name}.parquet")
