@@ -11,7 +11,6 @@ folds, no Python UDF, vectorizable by codegen.
 
 from __future__ import annotations
 
-import struct
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F

@@ -124,7 +124,14 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
     """Split a string column into several by a regex separator
     (reference: siuba/dply/verbs.py:2284-2398)."""
     name = _colname(col)
-    parts = F.split(F.col(name), sep)
+    # extra="merge": the last target keeps the un-split remainder
+    # (split's limit arg); "drop"/"warn" discard extra pieces (the
+    # reference warns per-row from pandas — not knowable without a scan
+    # here, so "warn" behaves as "drop", documented divergence)
+    if extra == "merge":
+        parts = F.split(F.col(name), sep, len(into))
+    else:
+        parts = F.split(F.col(name), sep)
     df = tbl.df
     convertible = {}
     if convert:

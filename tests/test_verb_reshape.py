@@ -164,3 +164,10 @@ def test_complete_explicit_true_fills_everything(spark):
     out = complete(t, _.g, _.k, fill={"v": 0.0})
     got = {(r.g, r.k): r.v for r in out.df.collect()}
     assert got[("a", 1)] == 0.0
+
+
+def test_separate_extra_merge_keeps_remainder(spark):
+    t = data_frame(spark, s=["a-b-c-d", "x-y"])
+    out = separate(t, _.s, into=["p", "q"], sep="-", extra="merge")
+    got = sorted(map(tuple, out.df.select("p", "q").collect()))
+    assert got == [("a", "b-c-d"), ("x", "y")]
