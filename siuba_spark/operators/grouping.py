@@ -19,7 +19,8 @@ from ..plans.tbl import SparkTbl
 from .core import arrange, mutate
 from ..functions.vector import desc as _desc_fn
 
-__all__ = ["group_by", "ungroup", "summarize", "summarise", "count", "add_count"]
+__all__ = ["group_by", "ungroup", "summarize", "summarise", "count", "add_count",
+           "sample_frac", "sample_n"]
 
 
 def _names_from_args(args):
@@ -148,3 +149,28 @@ def add_count(tbl: SparkTbl, *args, wt=None, sort: bool = False,
     w = Window.partitionBy(*[F.col(c) for c in names])
     df = work.df.withColumn(out_name, agg.over(w))
     return work.evolve(df=df)
+
+
+@verb
+def sample_frac(tbl: SparkTbl, frac: float, seed: int = 42, *, by: dict | None = None):
+    """Seeded row sampling (no reference equivalent; training-pipeline
+    staple).  ``by={stratum_value: frac}`` gives per-stratum rates via
+    ``sampleBy`` on the FIRST group key — stratified downsampling with no
+    shuffle (Bernoulli per partition)."""
+    if by is not None:
+        if not tbl.group_by:
+            raise TranslationError("sample_frac(by=...) requires group_by()")
+        key = tbl.group_by[0]
+        return tbl.evolve(df=tbl.df.sampleBy(key, by, seed=seed))
+    return tbl.evolve(df=tbl.df.sample(fraction=frac, seed=seed))
+
+
+@verb
+def sample_n(tbl: SparkTbl, n: int, seed: int = 42):
+    """Sample ~n rows per group (exact-n per group via seeded-random rank —
+    one window, deterministic for a fixed seed and input)."""
+    w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]) \
+        .orderBy(F.rand(seed), *[F.col(c) for c in tbl.columns if c not in tbl.group_by][:1])
+    df = (tbl.df.withColumn("__rn", F.row_number().over(w))
+          .filter(F.col("__rn") <= n).drop("__rn"))
+    return tbl.evolve(df=df)

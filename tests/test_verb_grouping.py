@@ -155,3 +155,41 @@ def test_scale_utilities_roundtrip(spark):
     t2 = coalesce_partitions(t1, 1)
     assert t2.df.rdd.getNumPartitions() == 1
     assert cache(t2).df.count() == t.df.count()
+
+
+def test_sample_frac_deterministic_and_bounded(spark):
+    from siuba_spark import sample_frac
+    t = data_frame(spark, x=list(range(100)))
+    a = sorted(r.x for r in sample_frac(t, 0.3, seed=7).df.collect())
+    b = sorted(r.x for r in sample_frac(t, 0.3, seed=7).df.collect())
+    assert a == b            # seeded determinism
+    assert 5 <= len(a) <= 60  # Bernoulli ~30%
+
+
+def test_sample_n_exact_per_group(spark):
+    from siuba_spark import sample_n
+    t = data_frame(spark, g=["a"] * 10 + ["b"] * 10, x=list(range(20)))
+    out = sample_n(t >> group_by(_.g), 3)
+    sizes = {r.g: r.n for r in (out >> ungroup() >> count(_.g)).df.collect()}
+    assert sizes == {"a": 3, "b": 3}
+
+
+def test_sample_frac_stratified(spark):
+    from siuba_spark import sample_frac
+    t = data_frame(spark, g=["a"] * 50 + ["b"] * 50, x=list(range(100)))
+    out = sample_frac(t >> group_by(_.g), 0, seed=1, by={"a": 0.9, "b": 0.1})
+    sizes = {r.g: r.n for r in (out >> ungroup() >> count(_.g)).df.collect()}
+    assert sizes.get("a", 0) > sizes.get("b", 0)
+
+
+def test_global_agg_and_empty_group_semantics(spark):
+    # SQL semantics: global aggregate of an empty relation is one row of
+    # NULLs (sum) / 0 (count) — matches duckdb, diverges from pandas sum=0
+    import duckdb
+    from siuba_spark import filter as s_filter
+    t = data_frame(spark, x=[1.0, 2.0]) >> s_filter(_.x > 99)
+    got = (t >> summarize(s=_.x.sum(), c=_.x.count(), m=_.x.mean())).df.collect()[0]
+    want = duckdb.sql(
+        "SELECT SUM(x) s, COUNT(x) c, AVG(x) m FROM (SELECT 1.0 x WHERE FALSE)"
+    ).fetchall()[0]
+    assert (got.s, got.c, got.m) == want == (None, 0, None)
