@@ -22,7 +22,8 @@ from pyspark.sql import types as T
 from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
-__all__ = ["attach_binary_meta", "decode_images", "sample_frames", "IMAGE_META_SCHEMA"]
+__all__ = ["attach_binary_meta", "decode_images", "sample_frames",
+           "resize_images", "extract_features", "IMAGE_META_SCHEMA"]
 
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
@@ -108,6 +109,66 @@ def sample_frames(tbl: SparkTbl, col: str = "video", every_n: int = 10,
                     for i in range(min(n, 8))
                 ])
             pdf[out] = frames
+            yield pdf
+
+    return tbl.evolve(df=tbl.df.mapInPandas(batches, out_schema))
+
+
+@verb
+def resize_images(tbl: SparkTbl, col: str = "image", width: int = 224,
+                  height: int = 224, out: str = "resized", decoder: str = "fake"):
+    """Resize stub over mapInPandas: emits a deterministic payload of the
+    target size derived from the source bytes (``decoder='real'`` needs
+    PIL/opencv — not in this container).  The Spark plumbing (binary in,
+    binary out, Arrow batches, no shuffle) is the real scale path."""
+    if decoder == "real":
+        raise NotImplementedError("image resize requires PIL/opencv")
+    in_schema = tbl.df.schema
+    out_schema = T.StructType(list(in_schema.fields) + [T.StructField(out, T.BinaryType())])
+    n_bytes = max(1, (width * height) // 64)  # deterministic fake size
+
+    def batches(it):
+        for pdf in it:
+            payloads = []
+            for payload in pdf[col]:
+                b = bytes(payload) if payload is not None else b""
+                seed = hashlib.sha256(b + f"{width}x{height}".encode()).digest()
+                payloads.append((seed * (n_bytes // len(seed) + 1))[:n_bytes])
+            pdf[out] = payloads
+            yield pdf
+
+    return tbl.evolve(df=tbl.df.mapInPandas(batches, out_schema))
+
+
+@verb
+def extract_features(tbl: SparkTbl, col: str = "image", dim: int = 64,
+                     out: str = "embedding", decoder: str = "fake"):
+    """Feature extraction stub: binary payload → fixed-dim float embedding
+    (hash-derived, deterministic, unit-normalized).  Output plugs straight
+    into the similarity operators (`brute_force_topk`, `cosine_near_dups`),
+    so the multimodal → dedup pipeline is runnable end to end; swap the
+    body for a real model under ``decoder='real'``."""
+    if decoder == "real":
+        raise NotImplementedError("feature extraction requires a model runtime")
+    in_schema = tbl.df.schema
+    out_schema = T.StructType(list(in_schema.fields)
+                              + [T.StructField(out, T.ArrayType(T.FloatType()))])
+
+    def batches(it):
+        import math
+        for pdf in it:
+            vecs = []
+            for payload in pdf[col]:
+                b = bytes(payload) if payload is not None else b""
+                raw = []
+                h = hashlib.sha256(b).digest()
+                while len(raw) < dim:
+                    h = hashlib.sha256(h).digest()
+                    raw.extend(v / 255.0 - 0.5 for v in h)
+                raw = raw[:dim]
+                norm = math.sqrt(sum(v * v for v in raw)) or 1.0
+                vecs.append([float(v / norm) for v in raw])
+            pdf[out] = vecs
             yield pdf
 
     return tbl.evolve(df=tbl.df.mapInPandas(batches, out_schema))

