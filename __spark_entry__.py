@@ -1643,6 +1643,16 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_embedding_near_dups_lsh(spark, sf):
+    """The scale path of cosine near-dup: hyperplane-bucketed candidate
+    pairs instead of the O(n²) product (hyperplane internals aren't
+    SQL-expressible — rows-only check; exactness of the scoring is covered
+    by embedding_near_dups' oracle)."""
+    from siuba_spark.corpus.similarity import cosine_near_dups
+    return cosine_near_dups(_t(spark, sf, "embeddings"),
+                            threshold=0.35, method="lsh", n_planes=6).df
+
+
 def q_ivf_topk(spark, sf):
     """IVF ANN (k-means cells + probe scan) — approximate by construction,
     no SQL oracle; the driver's rows-only check applies.  Exactness of the
@@ -1742,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "multimodal_decode": q_multimodal_decode,
         "ivf_topk": q_ivf_topk,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     }
 
 

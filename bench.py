@@ -36,11 +36,13 @@ def main():
     import __spark_entry__ as entry
 
     HEADLINE = [
-        "tpch_q1", "tpch_q3", "revenue_by_nation", "join_inner",
+        "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q12", "tpch_q14",
+        "revenue_by_nation", "join_inner",
         "grouped_mutate_zscore", "window_ranks", "lead_lag", "cumsum_running",
-        "agg_stats", "pivot_wider", "events_tumbling", "events_sessionize",
+        "agg_stats", "pivot_wider", "cube_agg", "json_props",
+        "events_tumbling", "events_sessionize",
         "text_stats", "fingerprint", "dedup_exact", "minhash_near_dups",
-        "ann_topk", "simhash",
+        "ann_topk", "simhash", "embedding_near_dups_lsh",
     ]
     queries = entry.queries()
 
