@@ -23,6 +23,7 @@ from siuba_spark import (  # noqa: F401
     _, tbl, select, rename, mutate, transmute, filter, arrange, distinct,
     head, top_n, group_by, ungroup, summarize, count, add_count,
     join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
+    asof_join,
     gather, spread, separate, unite, extract, nest, unnest, expand, complete,
     pivot_longer, pivot_wider, bind_rows,
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
@@ -1643,6 +1644,35 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_asof_last_purchase(spark, sf):
+    """As-of join: each event annotated with the user's most recent
+    purchase value at that instant (union+window implementation — ONE
+    shuffle on user_id, never an |L|x|R| range join)."""
+    ev = _t(spark, sf, "events")
+    purchases = (
+        ev >> filter(_.event_type == "purchase")
+        >> select(_.user_id, _.ts, _.value)
+        >> rename(purchase_value=_.value)
+    )
+    return (
+        asof_join(ev, purchases, on="ts", by="user_id")
+        >> mutate(ts_s=_.ts.dt.strftime("%Y-%m-%d %H:%M:%S"))
+        >> select(_.event_id, _.user_id, _.ts_s, _.event_type,
+                  _.purchase_value)
+    ).df
+
+
+SQL_ASOF_LAST_PURCHASE = """
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       e.event_type AS event_type,
+       p.value AS purchase_value
+FROM events e ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+     ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 def q_embedding_near_dups_lsh(spark, sf):
     """The scale path of cosine near-dup: hyperplane-bucketed candidate
     pairs instead of the O(n²) product (hyperplane internals aren't
@@ -1745,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "json_props": q_json_props,
+        "asof_last_purchase": q_asof_last_purchase,
         # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub /
         # k-means IVF)
         "minhash_near_dups": q_minhash_near_dups,
@@ -1828,4 +1859,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": SQL_TPCH_Q12,
         "tpch_q14": SQL_TPCH_Q14,
         "json_props": SQL_JSON_PROPS,
+        "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
     }

@@ -21,7 +21,7 @@ from ..plans.tbl import SparkTbl
 
 __all__ = [
     "join", "inner_join", "left_join", "right_join", "full_join",
-    "semi_join", "anti_join",
+    "semi_join", "anti_join", "asof_join",
 ]
 
 
@@ -181,3 +181,74 @@ def _make_filter_join(how, ref):
 
 semi_join = _make_filter_join("left_semi", "siuba/sql/verbs/join.py:110-136")
 anti_join = _make_filter_join("left_anti", "siuba/sql/verbs/join.py:139-163")
+
+
+@join_verb
+def asof_join(left, right, on: str, by=(), direction: str = "backward",
+              suffix: str = "_r", tolerance=None):
+    """As-of join: for each left row, the single right row with the latest
+    ``on`` value <= left's (``direction="backward"``; ``"forward"`` takes
+    the earliest >=).  No reference equivalent (time-series staple; the
+    task-level operator list names it).
+
+    Scale shape — the union+window trick, NOT a pair join: left and right
+    are unioned, one window per ``by`` key ordered by (ts, side) carries
+    the last-seen right payload forward (``F.last(ignorenulls)``), and
+    left rows are re-selected.  Exactly ONE shuffle on ``by``; candidate
+    count never exceeds |L|+|R|, where a naive range join is |L|x|R| in
+    the worst case.
+
+    ``tolerance`` (seconds) nulls out matches older than the window.
+    """
+    left = wrap_table(left)
+    right = wrap_table(right)
+    by = [by] if isinstance(by, str) else list(by)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    from pyspark.sql import Window
+
+    lcols = left.df.columns
+    payload = [c for c in right.df.columns if c not in by and c != on]
+    out_names = {c: (f"{c}{suffix}" if c in lcols else c) for c in payload}
+
+    lhs = left.df.withColumn("__side", F.lit(1))
+    for c in payload:
+        lhs = lhs.withColumn(f"__p_{c}", F.lit(None).cast(dict(right.df.dtypes)[c]))
+    rhs = right.df.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    ).withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.df.dtypes)[c]))
+    rhs = rhs.select(*[F.col(c) for c in lhs.columns])
+
+    u = lhs.unionByName(rhs)
+    ts = F.col(on)
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts (asof match includes ==)
+        w = (Window.partitionBy(*[F.col(b) for b in by])
+             .orderBy(ts.asc_nulls_last(), F.col("__side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(*[F.col(b) for b in by])
+             .orderBy(ts.desc_nulls_last(), F.col("__side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    carried = u
+    for c in payload:
+        carried = carried.withColumn(f"__c_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
+    match_ts = F.last(F.when(F.col("__side") == 0, ts), ignorenulls=True).over(w)
+    carried = carried.withColumn("__match_ts", match_ts)
+
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        gap = F.abs(ts.cast("double") - F.col("__match_ts").cast("double"))
+        keep = gap <= float(tolerance)
+        for c in payload:
+            out = out.withColumn(f"__c_{c}", F.when(keep, F.col(f"__c_{c}")))
+    sel = [F.col(c) for c in lcols] + \
+          [F.col(f"__c_{c}").alias(out_names[c]) for c in payload]
+    return SparkTbl(out.select(*sel))

@@ -9,7 +9,7 @@ import pytest
 
 from siuba_spark import (
     _, inner_join, left_join, right_join, full_join, semi_join, anti_join,
-    join,
+    join, SparkTbl,
 )
 from .helpers import data_frame, assert_equal_query
 
@@ -104,3 +104,55 @@ def test_null_safe_join_matches_nulls(spark):
     r = data_frame(spark, k=[1.0, None], b=[10, 20])
     out = l >> inner_join(r, on="k", null_safe=True)
     assert len(out.df.collect()) == 2  # pandas-merge semantics via <=>
+
+
+def test_asof_join_backward_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+    from siuba_spark import asof_join
+    trades = pd.DataFrame({"sym": ["A", "A", "A", "B", "B"],
+                           "t": [1.0, 3.0, 7.0, 2.0, 9.0],
+                           "qty": [10, 20, 30, 40, 50]})
+    quotes = pd.DataFrame({"sym": ["A", "A", "A", "B"],
+                           "t": [0.5, 3.0, 6.0, 5.0],
+                           "px": [99.0, 101.0, 103.0, 200.0]})
+    got = (asof_join(SparkTbl(spark.createDataFrame(trades)),
+                     SparkTbl(spark.createDataFrame(quotes)), on="t", by="sym")
+           .df.toPandas().sort_values(["sym", "t"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("tr", trades); con.register("q", quotes)
+    want = con.execute(
+        "SELECT tr.sym AS sym, tr.t AS t, tr.qty AS qty, q.px AS px "
+        "FROM tr ASOF LEFT JOIN q ON tr.sym = q.sym AND tr.t >= q.t "
+        "ORDER BY 1, 2").df()
+    assert got[["sym", "t", "qty"]].equals(want[["sym", "t", "qty"]])
+    assert ((got.px.isna() & want.px.isna()) | (got.px == want.px)).all()
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    import pandas as pd
+    from siuba_spark import asof_join
+    lt = SparkTbl(spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [1.0, 10.0], "x": [1, 2]})))
+    rt = SparkTbl(spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [2.0, 3.0], "y": [7.0, 8.0]})))
+    fwd = {r.t: r.y for r in asof_join(lt, rt, on="t", by="k",
+                                       direction="forward").df.collect()}
+    assert fwd == {1.0: 7.0, 10.0: None}
+    tol = {r.t: r.y for r in asof_join(lt, rt, on="t", by="k",
+                                       tolerance=2.0).df.collect()}
+    assert tol == {1.0: None, 10.0: None}  # backward: nothing within 2s back
+    tol8 = {r.t: r.y for r in asof_join(lt, rt, on="t", by="k",
+                                        tolerance=8.0).df.collect()}
+    assert tol8 == {1.0: None, 10.0: 8.0}
+
+
+def test_asof_join_suffixes_shared_payload(spark):
+    import pandas as pd
+    from siuba_spark import asof_join
+    lt = SparkTbl(spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [5.0], "v": [1.0]})))
+    rt = SparkTbl(spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [4.0], "v": [9.0]})))
+    out = asof_join(lt, rt, on="t", by="k")
+    assert sorted(out.columns) == ["k", "t", "v", "v_r"]
+    row = out.df.collect()[0]
+    assert (row.v, row.v_r) == (1.0, 9.0)
