@@ -23,7 +23,7 @@ from siuba_spark import (  # noqa: F401
     _, tbl, select, rename, mutate, transmute, filter, arrange, distinct,
     head, top_n, group_by, ungroup, summarize, count, add_count,
     join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
-    asof_join,
+    asof_join, interval_join,
     gather, spread, separate, unite, extract, nest, unnest, expand, complete,
     pivot_longer, pivot_wider, bind_rows,
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
@@ -1673,6 +1673,35 @@ FROM events e ASOF LEFT JOIN
 """
 
 
+def q_interval_join_events(spark, sf):
+    """Interval join: purchases within ±120 s of each error event,
+    aggregated per error (bucket-binned equi join — one shuffle per side,
+    never a nested-loop range join)."""
+    ev = _t(spark, sf, "events")
+    errors = (ev >> filter(_.event_type == "error")
+              >> select(_.event_id, _.ts))
+    purchases = (ev >> filter(_.event_type == "purchase")
+                 >> select(pe_id=_.event_id, pts=_.ts, pval=_.value))
+    return (
+        interval_join(errors, purchases, left_on="ts", right_on="pts",
+                      lower=-120.0, upper=120.0)
+        >> group_by(_.event_id)
+        >> summarize(n_nearby=n(_),
+                     total_val=_dsum(_.pval).round(4))
+        >> arrange(_.event_id)
+    ).df
+
+
+SQL_INTERVAL_JOIN_EVENTS = """
+SELECT e.event_id AS event_id, COUNT(*) AS n_nearby,
+  ROUND(CAST(SUM(CAST(p.value AS DECIMAL(30,6))) AS DOUBLE), 4) AS total_val
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON p.ts BETWEEN e.ts - INTERVAL 120 SECONDS AND e.ts + INTERVAL 120 SECONDS
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_embedding_near_dups_lsh(spark, sf):
     """The scale path of cosine near-dup: hyperplane-bucketed candidate
     pairs instead of the O(n²) product (hyperplane internals aren't
@@ -1776,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "json_props": q_json_props,
         "asof_last_purchase": q_asof_last_purchase,
+        "interval_join_events": q_interval_join_events,
         # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub /
         # k-means IVF)
         "minhash_near_dups": q_minhash_near_dups,
@@ -1860,4 +1890,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": SQL_TPCH_Q14,
         "json_props": SQL_JSON_PROPS,
         "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
+        "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
     }

@@ -21,7 +21,7 @@ from ..plans.tbl import SparkTbl
 
 __all__ = [
     "join", "inner_join", "left_join", "right_join", "full_join",
-    "semi_join", "anti_join", "asof_join",
+    "semi_join", "anti_join", "asof_join", "interval_join",
 ]
 
 
@@ -252,3 +252,50 @@ def asof_join(left, right, on: str, by=(), direction: str = "backward",
     sel = [F.col(c) for c in lcols] + \
           [F.col(f"__c_{c}").alias(out_names[c]) for c in payload]
     return SparkTbl(out.select(*sel))
+
+
+@join_verb
+def interval_join(left, right, left_on: str, right_on: str,
+                  lower: float, upper: float, by=(), how: str = "inner",
+                  suffix: str = "_r"):
+    """Interval (range) join: pairs where
+    ``right.right_on ∈ [left.left_on + lower, left.left_on + upper]``
+    (seconds for timestamps, plain units for numerics).  No reference
+    equivalent (task-level custom-operator list names range joins).
+
+    Scale shape — bucket binning, not a theta join: with bin width =
+    window length, every left row overlaps at most two bins and every
+    right row exactly one, so candidates come from an EQUI join on
+    (by..., bin) — one shuffle per side — followed by the exact range
+    filter.  A naive ``l.join(r, cond)`` is a broadcast-nested-loop over
+    |L|x|R| and is never generated here.
+    """
+    left = wrap_table(left)
+    right = wrap_table(right)
+    by = [by] if isinstance(by, str) else list(by)
+    width = float(upper) - float(lower)
+    if width <= 0:
+        raise ValueError("interval_join requires upper > lower")
+
+    lcols = left.df.columns
+    payload = [c for c in right.df.columns if c not in by]
+    out_names = {c: (f"{c}{suffix}" if c in lcols else c) for c in payload}
+
+    lts = F.col(left_on).cast("double")
+    lo_bin = F.floor((lts + float(lower)) / width).cast("long")
+    hi_bin = F.floor((lts + float(upper)) / width).cast("long")
+    lhs = left.df.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    # right_on may itself be renamed by the suffix pass
+    r_on = out_names.get(right_on, right_on)
+    rhs = right.df.select(
+        *[F.col(c) for c in by],
+        *[F.col(c).alias(out_names[c]) for c in payload],
+    ).withColumn("__bin", F.floor(F.col(r_on).cast("double") / width).cast("long"))
+
+    joined = lhs.join(rhs, by + ["__bin"], "inner")
+    exact = (F.col(r_on).cast("double") >= lts + float(lower)) & \
+            (F.col(r_on).cast("double") <= lts + float(upper))
+    out = joined.filter(exact).drop("__bin")
+    if how == "inner":
+        return SparkTbl(out)
+    raise ValueError("interval_join supports how='inner' (aggregate after for counts)")

@@ -156,3 +156,37 @@ def test_asof_join_suffixes_shared_payload(spark):
     assert sorted(out.columns) == ["k", "t", "v", "v_r"]
     row = out.df.collect()[0]
     assert (row.v, row.v_r) == (1.0, 9.0)
+
+
+def test_interval_join_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+    from siuba_spark import interval_join
+    l = pd.DataFrame({"id": [1, 2, 3], "t": [10.0, 50.0, 100.0]})
+    r = pd.DataFrame({"rid": [1, 2, 3, 4], "rt": [8.0, 12.0, 55.0, 300.0]})
+    out = interval_join(SparkTbl(spark.createDataFrame(l)),
+                        SparkTbl(spark.createDataFrame(r)),
+                        left_on="t", right_on="rt", lower=-5.0, upper=5.0)
+    got = sorted((row.id, row.rid) for row in out.df.collect())
+    con = duckdb.connect(); con.register("l", l); con.register("r", r)
+    want = sorted(map(tuple, con.execute(
+        "SELECT id, rid FROM l JOIN r ON rt BETWEEN t - 5 AND t + 5").fetchall()))
+    assert got == want
+    # the scale guarantee: an equi hash join on the bin, never nested-loop
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_interval_join_asymmetric_window_and_by(spark):
+    import pandas as pd
+    from siuba_spark import interval_join
+    l = pd.DataFrame({"k": ["a", "b"], "id": [1, 2], "t": [100.0, 100.0]})
+    r = pd.DataFrame({"k": ["a", "a", "b"], "rid": [1, 2, 3],
+                      "rt": [95.0, 130.0, 130.0]})
+    # backward-only window [-10, 0]: only (a,1)↔(a,95) qualifies
+    out = interval_join(SparkTbl(spark.createDataFrame(l)),
+                        SparkTbl(spark.createDataFrame(r)),
+                        left_on="t", right_on="rt", lower=-10.0, upper=0.0,
+                        by="k")
+    got = sorted((row.k, row.id, row.rid) for row in out.df.collect())
+    assert got == [("a", 1, 1)]
