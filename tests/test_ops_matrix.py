@@ -211,6 +211,18 @@ WINS = {
     "w_lag": (_.x.shift(1), "lag(x, 1) OVER (PARTITION BY g ORDER BY i)"),
     "w_diff": (_.x.diff(), "x - lag(x, 1) OVER (PARTITION BY g ORDER BY i)"),
     "w_pct": (_.y.pct_change(), "y / lag(y, 1) OVER (PARTITION BY g ORDER BY i) - 1"),
+    "w_ffill": (_.x.ffill(),
+                "last_value(x IGNORE NULLS) OVER (PARTITION BY g ORDER BY i "
+                "ROWS UNBOUNDED PRECEDING)"),
+    "w_bfill": (_.x.bfill(),
+                "first_value(x IGNORE NULLS) OVER (PARTITION BY g ORDER BY i "
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"),
+    "w_cumcount": (_.x.cumcount(),
+                   "count(*) OVER (PARTITION BY g ORDER BY i "
+                   "ROWS UNBOUNDED PRECEDING) - 1"),
+    "w_cumprod": (_.y.cumprod(),
+                  "product(y) OVER (PARTITION BY g ORDER BY i "
+                  "ROWS UNBOUNDED PRECEDING)"),
 }
 
 
