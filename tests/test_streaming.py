@@ -98,3 +98,46 @@ def test_running_dedup_stream(spark, event_dir):
     n_users = spark.read.parquet(event_dir).select("user_id").distinct().count()
     assert 0 < len(got) <= n_users
     assert got["user_id"].is_unique
+
+
+def test_stream_stream_join_within_window(spark, event_dir):
+    """Stream-stream inner join with watermarks + time-bound condition:
+    each error event joined to purchase events of the same user within
+    ±60 min. State on both sides is bounded by the watermark."""
+    schema = spark.read.parquet(event_dir).schema
+    left = (spark.readStream.schema(schema)
+            .parquet(event_dir)
+            .filter(F.col("event_type") == "error")
+            .select(F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+                    F.col("event_id").alias("l_id"))
+            .withWatermark("l_ts", "4 hours"))
+    right = (spark.readStream.schema(schema)
+             .parquet(event_dir)
+             .filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+                     F.col("event_id").alias("r_id"))
+             .withWatermark("r_ts", "4 hours"))
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "inner")
+    q = (joined.writeStream.format("memory").queryName("ss_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("select * from ss_join").toPandas()
+
+    # batch equivalence
+    b = spark.read.parquet(event_dir)
+    be = b.filter("event_type = 'error'").select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"))
+    bp = b.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"))
+    want = be.join(bp, (F.col("l_user") == F.col("r_user"))
+                   & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 60 MINUTES"))
+                   & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 60 MINUTES"))).count()
+    assert len(got) == want
+    assert want > 0
