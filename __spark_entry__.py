@@ -1676,6 +1676,30 @@ FROM events e ASOF LEFT JOIN
 """
 
 
+def q_rolling_window(spark, sf):
+    """Trailing 7-row rolling aggregates per user over event time."""
+    from siuba_spark import rolling_mean, rolling_max
+    return (
+        _t(spark, sf, "events")
+        >> group_by(_.user_id)
+        >> arrange(_.ts, _.event_id)
+        >> mutate(r_avg=rolling_mean(_.value, 7, min_periods=1).round(4),
+                  r_max=rolling_max(_.value, 7, min_periods=1))
+        >> ungroup()
+        >> select(_.event_id, _.r_avg, _.r_max)
+    ).df
+
+
+SQL_ROLLING_WINDOW = """
+SELECT event_id,
+  ROUND(AVG(value) OVER w, 4) AS r_avg,
+  MAX(value) OVER w AS r_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST,
+             event_id ASC NULLS LAST ROWS 6 PRECEDING)
+"""
+
+
 def q_interval_join_events(spark, sf):
     """Interval join: purchases within ±120 s of each error event,
     aggregated per error (bucket-binned equi join — one shuffle per side,
@@ -1809,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "asof_last_purchase": q_asof_last_purchase,
         "interval_join_events": q_interval_join_events,
+        "rolling_window": q_rolling_window,
         # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF stub /
         # k-means IVF)
         "minhash_near_dups": q_minhash_near_dups,
@@ -1894,4 +1919,5 @@ def oracle_sql() -> dict[str, str]:
         "json_props": SQL_JSON_PROPS,
         "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
+        "rolling_window": SQL_ROLLING_WINDOW,
     }

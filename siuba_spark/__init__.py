@@ -43,6 +43,7 @@ from .functions.vector import (
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
     if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
+    rolling_mean, rolling_sum, rolling_min, rolling_max,
     cumall, cumany, cummean,
 )
 from .functions.forcats import (
@@ -70,6 +71,7 @@ __all__ = [
     "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
     "coalesce", "na_if", "between", "if_else", "case_when", "desc", "str_c",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
+    "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
     "fct_lump", "fct_recode", "fct_collapse", "fct_rev", "fct_infreq",
     "fct_inorder", "fct_reorder",
 ]

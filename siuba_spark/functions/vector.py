@@ -21,7 +21,7 @@ __all__ = [
     "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
     "coalesce", "na_if", "between", "if_else", "case_when", "desc",
     "str_c", "floor_date", "ceil_date", "cumall", "cumany", "cummean",
-    "json_extract",
+    "json_extract", "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
 ]
 
 
@@ -355,3 +355,33 @@ json_extract = _fn("json_extract")
 def case_when(mapping):
     """Expression form: ``mutate(x=case_when({_.a > 1: "hi", True: "lo"}))``."""
     return Symbolic(FnCall("case_when", (mapping,), {}))
+
+
+def _register_rolling(name, agg):
+    @register_fn(name)
+    def impl(ctx, args, kwargs, _agg=agg, _name=name):
+        """rolling_*(col, n, min_periods=None): trailing n-row frame over
+        the arrange order (beyond the reference — pandas .rolling has no
+        siuba SQL translation; Spark frames give it for free)."""
+        _guard_row(ctx, _name)
+        col = _low(args[0], ctx)
+        n = int(_lit(args[1])) if len(args) > 1 else int(_lit(kwargs.get("n", 2)))
+        minp = kwargs.get("min_periods")
+        minp = int(_lit(minp)) if minp is not None else n
+        w = ctx.w_ordered().rowsBetween(-(n - 1), Window.currentRow)
+        out = _agg(col).over(w)
+        if minp > 1:
+            cnt = F.count(col).over(w)
+            out = F.when(cnt >= minp, out)
+        return out, SCALAR
+
+
+_register_rolling("rolling_mean", F.avg)
+_register_rolling("rolling_sum", F.sum)
+_register_rolling("rolling_min", F.min)
+_register_rolling("rolling_max", F.max)
+
+rolling_mean = _fn("rolling_mean")
+rolling_sum = _fn("rolling_sum")
+rolling_min = _fn("rolling_min")
+rolling_max = _fn("rolling_max")

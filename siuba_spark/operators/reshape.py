@@ -69,6 +69,15 @@ def gather(tbl: SparkTbl, key: str = "key", value: str = "value", *args,
           .select(*ids, F.col("__kv")[key].alias(key), F.col("__kv")[value].alias(value)))
     if drop_na:
         df = df.filter(F.col(value).isNotNull())
+    if convert:
+        # column-level to_numeric, same probe as separate(convert=True)
+        ok = df.agg(F.bool_and(
+            F.col(value).isNull() | F.col(value).try_cast("double").isNotNull()
+        )).first()[0]
+        if ok:
+            df = df.withColumn(value, F.coalesce(
+                F.col(value).try_cast("bigint").cast("double"),
+                F.col(value).try_cast("double")))
     return tbl.evolve(df=df)
 
 

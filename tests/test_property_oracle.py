@@ -133,3 +133,19 @@ def test_joins_match_duckdb(spark, left, right):
         "SELECT COUNT(*) c FROM l WHERE NOT EXISTS "
         "(SELECT 1 FROM r WHERE r.k = l.k)").df()["c"][0]
     assert len(anti) == n_anti
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(-100, 100), st.integers(-100, 100)),
+    min_size=1, max_size=10, unique=True))
+def test_gather_spread_roundtrip(spark, rows):
+    """spread(gather(df)) reproduces df for unique-id frames."""
+    from siuba_spark import gather, spread, _
+    data = [(i, float(a), float(b)) for i, (a, b) in enumerate(rows)]
+    t = SparkTbl(spark.createDataFrame(data, "id long, p double, q double"))
+    back = (t >> gather("k", "v", _.p, _.q) >> spread(_.k, _.v))
+    got = back.df.toPandas().sort_values("id").reset_index(drop=True)
+    want = pd.DataFrame(data, columns=["id", "p", "q"])
+    assert got[["id", "p", "q"]].equals(want)

@@ -171,3 +171,10 @@ def test_separate_extra_merge_keeps_remainder(spark):
     out = separate(t, _.s, into=["p", "q"], sep="-", extra="merge")
     got = sorted(map(tuple, out.df.select("p", "q").collect()))
     assert got == [("a", "b-c-d"), ("x", "y")]
+
+
+def test_gather_convert_numeric_strings(spark):
+    t = data_frame(spark, id=[1], a=["1.5"], b=["2"])
+    out = gather(t, "k", "v", _.a, _.b, convert=True)
+    assert dict(out.df.dtypes)["v"] == "double"
+    assert sorted(r.v for r in out.df.collect()) == [1.5, 2.0]
