@@ -43,7 +43,7 @@ def main():
         "events_tumbling", "events_sessionize",
         "text_stats", "fingerprint", "dedup_exact", "minhash_near_dups",
         "ann_topk", "simhash", "embedding_near_dups_lsh",
-        "asof_last_purchase", "interval_join_events",
+        "asof_last_purchase", "interval_join_events", "rolling_window",
     ]
     queries = entry.queries()
 

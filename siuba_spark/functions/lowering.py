@@ -177,6 +177,9 @@ AGG_METHODS = {
     "cov": lambda over, col, other: over(F.covar_samp(col, other)),
     "sem": lambda over, col: over(F.stddev_samp(col)) / F.sqrt(over(F.count(col))),
     "mean_abs": lambda over, col: over(F.avg(F.abs(col))),
+    # deterministic mode: ties broken by smallest value (duckdb-compatible
+    # needs the same tie-break on both sides of a comparison)
+    "mode": lambda over, col: over(F.mode(col, True)),
 }
 
 # nunique: Spark bans DISTINCT aggregates inside windows → collect_set
