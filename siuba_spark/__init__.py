@@ -21,7 +21,7 @@ from .plans.tbl import (
     SparkTbl, tbl, collect, show_query, write_parquet, write_csv,
     repartition, coalesce_partitions, cache,
 )
-from .plans.pipe import Pipe, verb
+from .plans.pipe import Pipe, Pipeable, pipe, verb
 from .operators.core import (
     select, rename, mutate, transmute, filter, arrange, distinct, head, top_n,
 )
@@ -57,7 +57,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "_", "Symbolic", "SparkTbl", "tbl", "collect", "show_query",
-    "write_parquet", "write_csv", "Pipe", "verb", "TranslationError",
+    "write_parquet", "write_csv", "Pipe", "Pipeable", "pipe", "verb", "TranslationError",
     "repartition", "coalesce_partitions", "cache",
     "select", "rename", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n",

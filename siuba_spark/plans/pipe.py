@@ -88,3 +88,17 @@ def join_verb(fn):
 
     wrapper.__verb__ = fn
     return wrapper
+
+
+def pipe(fn, *args, **kwargs):
+    """Insert an arbitrary table→table callable into a ``>>`` chain
+    (reference: siuba's ``pipe``/``call``, siuba/siu/dispatchers.py:304-368):
+
+        tbl >> pipe(lambda t: t.evolve(df=t.df.limit(3)))
+    """
+    return Pipe(lambda t: fn(t, *args, **kwargs),
+                getattr(fn, "__name__", "pipe"))
+
+
+# API-name parity with the reference's Pipeable class
+Pipeable = Pipe

@@ -212,3 +212,10 @@ def test_show_query_prints_plan_and_passes_through(spark, capsys):
     captured = capsys.readouterr().out
     assert "Physical Plan" in captured or "Project" in captured
     assert out.df.count() == 3  # pipe keeps flowing (reference returns tbl)
+
+
+def test_pipe_arbitrary_callable(spark):
+    from siuba_spark import pipe
+    t = data_frame(spark, a=[1, 2, 3])
+    out = t >> pipe(lambda tb: tb.evolve(df=tb.df.limit(2)))
+    assert out.df.count() == 2
