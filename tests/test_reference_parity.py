@@ -1,0 +1,118 @@
+"""Direct behavioral parity: the SAME pipeline run through the reference
+engine (siuba on pandas, imported read-only from /root/reference) and
+through siuba_spark, compared sort-insensitively — the reference's own
+cross-backend bar (siuba/tests/helpers.py:226-246).
+
+This is the strongest parity evidence available: no hand-written oracle,
+the reference IS the oracle.
+"""
+
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/reference")
+siuba = pytest.importorskip("siuba")
+
+import siuba as ref  # noqa: E402
+from siuba import _ as R  # noqa: E402
+
+import siuba_spark as ours  # noqa: E402
+from siuba_spark import _ as S  # noqa: E402
+
+PDF = pd.DataFrame({
+    "g": ["a", "a", "b", "b", "a"],
+    "x": [1.0, 4.0, 2.0, 2.0, 7.0],
+    "y": [10, 20, 30, 40, 50],
+    "s": ["Apple", "banana", "Cherry", "date", "fig"],
+})
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reset_index(drop=True)
+    cols = sorted(df.columns)
+    out = df[cols].sort_values(cols).reset_index(drop=True)
+    for c in out.columns:
+        if out[c].dtype.kind in "fc":
+            out[c] = out[c].round(9)
+        elif out[c].dtype.kind in "iu":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def _both(spark, ref_pipe, our_pipe):
+    want = PDF >> ref_pipe
+    t = ours.tbl(spark.createDataFrame(PDF))
+    got = (t >> our_pipe).df.toPandas()
+    a, b = _norm(got), _norm(want)
+    assert a.columns.tolist() == b.columns.tolist(), (a.columns, b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_parity_mutate_filter(spark):
+    _both(spark,
+          ref.mutate(z=R.x * 2 + R.y) >> ref.filter(R.z > 20),
+          ours.mutate(z=S.x * 2 + S.y) >> ours.filter(S.z > 20))
+
+
+def test_parity_grouped_summarize(spark):
+    _both(spark,
+          ref.group_by(R.g) >> ref.summarize(m=R.x.mean(), s=R.y.sum()),
+          ours.group_by(S.g) >> ours.summarize(m=S.x.mean(), s=S.y.sum()))
+
+
+def test_parity_grouped_mutate_broadcast(spark):
+    _both(spark,
+          ref.group_by(R.g) >> ref.mutate(dev=R.x - R.x.mean()) >> ref.ungroup(),
+          ours.group_by(S.g) >> ours.mutate(dev=S.x - S.x.mean()) >> ours.ungroup())
+
+
+def test_parity_count_sorted(spark):
+    _both(spark,
+          ref.count(R.g, sort=True),
+          ours.count(S.g, sort=True))
+
+
+def test_parity_select_rename_distinct(spark):
+    _both(spark,
+          ref.select(R.g, R.x) >> ref.distinct(),
+          ours.select(S.g, S.x) >> ours.distinct())
+
+
+def test_parity_string_ops(spark):
+    _both(spark,
+          ref.mutate(u=R.s.str.upper(), n=R.s.str.len()) >> ref.select(R.u, R.n),
+          ours.mutate(u=S.s.str.upper(), n=S.s.str.len()) >> ours.select(S.u, S.n))
+
+
+def test_parity_if_else_case_when(spark):
+    _both(spark,
+          ref.mutate(band=ref.if_else(R.x > 2, "hi", "lo")),
+          ours.mutate(band=ours.if_else(S.x > 2, "hi", "lo")))
+
+
+def test_parity_join(spark):
+    dim = pd.DataFrame({"g": ["a", "b"], "label": ["alpha", "beta"]})
+    want = PDF >> ref.inner_join(R, dim, on="g")
+    t = ours.tbl(spark.createDataFrame(PDF))
+    d = ours.tbl(spark.createDataFrame(dim))
+    got = (t >> ours.inner_join(d, on="g")).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_parity_gather(spark):
+    _both(spark,
+          ref.select(R.g, R.x, R.y) >> ref.gather("k", "v", R.x, R.y),
+          ours.select(S.g, S.x, S.y) >> ours.gather("k", "v", S.x, S.y))
+
+
+def test_parity_transmute_across_arrange_head(spark):
+    # arrange + head IS order-dependent: compare positionally
+    want = (PDF >> ref.arrange(-R.x) >> ref.head(3)
+            >> ref.transmute(gx=R.g, big=R.x * 10)).reset_index(drop=True)
+    t = ours.tbl(spark.createDataFrame(PDF))
+    got = (t >> ours.arrange(-S.x) >> ours.head(3)
+           >> ours.transmute(gx=S.g, big=S.x * 10)).df.toPandas()
+    pd.testing.assert_frame_equal(got[["gx", "big"]], want[["gx", "big"]],
+                                  check_dtype=False)
