@@ -210,11 +210,20 @@ def extract(tbl: SparkTbl, col, into, regex: str = r"(\w+)",
 @verb
 def nest(tbl: SparkTbl, *args, key: str = "data"):
     """Pack non-key columns into an array<struct> column
-    (reference: siuba/dply/verbs.py:1414-1485).  Distributed-safe: one
-    shuffle on the nest keys, no driver materialization."""
-    nested = resolve_names(args, tbl.columns) if args else [
-        c for c in tbl.columns if c not in tbl.group_by
-    ]
+    (reference: siuba/dply/verbs.py:1414-1485).  ``nest(-_.g)`` nests
+    everything except g.  Distributed-safe: one shuffle on the nest keys,
+    no driver materialization."""
+    from .tidyselect import _match_one
+    pos, negs = [], []
+    for a in args:
+        names, neg = _match_one(a, tbl.columns)
+        (negs if neg else pos).extend(names)
+    if negs:
+        nested = [c for c in tbl.columns if c not in negs and c not in tbl.group_by]
+    elif pos:
+        nested = pos
+    else:
+        nested = [c for c in tbl.columns if c not in tbl.group_by]
     keys = [c for c in tbl.columns if c not in nested]
     df = (tbl.df.groupBy(*keys)
           .agg(F.collect_list(F.struct(*[F.col(c) for c in nested])).alias(key)))
