@@ -199,3 +199,59 @@ def test_parity_nest_unnest_roundtrip(spark):
         pytest.skip("nest arg-form divergence; covered by nest_unnest oracle")
     pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
                                   check_dtype=False)
+
+
+def test_parity_across_fx(spark):
+    from siuba import Fx as RFx
+    from siuba_spark import Fx as SFx
+    _both(spark,
+          ref.group_by(R.g) >> ref.summarize(ref.across(R[R.x, R.y], {"mn": RFx.min()})),
+          ours.group_by(S.g) >> ours.summarize(ours.across(["x", "y"], {"mn": SFx.min()})))
+
+
+def test_parity_case_when_dict(spark):
+    _both(spark,
+          ref.mutate(band=ref.case_when(R, {R.x < 2: "lo", R.x < 5: "mid", True: "hi"})),
+          ours.mutate(band=ours.case_when({S.x < 2: "lo", S.x < 5: "mid", True: "hi"})))
+
+
+def test_parity_if_else_null_condition(spark):
+    # NULL condition takes the FALSE branch (reference: verbs.py:1085)
+    df = pd.DataFrame({"x": [1.0, None, 5.0]})
+    want = df >> ref.mutate(r=ref.if_else(R.x > 2, "big", "small"))
+    # real SQL NULL, not pandas NaN (Spark/duckdb agree NaN > 2 is true —
+    # a float-NaN ordering divergence from pandas; parquet nulls are NULLs)
+    t = ours.tbl(spark.createDataFrame([(1.0,), (None,), (5.0,)], "x double"))
+    got = (t >> ours.mutate(r=ours.if_else(S.x > 2, "big", "small"))).df.toPandas()
+    assert sorted(got.r) == sorted(want.r) == ["big", "small", "small"]
+
+
+def test_parity_dt_accessor_monday0(spark):
+    df = pd.DataFrame({"ts": pd.to_datetime(
+        ["2020-01-01", "2020-02-29", "2021-12-31", "2020-06-15"])})
+    want = df >> ref.mutate(yr=R.ts.dt.year, mo=R.ts.dt.month,
+                            dow=R.ts.dt.dayofweek, doy=R.ts.dt.dayofyear)
+    t = ours.tbl(spark.createDataFrame(df))
+    got = (t >> ours.mutate(yr=S.ts.dt.year, mo=S.ts.dt.month,
+                            dow=S.ts.dt.dayofweek, doy=S.ts.dt.dayofyear)
+           ).df.toPandas()
+    g = got.sort_values("ts").reset_index(drop=True)
+    w = pd.DataFrame(want).sort_values("ts").reset_index(drop=True)
+    for c in ["yr", "mo", "dow", "doy"]:
+        assert g[c].astype(int).tolist() == w[c].astype(int).tolist(), c
+
+
+def test_parity_pivot_longer_wider_roundtrip(spark):
+    pytest.importorskip("sqlalchemy")  # reference pivot imports it
+    from siuba.experimental.pivot import pivot_longer as ref_pl, pivot_wider as ref_pw
+    wide = pd.DataFrame({"id": [1, 2], "x_a": [1.0, 2.0], "x_b": [3.0, 4.0]})
+    want_long = wide >> ref_pl(~R.id, names_to="k", values_to="v")
+    t = ours.tbl(spark.createDataFrame(wide))
+    got_long = (t >> ours.pivot_longer(~S.id, names_to="k", values_to="v")).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got_long), _norm(pd.DataFrame(want_long)),
+                                  check_dtype=False)
+    want_back = want_long >> ref_pw(names_from=R.k, values_from=R.v)
+    got_back = (ours.tbl(spark.createDataFrame(got_long))
+                >> ours.pivot_wider(names_from=S.k, values_from=S.v)).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got_back), _norm(pd.DataFrame(want_back)),
+                                  check_dtype=False)
