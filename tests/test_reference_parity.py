@@ -255,3 +255,54 @@ def test_parity_pivot_longer_wider_roundtrip(spark):
                 >> ours.pivot_wider(names_from=S.k, values_from=S.v)).df.toPandas()
     pd.testing.assert_frame_equal(_norm(got_back), _norm(pd.DataFrame(want_back)),
                                   check_dtype=False)
+
+
+def test_parity_semi_anti(spark):
+    keep = pd.DataFrame({"g": ["a"]})
+    want_semi = PDF >> ref.semi_join(R, keep)
+    want_anti = PDF >> ref.anti_join(R, keep)
+    t = ours.tbl(spark.createDataFrame(PDF))
+    k = ours.tbl(spark.createDataFrame(keep))
+    got_semi = (t >> ours.semi_join(k, on="g")).df.toPandas()
+    got_anti = (t >> ours.anti_join(k, on="g")).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got_semi), _norm(pd.DataFrame(want_semi)),
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(_norm(got_anti), _norm(pd.DataFrame(want_anti)),
+                                  check_dtype=False)
+
+
+def test_parity_unite(spark):
+    _both(spark,
+          ref.unite("gs", R.g, R.s, sep=":") >> ref.select(R.gs, R.x),
+          ours.unite("gs", S.g, S.s, sep=":") >> ours.select(S.gs, S.x))
+
+
+def test_parity_expand_complete(spark):
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": [1, 2, 1], "v": [1.0, 2.0, 3.0]})
+    want = df >> ref.complete(R.a, R.b, fill={"v": 0.0})
+    t = ours.tbl(spark.createDataFrame(df))
+    got = (t >> ours.complete(S.a, S.b, fill={"v": 0.0})).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
+                                  check_dtype=False)
+
+
+def test_parity_str_family(spark):
+    _both(spark,
+          ref.mutate(a=R.s.str.contains("an"), b=R.s.str.startswith("A"),
+                     c=R.s.str.strip().str.lower())
+          >> ref.select(R.a, R.b, R.c),
+          ours.mutate(a=S.s.str.contains("an"), b=S.s.str.startswith("A"),
+                      c=S.s.str.strip().str.lower())
+          >> ours.select(S.a, S.b, S.c))
+
+
+def test_parity_coalesce_na_if_between(spark):
+    from siuba.dply.vector import coalesce as rcoal, na_if as rna, between as rbet
+    df = pd.DataFrame({"x": [1.0, None, 3.0], "y": [9.0, 8.0, 7.0]})
+    want = df >> ref.mutate(c=rcoal(R.x, R.y), n=rna(R.y, 8.0), b=rbet(R.y, 7.5, 9.0))
+    t = ours.tbl(spark.createDataFrame([(1.0, 9.0), (None, 8.0), (3.0, 7.0)],
+                                       "x double, y double"))
+    got = (t >> ours.mutate(c=ours.coalesce(S.x, S.y), n=ours.na_if(S.y, 8.0),
+                            b=ours.between(S.y, 7.5, 9.0))).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
+                                  check_dtype=False)
