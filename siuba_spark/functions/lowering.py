@@ -336,6 +336,39 @@ def _apply_binop(op, lc, rc):
     return fn(rc)
 
 
+# Method-form infix operators (`_.a.add(_.b)`, `_.a.rsub(2)`, ...) — the
+# reference registers these alongside the dunder forms and its SQL base
+# dialect translates them (siuba/ops/generics.py:38-70 ops_infix_methods,
+# siuba/sql/dialects/base.py operator section). Routed through
+# _apply_binop so NULL-on-zero-division and floored `//` semantics match
+# the dunder path exactly.
+_INFIX_METHOD_ALIASES = {
+    # name: (forward dunder, operands swapped) — r-variants lower to the
+    # forward op with swapped args because pyspark's reversed dunders only
+    # accept literal (non-Column) operands
+    "add": ("__add__", False), "radd": ("__add__", True),
+    "sub": ("__sub__", False), "subtract": ("__sub__", False),
+    "rsub": ("__sub__", True),
+    "mul": ("__mul__", False), "multiply": ("__mul__", False),
+    "rmul": ("__mul__", True),
+    "div": ("__truediv__", False), "divide": ("__truediv__", False),
+    "truediv": ("__truediv__", False),
+    "rdiv": ("__truediv__", True), "rtruediv": ("__truediv__", True),
+    "mod": ("__mod__", False), "rmod": ("__mod__", True),
+    "floordiv": ("__floordiv__", False), "rfloordiv": ("__floordiv__", True),
+    "rpow": ("__pow__", True),
+    "eq": ("__eq__", False), "ne": ("__ne__", False),
+    "lt": ("__lt__", False), "le": ("__le__", False),
+    "gt": ("__gt__", False), "ge": ("__ge__", False),
+}
+for _name, (_op, _swap) in _INFIX_METHOD_ALIASES.items():
+    def _alias(col, other, *, _op=_op, _swap=_swap):
+        if not isinstance(other, Column):
+            other = F.lit(other)
+        return _apply_binop(_op, other, col) if _swap else _apply_binop(_op, col, other)
+    ELWISE_METHODS.setdefault(_name, _alias)
+
+
 def _lower_getattr(node, ctx):
     # accessor entry: _.x.str / _.x.dt
     if node.name in ("str", "dt", "cat"):

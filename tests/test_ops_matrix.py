@@ -145,6 +145,22 @@ ELWISE = {
     "op_day_name": (_.t.dt.day_name(), "dayname(t)"),
     "op_normalize": (_.t.dt.normalize().dt.strftime("%Y-%m-%d %H:%M"),
                      "strftime(date_trunc('day', t), '%Y-%m-%d %H:%M')"),
+    # method-form infix operators (reference ops_infix_methods,
+    # siuba/ops/generics.py:38-70)
+    "op_m_add": (_.x.add(_.y), "x + y"),
+    "op_m_radd": (_.x.radd(1), "1 + x"),
+    "op_m_sub": (_.x.sub(_.y), "x - y"),
+    "op_m_rsub": (_.x.rsub(10), "10 - x"),
+    "op_m_mul": (_.x.multiply(_.y), "x * y"),
+    "op_m_div": (_.x.div(_.y), "x / y"),
+    "op_m_rdiv": (_.x.rdiv(1), "1 / x"),
+    "op_m_mod": (_.y.mod(3), "fmod(y, 3)"),
+    "op_m_floordiv": (_.y.floordiv(2), "CAST(floor(y / 2) AS DOUBLE)"),
+    "op_m_rpow": (_.y.rpow(2.0), "power(2.0, y)"),
+    "op_m_eq": (_.y.eq(2.0), "y = 2.0"),
+    "op_m_ne": (_.y.ne(2.0), "y != 2.0"),
+    "op_m_lt": (_.y.lt(2.0), "y < 2.0"),
+    "op_m_ge": (_.y.ge(2.0), "y >= 2.0"),
 }
 
 
