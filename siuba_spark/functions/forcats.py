@@ -54,22 +54,23 @@ def _fct_recode(ctx, args, kwargs):
 
 @register_fn("fct_collapse")
 def _fct_collapse(ctx, args, kwargs):
-    """fct_collapse(_.x, group=[...], other_level=...) (reference: forcats.py:255)."""
+    """fct_collapse(_.x, {"new": ["old", ...]}, group_other=...) — recat is
+    a positional dict in the reference (forcats.py:255); name=old kwargs
+    also accepted."""
     col = _low(args[0], ctx)
-    other = kwargs.pop("other_level", None) if "other_level" in kwargs else None
+    recat = dict(_low(args[1], ctx)) if len(args) > 1 else {}
+    other = kwargs.pop("group_other", kwargs.pop("other_level", None))
     other = _low(other, ctx) if other is not None else None
-    known = []
-    out = None
     for new, old in kwargs.items():
-        old_v = _low(old, ctx)
+        recat[new] = _low(old, ctx)
+    out = None
+    for new, old_v in recat.items():
         old_vals = list(old_v) if isinstance(old_v, (list, tuple)) else [old_v]
-        known.extend(old_vals)
         cond = col.isin(old_vals)
         out = F.when(cond, F.lit(new)) if out is None else out.when(cond, F.lit(new))
-    if other is not None:
-        out = out.otherwise(F.lit(other))
-    else:
-        out = out.otherwise(col)
+    if out is None:
+        return col, SCALAR
+    out = out.otherwise(F.lit(other)) if other is not None else out.otherwise(col)
     return out, SCALAR
 
 

@@ -196,11 +196,32 @@ def extract(tbl: SparkTbl, col, into, regex: str = r"(\w+)",
     (reference: siuba/dply/verbs.py:2476-2543)."""
     name = _colname(col)
     df = tbl.df
+    pieces = [
+        F.when(F.regexp_extract(F.col(name), regex, i + 1) == "", None)
+        .otherwise(F.regexp_extract(F.col(name), regex, i + 1))
+        for i in range(len(into))
+    ]
+    int_ok, dbl_ok = {}, {}
+    if convert:
+        # pandas to_numeric-per-column semantics (reference verbs.py:2515-2521):
+        # a column converts only if EVERY value parses; int64 when all pieces
+        # are integral, float otherwise.  One combined agg probe (single
+        # cheap scan, same pattern as separate()).
+        probes = []
+        for i, c in enumerate(pieces):
+            probes.append(F.bool_and(
+                c.isNull() | c.try_cast("bigint").isNotNull()).alias(f"i{i}"))
+            probes.append(F.bool_and(
+                c.isNull() | c.try_cast("double").isNotNull()).alias(f"d{i}"))
+        row = df.agg(*probes).first().asDict()
+        int_ok = {i: bool(row.get(f"i{i}")) for i in range(len(into))}
+        dbl_ok = {i: bool(row.get(f"d{i}")) for i in range(len(into))}
     for i, new in enumerate(into):
-        c = F.regexp_extract(F.col(name), regex, i + 1)
-        c = F.when(c == "", None).otherwise(c)
-        if convert:
-            c = c.try_cast("bigint")
+        c = pieces[i]
+        if convert and int_ok.get(i):
+            c = c.cast("bigint")
+        elif convert and dbl_ok.get(i):
+            c = c.cast("double")
         df = df.withColumn(new, c)
     if remove and name not in into:
         df = df.drop(name)

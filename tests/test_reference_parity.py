@@ -306,3 +306,127 @@ def test_parity_coalesce_na_if_between(spark):
                             b=ours.between(S.y, 7.5, 9.0))).df.toPandas()
     pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
                                   check_dtype=False)
+
+
+def test_parity_infix_methods(spark):
+    _both(spark,
+          ref.mutate(z1=R.x.add(R.y), z2=R.x.rsub(10.0), z3=R.x.mul(2),
+                     z4=R.y.div(4), z5=R.x.ge(2.0)),
+          ours.mutate(z1=S.x.add(S.y), z2=S.x.rsub(10.0), z3=S.x.mul(2),
+                      z4=S.y.div(4), z5=S.x.ge(2.0)))
+
+
+def test_parity_mutate_sequential_kwargs(spark):
+    # later kwargs reference earlier ones (verbs.py:115-153)
+    _both(spark,
+          ref.mutate(z=R.x * 2, w=R.z + R.y),
+          ours.mutate(z=S.x * 2, w=S.z + S.y))
+
+
+def test_parity_group_by_kwargs_mutate_semantics(spark):
+    _both(spark,
+          ref.group_by(gl=R.s.str.len()) >> ref.summarize(m=R.x.mean()),
+          ours.group_by(gl=S.s.str.len()) >> ours.summarize(m=S.x.mean()))
+
+
+def test_parity_group_by_add_stacks(spark):
+    _both(spark,
+          ref.group_by(R.g) >> ref.group_by(R.y, add=True)
+          >> ref.summarize(m=R.x.mean()),
+          ours.group_by(S.g) >> ours.group_by(S.y, add=True)
+          >> ours.summarize(m=S.x.mean()))
+
+
+def test_parity_join_suffixes(spark):
+    # shared non-key column x → _x/_y suffixes (sql/verbs/join.py:11-53)
+    dim = pd.DataFrame({"g": ["a", "b"], "x": [100.0, 200.0]})
+    want = PDF >> ref.inner_join(R, dim, on="g")
+    t = ours.tbl(spark.createDataFrame(PDF))
+    d = ours.tbl(spark.createDataFrame(dim))
+    got = (t >> ours.inner_join(d, on="g")).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
+                                  check_dtype=False)
+
+
+def test_parity_full_join(spark):
+    lhs = pd.DataFrame({"k": ["a", "b"], "l": [1.0, 2.0]})
+    rhs = pd.DataFrame({"k": ["b", "c"], "r": [3.0, 4.0]})
+    want = lhs >> ref.full_join(R, rhs, on="k")
+    lt = ours.tbl(spark.createDataFrame(lhs))
+    rt = ours.tbl(spark.createDataFrame(rhs))
+    got = (lt >> ours.full_join(rt, on="k")).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
+                                  check_dtype=False)
+
+
+def test_parity_grouped_quantile(spark):
+    _both(spark,
+          ref.group_by(R.g) >> ref.summarize(q=R.x.quantile(0.5)),
+          ours.group_by(S.g) >> ours.summarize(q=S.x.quantile(0.5)))
+
+
+def test_parity_fct_recode_collapse(spark):
+    from siuba.dply.forcats import fct_recode as rrec, fct_collapse as rcol
+    df = pd.DataFrame({"v": ["a", "b", "c", "a"]})
+    want = df >> ref.mutate(r=rrec(R.v, z="a"), c=rcol(R.v, {"ab": ["a", "b"]}))
+    want["r"] = want["r"].astype(str)
+    want["c"] = want["c"].astype(str)
+    t = ours.tbl(spark.createDataFrame(df))
+    got = (t >> ours.mutate(r=ours.fct_recode(S.v, z="a"),
+                            c=ours.fct_collapse(S.v, {"ab": ["a", "b"]}))).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
+                                  check_dtype=False)
+
+
+def test_parity_diff_shift_cummean(spark):
+    from siuba.dply.vector import cummean as rcm
+    want = (PDF >> ref.group_by(R.g) >> ref.arrange(R.y)
+            >> ref.mutate(d=R.x.diff(), sh=R.x.shift(1), cm=rcm(R.x))
+            >> ref.ungroup())
+    t = ours.tbl(spark.createDataFrame(PDF))
+    got = (t >> ours.group_by(S.g) >> ours.arrange(S.y)
+           >> ours.mutate(d=S.x.diff(), sh=S.x.shift(1), cm=S.x.cummean())
+           >> ours.ungroup()).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
+                                  check_dtype=False)
+
+
+def test_parity_astype(spark):
+    _both(spark,
+          ref.mutate(xi=R.x.astype(int), ys=R.y.astype(str))
+          >> ref.select(R.xi, R.ys),
+          ours.mutate(xi=S.x.astype(int), ys=S.y.astype(str))
+          >> ours.select(S.xi, S.ys))
+
+
+def test_parity_select_negation_and_n(spark):
+    from siuba.dply.vector import n as rn
+    _both(spark,
+          ref.select(~R.s) >> ref.mutate(cnt=rn(R)),
+          ours.select(~S.s) >> ours.mutate(cnt=ours.n()))
+
+
+def test_parity_extract_convert(spark):
+    df = pd.DataFrame({"id": [1, 2], "s": ["a-1", "b-2"]})
+    want = df >> ref.extract(R.s, into=["l", "d"],
+                             regex="([a-z])-([0-9])", convert=True)
+    t = ours.tbl(spark.createDataFrame(df))
+    got = (t >> ours.extract(S.s, into=["l", "d"],
+                             regex="([a-z])-([0-9])", convert=True)).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
+                                  check_dtype=False)
+
+
+def test_parity_dt_quarter_dim_month_start(spark):
+    df = pd.DataFrame({"ts": pd.to_datetime(
+        ["2020-01-01", "2020-02-29", "2021-12-31"])})
+    want = df >> ref.mutate(q=R.ts.dt.quarter, dim=R.ts.dt.days_in_month,
+                            ms=R.ts.dt.is_month_start)
+    t = ours.tbl(spark.createDataFrame(df))
+    got = (t >> ours.mutate(q=S.ts.dt.quarter, dim=S.ts.dt.days_in_month,
+                            ms=S.ts.dt.is_month_start)).df.toPandas()
+    g = got.sort_values("ts").reset_index(drop=True)
+    w = pd.DataFrame(want).sort_values("ts").reset_index(drop=True)
+    assert g["q"].astype(int).tolist() == w["q"].astype(int).tolist()
+    assert g["dim"].astype(int).tolist() == w["dim"].astype(int).tolist()
+    assert g["ms"].astype(bool).tolist() == w["ms"].astype(bool).tolist()
