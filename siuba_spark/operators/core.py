@@ -48,7 +48,18 @@ def _group_first(tbl, pairs):
 @verb
 def select(tbl: SparkTbl, *args, **kwargs):
     """Keep/drop/rename columns via tidyselect
-    (reference: siuba/sql/verbs/select.py:11-43)."""
+    (reference: siuba/sql/verbs/select.py:11-43).
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 1.0, 10)], "g string, x double, y int"))
+    >>> (t >> select(_.g, _.x)).columns
+    ['g', 'x']
+    >>> (t >> select(~_.y)).columns
+    ['g', 'x']
+    >>> (t >> select(val=_.x)).columns
+    ['val']
+    """
     pairs = resolve_select(args, kwargs, tbl.columns)
     pairs = _group_first(tbl, pairs)
     cols = [F.col(old).alias(new) for old, new in pairs]
@@ -80,6 +91,20 @@ def mutate(tbl: SparkTbl, *args, **kwargs):
     Chained ``withColumn`` projections are collapsed by Catalyst
     (CollapseProject), so no subquery-avoidance logic is needed (SURVEY §4).
     Positional args must be across() expansions (siuba/dply/across.py).
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 2.0)],
+    ...                               "g string, x double"))
+    >>> (t >> mutate(y=_.x * 2, z=_.y + 1) >> collect()).z.tolist()
+    [3.0, 7.0, 5.0]
+
+    Aggregates broadcast per group (AggOver):
+
+    >>> out = (t >> group_by(_.g) >> mutate(dev=_.x - _.x.mean())
+    ...        >> ungroup() >> collect())
+    >>> sorted(out.dev.tolist())
+    [-1.0, 0.0, 1.0]
     """
     kwargs = _merge_across(tbl, args, kwargs)
     df = tbl.df
@@ -105,7 +130,20 @@ def filter(tbl: SparkTbl, *conds, **kwargs):
     """Keep rows where all conditions hold.  Window/aggregate conditions are
     hoisted into computed columns first — Spark forbids windows in WHERE,
     the same constraint the reference solves with a CTE
-    (siuba/sql/verbs/filter.py:13-64)."""
+    (siuba/sql/verbs/filter.py:13-64).
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 2.0)],
+    ...                               "g string, x double"))
+    >>> (t >> filter(_.x > 1, _.g == "a") >> collect()).x.tolist()
+    [3.0]
+
+    Grouped aggregate condition (rows above their group mean):
+
+    >>> (t >> group_by(_.g) >> filter(_.x > _.x.mean()) >> collect()).x.tolist()
+    [3.0]
+    """
     plain, windowed = [], []
     for cond in conds:
         ctx = tbl.row_ctx()
@@ -152,6 +190,13 @@ def arrange(tbl: SparkTbl, *args):
     NULLs sort last in both directions (pandas na_position='last').
     At scale this is a global sort (range-partitioned shuffle) — it stays
     lazy and Catalyst drops it when a later operator re-shuffles anyway.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 1.0), ("b", 3.0), ("c", 2.0)],
+    ...                               "g string, x double"))
+    >>> (t >> arrange(-_.x) >> collect()).g.tolist()
+    ['b', 'c', 'a']
     """
     order_state = tuple(_parse_sort_arg(a) for a in args)
     sort_cols = []
@@ -198,7 +243,15 @@ def head(tbl: SparkTbl, n: int = 5):
 def top_n(tbl: SparkTbl, n: int, wt=None):
     """Top (n>0) / bottom (n<0) rows per group by weight, ties kept —
     implemented as filter(min_rank(desc(wt)) <= n) exactly like the
-    reference (siuba/dply/verbs.py:1863-1914)."""
+    reference (siuba/dply/verbs.py:1863-1914).
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 2.0)],
+    ...                               "g string, x double"))
+    >>> sorted((t >> group_by(_.g) >> top_n(1, _.x) >> collect()).x.tolist())
+    [2.0, 3.0]
+    """
     from pyspark.sql import Window
 
     if wt is None:

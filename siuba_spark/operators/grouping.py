@@ -43,7 +43,19 @@ def _names_from_args(args):
 def group_by(tbl: SparkTbl, *args, add: bool = False, **kwargs):
     """Set grouping keys; kwargs create columns first (mutate semantics);
     ``add=True`` stacks onto existing groups
-    (reference: siuba/dply/verbs.py:280-368)."""
+    (reference: siuba/dply/verbs.py:280-368).
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 2.0)],
+    ...                               "g string, x double"))
+    >>> out = (t >> group_by(_.g) >> summarize(m=_.x.mean(), total=_.x.sum())
+    ...        >> arrange(_.g) >> collect())
+    >>> out.m.tolist()
+    [2.0, 2.0]
+    >>> out.total.tolist()
+    [4.0, 2.0]
+    """
     work = mutate(tbl, **kwargs) if kwargs else tbl
     names = _names_from_args(args) + list(kwargs)
     for nm in names:
@@ -111,7 +123,14 @@ def _fresh_name(base, existing):
 @verb
 def count(tbl: SparkTbl, *args, wt=None, sort: bool = False, name: str | None = None,
           **kwargs):
-    """Group sizes, optionally weighted (reference: siuba/sql/verbs/count.py:21-55)."""
+    """Group sizes, optionally weighted (reference: siuba/sql/verbs/count.py:21-55).
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a",), ("a",), ("b",)], "g string"))
+    >>> (t >> count(_.g, sort=True) >> collect()).values.tolist()
+    [['a', 2], ['b', 1]]
+    """
     work = mutate(tbl, **kwargs) if kwargs else tbl
     names = list(tbl.group_by)
     for nm in _names_from_args(args) + list(kwargs):

@@ -94,6 +94,15 @@ def join(left, right, on=None, how: str = "inner", *, sql_on=None,
     NULL keys match each other (pandas-merge semantics) via ``<=>`` —
     default off because the oracle (SQL) semantics treat NULL ≠ NULL and
     eqNullSafe can block some Catalyst optimizations.
+
+    Examples
+    --------
+    >>> l = tbl(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, x double"))
+    >>> r = tbl(spark.createDataFrame([("a", 10)], "k string, y int"))
+    >>> (l >> inner_join(r, on="k") >> collect()).values.tolist()
+    [['a', 1.0, 10]]
+    >>> sorted((l >> left_join(r, on="k") >> collect()).k.tolist())
+    ['a', 'b']
     """
     left = wrap_table(left)
     right = wrap_table(right)
