@@ -78,3 +78,51 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_summarize_partial_agg_single_shuffle(spark):
+    """groupBy().agg() must do map-side partial aggregation with exactly
+    one hash-partitioning shuffle (SURVEY §2.4)."""
+    t = (tbl(spark, f"{SF}/lineitem.parquet")
+         >> group_by(_.l_returnflag)
+         >> summarize(s=_.l_quantity.sum(), m=_.l_extendedprice.mean()))
+    plan = _plan(t.df)
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_same_window_spec_shares_one_exchange(spark):
+    """lead/lag/cumsum over the same partition+order must reuse ONE
+    shuffle — Spark merges identical window specs."""
+    from siuba_spark import arrange, lag, lead, ungroup
+    t = (tbl(spark, f"{SF}/lineitem.parquet")
+         >> group_by(_.l_orderkey)
+         >> arrange(_.l_linenumber)
+         >> mutate(nxt=lead(_.l_quantity), prv=lag(_.l_quantity),
+                   run=_.l_quantity.cumsum())
+         >> ungroup())
+    plan = _plan(t.df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_grouped_filter_is_window_not_join(spark):
+    """Aggregate condition in filter() lowers to a window + WHERE on the
+    computed column — never a join back to an aggregate subquery."""
+    t = (tbl(spark, f"{SF}/lineitem.parquet")
+         >> group_by(_.l_returnflag)
+         >> filter(_.l_quantity > _.l_quantity.mean()))
+    plan = _plan(t.df)
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    """semi_join lowers to a LeftSemi join node (no row duplication, no
+    distinct-after-inner-join)."""
+    from siuba_spark import semi_join
+    orders = tbl(spark, f"{SF}/orders.parquet")
+    cust = tbl(spark, f"{SF}/customer.parquet")
+    out = semi_join(orders, cust, on={"o_custkey": "c_custkey"})
+    plan = _plan(out.df)
+    assert "LeftSemi" in plan, plan
+    assert "Distinct" not in plan
