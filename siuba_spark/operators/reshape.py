@@ -265,9 +265,12 @@ def unnest(tbl: SparkTbl, col: str = "data"):
 
 
 @verb
-def expand(tbl: SparkTbl, *args):
+def expand(tbl: SparkTbl, *args, fill=None):
     """Distinct cartesian crossing of columns
-    (reference: siuba/dply/verbs.py:2113-2182)."""
+    (reference: siuba/dply/verbs.py:2113-2182; its ``fill=`` also raises
+    NotImplementedError, verbs.py:2180)."""
+    if fill is not None:
+        raise NotImplementedError("expand(fill=...) — not implemented in the reference either")
     names = resolve_names(args, tbl.columns)
     out = None
     for nm in names:
