@@ -126,3 +126,22 @@ def test_semi_join_stays_semi(spark):
     plan = _plan(out.df)
     assert "LeftSemi" in plan, plan
     assert "Distinct" not in plan
+
+
+def test_mixed_distinct_agg_splits_no_expand(spark):
+    """summarize mixing nunique with percentile must NOT plan an Expand or
+    carry percentile buffers at (group x partkey) granularity — the engine
+    splits into two aggregations joined on the keys."""
+    t = (tbl(spark, f"{SF}/lineitem.parquet")
+         >> group_by(_.l_returnflag)
+         >> summarize(q=_.l_quantity.quantile(0.5), u=_.l_partkey.nunique()))
+    plan = _plan(t.df)
+    assert "Expand" not in plan, plan
+    assert "percentile" in plan  # sanity: the agg is in this plan
+    # percentile side must aggregate on the group key alone, never
+    # (key, distinct-col): no aggregate node keyed by l_partkey may carry
+    # a percentile function
+    for line in plan.splitlines():
+        if "percentile" in line and "keys=[" in line:
+            keys_part = line.split("keys=[", 1)[1].split("]", 1)[0]
+            assert "l_partkey" not in keys_part, line
