@@ -531,8 +531,8 @@ def q_spread_wide(spark, sf):
 
 SQL_SPREAD_WIDE = """
 SELECT l_returnflag,
-  COALESCE(SUM(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END), 0) AS "F",
-  COALESCE(SUM(CASE WHEN l_linestatus='O' THEN 1 ELSE 0 END), 0) AS "O"
+  CAST(COALESCE(SUM(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "F",
+  CAST(COALESCE(SUM(CASE WHEN l_linestatus='O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS "O"
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1556,10 +1556,10 @@ def q_tpch_q12(spark, sf):
 
 SQL_TPCH_Q12 = """
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-      AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-      AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+      AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+      AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
 GROUP BY 1 ORDER BY 1

@@ -42,6 +42,19 @@ def test_query_matches_oracle(name, spark, duck):
     assert len(got) == len(want), f"{name}: rows {len(got)} != oracle {len(want)}"
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+    # The driver's value-hash is dtype-sensitive (10003 vs 10003.0 differ):
+    # catch int-vs-float kind mismatches locally before canon() papers over
+    # them. 'i'/'u' are one kind; NaN-bearing int columns arrive as 'f'.
+    for c in got.columns:
+        gk = got[c].dtype.kind.replace("u", "i")
+        wk = want[c].dtype.kind.replace("u", "i")
+        if {gk, wk} == {"i", "f"} and not (
+            got[c].isna().any() or want[c].isna().any()
+        ):
+            raise AssertionError(
+                f"{name}.{c}: dtype kind {gk} vs oracle {wk} — the driver's "
+                "value-hash would fail; CAST the oracle (or alias the Spark "
+                "side) so both emit the same numeric kind")
     g, w = canon(got), canon(want)
     try:
         pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
