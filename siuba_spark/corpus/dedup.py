@@ -185,7 +185,7 @@ def minhash_near_dups(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
                     / F.size(F.array_union("set_a", "set_b")), 4))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
-    return SparkTbl(verified)
+    return SparkTbl(verified, pins=tbl.pins + (sets_,))
 
 
 @verb

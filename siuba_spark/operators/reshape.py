@@ -123,7 +123,7 @@ def spread(tbl: SparkTbl, key, value, fill=None, sep: str | None = None):
         df = df.withColumnsRenamed(dict(zip([str(k) for k in keys], out_names)))
     if fill is not None:
         df = df.fillna(fill, subset=out_names)
-    return tbl.evolve(df=df)
+    return tbl.evolve(df=df).pin(base)
 
 
 @verb
@@ -432,7 +432,7 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
         df = df.withColumnsRenamed(rename)
     if values_fill is not None:
         df = df.fillna(values_fill, subset=out_names)
-    return SparkTbl(df)
+    return SparkTbl(df, pins=tbl.pins + (work,))
 
 
 @join_verb

@@ -16,22 +16,46 @@ from .pipe import Pipe, verb
 
 
 class SparkTbl:
-    """A Spark DataFrame + grouping/ordering metadata. Immutable."""
+    """A Spark DataFrame + grouping/ordering metadata. Immutable.
 
-    __slots__ = ("df", "group_by", "order_by")
+    ``pins`` holds persisted intermediate DataFrames this plan's cache
+    depends on (pivot spec scans, minhash shingle sets).  They are
+    unpersisted by ``collect``/``write_*`` after the consuming action —
+    without that, every ``spread``/``pivot_wider`` call leaks executor
+    memory for the session's lifetime (a real hazard in a long-lived
+    100 TB pipeline)."""
 
-    def __init__(self, df: DataFrame, group_by: tuple = (), order_by: tuple = ()):
+    __slots__ = ("df", "group_by", "order_by", "pins")
+
+    def __init__(self, df: DataFrame, group_by: tuple = (), order_by: tuple = (),
+                 pins: tuple = ()):
         self.df = df
         self.group_by = tuple(group_by)
         self.order_by = tuple(order_by)
+        self.pins = tuple(pins)
 
     # -- state helpers -----------------------------------------------------
-    def evolve(self, df=None, group_by=None, order_by=None) -> "SparkTbl":
+    def evolve(self, df=None, group_by=None, order_by=None, pins=None) -> "SparkTbl":
         return SparkTbl(
             df if df is not None else self.df,
             self.group_by if group_by is None else group_by,
             self.order_by if order_by is None else order_by,
+            self.pins if pins is None else pins,
         )
+
+    def pin(self, *dfs) -> "SparkTbl":
+        """Attach persisted DataFrames to be unpersisted after the next
+        consuming action."""
+        return self.evolve(pins=self.pins + tuple(dfs))
+
+    def release(self) -> "SparkTbl":
+        """Unpersist every pinned intermediate (idempotent)."""
+        for p in self.pins:
+            try:
+                p.unpersist()
+            except Exception:
+                pass
+        return self.evolve(pins=())
 
     def row_ctx(self) -> LowerCtx:
         return LowerCtx(self.group_by, self.order_by, ROW)
@@ -103,8 +127,12 @@ def tbl(source, name_or_path: str | None = None, format: str | None = None, **kw
 @verb
 def collect(tbl: SparkTbl):
     """Execute and return a local pandas DataFrame
-    (reference: siuba/sql/verbs/compute.py:8-47)."""
-    return tbl.df.toPandas()
+    (reference: siuba/sql/verbs/compute.py:8-47).  Unpersists any pinned
+    intermediates (pivot specs, minhash shingle sets) after the action."""
+    try:
+        return tbl.df.toPandas()
+    finally:
+        tbl.release()
 
 
 @verb
@@ -129,15 +157,15 @@ def write_parquet(tbl: SparkTbl, path: str, mode: str = "overwrite",
             raise ValueError("bucketBy requires a table_name (saveAsTable)")
         w.bucketBy(n_buckets, *bucket_by).sortBy(*bucket_by).format("parquet") \
             .option("path", path).saveAsTable(table_name)
-        return tbl
+        return tbl.release()
     w.parquet(path)
-    return tbl
+    return tbl.release()
 
 
 @verb
 def write_csv(tbl: SparkTbl, path: str, mode: str = "overwrite", header: bool = True):
     tbl.df.write.mode(mode).option("header", header).csv(path)
-    return tbl
+    return tbl.release()
 
 
 # --------------------------------------------------------------------------

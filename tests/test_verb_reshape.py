@@ -178,3 +178,38 @@ def test_gather_convert_numeric_strings(spark):
     out = gather(t, "k", "v", _.a, _.b, convert=True)
     assert dict(out.df.dtypes)["v"] == "double"
     assert sorted(r.v for r in out.df.collect()) == [1.5, 2.0]
+
+
+def _n_cached(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_spread_unpersists_after_collect(spark):
+    from siuba_spark import collect
+    before = _n_cached(spark)
+    t = data_frame(spark, id=[1, 1, 2], k=["x", "y", "x"], v=[1, 2, 3])
+    pdf = t >> spread(_.k, _.v) >> collect()
+    assert len(pdf) == 2
+    assert _n_cached(spark) == before, "spread leaked a persisted RDD"
+
+
+def test_pivot_wider_unpersists_after_collect(spark):
+    from siuba_spark import collect
+    before = _n_cached(spark)
+    t = data_frame(spark, id=[1, 2], k=["x", "y"], v=[1, 2])
+    pdf = t >> pivot_wider(names_from=_.k, values_from=_.v) >> collect()
+    assert len(pdf) == 2
+    assert _n_cached(spark) == before, "pivot_wider leaked a persisted RDD"
+
+
+def test_minhash_near_dups_unpersists_after_collect(spark):
+    from siuba_spark import collect
+    from siuba_spark.corpus.dedup import minhash_near_dups
+    before = _n_cached(spark)
+    t = data_frame(spark, doc_id=[1, 2, 3],
+                   text=["the cat sat on the mat today",
+                         "the cat sat on the mat today",
+                         "completely different words here entirely"])
+    pdf = t >> minhash_near_dups(k=3, num_hashes=16, bands=4, rows=4) >> collect()
+    assert len(pdf) >= 1
+    assert _n_cached(spark) == before, "minhash_near_dups leaked a persisted RDD"
