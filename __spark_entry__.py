@@ -29,7 +29,7 @@ from siuba_spark import (  # noqa: F401
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
     if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
-    cumall, cumany, fct_lump,
+    cumall, cumany, fct_lump, fct_reorder, fct_infreq,
 )
 from siuba_spark.corpus.text import (
     text_stats, lang_score, fingerprint, token_count_bpe,
@@ -776,6 +776,48 @@ r AS (SELECT *, DENSE_RANK() OVER (ORDER BY cnt DESC, o_orderpriority ASC) AS rk
 SELECT CASE WHEN rk <= 2 THEN o_orderpriority ELSE 'Other' END AS prio,
        COUNT(*) AS n
 FROM r GROUP BY 1
+"""
+
+
+def q_fct_reorder_arrange(spark, sf):
+    """Level-order semantics: arrange by fct_reorder applies the per-level
+    mean as the sort key (reference pandas reorders categorical levels,
+    forcats.py:159); row_number materializes the order so the
+    order-insensitive driver hash can see it."""
+    return (
+        _t(spark, sf, "orders")
+        >> arrange(fct_reorder(_.o_orderpriority, _.o_totalprice, "mean"),
+                   _.o_orderkey)
+        >> head(1000)
+        >> select(_.o_orderkey, _.o_orderpriority)
+    ).df
+
+
+SQL_FCT_REORDER_ARRANGE = """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+ORDER BY AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) ASC,
+         o_orderpriority ASC, o_orderkey ASC
+LIMIT 1000
+"""
+
+
+def q_fct_infreq_arrange(spark, sf):
+    """arrange by fct_infreq = frequency-desc level order (ties by value)."""
+    return (
+        _t(spark, sf, "customer")
+        >> arrange(fct_infreq(_.c_mktsegment), _.c_custkey)
+        >> head(1000)
+        >> select(_.c_custkey, _.c_mktsegment)
+    ).df
+
+
+SQL_FCT_INFREQ_ARRANGE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+ORDER BY COUNT(*) OVER (PARTITION BY c_mktsegment) DESC,
+         c_mktsegment ASC, c_custkey ASC
+LIMIT 1000
 """
 
 
@@ -1793,6 +1835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nunique_window": q_nunique_window,
         "case_when_bands": q_case_when_bands,
         "fct_lump": q_fct_lump,
+        "fct_reorder_arrange": q_fct_reorder_arrange,
+        "fct_infreq_arrange": q_fct_infreq_arrange,
         "top_n": q_top_n,
         "complete_grid": q_complete_grid,
         "null_semantics": q_null_semantics,
@@ -1879,6 +1923,8 @@ def oracle_sql() -> dict[str, str]:
         "nunique_window": SQL_NUNIQUE_WINDOW,
         "case_when_bands": SQL_CASE_WHEN_BANDS,
         "fct_lump": SQL_FCT_LUMP,
+        "fct_reorder_arrange": SQL_FCT_REORDER_ARRANGE,
+        "fct_infreq_arrange": SQL_FCT_INFREQ_ARRANGE,
         "top_n": SQL_TOP_N,
         "complete_grid": SQL_COMPLETE_GRID,
         "null_semantics": SQL_NULL_SEMANTICS,

@@ -95,7 +95,7 @@ def _fct_lump(ctx, args, kwargs):
 
 @register_fn("fct_rev")
 def _fct_rev(ctx, args, kwargs):
-    return _low(args[0], ctx), SCALAR  # level order divergence documented
+    return _low(args[0], ctx), SCALAR  # value context: passthrough (no cat dtype)
 
 
 @register_fn("fct_inorder")
@@ -111,9 +111,90 @@ def _fct_infreq(ctx, args, kwargs):
 @register_fn("fct_reorder")
 def _fct_reorder(ctx, args, kwargs):
     """fct_reorder(_.x, _.y, fn) — pandas reorders levels by fn(y) per
-    level (reference: forcats.py:159); without a categorical dtype the
-    value is returned unchanged."""
+    level (reference: forcats.py:159).  In value contexts (mutate/select)
+    the value passes through unchanged (no categorical dtype); inside
+    ``arrange`` the level order IS applied — see ``fct_sort_plan``."""
     return _low(args[0], ctx), SCALAR
+
+
+# --------------------------------------------------------------------------
+# Level order inside arrange(): the one place level order is observable
+# without a categorical dtype.  arrange() calls fct_sort_plan() for each
+# sort arg; a level-order fct call compiles to the window sort keys that
+# reproduce pandas' category order (reference: forcats.py:28,101,159 —
+# inorder = first-observed, infreq = frequency desc, reorder = fn(x) per
+# level, rev = reversed default (alphabetic) order).
+# --------------------------------------------------------------------------
+
+FCT_ORDER_FNS = frozenset({"fct_rev", "fct_inorder", "fct_infreq", "fct_reorder"})
+
+_REORDER_AGGS = {
+    "median": F.median, "mean": F.mean, "max": F.max, "min": F.min,
+    "sum": F.sum, "count": F.count, "std": F.stddev_samp, "var": F.var_samp,
+}
+
+
+def _reorder_agg(fn):
+    """Map the fct_reorder func arg (np.median default, str, or callable
+    like np.max) to a Spark aggregate."""
+    from .lowering import TranslationError
+    if fn is None:
+        return F.median
+    name = fn if isinstance(fn, str) else getattr(fn, "__name__", None)
+    if name in _REORDER_AGGS:
+        return _REORDER_AGGS[name]
+    raise TranslationError(
+        f"fct_reorder func {fn!r} has no Spark aggregate translation; "
+        f"use one of {sorted(_REORDER_AGGS)}")
+
+
+def _lit_val(node):
+    from ..siu.calls import Lit
+    return node.value if isinstance(node, Lit) else node
+
+
+def fct_sort_plan(node, asc, ctx, df, idx):
+    """Compile a level-order forcats call used as an arrange() key.
+
+    Returns ``(df, [sort Columns], [tmp col names])`` or None if ``node``
+    is not a level-order fct call.  Keys are materialized as temp columns
+    (window aggregates can't sit directly in orderBy)."""
+    if not isinstance(node, FnCall) or node.name not in FCT_ORDER_FNS:
+        return None
+
+    def direc(c, a):
+        return c.asc_nulls_last() if a else c.desc_nulls_last()
+
+    f_col = _low(node.args[0], ctx)
+    if node.name == "fct_rev":
+        # reversed default (alphabetically sorted) categories
+        return df, [direc(f_col, not asc)], []
+
+    knm = f"__fct_key_{idx}"
+    if node.name == "fct_inorder":
+        # first-observed order: min monotonically-increasing id per level
+        mid = f"__fct_mid_{idx}"
+        df = df.withColumn(mid, F.monotonically_increasing_id())
+        df = df.withColumn(
+            knm, F.min(F.col(mid)).over(Window.partitionBy(f_col)))
+        return df, [direc(F.col(knm), asc)], [mid, knm]
+    if node.name == "fct_infreq":
+        # frequency desc; ties broken by value asc (deterministic — the
+        # reference inherits pandas hashtable order for ties)
+        df = df.withColumn(
+            knm, F.count(F.lit(1)).over(Window.partitionBy(f_col)))
+        return df, [direc(F.col(knm), not asc), direc(f_col, asc)], [knm]
+
+    # fct_reorder(f, x, func=np.median, desc=False)
+    x_col = _low(node.args[1], ctx)
+    func = _lit_val(node.kwargs["func"]) if "func" in node.kwargs else (
+        _lit_val(node.args[2]) if len(node.args) > 2 else None)
+    desc_flag = _lit_val(node.kwargs["desc"]) if "desc" in node.kwargs else (
+        _lit_val(node.args[3]) if len(node.args) > 3 else False)
+    key = _reorder_agg(func)(x_col).over(Window.partitionBy(f_col))
+    df = df.withColumn(knm, key)
+    eff_asc = asc != bool(desc_flag)
+    return df, [direc(F.col(knm), eff_asc), direc(f_col, asc)], [knm]
 
 
 fct_recode = _factory("fct_recode")

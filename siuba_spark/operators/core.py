@@ -198,12 +198,20 @@ def arrange(tbl: SparkTbl, *args):
     >>> (t >> arrange(-_.x) >> collect()).g.tolist()
     ['b', 'c', 'a']
     """
+    from ..functions.forcats import fct_sort_plan
+
     order_state = tuple(_parse_sort_arg(a) for a in args)
     sort_cols = []
     tmp_cols = []
     df = tbl.df
     for i, (node, asc) in enumerate(order_state):
         ctx = tbl.row_ctx()
+        plan = fct_sort_plan(node, asc, ctx, df, i)
+        if plan is not None:
+            df, cols, tmps = plan
+            sort_cols.extend(cols)
+            tmp_cols.extend(tmps)
+            continue
         col, _ = lower(node, ctx)
         if ctx.used_window:
             nm = f"__arrange_{i}"

@@ -430,3 +430,57 @@ def test_parity_dt_quarter_dim_month_start(spark):
     assert g["q"].astype(int).tolist() == w["q"].astype(int).tolist()
     assert g["dim"].astype(int).tolist() == w["dim"].astype(int).tolist()
     assert g["ms"].astype(bool).tolist() == w["ms"].astype(bool).tolist()
+
+
+# -- forcats level order in arrange (reference: siuba/dply/forcats.py) -----
+
+def _g_seq(res):
+    """The sequence of g values after arrange — the observable level order."""
+    if hasattr(res, "df"):  # SparkTbl
+        res = res.df.toPandas()
+    return res["g"].tolist()
+
+
+def test_parity_arrange_fct_reorder(spark):
+    import numpy as np
+    from siuba.dply.forcats import fct_reorder as ref_fct_reorder
+    t = spark.createDataFrame(PDF)
+    want = _g_seq(ref.arrange(PDF, ref_fct_reorder(R.g, R.x)))
+    got = _g_seq(ours.arrange(ours.tbl(t), ours.fct_reorder(S.g, S.x)))
+    assert got == want  # median: a=4, b=2 -> b first
+
+
+def test_parity_arrange_fct_reorder_desc_and_func(spark):
+    import numpy as np
+    from siuba.dply.forcats import fct_reorder as ref_fct_reorder
+    t = spark.createDataFrame(PDF)
+    want = _g_seq(ref.arrange(PDF, ref_fct_reorder(R.g, R.x, np.max, desc=True)))
+    got = _g_seq(ours.arrange(ours.tbl(t),
+                              ours.fct_reorder(S.g, S.x, "max", desc=True)))
+    assert got == want
+
+
+def test_parity_arrange_fct_infreq(spark):
+    from siuba.dply.forcats import fct_infreq as ref_fct_infreq
+    t = spark.createDataFrame(PDF)
+    want = _g_seq(ref.arrange(PDF.assign(g=ref_fct_infreq(PDF.g)), R.g))
+    got = _g_seq(ours.arrange(ours.tbl(t), ours.fct_infreq(S.g)))
+    assert got == want  # a (3) before b (2)
+
+
+def test_parity_arrange_fct_rev(spark):
+    from siuba.dply.forcats import fct_rev as ref_fct_rev
+    t = spark.createDataFrame(PDF)
+    want = _g_seq(ref.arrange(PDF.assign(g=ref_fct_rev(PDF.g)), R.g))
+    got = _g_seq(ours.arrange(ours.tbl(t), ours.fct_rev(S.g)))
+    assert got == want  # b before a
+
+
+def test_parity_arrange_fct_inorder(spark):
+    from siuba.dply.forcats import fct_inorder as ref_fct_inorder
+    pdf = pd.DataFrame({"g": ["z", "m", "z", "a", "m", "z"],
+                        "x": [1, 2, 3, 4, 5, 6]})
+    t = spark.createDataFrame(pdf)
+    want = _g_seq(ref.arrange(pdf.assign(g=ref_fct_inorder(pdf.g)), R.g))
+    got = _g_seq(ours.arrange(ours.tbl(t), ours.fct_inorder(S.g)))
+    assert got == want  # first-observed: z, m, a
