@@ -574,6 +574,36 @@ def q_pivot_wider(spark, sf):
     ).df
 
 
+def q_pivot_wider_glue(spark, sf):
+    """pivot_wider with names_glue template + per-column values_fn dict
+    (reference: pivot_wide.py:48-61,97-275)."""
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag, _.l_linestatus)
+        >> summarize(qty=_.l_quantity.sum(), n_rows=n(_))
+        >> pivot_wider(names_from=_.l_linestatus,
+                       values_from=["qty", "n_rows"],
+                       names_glue="{variable}_of_{value}",
+                       values_fn={"qty": "max", "n_rows": "sum"},
+                       id_cols=_.l_returnflag, values_fill=0)
+        >> arrange(_.l_returnflag)
+    ).df
+
+
+SQL_PIVOT_WIDER_GLUE = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS qty, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag,
+  COALESCE(MAX(CASE WHEN l_linestatus='F' THEN qty END), 0) AS qty_of_F,
+  COALESCE(MAX(CASE WHEN l_linestatus='O' THEN qty END), 0) AS qty_of_O,
+  CAST(COALESCE(SUM(CASE WHEN l_linestatus='F' THEN n_rows END), 0) AS BIGINT) AS n_rows_of_F,
+  CAST(COALESCE(SUM(CASE WHEN l_linestatus='O' THEN n_rows END), 0) AS BIGINT) AS n_rows_of_O
+FROM a GROUP BY l_returnflag
+"""
+
+
 SQL_PIVOT_WIDER = """
 WITH a AS (
   SELECT c_mktsegment, o_orderpriority,
@@ -1827,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spread_wide": q_spread_wide,
         "pivot_longer": q_pivot_longer,
         "pivot_wider": q_pivot_wider,
+        "pivot_wider_glue": q_pivot_wider_glue,
         "separate_unite": q_separate_unite,
         "str_functions": q_str_functions,
         "dt_functions": q_dt_functions,
@@ -1915,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "spread_wide": SQL_SPREAD_WIDE,
         "pivot_longer": SQL_PIVOT_LONGER,
         "pivot_wider": SQL_PIVOT_WIDER,
+        "pivot_wider_glue": SQL_PIVOT_WIDER_GLUE,
         "separate_unite": SQL_SEPARATE_UNITE,
         "str_functions": SQL_STR_FUNCTIONS,
         "dt_functions": SQL_DT_FUNCTIONS,

@@ -385,9 +385,20 @@ def pivot_longer(tbl: SparkTbl, *args, names_to="name", values_to: str = "value"
 @verb
 def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
                 values_from: str = "value", names_prefix: str = "",
-                names_sep: str = "_", values_fill=None, values_fn="max"):
+                names_sep: str = "_", names_glue: str | None = None,
+                values_fill=None, values_fn="max"):
     """tidyr pivot_wider (reference: siuba/experimental/pivot/pivot_wide.py:97-275;
-    SQL default agg MAX, sql_pivot_wide.py:29,48)."""
+    SQL default agg MAX, sql_pivot_wide.py:29,48).
+
+    ``names_glue`` is a format template with ``{variable}``/``{value}``
+    placeholders filled from the first two name parts, exactly like the
+    reference's ``_collapse_index_names`` (pivot_wide.py:48-61): with
+    multiple values_from, variable = the value column and value = the
+    names_from key; with one values_from and ≥2 names_from, the first two
+    names_from parts.  With a single name part glue is ignored (reference
+    behavior).  ``values_fn`` may be a dict mapping each values_from
+    column to its aggregate.
+    """
     names_from = [_colname(names_from)] if not isinstance(names_from, (list, tuple)) \
         else [_colname(c) for c in names_from]
     values_from = [_colname(values_from)] if not isinstance(values_from, (list, tuple)) \
@@ -397,38 +408,71 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
     else:
         ids = resolve_names(id_cols if isinstance(id_cols, (list, tuple)) else [id_cols],
                             tbl.columns)
-    fn = _agg_fn(values_fn)
+    if isinstance(values_fn, dict):
+        missing = [v for v in values_from if v not in values_fn]
+        if missing:
+            raise ValueError(f"values_fn dict is missing entries for {missing}")
+        fn_for = {v: _agg_fn(values_fn[v]) for v in values_from}
+    else:
+        fn_for = {v: _agg_fn(values_fn) for v in values_from}
 
     if len(names_from) == 1:
-        key_col = F.col(names_from[0])
         work = tbl.df.persist()
         keys = _distinct_keys(work, names_from[0])
-        key_strs = [str(k) for k in keys]
+        # one name part per key: (key,)
+        parts_by_key = {str(k): (str(k),) for k in keys}
     else:
-        work = tbl.df.withColumn("__pw_key", F.concat_ws(names_sep, *names_from)).persist()
-        key_col = F.col("__pw_key")
-        keys = _distinct_keys(work, "__pw_key")
-        key_strs = [str(k) for k in keys]
+        work = tbl.df.withColumn(
+            "__pw_key", F.concat_ws(names_sep, *names_from)).persist()
+        # one spec scan collects the joined key AND its parts (needed by
+        # names_glue) together
+        rows = (work.select("__pw_key", *names_from).distinct()
+                .limit(MAX_PIVOT_KEYS + 1).collect())
+        if len(rows) > MAX_PIVOT_KEYS:
+            raise TranslationError(
+                f"pivot spec exceeds {MAX_PIVOT_KEYS} distinct keys; pivoting "
+                "that wide is a driver hazard — aggregate first")
+        rows.sort(key=lambda r: (r[0] is None, str(r[0])))
+        keys = [r[0] for r in rows]
+        parts_by_key = {str(r[0]): tuple(str(p) for p in r[1:]) for r in rows}
         work = work.drop(*names_from)
+    key_strs = [str(k) for k in keys]
+
+    def tidy_name(ks, v=None):
+        parts = parts_by_key[ks]
+        n_parts = len(parts) + (1 if v is not None else 0)
+        if names_glue is not None and n_parts > 1:
+            if v is not None:
+                return names_glue.format(variable=v, value=parts[0])
+            return names_glue.format(variable=parts[0],
+                                     value=parts[1] if len(parts) > 1 else "")
+        if v is not None:
+            return f"{names_prefix}{v}{names_sep}{ks}"
+        return f"{names_prefix}{ks}"
 
     key_name = names_from[0] if len(names_from) == 1 else "__pw_key"
     if len(values_from) == 1:
-        df = work.groupBy(*ids).pivot(key_name, keys).agg(fn(F.col(values_from[0])))
-        rename = {ks: f"{names_prefix}{ks}" for ks in key_strs} if names_prefix else {}
-        out_names = [f"{names_prefix}{ks}" for ks in key_strs]
-        if rename:
-            df = df.withColumnsRenamed(rename)
+        v0 = values_from[0]
+        df = work.groupBy(*ids).pivot(key_name, keys).agg(fn_for[v0](F.col(v0)))
+        rename = {ks: tidy_name(ks) for ks in key_strs}
+        out_names = [rename[ks] for ks in key_strs]
+        rename = {k: v for k, v in rename.items() if k != v}
     else:
-        aggs = [fn(F.col(v)).alias(v) for v in values_from]
+        aggs = [fn_for[v](F.col(v)).alias(v) for v in values_from]
         df = work.groupBy(*ids).pivot(key_name, keys).agg(*aggs)
         # spark names these "<key>_<value>"; tidyr uses "<value>_<key>"
         rename = {}
         out_names = []
         for ks in key_strs:
             for v in values_from:
-                tidy = f"{names_prefix}{v}{names_sep}{ks}"
+                tidy = tidy_name(ks, v)
                 rename[f"{ks}_{v}"] = tidy
                 out_names.append(tidy)
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            f"pivot_wider output names are not unique: {out_names} "
+            "(names_repair='check_unique', the reference default)")
+    if rename:
         df = df.withColumnsRenamed(rename)
     if values_fill is not None:
         df = df.fillna(values_fill, subset=out_names)

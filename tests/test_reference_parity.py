@@ -484,3 +484,53 @@ def test_parity_arrange_fct_inorder(spark):
     want = _g_seq(ref.arrange(pdf.assign(g=ref_fct_inorder(pdf.g)), R.g))
     got = _g_seq(ours.arrange(ours.tbl(t), ours.fct_inorder(S.g)))
     assert got == want  # first-observed: z, m, a
+
+
+# -- pivot_wider names_glue / values_fn dict (reference: pivot_wide.py) ----
+
+MANY = pd.DataFrame({"id": [1, 1, 2, 2], "var": ["one", "two", "one", "two"],
+                     "x": [1, 2, 3, 4], "y": [6, 7, 8, 9]})
+
+
+def _ref_pivot_wider():
+    """Import the reference pivot_wider WITHOUT running the pivot package
+    __init__ (it imports sql_pivot_* -> sqlalchemy, absent here): pre-seed
+    a stub package module so relative imports resolve against __path__."""
+    import importlib
+    import sys
+    import types
+    name = "siuba.experimental.pivot"
+    if name not in sys.modules:
+        import siuba.experimental  # noqa: F401 -- safe, no sqlalchemy
+        pkg = types.ModuleType(name)
+        pkg.__path__ = ["/root/reference/siuba/experimental/pivot"]
+        sys.modules[name] = pkg
+        setattr(sys.modules["siuba.experimental"], "pivot", pkg)
+    return importlib.import_module(name + ".pivot_wide").pivot_wider
+
+
+def test_parity_pivot_wider_names_glue(spark):
+    ref_pw = _ref_pivot_wider()
+    want = ref_pw(MANY, names_from=R.var, values_from=R[R.x, R.y],
+                  names_glue="{variable}_X_{value}")
+    t = spark.createDataFrame(MANY)
+    got = ours.pivot_wider(ours.tbl(t), names_from="var",
+                           values_from=["x", "y"],
+                           names_glue="{variable}_X_{value}").df.toPandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_parity_pivot_wider_values_fn_dict(spark):
+    ref_pw = _ref_pivot_wider()
+    dup = pd.DataFrame({"g": ["a", "a", "a", "b"], "k": ["x", "x", "y", "x"],
+                        "v": [1.0, 3.0, 5.0, 7.0], "w": [2.0, 4.0, 6.0, 8.0]})
+    want = ref_pw(dup, id_cols=R.g, names_from=R.k,
+                  values_from=R[R.v, R.w],
+                  values_fn={"v": "mean", "w": "max"})
+    t = spark.createDataFrame(dup)
+    got = ours.pivot_wider(ours.tbl(t), id_cols="g", names_from="k",
+                           values_from=["v", "w"],
+                           values_fn={"v": "mean", "w": "max"}).df.toPandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
