@@ -93,10 +93,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
 
 @verb
 def add_hyperplane_bucket(tbl: SparkTbl, vec_col: str = "embedding",
-                          n_planes: int = 8, out: str = "bucket", seed: int = 42):
-    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i)."""
-    sample_dim = len(tbl.df.select(vec_col).first()[0])
-    planes = _hyperplanes(sample_dim, n_planes, seed)
+                          n_planes: int = 8, out: str = "bucket", seed: int = 42,
+                          dim: int | None = None):
+    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
+
+    Pass ``dim`` (the embedding dimensionality) to keep the verb fully
+    lazy; without it a one-row ``first()`` job sniffs the dimension."""
+    if dim is None:
+        dim = len(tbl.df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
     vd = _to_double(F.col(vec_col))
     bits = None
     for i, p in enumerate(planes):
@@ -108,14 +113,17 @@ def add_hyperplane_bucket(tbl: SparkTbl, vec_col: str = "embedding",
 
 @verb
 def lsh_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
-             vec_col: str = "embedding", n_planes: int = 8, round_to: int = 4):
+             vec_col: str = "embedding", n_planes: int = 8, round_to: int = 4,
+             dim: int | None = None):
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket, then exact cosine within bucket.  Trades recall for a
     |bucket|-sized candidate set — the 100 TB path."""
-    bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes)
-    qt = add_hyperplane_bucket(
-        queries if isinstance(queries, SparkTbl) else SparkTbl(queries),
-        vec_col=vec_col, n_planes=n_planes)
+    qtbl = queries if isinstance(queries, SparkTbl) else SparkTbl(queries)
+    if dim is None:
+        # sniff from the (small) query side once; the corpus side stays lazy
+        dim = len(qtbl.df.select(vec_col).first()[0])
+    bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes, dim=dim)
+    qt = add_hyperplane_bucket(qtbl, vec_col=vec_col, n_planes=n_planes, dim=dim)
     corpus = bt.df.select(F.col(id_col).alias("nbr_id"),
                           F.col(vec_col).alias("nbr_vec"), "bucket",
                           _norm_sq(F.col(vec_col)).alias("__nn"))
@@ -137,7 +145,7 @@ def lsh_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
 def cosine_near_dups(tbl: SparkTbl, threshold: float = 0.9,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      method: str = "lsh", n_planes: int = 8,
-                     round_to: int = 4):
+                     round_to: int = 4, dim: int | None = None):
     """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded score
     >= threshold).
 
@@ -149,7 +157,8 @@ def cosine_near_dups(tbl: SparkTbl, threshold: float = 0.9,
     sign, so recall at dedup-grade thresholds (>=0.9) stays high; the
     exact cosine afterwards keeps precision at 1."""
     if method == "lsh":
-        bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes)
+        bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes,
+                                   dim=dim)
         a = bt.df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
                          F.col("bucket"), _norm_sq(F.col(vec_col)).alias("__na"))
         b = bt.df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),

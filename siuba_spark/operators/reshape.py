@@ -69,8 +69,14 @@ def gather(tbl: SparkTbl, key: str = "key", value: str = "value", *args,
           .select(*ids, F.col("__kv")[key].alias(key), F.col("__kv")[value].alias(value)))
     if drop_na:
         df = df.filter(F.col(value).isNotNull())
-    if convert:
-        # column-level to_numeric, same probe as separate(convert=True)
+    if isinstance(convert, str):
+        # explicit target dtype: fully lazy, no probe job
+        df = df.withColumn(value, F.col(value).try_cast(convert))
+    elif convert:
+        # column-level to_numeric, same probe as separate(convert=True).
+        # NOTE: convert=True is EAGER — the output dtype depends on the
+        # data, and Spark schemas are static, so one aggregation job runs
+        # here.  Pass convert="double" (any dtype string) for a lazy cast.
         ok = df.agg(F.bool_and(
             F.col(value).isNull() | F.col(value).try_cast("double").isNotNull()
         )).first()[0]
@@ -143,10 +149,20 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
         parts = F.split(F.col(name), sep)
     df = tbl.df
     convertible = {}
+    if isinstance(convert, str):
+        # explicit target dtype: fully lazy, no probe job
+        for i, new in enumerate(into):
+            if new is not None:
+                df = df.withColumn(new, parts.getItem(i).try_cast(convert))
+        if remove and name not in into:
+            df = df.drop(name)
+        return tbl.evolve(df=df)
     if convert:
         # pandas to_numeric(errors="ignore") semantics: a column converts
-        # only if EVERY value parses — one combined agg probe (single cheap
-        # scan, like pivot_wider's spec collect)
+        # only if EVERY value parses — one combined agg probe.  NOTE:
+        # convert=True is EAGER (output dtype is data-dependent; Spark
+        # schemas are static) — exactly one aggregation job runs here.
+        # Pass convert="double" (any dtype string) for a lazy cast.
         probes = [
             F.bool_and(parts.getItem(i).isNull()
                        | parts.getItem(i).try_cast("double").isNotNull()).alias(f"p{i}")
@@ -202,11 +218,20 @@ def extract(tbl: SparkTbl, col, into, regex: str = r"(\w+)",
         for i in range(len(into))
     ]
     int_ok, dbl_ok = {}, {}
+    if isinstance(convert, str):
+        # explicit target dtype: fully lazy, no probe job
+        for i, new in enumerate(into):
+            df = df.withColumn(new, pieces[i].try_cast(convert))
+        if remove and name not in into:
+            df = df.drop(name)
+        return tbl.evolve(df=df)
     if convert:
         # pandas to_numeric-per-column semantics (reference verbs.py:2515-2521):
         # a column converts only if EVERY value parses; int64 when all pieces
-        # are integral, float otherwise.  One combined agg probe (single
-        # cheap scan, same pattern as separate()).
+        # are integral, float otherwise.  One combined agg probe.  NOTE:
+        # convert=True is EAGER (output dtype is data-dependent; Spark
+        # schemas are static) — exactly one aggregation job runs here.
+        # Pass convert="bigint"/"double" for a lazy cast.
         probes = []
         for i, c in enumerate(pieces):
             probes.append(F.bool_and(

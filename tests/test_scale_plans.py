@@ -145,3 +145,56 @@ def test_mixed_distinct_agg_splits_no_expand(spark):
         if "percentile" in line and "keys=[" in line:
             keys_part = line.split("keys=[", 1)[1].split("]", 1)[0]
             assert "l_partkey" not in keys_part, line
+
+
+def _jobs_during(spark, fn):
+    """Run fn under a dedicated job group; return how many Spark jobs it
+    launched (eager-probe accounting)."""
+    sc = spark.sparkContext
+    group = f"__probe_count_{id(fn)}"
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # AQE turns each query stage into its own job; disable so that
+    # one action == one job and the count below means "number of actions"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "probe accounting")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_separate_convert_probe_is_one_job(spark):
+    from siuba_spark import separate
+    t = tbl(spark.createDataFrame([("1-2",), ("3-4",)], "s string"))
+    n = _jobs_during(spark, lambda: separate(t, _.s, into=["a", "b"],
+                                             sep="-", convert=True))
+    assert n == 1, f"separate(convert=True) ran {n} jobs, expected exactly 1"
+
+
+def test_extract_convert_probe_is_one_job(spark):
+    from siuba_spark import extract
+    t = tbl(spark.createDataFrame([("x1",), ("y2",)], "s string"))
+    n = _jobs_during(spark, lambda: extract(t, _.s, into=["ch", "num"],
+                                            regex=r"(\w)(\d)", convert=True))
+    assert n == 1, f"extract(convert=True) ran {n} jobs, expected exactly 1"
+
+
+def test_convert_dtype_string_is_fully_lazy(spark):
+    from siuba_spark import extract, gather, separate
+    t = tbl(spark.createDataFrame([("1-2", 1.0, 2.0)], "s string, x double, y double"))
+    n = _jobs_during(spark, lambda: (
+        separate(t, _.s, into=["a", "b"], sep="-", convert="bigint"),
+        extract(t, _.s, into=["a2"], regex=r"(\d)", convert="double"),
+        gather(t, "k", "v", _.x, _.y, convert="double"),
+    ))
+    assert n == 0, f"convert='<dtype>' should be lazy but ran {n} jobs"
+
+
+def test_lsh_topk_with_dim_is_lazy(spark):
+    from siuba_spark.corpus.similarity import add_hyperplane_bucket
+    t = tbl(spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                  "vec_id long, embedding array<double>"))
+    n = _jobs_during(spark, lambda: add_hyperplane_bucket(t, dim=2))
+    assert n == 0, f"add_hyperplane_bucket(dim=...) should be lazy, ran {n} jobs"
