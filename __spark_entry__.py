@@ -1689,6 +1689,31 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_total_seconds(spark, sf):
+    """Timedelta surface: seconds-since-midnight via timestamp subtraction
+    + .dt.total_seconds (reference: siuba/ops/generics.py:222)."""
+    return (
+        _t(spark, sf, "events")
+        >> mutate(secs=(_.ts - _.ts.dt.normalize()).dt.total_seconds())
+        >> group_by(_.event_type)
+        >> summarize(avg_secs=(_dsum(_.secs) / _.secs.count()).round(4),
+                     max_secs=_.secs.max(), n_rows=n(_))
+        >> arrange(_.event_type)
+    ).df
+
+
+SQL_EVENTS_TOTAL_SECONDS = """
+WITH s AS (
+  SELECT event_type, epoch(ts - date_trunc('day', ts)) AS secs FROM events)
+SELECT event_type,
+  ROUND(CAST(SUM(CAST(secs AS DECIMAL(30,6))) AS DOUBLE) / COUNT(secs), 4)
+    AS avg_secs,
+  MAX(secs) AS max_secs,
+  COUNT(*) AS n_rows
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_cube_agg(spark, sf):
     return (
         _t(spark, sf, "lineitem")
@@ -1867,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_when_bands": q_case_when_bands,
         "fct_lump": q_fct_lump,
         "fct_reorder_arrange": q_fct_reorder_arrange,
+        "events_total_seconds": q_events_total_seconds,
         "fct_infreq_arrange": q_fct_infreq_arrange,
         "top_n": q_top_n,
         "complete_grid": q_complete_grid,
@@ -1956,6 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         "case_when_bands": SQL_CASE_WHEN_BANDS,
         "fct_lump": SQL_FCT_LUMP,
         "fct_reorder_arrange": SQL_FCT_REORDER_ARRANGE,
+        "events_total_seconds": SQL_EVENTS_TOTAL_SECONDS,
         "fct_infreq_arrange": SQL_FCT_INFREQ_ARRANGE,
         "top_n": SQL_TOP_N,
         "complete_grid": SQL_COMPLETE_GRID,

@@ -29,7 +29,17 @@ def _str_contains(col, pat, case=True, regex=True):
 def _str_slice(col, start=None, stop=None):
     start = 0 if start is None else start
     if start < 0:
-        raise NotImplementedError("negative str.slice start not supported")
+        # negative start counts from the end (pandas slice semantics);
+        # Spark substring supports negative positions natively
+        if stop is None:
+            return F.substring(col, start, 2147483647)
+        if stop >= 0:
+            raise NotImplementedError(
+                "str.slice with negative start and non-negative stop "
+                "depends on each string's length; use two slices instead")
+        if stop <= start:
+            return F.lit("")
+        return F.substring(col, start, stop - start)
     length = (stop - start) if stop is not None else 2147483647
     return F.substring(col, start + 1, length)
 
@@ -67,6 +77,9 @@ STR_METHODS = {
     "isalpha": lambda col: col.rlike(r"^[A-Za-z]+$"),
     "isspace": lambda col: col.rlike(r"^\s+$"),
     "extract": lambda col, pat, idx=1: F.regexp_extract(col, pat, idx),
+    # pandas findall: every non-overlapping match (reference pandas op,
+    # siuba/ops/generics.py:140); group 0 = the whole match
+    "findall": lambda col, pat: F.regexp_extract_all(col, F.lit(pat), 0),
     "count": lambda col, pat: F.size(F.split(col, pat)) - 1,
     "find": lambda col, sub: F.instr(col, sub) - 1,
     "repeat": lambda col, n: F.repeat(col, n),
@@ -119,7 +132,62 @@ DT_PROPERTIES = {
     "is_quarter_end": lambda col: col.cast("date") == F.last_day(F.add_months(F.date_trunc("quarter", col), 2)),
     "is_year_start": lambda col: (F.month(col) == 1) & (F.dayofmonth(col) == 1),
     "is_year_end": lambda col: (F.month(col) == 12) & (F.dayofmonth(col) == 31),
+    "components": lambda col: _interval_components(col),
 }
+
+def _interval_total_seconds(col):
+    """Total seconds of a day-time interval (pandas Timedelta.total_seconds,
+    reference: siuba/ops/generics.py:222).  Spark can't cast an interval
+    to double directly; epoch + interval → timestamp → double is exact and
+    timezone-independent (timestamp_seconds(0) IS the epoch instant)."""
+    return (F.timestamp_seconds(F.lit(0)) + col).cast("double")
+
+
+def _interval_components(col):
+    """pandas Timedelta.components as a struct (reference: generics.py:233).
+    Sign convention matches pandas: all fields carry the interval's sign."""
+    tot = _interval_total_seconds(col)
+    sign = F.when(tot < 0, F.lit(-1)).otherwise(F.lit(1))
+    a = F.abs(tot)
+    days = F.floor(a / 86400)
+    hours = F.floor(a % 86400 / 3600)
+    minutes = F.floor(a % 3600 / 60)
+    seconds = F.floor(a % 60)
+    millis = F.floor((a % 1) * 1000)
+    micros = F.floor((a * 1000 % 1) * 1000)
+    return F.struct(
+        (sign * days).cast("long").alias("days"),
+        (sign * hours).cast("long").alias("hours"),
+        (sign * minutes).cast("long").alias("minutes"),
+        (sign * seconds).cast("long").alias("seconds"),
+        (sign * millis).cast("long").alias("milliseconds"),
+        (sign * micros).cast("long").alias("microseconds"),
+        F.lit(0).cast("long").alias("nanoseconds"),
+    )
+
+
+# fixed-width frequencies only — pandas dt.round/.floor with calendar
+# units (M/Q/Y) raises there too
+_FIXED_SECONDS = {
+    "D": 86400, "d": 86400, "day": 86400,
+    "H": 3600, "h": 3600, "hour": 3600,
+    "T": 60, "min": 60, "minute": 60,
+    "S": 1, "s": 1, "second": 1,
+}
+
+
+def _dt_round(col, freq):
+    """Round to the nearest multiple of a fixed-width unit, half-to-even on
+    the unit count — exactly pandas ``Series.dt.round`` (which uses banker's
+    rounding on the number of units since epoch)."""
+    secs = _FIXED_SECONDS.get(freq)
+    if secs is None:
+        raise NotImplementedError(
+            f"dt.round only supports fixed frequencies {sorted(set(_FIXED_SECONDS))}, "
+            f"got {freq!r} (pandas raises for calendar units too)")
+    cnt = F.bround(col.cast("double") / secs)  # bround = half-to-even
+    return (cnt * secs).cast("timestamp")
+
 
 DT_METHODS = {
     "strftime": lambda col, fmt: F.date_format(col, strftime_to_spark(fmt)),
@@ -127,7 +195,8 @@ DT_METHODS = {
     "day_name": lambda col: F.date_format(col, "EEEE"),
     "normalize": lambda col: F.date_trunc("day", col),
     "floor": lambda col, freq: F.date_trunc(_FREQ_UNIT[freq], col),
-    "round": lambda col, freq: F.date_trunc(_FREQ_UNIT[freq], col),  # floor approx
+    "round": _dt_round,
+    "total_seconds": _interval_total_seconds,
 }
 
 _FREQ_UNIT = {

@@ -62,8 +62,17 @@ def _cmp(got: pd.DataFrame, want: pd.DataFrame, keys):
                 b = pd.to_numeric(b, errors="coerce").round(6)
                 ok = ((a.isna() & b.isna()) | (a == b)).all()
             else:
-                a = a.astype(object).where(a.notna(), None)
-                b = b.astype(object).where(b.notna(), None)
+                import numpy as np
+
+                def obj(v):
+                    if isinstance(v, np.ndarray):
+                        return list(v)
+                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                        return None
+                    return v
+
+                a = [obj(v) for v in a.tolist()]
+                b = [obj(v) for v in b.tolist()]
                 ok = all(x == y or (x is None and y is None) for x, y in zip(a, b))
         except Exception as exc:  # dtype surprises count as failures
             ok = False
@@ -122,6 +131,11 @@ ELWISE = {
     "op_islower": (_.s.str.islower(), "s = lower(s) AND length(s) > 0"),
     "op_isdigit": (_.s.str.isdigit(), "regexp_matches(s, '^[0-9]+$')"),
     "op_str_extract": (_.s.str.extract("([0-9]+)"), "regexp_extract(s, '([0-9]+)', 1)"),
+    "op_slice_neg": (_.s.str.slice(-3), "s[-3:]"),
+    "op_slice_neg2": (_.s.str.slice(-3, -1),
+                      "CASE WHEN s IS NULL THEN NULL "
+                      "ELSE substr(s, greatest(length(s)-2, 1), 2) END"),
+    "op_findall": (_.s.str.findall("[a-z]+"), "regexp_extract_all(s, '[a-z]+')"),
     "op_find": (_.s.str.find("e"), "strpos(s, 'e') - 1"),
     "op_repeat": (_.s.str.repeat(2), "repeat(s, 2)"),
     # datetime
@@ -141,6 +155,10 @@ ELWISE = {
     "op_mend": (_.t.dt.is_month_end, "CAST(t AS DATE) = last_day(t)"),
     "op_ystart": (_.t.dt.is_year_start, "month(t) = 1 AND day(t) = 1"),
     "op_strftime": (_.t.dt.strftime("%Y-%m"), "strftime(t, '%Y-%m')"),
+    "op_total_seconds": ((_.t - _.t.dt.normalize()).dt.total_seconds(),
+                         "epoch(t - date_trunc('day', t))"),
+    "op_dt_round_h": (_.t.dt.round("H").dt.strftime("%Y-%m-%d %H:%M"),
+                      "strftime(make_timestamp(CAST(round(epoch(t)/3600)*3600*1000000 AS BIGINT)), '%Y-%m-%d %H:%M')"),
     "op_month_name": (_.t.dt.month_name(), "monthname(t)"),
     "op_day_name": (_.t.dt.day_name(), "dayname(t)"),
     "op_normalize": (_.t.dt.normalize().dt.strftime("%Y-%m-%d %H:%M"),

@@ -174,3 +174,50 @@ def test_py_func_composes_with_groups(spark):
     t = data_frame(spark, g=["a", "a", "b"], x=[1.0, 2.0, 3.0])
     out = summarize(group_by(mutate(t, nx=neg(_.x)), _.g), s=_.nx.sum())
     assert {(r.g, r.s) for r in out.df.collect()} == {("a", -3.0), ("b", -3.0)}
+
+
+def test_dt_round_half_even_matches_pandas(spark):
+    """dt.round ties (xx:30:00) round half-to-even on the unit count,
+    exactly like pandas Series.dt.round."""
+    import pandas as pd
+    from siuba_spark import _, mutate, tbl
+    ts = pd.Series(pd.to_datetime([
+        "2020-01-01 00:30:00", "2020-01-01 01:30:00",  # hour ties
+        "2020-01-01 12:00:00", "2020-01-02 12:00:00",  # day ties
+        "2020-03-05 10:29:59", "2021-07-31 23:45:00",
+    ]))
+    pdf = pd.DataFrame({"t": ts})
+    t = tbl(spark.createDataFrame(pdf))
+    got = (t >> mutate(h=_.t.dt.round("H"), d=_.t.dt.round("D"))).df.toPandas()
+    assert got["h"].tolist() == ts.dt.round("h").tolist()
+    assert got["d"].tolist() == ts.dt.round("D").tolist()
+
+
+def test_dt_components_fields(spark):
+    import pandas as pd
+    from siuba_spark import _, mutate, tbl
+    pdf = pd.DataFrame({
+        "a": pd.to_datetime(["2020-01-03 04:05:06.25"]),
+        "b": pd.to_datetime(["2020-01-01 00:00:00"]),
+    })
+    t = tbl(spark.createDataFrame(pdf))
+    got = (t >> mutate(c=(_.a - _.b).dt.components)).df.toPandas()["c"][0]
+    want = (pdf.a - pdf.b).dt.components.iloc[0]
+    assert got["days"] == want.days
+    assert got["hours"] == want.hours
+    assert got["minutes"] == want.minutes
+    assert got["seconds"] == want.seconds
+    assert got["milliseconds"] == want.milliseconds
+
+
+def test_total_seconds_matches_pandas(spark):
+    import pandas as pd
+    from siuba_spark import _, mutate, tbl
+    pdf = pd.DataFrame({
+        "a": pd.to_datetime(["2020-01-02 03:04:05.5", "2019-12-31 23:00:00.0"]),
+        "b": pd.to_datetime(["2020-01-01 00:00:00.0", "2020-01-01 00:00:00.0"]),
+    })
+    t = tbl(spark.createDataFrame(pdf))
+    got = (t >> mutate(s=(_.a - _.b).dt.total_seconds())).df.toPandas()["s"]
+    want = (pdf.a - pdf.b).dt.total_seconds()
+    assert got.tolist() == want.tolist()  # includes a negative interval
