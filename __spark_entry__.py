@@ -1171,9 +1171,12 @@ def q_simhash(spark, sf):
 
 
 def q_lsh_ann(spark, sf):
+    """Hyperplane LSH ANN with OR-amplification (12 tables × 4 planes:
+    recall ≈0.75 vs exact on the near-random synthetic embeddings;
+    tests/test_oracle.py pins the floor)."""
     emb = _t(spark, sf, "embeddings")
     queries = emb >> filter(_.vec_id < 5)
-    return lsh_topk(emb, queries, k=10, n_planes=6).df
+    return lsh_topk(emb, queries, k=10, n_planes=4, n_tables=12).df
 
 
 def q_multimodal_decode(spark, sf):

@@ -114,26 +114,43 @@ def add_hyperplane_bucket(tbl: SparkTbl, vec_col: str = "embedding",
 @verb
 def lsh_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", n_planes: int = 8, round_to: int = 4,
-             dim: int | None = None):
+             dim: int | None = None, n_tables: int = 1, seed: int = 42):
     """Approximate top-k: candidates restricted to the query's hyperplane
-    bucket, then exact cosine within bucket.  Trades recall for a
-    |bucket|-sized candidate set — the 100 TB path."""
+    bucket(s), then exact cosine within bucket.
+
+    ``n_tables`` > 1 enables OR-amplification: each table hashes with an
+    independent plane set, candidates are the union over tables (recall
+    ≈ 1-(1-p)^T for per-table collision prob p), deduped BEFORE the exact
+    cosine so each surviving pair is scored once.  At 100 TB the join
+    shuffles on (table, bucket) — candidate volume scales with
+    n_tables · |bucket|², never |corpus|²."""
     qtbl = queries if isinstance(queries, SparkTbl) else SparkTbl(queries)
     if dim is None:
         # sniff from the (small) query side once; the corpus side stays lazy
         dim = len(qtbl.df.select(vec_col).first()[0])
-    bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes, dim=dim)
-    qt = add_hyperplane_bucket(qtbl, vec_col=vec_col, n_planes=n_planes, dim=dim)
+    bt, qt = tbl, qtbl
+    bcols = []
+    for ti in range(n_tables):
+        out_c = f"__b{ti}"
+        bt = add_hyperplane_bucket(bt, vec_col=vec_col, n_planes=n_planes,
+                                   out=out_c, seed=seed + 97 * ti, dim=dim)
+        qt = add_hyperplane_bucket(qt, vec_col=vec_col, n_planes=n_planes,
+                                   out=out_c, seed=seed + 97 * ti, dim=dim)
+        bcols.append(out_c)
     corpus = bt.df.select(F.col(id_col).alias("nbr_id"),
-                          F.col(vec_col).alias("nbr_vec"), "bucket",
-                          _norm_sq(F.col(vec_col)).alias("__nn"))
+                          F.col(vec_col).alias("nbr_vec"),
+                          _norm_sq(F.col(vec_col)).alias("__nn"),
+                          F.posexplode(F.array(*bcols)).alias("tbl_i", "bucket"))
     qdf = qt.df.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("query_vec"), "bucket",
-                       _norm_sq(F.col(vec_col)).alias("__qn"))
-    scored = (corpus.join(F.broadcast(qdf), "bucket")
-              .filter(F.col("query_id") != F.col("nbr_id"))
-              .withColumn("score", F.round(_cosine_from_parts(
-                  "query_vec", "nbr_vec", F.col("__qn"), F.col("__nn")), round_to)))
+                       F.col(vec_col).alias("query_vec"),
+                       _norm_sq(F.col(vec_col)).alias("__qn"),
+                       F.posexplode(F.array(*bcols)).alias("tbl_i", "bucket"))
+    cand = (corpus.join(F.broadcast(qdf), ["tbl_i", "bucket"])
+            .filter(F.col("query_id") != F.col("nbr_id")))
+    if n_tables > 1:
+        cand = cand.dropDuplicates(["query_id", "nbr_id"])
+    scored = cand.withColumn("score", F.round(_cosine_from_parts(
+        "query_vec", "nbr_vec", F.col("__qn"), F.col("__nn")), round_to))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
     out = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)

@@ -72,3 +72,64 @@ def test_query_matches_oracle(name, spark, duck):
             if "value-hash would fail" in str(e):
                 raise
             raise AssertionError(f"{name}: values differ from oracle") from e
+
+
+# -- ANN recall gates: approximate methods vs the exact baseline ------------
+# (rows-only entries in the driver artifact; this pins their QUALITY)
+
+
+def _topk_sets(df, k_col="rk"):
+    """{query_id: set(nbr_id)} from a topk result pandas frame."""
+    out = {}
+    for q, grp in df.groupby("query_id"):
+        out[q] = set(grp["nbr_id"])
+    return out
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    hits = total = 0
+    for q, want in exact.items():
+        got = approx.get(q, set())
+        hits += len(got & want)
+        total += len(want)
+    return hits / total if total else 1.0
+
+
+@pytest.fixture(scope="module")
+def _ann_frames(spark):
+    from siuba_spark import filter as sfilter
+    from siuba_spark import tbl
+    from siuba_spark.corpus.similarity import (
+        brute_force_topk, ivf_topk, lsh_topk,
+    )
+    from siuba_spark import _
+    emb = tbl(spark, f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb >> sfilter(_.vec_id < 20)
+    exact = brute_force_topk(emb, queries, k=10).df.toPandas()
+    lsh = lsh_topk(emb, queries, k=10, n_planes=4, n_tables=12).df.toPandas()
+    ivf = ivf_topk(emb, queries, k=10, n_lists=8, n_probes=3).df.toPandas()
+    return exact, lsh, ivf
+
+
+def test_lsh_topk_recall_floor(_ann_frames):
+    exact, lsh, _ivf = _ann_frames
+    r = _recall(_topk_sets(lsh), _topk_sets(exact))
+    assert r >= 0.5, f"lsh_topk recall {r:.3f} below floor (12 tables x 4 planes)"
+
+
+def test_ivf_topk_recall_floor(_ann_frames):
+    exact, _lsh, ivf = _ann_frames
+    r = _recall(_topk_sets(ivf), _topk_sets(exact))
+    assert r >= 0.6, f"ivf_topk recall {r:.3f} below floor (8 lists, 3 probes)"
+
+
+def test_ann_methods_perfect_precision_on_scored_pairs(_ann_frames):
+    """Approximate methods never mis-score: every (query,nbr) pair they DO
+    return carries exactly the same rounded cosine as the exact baseline."""
+    exact, lsh, ivf = _ann_frames
+    escore = {(r.query_id, r.nbr_id): r.score for r in exact.itertuples()}
+    for name, df in (("lsh", lsh), ("ivf", ivf)):
+        for r in df.itertuples():
+            key = (r.query_id, r.nbr_id)
+            if key in escore:
+                assert abs(r.score - escore[key]) < 1e-9, (name, key)
