@@ -336,20 +336,10 @@ def complete(tbl: SparkTbl, *args, fill: dict | None = None,
 # --------------------------------------------------------------------------
 
 
-@verb
-def pivot_longer(tbl: SparkTbl, *args, names_to="name", values_to: str = "value",
-                 names_sep: str | None = None, names_pattern: str | None = None,
-                 names_prefix: str | None = None, values_drop_na: bool = False):
-    """tidyr pivot_longer: multi-part names via names_sep/names_pattern and
-    the ``.value`` spec (reference: siuba/experimental/pivot/pivot_long.py:45-250;
-    SQL strategy = union-all of per-spec selects, sql_pivot_long.py:56+)."""
-    cols = resolve_names(args, tbl.columns)
-    if isinstance(names_to, str):
-        names_to = (names_to,)
-    names_to = tuple(names_to)
-
-    # ---- build the spec in pure Python (names only, no data) -------------
-    spec = []  # (source_col, {name_to_part: value})
+def _longer_spec_pairs(columns, cols, names_to, values_to, names_sep,
+                       names_pattern, names_prefix):
+    """The internal long-pivot spec: [(source_col, {part_name: value})]."""
+    spec = []
     for c in cols:
         label = c
         if names_prefix and label.startswith(names_prefix):
@@ -369,7 +359,75 @@ def pivot_longer(tbl: SparkTbl, *args, names_to="name", values_to: str = "value"
             raise TranslationError(f"column '{c}' splits into {len(parts)} parts, "
                                    f"expected {len(names_to)}")
         spec.append((c, dict(zip(names_to, parts))))
+    return spec
 
+
+@verb
+def build_longer_spec(tbl: SparkTbl, *args, names_to="name",
+                      values_to: str = "value", names_sep: str | None = None,
+                      names_pattern: str | None = None,
+                      names_prefix: str | None = None):
+    """The tidyr spec-level API: return the long-pivot spec as a pandas
+    DataFrame with columns ``.name`` (source column), ``.value``
+    (destination value column) and one column per extra names_to part —
+    the exact frame the reference builds (pivot_long.py:175-250).  Pure
+    name manipulation: no Spark job runs."""
+    import pandas as pd
+
+    cols = resolve_names(args, tbl.columns)
+    names_to = (names_to,) if isinstance(names_to, str) else tuple(names_to)
+    pairs = _longer_spec_pairs(tbl.columns, cols, names_to, values_to,
+                               names_sep, names_pattern, names_prefix)
+    rows = []
+    for c, parts in pairs:
+        row = {".name": c, ".value": parts.get(".value", values_to)}
+        for k in names_to:
+            if k != ".value":
+                row[k] = parts[k]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+@verb
+def pivot_longer_spec(tbl: SparkTbl, spec, values_drop_na: bool = False):
+    """Reshape long according to a spec frame from ``build_longer_spec``
+    (possibly user-edited — the whole point of the spec API; reference:
+    pivot_long.py:252-350)."""
+    import pandas as pd
+
+    spec = pd.DataFrame(spec)
+    other = [c for c in spec.columns if c not in (".name", ".value")]
+    multi_value = spec[".value"].nunique() > 1
+    names_to = tuple(other) + ((".value",) if multi_value else ())
+    values_to = spec[".value"].iloc[0] if not multi_value else "value"
+    pairs = []
+    for r in spec.to_dict("records"):
+        parts = {k: r[k] for k in other}
+        if multi_value:
+            parts[".value"] = r[".value"]
+        pairs.append((r[".name"], parts))
+    return _pivot_longer_impl(tbl, pairs, names_to, values_to, values_drop_na)
+
+
+@verb
+def pivot_longer(tbl: SparkTbl, *args, names_to="name", values_to: str = "value",
+                 names_sep: str | None = None, names_pattern: str | None = None,
+                 names_prefix: str | None = None, values_drop_na: bool = False):
+    """tidyr pivot_longer: multi-part names via names_sep/names_pattern and
+    the ``.value`` spec (reference: siuba/experimental/pivot/pivot_long.py:45-250;
+    SQL strategy = union-all of per-spec selects, sql_pivot_long.py:56+)."""
+    cols = resolve_names(args, tbl.columns)
+    if isinstance(names_to, str):
+        names_to = (names_to,)
+    names_to = tuple(names_to)
+    spec = _longer_spec_pairs(tbl.columns, cols, names_to, values_to,
+                              names_sep, names_pattern, names_prefix)
+    return _pivot_longer_impl(tbl, spec, names_to, values_to, values_drop_na)
+
+
+def _pivot_longer_impl(tbl: SparkTbl, spec, names_to, values_to,
+                       values_drop_na):
+    cols = [c for c, _p in spec]
     ids = [c for c in tbl.columns if c not in cols]
 
     if ".value" in names_to:
@@ -502,6 +560,99 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
     if values_fill is not None:
         df = df.fillna(values_fill, subset=out_names)
     return SparkTbl(df, pins=tbl.pins + (work,))
+
+
+@verb
+def build_wider_spec(tbl: SparkTbl, names_from="name", values_from="value",
+                     names_prefix: str = "", names_sep: str = "_",
+                     names_glue: str | None = None):
+    """Spec-level wide-pivot API (reference: pivot_wide.py:438-527): a
+    pandas DataFrame with ``.name`` (output column), ``.value`` (source
+    value column) and the names_from part columns, names_from varying
+    fastest.  EAGER: collects the distinct names_from rows (bounded by
+    MAX_PIVOT_KEYS) — the reference needs the data for this too."""
+    import pandas as pd
+
+    names_from = [_colname(names_from)] if not isinstance(names_from, (list, tuple)) \
+        else [_colname(c) for c in names_from]
+    values_from = [_colname(values_from)] if not isinstance(values_from, (list, tuple)) \
+        else [_colname(c) for c in values_from]
+    rows = (tbl.df.select(*names_from).distinct()
+            .limit(MAX_PIVOT_KEYS + 1).collect())
+    if len(rows) > MAX_PIVOT_KEYS:
+        raise TranslationError(
+            f"pivot spec exceeds {MAX_PIVOT_KEYS} distinct keys")
+    rows.sort(key=lambda r: tuple((v is None, str(v)) for v in r))
+    out = []
+    for v in values_from:
+        for r in rows:
+            parts = tuple(str(p) for p in r)
+            key = names_sep.join(parts)
+            if names_glue is not None and (len(values_from) > 1 or len(names_from) > 1):
+                if len(values_from) > 1:
+                    name = names_glue.format(variable=v, value=parts[0])
+                else:
+                    name = names_glue.format(
+                        variable=parts[0],
+                        value=parts[1] if len(parts) > 1 else "")
+            elif len(values_from) > 1:
+                name = f"{names_prefix}{v}{names_sep}{key}"
+            else:
+                name = f"{names_prefix}{key}"
+            out.append({".name": name, ".value": v,
+                        **dict(zip(names_from, r))})
+    return pd.DataFrame(out)
+
+
+@verb
+def pivot_wider_spec(tbl: SparkTbl, spec, id_cols=None, values_fill=None,
+                     values_fn="max", names_sep: str = "_"):
+    """Pivot wide according to a (possibly user-edited) spec frame from
+    ``build_wider_spec`` — only the keys listed in the spec become columns,
+    named exactly by ``.name`` (reference: pivot_wide.py:283-430)."""
+    import pandas as pd
+
+    spec = pd.DataFrame(spec)
+    names_from = [c for c in spec.columns if c not in (".name", ".value")]
+    values_from = list(pd.unique(spec[".value"]))
+    if id_cols is None:
+        ids = [c for c in tbl.columns if c not in names_from + values_from]
+    else:
+        ids = resolve_names(id_cols if isinstance(id_cols, (list, tuple)) else [id_cols],
+                            tbl.columns)
+    if isinstance(values_fn, dict):
+        fn_for = {v: _agg_fn(values_fn[v]) for v in values_from}
+    else:
+        fn_for = {v: _agg_fn(values_fn) for v in values_from}
+
+    if len(names_from) == 1:
+        work = tbl.df
+        key_name = names_from[0]
+        key_of = lambda r: str(r[key_name])  # noqa: E731
+    else:
+        key_name = "__pw_key"
+        work = tbl.df.withColumn(key_name, F.concat_ws(names_sep, *names_from)) \
+            .drop(*names_from)
+        key_of = lambda r: names_sep.join(str(r[c]) for c in names_from)  # noqa: E731
+    keys = sorted({key_of(r) for r in spec.to_dict("records")})
+
+    if len(values_from) == 1:
+        v0 = values_from[0]
+        df = work.groupBy(*ids).pivot(key_name, keys).agg(fn_for[v0](F.col(v0)))
+        rename = {key_of(r): r[".name"] for r in spec.to_dict("records")}
+    else:
+        aggs = [fn_for[v](F.col(v)).alias(v) for v in values_from]
+        df = work.groupBy(*ids).pivot(key_name, keys).agg(*aggs)
+        rename = {f"{key_of(r)}_{r['.value']}": r[".name"]
+                  for r in spec.to_dict("records")}
+    out_names = list(rename.values())
+    df = df.withColumnsRenamed({k: v for k, v in rename.items() if k != v})
+    # spec may deliberately omit keys the pivot produced — drop those
+    keep = ids + out_names
+    df = df.select(*[c for c in df.columns if c in keep])
+    if values_fill is not None:
+        df = df.fillna(values_fill, subset=out_names)
+    return SparkTbl(df)
 
 
 @join_verb

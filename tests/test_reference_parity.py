@@ -534,3 +534,36 @@ def test_parity_pivot_wider_values_fn_dict(spark):
                            values_fn={"v": "mean", "w": "max"}).df.toPandas()
     assert sorted(got.columns) == sorted(want.columns)
     pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_parity_build_longer_spec_name_parsing(spark):
+    """Spec frames match the reference builder column-for-column on
+    names_sep, names_pattern, prefix, and .value parsing."""
+    import importlib
+    ref_mod = (_ref_pivot_wider(), importlib.import_module(
+        "siuba.experimental.pivot.pivot_long"))[1]
+    ref_build = ref_mod.build_longer_spec
+
+    wide = pd.DataFrame({"id": [1], "x_1": [1.0], "x_2": [2.0],
+                         "y_1": [3.0], "y_2": [4.0]})
+    t = ours.tbl(spark.createDataFrame(wide))
+
+    cases = [
+        dict(names_to=(".value", "set"), names_sep="_"),
+        dict(names_to=("v", "set"), names_sep="_"),
+        dict(names_to=("v", "set"), names_pattern=r"(.)_(.)"),
+    ]
+    for kw in cases:
+        want = ref_build(wide, R.x_1, R.x_2, R.y_1, R.y_2, **kw)
+        got = ours.build_longer_spec(t, S.x_1, S.x_2, S.y_1, S.y_2, **kw)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
+
+    # names_prefix stripping
+    pref = pd.DataFrame({"id": [1], "wk1": [1], "wk2": [2]})
+    tp = ours.tbl(spark.createDataFrame(pref))
+    want = ref_build(pref, R.wk1, R.wk2, names_to="week", names_prefix="wk")
+    got = ours.build_longer_spec(tp, S.wk1, S.wk2, names_to="week",
+                                 names_prefix="wk")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

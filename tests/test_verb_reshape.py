@@ -213,3 +213,54 @@ def test_minhash_near_dups_unpersists_after_collect(spark):
     pdf = t >> minhash_near_dups(k=3, num_hashes=16, bands=4, rows=4) >> collect()
     assert len(pdf) >= 1
     assert _n_cached(spark) == before, "minhash_near_dups leaked a persisted RDD"
+
+
+# -- spec-level pivot API ---------------------------------------------------
+
+def test_build_longer_spec_frame(spark):
+    from siuba_spark import build_longer_spec
+    t = data_frame(spark, id=[1], x_1=[1.0], x_2=[2.0], y_1=[3.0], y_2=[4.0])
+    spec = build_longer_spec(t, _.x_1, _.x_2, _.y_1, _.y_2,
+                             names_to=(".value", "g"), names_sep="_")
+    assert list(spec.columns) == [".name", ".value", "g"]
+    assert spec[".name"].tolist() == ["x_1", "x_2", "y_1", "y_2"]
+    assert spec[".value"].tolist() == ["x", "x", "y", "y"]
+    assert spec["g"].tolist() == ["1", "2", "1", "2"]
+
+
+def test_pivot_longer_spec_roundtrips_with_pivot_longer(spark):
+    from siuba_spark import build_longer_spec, pivot_longer_spec
+    t = data_frame(spark, id=[1, 2], wk1=[10, 20], wk2=[30, 40])
+    direct = (t >> pivot_longer(_.wk1, _.wk2, names_to="week",
+                                names_prefix="wk", values_to="v")).df.toPandas()
+    spec = build_longer_spec(t, _.wk1, _.wk2, names_to="week",
+                             names_prefix="wk", values_to="v")
+    via_spec = (t >> pivot_longer_spec(spec)).df.toPandas()
+    key = ["id", "week"]
+    pd.testing.assert_frame_equal(
+        direct.sort_values(key).reset_index(drop=True),
+        via_spec.sort_values(key).reset_index(drop=True))
+
+
+def test_pivot_longer_spec_user_edited(spark):
+    """The point of the spec API: edit the frame, get edited semantics."""
+    from siuba_spark import build_longer_spec, pivot_longer_spec
+    t = data_frame(spark, id=[1], a=[10], b=[20])
+    spec = build_longer_spec(t, _.a, _.b, names_to="k", values_to="v")
+    spec.loc[spec["k"] == "a", "k"] = "alpha"   # relabel a level
+    got = (t >> pivot_longer_spec(spec)).df.toPandas()
+    assert sorted(got["k"]) == ["alpha", "b"]
+
+
+def test_build_wider_spec_and_pivot_wider_spec(spark):
+    from siuba_spark import build_wider_spec, pivot_wider_spec
+    t = data_frame(spark, id=[1, 1, 2], k=["x", "y", "x"], v=[1, 2, 3])
+    spec = build_wider_spec(t, names_from="k", values_from="v")
+    assert spec[".name"].tolist() == ["x", "y"]
+    out = (t >> pivot_wider_spec(spec)).df.toPandas()
+    assert sorted(out.columns) == ["id", "x", "y"]
+    # user-edited spec: keep only key x, rename the output column
+    edited = spec[spec["k"] == "x"].assign(**{".name": ["only_x"]})
+    out2 = (t >> pivot_wider_spec(edited)).df.toPandas()
+    assert sorted(out2.columns) == ["id", "only_x"]
+    assert sorted(out2["only_x"]) == [1, 3]
