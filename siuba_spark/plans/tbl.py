@@ -137,8 +137,14 @@ def collect(tbl: SparkTbl):
 
 @verb
 def show_query(tbl: SparkTbl, simplify: bool = False):
-    """Print the physical plan (the Spark analogue of compiled SQL;
-    reference: siuba/sql/verbs/explain.py:16-38). Returns the tbl."""
+    """Print the analyzed logical plan — the Spark analogue of the compiled
+    SQL the reference shows (siuba/sql/verbs/explain.py:16-38) — followed
+    by the physical plan.  ``simplify=True`` prints only the one-line
+    physical plan, mirroring the reference's unstyled SQL mode.
+    Returns the tbl so it chains."""
+    if not simplify:
+        print("== Analyzed Logical Plan ==")
+        print(tbl.df._jdf.queryExecution().analyzed().toString())
     tbl.df.explain(mode="simple" if simplify else "formatted")
     return tbl
 

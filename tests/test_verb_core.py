@@ -210,7 +210,10 @@ def test_show_query_prints_plan_and_passes_through(spark, capsys):
     t = data_frame(spark, a=[1, 2, 3])
     out = t >> mutate(b=_.a + 1) >> show_query()
     captured = capsys.readouterr().out
-    assert "Physical Plan" in captured or "Project" in captured
+    # the analyzed logical plan (SQL-analogue) AND the physical plan
+    assert "Analyzed Logical Plan" in captured
+    assert "Project" in captured
+    assert "Physical Plan" in captured
     assert out.df.count() == 3  # pipe keeps flowing (reference returns tbl)
 
 
