@@ -76,21 +76,45 @@ def _fct_collapse(ctx, args, kwargs):
 
 @register_fn("fct_lump")
 def _fct_lump(ctx, args, kwargs):
-    """Keep the n most frequent values, lump the rest into "Other"
-    (reference: forcats.py:351).  Distributed impl: frequency via a
-    partition-by-value window + dense_rank by (freq desc, value) — no
-    driver collect, same plan shape at any scale."""
+    """Keep the n most frequent values (negative n: LEAST frequent), or the
+    values above a frequency proportion (``prop``), optionally weighted
+    (``w``); lump the rest into "Other" (reference: forcats.py:351-417).
+    Distributed impl: frequency via a partition-by-value window +
+    dense_rank by (freq desc, value) — no driver collect, same plan shape
+    at any scale."""
     from ..siu.calls import Lit
+
+    def val(x, default=None):
+        if x is None:
+            return default
+        return x.value if isinstance(x, Lit) else x
+
     col = _low(args[0], ctx)
-    n = kwargs.get("n", args[1] if len(args) > 1 else Lit(5))
-    n = n.value if isinstance(n, Lit) else n
-    other = kwargs.get("other_level", Lit("Other"))
-    other = other.value if isinstance(other, Lit) else other
+    n = val(kwargs.get("n", args[1] if len(args) > 1 else None))
+    prop = val(kwargs.get("prop"))
+    other = val(kwargs.get("other_level"), "Other")
+    w = kwargs.get("w")
+    if n is None and prop is None:
+        n = 5
     groups = [F.col(g) for g in ctx.group_by]
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(*groups, col))
-    rk = F.dense_rank().over(
-        Window.partitionBy(*groups).orderBy(cnt.desc(), col.asc_nulls_last()))
-    return F.when(rk <= int(n), col).otherwise(F.lit(other)), SCALAR
+    if w is not None:
+        w_col = _low(w, ctx)
+        cnt = F.sum(w_col).over(Window.partitionBy(*groups, col))
+        total = F.sum(w_col).over(Window.partitionBy(*groups))
+    else:
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*groups, col))
+        total = F.count(F.lit(1)).over(Window.partitionBy(*groups))
+    if prop is not None:
+        share = cnt / total
+        keep = share > prop if prop >= 0 else share <= -prop
+        return F.when(keep, col).otherwise(F.lit(other)), SCALAR
+    if n >= 0:
+        rk = F.dense_rank().over(
+            Window.partitionBy(*groups).orderBy(cnt.desc(), col.asc_nulls_last()))
+    else:
+        rk = F.dense_rank().over(
+            Window.partitionBy(*groups).orderBy(cnt.asc(), col.asc_nulls_last()))
+    return F.when(rk <= abs(int(n)), col).otherwise(F.lit(other)), SCALAR
 
 
 @register_fn("fct_rev")

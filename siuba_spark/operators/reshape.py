@@ -389,7 +389,9 @@ def build_longer_spec(tbl: SparkTbl, *args, names_to="name",
 
 
 @verb
-def pivot_longer_spec(tbl: SparkTbl, spec, values_drop_na: bool = False):
+def pivot_longer_spec(tbl: SparkTbl, spec, values_drop_na: bool = False,
+                      names_repair: str = "check_unique",
+                      values_transform=None):
     """Reshape long according to a spec frame from ``build_longer_spec``
     (possibly user-edited — the whole point of the spec API; reference:
     pivot_long.py:252-350)."""
@@ -406,27 +408,74 @@ def pivot_longer_spec(tbl: SparkTbl, spec, values_drop_na: bool = False):
         if multi_value:
             parts[".value"] = r[".value"]
         pairs.append((r[".name"], parts))
-    return _pivot_longer_impl(tbl, pairs, names_to, values_to, values_drop_na)
+    return _pivot_longer_impl(tbl, pairs, names_to, values_to, values_drop_na,
+                              names_repair, values_transform)
 
 
 @verb
 def pivot_longer(tbl: SparkTbl, *args, names_to="name", values_to: str = "value",
                  names_sep: str | None = None, names_pattern: str | None = None,
-                 names_prefix: str | None = None, values_drop_na: bool = False):
+                 names_prefix: str | None = None, values_drop_na: bool = False,
+                 names_transform=None, values_transform=None,
+                 names_repair: str = "check_unique"):
     """tidyr pivot_longer: multi-part names via names_sep/names_pattern and
     the ``.value`` spec (reference: siuba/experimental/pivot/pivot_long.py:45-250;
-    SQL strategy = union-all of per-spec selects, sql_pivot_long.py:56+)."""
+    SQL strategy = union-all of per-spec selects, sql_pivot_long.py:56+).
+
+    ``names_transform``: dict mapping names_to parts to a Python callable
+    applied to each part value spec-side (e.g. ``{"week": int}`` — exactly
+    the reference, pivot_long.py:240-247).  ``values_transform``: dict
+    mapping value-column names to a dtype string (lazy cast) or a
+    Column→Column callable.  ``names_repair``: "check_unique" (raise on
+    duplicates), "unique" (suffix ``___{position}``)."""
     cols = resolve_names(args, tbl.columns)
     if isinstance(names_to, str):
         names_to = (names_to,)
     names_to = tuple(names_to)
     spec = _longer_spec_pairs(tbl.columns, cols, names_to, values_to,
                               names_sep, names_pattern, names_prefix)
-    return _pivot_longer_impl(tbl, spec, names_to, values_to, values_drop_na)
+    if names_transform:
+        spec = [(c, {k: (names_transform[k](v) if k in names_transform else v)
+                     for k, v in parts.items()})
+                for c, parts in spec]
+    return _pivot_longer_impl(tbl, spec, names_to, values_to, values_drop_na,
+                              names_repair, values_transform)
+
+
+def _apply_values_transform(df, value_names, values_transform):
+    if not values_transform:
+        return df
+    for nm, tr in values_transform.items():
+        if nm not in value_names:
+            raise ValueError(
+                f"values_transform key {nm!r} is not a value column "
+                f"({value_names})")
+        df = df.withColumn(nm, F.col(nm).cast(tr) if isinstance(tr, str)
+                           else tr(F.col(nm)))
+    return df
+
+
+def _repair_names(names, how):
+    """vec_as_names analogue (reference utils.py): positional ___{i}
+    suffixes for "unique", error on duplicates for "check_unique"."""
+    if how == "check_unique":
+        dups = sorted({n for n in names if names.count(n) > 1})
+        if dups:
+            raise ValueError(
+                f"duplicate output columns {dups}; pass "
+                "names_repair='unique' to auto-suffix")
+        return names
+    if how == "unique":
+        return [n if names.count(n) == 1 else f"{n}___{i}"
+                for i, n in enumerate(names)]
+    if how == "minimal":
+        return names  # Spark itself rejects true duplicates downstream
+    raise ValueError(f"unknown names_repair {how!r}")
 
 
 def _pivot_longer_impl(tbl: SparkTbl, spec, names_to, values_to,
-                       values_drop_na):
+                       values_drop_na, names_repair="check_unique",
+                       values_transform=None):
     cols = [c for c, _p in spec]
     ids = [c for c in tbl.columns if c not in cols]
 
@@ -449,6 +498,10 @@ def _pivot_longer_impl(tbl: SparkTbl, spec, names_to, values_to,
         df = pieces[0]
         for p in pieces[1:]:
             df = df.unionByName(p)
+        df = _apply_values_transform(df, value_names, values_transform)
+        repaired = _repair_names(df.columns, names_repair)
+        if repaired != df.columns:
+            df = df.toDF(*repaired)
         return SparkTbl(df)
 
     vtype = _common_value_type(tbl.df, cols)
@@ -462,6 +515,10 @@ def _pivot_longer_impl(tbl: SparkTbl, spec, names_to, values_to,
                   F.col("__kv")[values_to].alias(values_to)))
     if values_drop_na:
         df = df.filter(F.col(values_to).isNotNull())
+    df = _apply_values_transform(df, [values_to], values_transform)
+    repaired = _repair_names(df.columns, names_repair)
+    if repaired != df.columns:
+        df = df.toDF(*repaired)
     return SparkTbl(df)
 
 
@@ -469,7 +526,9 @@ def _pivot_longer_impl(tbl: SparkTbl, spec, names_to, values_to,
 def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
                 values_from: str = "value", names_prefix: str = "",
                 names_sep: str = "_", names_glue: str | None = None,
-                values_fill=None, values_fn="max"):
+                values_fill=None, values_fn="max",
+                names_vary: str = "fastest", names_expand: bool = False,
+                id_expand: bool = False):
     """tidyr pivot_wider (reference: siuba/experimental/pivot/pivot_wide.py:97-275;
     SQL default agg MAX, sql_pivot_wide.py:29,48).
 
@@ -481,7 +540,16 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
     names_from parts.  With a single name part glue is ignored (reference
     behavior).  ``values_fn`` may be a dict mapping each values_from
     column to its aggregate.
+
+    ``names_vary`` orders output columns: "fastest" = names_from varies
+    fastest ([x_one, x_two, y_one, y_two]), "slowest" the transpose
+    (reference pivot_wide.py:494-517).  ``names_expand`` pivots the full
+    cartesian product of names_from level values (missing combos become
+    all-NULL columns).  ``id_expand`` completes the id-combination grid
+    and sorts by ids, exactly like the reference's expand()+sort.
     """
+    if names_vary not in ("fastest", "slowest"):
+        raise ValueError(f"names_vary must be 'fastest' or 'slowest', got {names_vary!r}")
     names_from = [_colname(names_from)] if not isinstance(names_from, (list, tuple)) \
         else [_colname(c) for c in names_from]
     values_from = [_colname(values_from)] if not isinstance(values_from, (list, tuple)) \
@@ -507,17 +575,30 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
     else:
         work = tbl.df.withColumn(
             "__pw_key", F.concat_ws(names_sep, *names_from)).persist()
-        # one spec scan collects the joined key AND its parts (needed by
-        # names_glue) together
-        rows = (work.select("__pw_key", *names_from).distinct()
-                .limit(MAX_PIVOT_KEYS + 1).collect())
-        if len(rows) > MAX_PIVOT_KEYS:
-            raise TranslationError(
-                f"pivot spec exceeds {MAX_PIVOT_KEYS} distinct keys; pivoting "
-                "that wide is a driver hazard — aggregate first")
-        rows.sort(key=lambda r: (r[0] is None, str(r[0])))
-        keys = [r[0] for r in rows]
-        parts_by_key = {str(r[0]): tuple(str(p) for p in r[1:]) for r in rows}
+        if names_expand:
+            # cartesian product of each names_from column's levels
+            # (reference: expand() over name_data, pivot_wide.py:486-488)
+            from itertools import product
+            per_col = [_distinct_keys(work, c) for c in names_from]
+            combos = list(product(*per_col))
+            if len(combos) > MAX_PIVOT_KEYS:
+                raise TranslationError(
+                    f"names_expand grid exceeds {MAX_PIVOT_KEYS} keys")
+            keys = [names_sep.join(str(p) for p in combo) for combo in combos]
+            parts_by_key = {k: tuple(str(p) for p in combo)
+                            for k, combo in zip(keys, combos)}
+        else:
+            # one spec scan collects the joined key AND its parts (needed
+            # by names_glue) together
+            rows = (work.select("__pw_key", *names_from).distinct()
+                    .limit(MAX_PIVOT_KEYS + 1).collect())
+            if len(rows) > MAX_PIVOT_KEYS:
+                raise TranslationError(
+                    f"pivot spec exceeds {MAX_PIVOT_KEYS} distinct keys; pivoting "
+                    "that wide is a driver hazard — aggregate first")
+            rows.sort(key=lambda r: (r[0] is None, str(r[0])))
+            keys = [r[0] for r in rows]
+            parts_by_key = {str(r[0]): tuple(str(p) for p in r[1:]) for r in rows}
         work = work.drop(*names_from)
     key_strs = [str(k) for k in keys]
 
@@ -543,11 +624,16 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
     else:
         aggs = [fn_for[v](F.col(v)).alias(v) for v in values_from]
         df = work.groupBy(*ids).pivot(key_name, keys).agg(*aggs)
-        # spark names these "<key>_<value>"; tidyr uses "<value>_<key>"
+        # spark names these "<key>_<value>"; tidyr uses "<value>_<key>".
+        # names_vary="fastest" (default): names_from varies fastest, i.e.
+        # value-major column order; "slowest" is key-major.
         rename = {}
         out_names = []
-        for ks in key_strs:
-            for v in values_from:
+        outer, inner = ((values_from, key_strs) if names_vary == "fastest"
+                        else (key_strs, values_from))
+        for a in outer:
+            for b in inner:
+                v, ks = (a, b) if names_vary == "fastest" else (b, a)
                 tidy = tidy_name(ks, v)
                 rename[f"{ks}_{v}"] = tidy
                 out_names.append(tidy)
@@ -557,6 +643,16 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
             "(names_repair='check_unique', the reference default)")
     if rename:
         df = df.withColumnsRenamed(rename)
+    df = df.select(*ids, *out_names)
+    if id_expand and ids:
+        # complete the id grid (cartesian product of per-id levels) and
+        # sort by ids, like the reference's expand() path (pivot_wide.py:320+)
+        grid = None
+        for c in ids:
+            part = work.select(c).distinct()
+            grid = part if grid is None else grid.crossJoin(part)
+        df = grid.join(df, ids, "left")
+        df = df.orderBy(*ids)
     if values_fill is not None:
         df = df.fillna(values_fill, subset=out_names)
     return SparkTbl(df, pins=tbl.pins + (work,))

@@ -567,3 +567,36 @@ def test_parity_build_longer_spec_name_parsing(spark):
     got = ours.build_longer_spec(tp, S.wk1, S.wk2, names_to="week",
                                  names_prefix="wk")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_parity_fct_lump_variants(spark):
+    from siuba.dply.forcats import fct_lump as ref_lump
+    pdf = pd.DataFrame({
+        "i": range(7),
+        "g": ["a", "a", "a", "b", "b", "c", "d"],
+        "w": [1.0, 1.0, 1.0, 5.0, 5.0, 1.0, 1.0],
+    })
+    t = ours.tbl(spark.createDataFrame(pdf))
+
+    def got(expr):
+        out = (t >> ours.mutate(l=expr)).df.toPandas()
+        return out.sort_values("i")["l"].tolist()
+
+    # negative n keeps the LEAST frequent levels
+    assert got(ours.fct_lump(S.g, n=-2)) == list(ref_lump(pdf.g, n=-2))
+    # prop keeps levels above a frequency share
+    assert got(ours.fct_lump(S.g, prop=0.3)) == list(ref_lump(pdf.g, prop=0.3))
+    # weighted counts
+    assert got(ours.fct_lump(S.g, n=1, w=S.w)) == list(ref_lump(pdf.g, n=1, w=pdf.w))
+
+
+def test_parity_pivot_wider_names_vary_slowest(spark):
+    ref_pw = _ref_pivot_wider()
+    want = ref_pw(MANY, names_from=R.var, values_from=R[R.x, R.y],
+                  names_vary="slowest")
+    t = spark.createDataFrame(MANY)
+    got = ours.pivot_wider(ours.tbl(t), names_from="var",
+                           values_from=["x", "y"],
+                           names_vary="slowest").df.toPandas()
+    assert got.columns.tolist() == want.columns.tolist()  # exact order parity
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)

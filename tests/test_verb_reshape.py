@@ -264,3 +264,62 @@ def test_build_wider_spec_and_pivot_wider_spec(spark):
     out2 = (t >> pivot_wider_spec(edited)).df.toPandas()
     assert sorted(out2.columns) == ["id", "only_x"]
     assert sorted(out2["only_x"]) == [1, 3]
+
+
+def test_pivot_longer_names_transform(spark):
+    t = data_frame(spark, id=[1], wk1=[10], wk2=[20])
+    out = (t >> pivot_longer(_.wk1, _.wk2, names_to="week",
+                             names_prefix="wk",
+                             names_transform={"week": int})).df
+    assert dict(out.dtypes)["week"] in ("int", "bigint")
+    assert sorted((r.week, r.value) for r in out.collect()) == [(1, 10), (2, 20)]
+
+
+def test_pivot_longer_values_transform(spark):
+    t = data_frame(spark, id=[1], a=[1.9], b=[2.9])
+    out = (t >> pivot_longer(_.a, _.b, names_to="k", values_to="v",
+                             values_transform={"v": "bigint"})).df
+    assert dict(out.dtypes)["v"] == "bigint"
+    out2 = (t >> pivot_longer(_.a, _.b, names_to="k", values_to="v",
+                              values_transform={"v": lambda c: c * 10})).df
+    assert sorted(r.v for r in out2.collect()) == [19.0, 29.0]
+
+
+def test_pivot_longer_names_repair(spark):
+    import pytest as _pt
+    t = data_frame(spark, k=["z"], a=[1], b=[2])  # id col collides with names_to
+    with _pt.raises(ValueError, match="duplicate"):
+        (t >> pivot_longer(_.a, _.b, names_to="k")).df.columns
+    out = (t >> pivot_longer(_.a, _.b, names_to="k",
+                             names_repair="unique")).df
+    assert sorted(out.columns) == ["k___0", "k___1", "value"]
+
+
+def test_pivot_wider_names_vary(spark):
+    t = data_frame(spark, id=[1, 2], var=["one", "one"], x=[1, 3], y=[6, 8])
+    fast = (t >> pivot_wider(names_from=_.var, values_from=["x", "y"])).df
+    assert fast.columns == ["id", "x_one", "y_one"]
+    t2 = data_frame(spark, id=[1, 1], var=["one", "two"], x=[1, 2], y=[6, 7])
+    fast2 = (t2 >> pivot_wider(names_from=_.var, values_from=["x", "y"])).df
+    assert fast2.columns == ["id", "x_one", "x_two", "y_one", "y_two"]
+    slow = (t2 >> pivot_wider(names_from=_.var, values_from=["x", "y"],
+                              names_vary="slowest")).df
+    assert slow.columns == ["id", "x_one", "y_one", "x_two", "y_two"]
+
+
+def test_pivot_wider_names_expand(spark):
+    t = data_frame(spark, id=[1, 2], a=["p", "q"], b=["u", "v"], v=[1, 2])
+    out = (t >> pivot_wider(names_from=["a", "b"], values_from=_.v,
+                            names_expand=True)).df
+    # 2x2 grid even though only p_u and q_v combos exist in the data
+    assert sorted(c for c in out.columns if c != "id") == \
+        ["p_u", "p_v", "q_u", "q_v"]
+
+
+def test_pivot_wider_id_expand(spark):
+    t = data_frame(spark, g=["a", "b"], h=[1, 2], k=["x", "x"], v=[10, 20])
+    out = (t >> pivot_wider(id_cols=["g", "h"], names_from=_.k,
+                            values_from=_.v, id_expand=True,
+                            values_fill=0)).df.toPandas()
+    assert len(out) == 4  # a/b x 1/2 grid
+    assert out.set_index(["g", "h"]).loc[("a", 2), "x"] == 0
