@@ -809,6 +809,48 @@ FROM r GROUP BY 1
 """
 
 
+def q_str_findall_family(spark, sf):
+    """findall + negative slice over documents (reference pandas str ops,
+    siuba/ops/generics.py:140)."""
+    return (
+        _t(spark, sf, "documents")
+        >> mutate(n_words=_.text.str.count(r"[A-Za-z]+"),
+                  tail3=_.text.str.slice(-3),
+                  has_num=_.text.str.contains(r"[0-9]"))
+        >> select(_.doc_id, _.n_words, _.tail3, _.has_num)
+    ).df
+
+
+SQL_STR_FINDALL_FAMILY = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_words,
+  text[-3:] AS tail3,
+  regexp_matches(text, '[0-9]') AS has_num
+FROM documents
+"""
+
+
+def q_fct_lump_prop(spark, sf):
+    """fct_lump(prop=, w=) variants (reference: forcats.py:351-417)."""
+    return (
+        _t(spark, sf, "orders")
+        >> mutate(prio=fct_lump(_.o_orderpriority, prop=0.15))
+        >> count(_.prio)
+        >> arrange(_.prio)
+    ).df
+
+
+SQL_FCT_LUMP_PROP = """
+WITH c AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+            / COUNT(*) OVER () AS share
+  FROM orders)
+SELECT CASE WHEN share > 0.15 THEN o_orderpriority ELSE 'Other' END AS prio,
+       COUNT(*) AS n
+FROM c GROUP BY 1
+"""
+
+
 def q_fct_reorder_arrange(spark, sf):
     """Level-order semantics: arrange by fct_reorder applies the per-level
     mean as the sort key (reference pandas reorders categorical levels,
@@ -1896,6 +1938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fct_lump": q_fct_lump,
         "fct_reorder_arrange": q_fct_reorder_arrange,
         "events_total_seconds": q_events_total_seconds,
+        "str_findall_family": q_str_findall_family,
+        "fct_lump_prop": q_fct_lump_prop,
         "fct_infreq_arrange": q_fct_infreq_arrange,
         "top_n": q_top_n,
         "complete_grid": q_complete_grid,
@@ -1986,6 +2030,8 @@ def oracle_sql() -> dict[str, str]:
         "fct_lump": SQL_FCT_LUMP,
         "fct_reorder_arrange": SQL_FCT_REORDER_ARRANGE,
         "events_total_seconds": SQL_EVENTS_TOTAL_SECONDS,
+        "str_findall_family": SQL_STR_FINDALL_FAMILY,
+        "fct_lump_prop": SQL_FCT_LUMP_PROP,
         "fct_infreq_arrange": SQL_FCT_INFREQ_ARRANGE,
         "top_n": SQL_TOP_N,
         "complete_grid": SQL_COMPLETE_GRID,
