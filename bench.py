@@ -4,9 +4,9 @@ JSON line with per-query and total wall time.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 serialization-to-driver cost), after a warmup pass that absorbs JVM/codegen
-startup. Each query is timed twice and the best run is reported: a
+startup. Each query is timed three times and the best run is reported: a
 single-JVM local bench is noisy (GC pauses from earlier queries land on
-whichever query runs next), and min-of-2 reflects steady-state throughput.
+whichever query runs next), and min-of-3 reflects steady-state throughput.
 """
 
 from __future__ import annotations
@@ -66,7 +66,7 @@ def main():
     timings = {}
     for name in HEADLINE:
         best = None
-        for _attempt in range(2):
+        for _attempt in range(3):
             t0 = time.perf_counter()
             try:
                 run(name)
