@@ -44,6 +44,7 @@ from .functions.vector import (
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
     if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
+    near,
     rolling_mean, rolling_sum, rolling_min, rolling_max,
     cumall, cumany, cummean,
 )
@@ -71,7 +72,7 @@ __all__ = [
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
-    "coalesce", "na_if", "between", "if_else", "case_when", "desc", "str_c",
+    "coalesce", "na_if", "between", "near", "if_else", "case_when", "desc", "str_c",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
     "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
     "fct_lump", "fct_recode", "fct_collapse", "fct_rev", "fct_infreq",

@@ -215,6 +215,18 @@ def _between(ctx, args, kwargs):
     return col.between(_low(args[1], ctx), _low(args[2], ctx)), SCALAR
 
 
+@register_fn("near")
+def _near(ctx, args, kwargs):
+    """dplyr::near — floating-point safe comparison, |x-y| < tol with
+    tol = sqrt(machine eps).  The reference raises NotImplementedError
+    (siuba/dply/vector.py:446-448); real here."""
+    x = _low(args[0], ctx)
+    y = _low(args[1], ctx)
+    tol = kwargs.get("tol")
+    tol = _low(tol, ctx) if tol is not None else 1.4901161193847656e-08
+    return F.abs(x - y) < tol, SCALAR
+
+
 @register_fn("if_else")
 def _if_else(ctx, args, kwargs):
     cond = _low(args[0], ctx)
@@ -341,6 +353,7 @@ last = _fn("last")
 coalesce = _fn("coalesce")
 na_if = _fn("na_if")
 between = _fn("between")
+near = _fn("near")
 if_else = _fn("if_else")
 desc = _fn("desc")
 str_c = _fn("str_c")

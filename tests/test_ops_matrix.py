@@ -16,8 +16,10 @@ import pandas as pd
 import pytest
 
 from siuba_spark import (
-    SparkTbl, _, arrange, group_by, mutate, summarize, tbl,
+    SparkTbl, _, arrange, group_by, mutate, near, summarize, tbl,
 )
+
+NEAR_XY = near(_.x, _.x + 1e-12)
 
 ROWS = [
     # i,  g,    x,      y,    s,            t
@@ -136,6 +138,7 @@ ELWISE = {
                       "CASE WHEN s IS NULL THEN NULL "
                       "ELSE substr(s, greatest(length(s)-2, 1), 2) END"),
     "op_findall": (_.s.str.findall("[a-z]+"), "regexp_extract_all(s, '[a-z]+')"),
+    "op_near": (NEAR_XY, "abs(x - (x + 1e-12)) < 1.4901161193847656e-08"),
     "op_find": (_.s.str.find("e"), "strpos(s, 'e') - 1"),
     "op_repeat": (_.s.str.repeat(2), "repeat(s, 2)"),
     # datetime
