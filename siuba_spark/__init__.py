@@ -33,7 +33,7 @@ from .operators.across import across, Fx, Across
 from .functions.udf import call, py_func
 from .operators.joins import (
     join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
-    asof_join, interval_join,
+    asof_join, interval_join, salted_join,
 )
 from .operators.reshape import (
     gather, spread, separate, unite, extract, nest, unnest, expand, complete,
@@ -66,7 +66,7 @@ __all__ = [
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
     "sample_frac", "sample_n",
     "join", "inner_join", "left_join", "right_join", "full_join",
-    "semi_join", "anti_join", "asof_join", "interval_join", "across", "Fx", "call", "py_func",
+    "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "call", "py_func",
     "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",

@@ -193,6 +193,36 @@ anti_join = _make_filter_join("left_anti", "siuba/sql/verbs/join.py:139-163")
 
 
 @join_verb
+def salted_join(left, right, on=None, how: str = "inner", salts: int = 16,
+                seed: int = 42):
+    """Skew-resistant equi join: every left row gets a uniform salt in
+    [0, salts); the right side is replicated across ALL salt values; the
+    join runs on (keys..., salt), so one hot key spreads over ``salts``
+    reducers instead of melting a single one.
+
+    Use when AQE's runtime skew split can't help — e.g. the hot key is
+    also wide on the right side, or the join feeds a window that pins
+    partitioning.  Costs ``salts``× replication of the right side, so keep
+    the right side the smaller input.  Results are identical to
+    ``join(..., how=...)`` for inner/left (salt is dropped).
+    """
+    left = wrap_table(left)
+    right = wrap_table(right)
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'/'left' "
+                         "(replicating the right side is one-directional)")
+    keys = _normalize_on(left.df.columns, right.df.columns, on)
+    ldf = left.df.withColumn(
+        "__salt", (F.rand(seed) * salts).cast("int"))
+    rdf = right.df.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    if not all(lk == rk for lk, rk in keys):
+        rdf = rdf.withColumnsRenamed({rk: lk for lk, rk in keys if lk != rk})
+    out = ldf.join(rdf, [lk for lk, _ in keys] + ["__salt"], how)
+    return SparkTbl(out.drop("__salt"))
+
+
+@join_verb
 def asof_join(left, right, on: str, by=(), direction: str = "backward",
               suffix: str = "_r", tolerance=None):
     """As-of join: for each left row, the single right row with the latest

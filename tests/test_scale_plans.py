@@ -198,3 +198,30 @@ def test_lsh_topk_with_dim_is_lazy(spark):
                                   "vec_id long, embedding array<double>"))
     n = _jobs_during(spark, lambda: add_hyperplane_bucket(t, dim=2))
     assert n == 0, f"add_hyperplane_bucket(dim=...) should be lazy, ran {n} jobs"
+
+
+def test_fct_arrange_single_window_exchange(spark):
+    """fct_infreq inside arrange compiles to one window (hash exchange on
+    the value) + the global sort — no join, no extra shuffles."""
+    from siuba_spark import arrange, fct_infreq, tbl
+    from siuba_spark import _ as S
+    t = (tbl(spark, f"{SF}/customer.parquet")
+         >> arrange(fct_infreq(S.c_mktsegment), S.c_custkey))
+    plan = _plan(t.df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # window hash + sort range
+
+
+def test_lsh_topk_query_side_broadcasts(spark):
+    """Multi-table lsh_topk: the (small) query side must broadcast; the
+    corpus side must not shuffle before the bucket join."""
+    from siuba_spark import filter as sfilter
+    from siuba_spark import tbl
+    from siuba_spark import _ as S
+    from siuba_spark.corpus.similarity import lsh_topk
+    emb = tbl(spark, f"{SF}/embeddings.parquet")
+    q = emb >> sfilter(S.vec_id < 3)
+    out = lsh_topk(emb, q, k=5, n_planes=4, n_tables=4)
+    plan = _plan(out.df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

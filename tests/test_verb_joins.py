@@ -190,3 +190,29 @@ def test_interval_join_asymmetric_window_and_by(spark):
                         by="k")
     got = sorted((row.k, row.id, row.rid) for row in out.df.collect())
     assert got == [("a", 1, 1)]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from siuba_spark import inner_join, left_join, salted_join, tbl, _
+    l = tbl(spark, "/root/testdata/sf0.001/orders.parquet")
+    r = tbl(spark, "/root/testdata/sf0.001/customer.parquet")
+    plain = (l >> inner_join(r, on={"o_custkey": "c_custkey"})).df
+    salted = salted_join(l, r, on={"o_custkey": "c_custkey"}, salts=8)
+    a = sorted(map(tuple, plain.select("o_orderkey", "c_name").collect()))
+    b = sorted(map(tuple, salted.df.select("o_orderkey", "c_name").collect()))
+    assert a == b
+    # left join keeps unmatched left rows exactly once
+    lp = (l >> left_join(r, on={"o_custkey": "c_custkey"})).df.count()
+    ls = salted_join(l, r, on={"o_custkey": "c_custkey"}, how="left",
+                     salts=8).df.count()
+    assert lp == ls
+
+
+def test_salted_join_salt_in_join_keys(spark):
+    from siuba_spark import salted_join, tbl
+    l = tbl(spark, "/root/testdata/sf0.001/orders.parquet")
+    r = tbl(spark, "/root/testdata/sf0.001/customer.parquet")
+    out = salted_join(l, r, on={"o_custkey": "c_custkey"}, salts=4)
+    plan = out.df._jdf.queryExecution().toString()
+    assert "__salt" in plan  # the shuffle key includes the salt
+    assert "__salt" not in out.df.columns  # but it never leaks to the user
