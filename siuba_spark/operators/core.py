@@ -144,8 +144,18 @@ def filter(tbl: SparkTbl, *conds, **kwargs):
     >>> (t >> group_by(_.g) >> filter(_.x > _.x.mean()) >> collect()).x.tolist()
     [3.0]
     """
-    plain, windowed = [], []
+    from .across import Across, expand_across
+
+    expanded = []
     for cond in conds:
+        if isinstance(cond, Across):
+            # dplyr if_all(): every per-column condition must hold
+            expanded.extend(expand_across(cond, tbl.columns).values())
+        else:
+            expanded.append(cond)
+
+    plain, windowed = [], []
+    for cond in expanded:
         ctx = tbl.row_ctx()
         col, _ = lower(strip_symbolic(cond), ctx)
         (windowed if ctx.used_window else plain).append(col)

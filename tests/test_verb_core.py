@@ -222,3 +222,11 @@ def test_pipe_arbitrary_callable(spark):
     t = data_frame(spark, a=[1, 2, 3])
     out = t >> pipe(lambda tb: tb.evolve(df=tb.df.limit(2)))
     assert out.df.count() == 2
+
+
+def test_filter_across_if_all(spark):
+    """filter(across(...)) = dplyr if_all: every per-column cond holds."""
+    from siuba_spark import Fx, across, filter as sfilter
+    t = data_frame(spark, x=[1.0, -1.0, 2.0], y=[5.0, 6.0, -7.0])
+    out = t >> sfilter(across(_[_.x, _.y], Fx > 0))
+    assert [(r.x, r.y) for r in out.df.collect()] == [(1.0, 5.0)]
