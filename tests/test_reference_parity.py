@@ -600,3 +600,34 @@ def test_parity_pivot_wider_names_vary_slowest(spark):
                            names_vary="slowest").df.toPandas()
     assert got.columns.tolist() == want.columns.tolist()  # exact order parity
     pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_parity_across_contexts(spark):
+    """across() in mutate / summarize / filter matches the reference
+    engine (model: reference siuba/tests/test_verb_across.py)."""
+    from siuba.dply.across import across as r_across
+    from siuba.siu import Fx as RFx
+    from siuba_spark import Fx as SFx, across as s_across
+
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 3.0, 10.0],
+                        "y": [2.0, 4.0, 20.0]})
+    t = ours.tbl(spark.createDataFrame(pdf))
+
+    # mutate
+    want = ref.mutate(pdf, r_across(R[R.x, R.y], RFx * 2, names="{col}_dbl"))
+    got = (t >> ours.mutate(s_across(S[S.x, S.y], SFx * 2,
+                                     names="{col}_dbl"))).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+    # grouped summarize with fn dict
+    want = ref.summarize(ref.group_by(pdf, R.g),
+                         r_across(R[R.x, R.y], {"m": RFx.mean()}))
+    got = (t >> ours.group_by(S.g)
+           >> ours.summarize(s_across(S[S.x, S.y], {"m": SFx.mean()}))
+           ).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+    # filter (if_all)
+    want = ref.filter(pdf, r_across(R[R.x, R.y], RFx > 2))
+    got = (t >> ours.filter(s_across(S[S.x, S.y], SFx > 2))).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
