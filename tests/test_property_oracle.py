@@ -149,3 +149,37 @@ def test_gather_spread_roundtrip(spark, rows):
     got = back.df.toPandas().sort_values("id").reset_index(drop=True)
     want = pd.DataFrame(data, columns=["id", "p", "q"])
     assert got[["id", "p", "q"]].equals(want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+    min_size=1, max_size=20))
+def test_salted_join_equals_plain_join(spark, rows):
+    """salted_join is result-identical to join for any key distribution
+    (including heavy skew, which the 0-5 key range forces)."""
+    from siuba_spark import inner_join, salted_join
+    data = [(k, float(v)) for k, v in rows]
+    lt = SparkTbl(spark.createDataFrame(data, "k long, v double"))
+    rt = SparkTbl(spark.createDataFrame(
+        [(k, k * 10) for k in {k for k, _v in rows}], "k long, w long"))
+    plain = sorted(map(tuple, inner_join(lt, rt, on="k").df.collect()))
+    salted = sorted(map(tuple,
+                        salted_join(lt, rt, on="k", salts=4).df.collect()))
+    assert plain == salted
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(secs=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=12),
+       unit=st.sampled_from(["H", "D"]))
+def test_dt_round_matches_pandas_property(spark, secs, unit):
+    """dt.round agrees with pandas on arbitrary timestamps, ties included."""
+    from siuba_spark import mutate, _
+    ts = pd.Series(pd.to_datetime([s * 900 for s in secs], unit="s"))
+    t = SparkTbl(spark.createDataFrame(pd.DataFrame({"i": range(len(ts)), "t": ts})))
+    got = (t >> mutate(r=_.t.dt.round(unit))).df.toPandas() \
+        .sort_values("i")["r"].tolist()
+    want = ts.dt.round("h" if unit == "H" else "D").tolist()
+    assert got == want
