@@ -12,11 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..plans.pipe import verb
+from ..plans.pipe import join_verb, verb
 from ..plans.tbl import SparkTbl
 
 __all__ = ["tumble", "slide", "sessionize", "stream_tumble", "read_event_stream",
-           "stream_sessionize", "running_dedup_stream"]
+           "stream_sessionize", "running_dedup_stream", "stream_interval_join"]
 
 
 def _agg_exprs(aggs):
@@ -160,4 +160,46 @@ def running_dedup_stream(tbl: SparkTbl, key_col: str, ts: str,
                                    stateStructType=state_schema,
                                    outputMode="append",
                                    timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+    return SparkTbl(out)
+
+
+@join_verb
+def stream_interval_join(left: SparkTbl, right, left_ts: str, right_ts: str,
+                         on=None, lower: str = "0 seconds",
+                         upper: str = "10 minutes",
+                         left_watermark: str = "30 minutes",
+                         right_watermark: str = "30 minutes",
+                         how: str = "inner"):
+    """Stream-stream event-time interval join: pair left rows with right
+    rows whose timestamp falls in [left_ts - lower, left_ts + upper],
+    optionally also matching equi-keys ``on``.
+
+    Uses Spark's native watermarked range join — both sides' state is
+    evicted once the watermark passes the interval bound, so state is
+    O(rows inside the watermark horizon), never O(stream length).  The
+    same call works on batch inputs (watermarks become no-ops).
+    """
+    right = right if isinstance(right, SparkTbl) else SparkTbl(right)
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column "
+                         "names (rename one side before joining)")
+    ldf = left.df
+    rdf = right.df
+    if ldf.isStreaming:
+        ldf = ldf.withWatermark(left_ts, left_watermark)
+    if rdf.isStreaming:
+        rdf = rdf.withWatermark(right_ts, right_watermark)
+    cond = (rt >= lt - F.expr(f"INTERVAL {lower}")) & \
+           (rt <= lt + F.expr(f"INTERVAL {upper}"))
+    if on:
+        keys = [on] if isinstance(on, str) else list(on)
+        for k in keys:
+            cond = cond & (ldf[k] == rdf[k])
+        out = ldf.join(rdf, cond, how)
+        # drop the duplicate right-side key columns
+        for k in keys:
+            out = out.drop(rdf[k])
+    else:
+        out = ldf.join(rdf, cond, how)
     return SparkTbl(out)

@@ -141,3 +141,43 @@ def test_stream_stream_join_within_window(spark, event_dir):
                    & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 60 MINUTES"))).count()
     assert len(got) == want
     assert want > 0
+
+
+def test_stream_interval_join_batch_twin(spark, event_dir):
+    """Batch semantics of the stream-stream interval join match a DuckDB
+    range join on the same (microsecond) parquet."""
+    import duckdb
+    from siuba_spark.streaming.windows import stream_interval_join
+    ev = spark.read.parquet(event_dir)
+    l = ev.selectExpr("event_id", "user_id", "ts AS l_ts")
+    r = ev.selectExpr("event_id AS r_event_id", "user_id", "ts AS r_ts")
+    out = stream_interval_join(SparkTbl(l), SparkTbl(r), "l_ts", "r_ts",
+                               on="user_id", lower="0 seconds",
+                               upper="5 minutes")
+    got = out.df.count()
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT event_id, user_id, ts FROM '{event_dir}/*.parquet')
+        SELECT COUNT(*) c FROM e l JOIN e r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+    """).df()["c"][0]
+    assert got == want
+
+
+def test_stream_interval_join_streaming_plan(spark, event_dir):
+    """On streaming inputs the join is accepted by the streaming planner
+    (watermarks + range condition => bounded state)."""
+    from siuba_spark.streaming.windows import read_event_stream, stream_interval_join
+    l = read_event_stream(spark, event_dir).df.selectExpr(
+        "event_id", "user_id", "ts AS l_ts")
+    r = read_event_stream(spark, event_dir).df.selectExpr(
+        "event_id AS r_event_id", "user_id", "ts AS r_ts")
+    out = stream_interval_join(SparkTbl(l), SparkTbl(r), "l_ts", "r_ts",
+                               on="user_id", upper="2 minutes")
+    assert out.df.isStreaming
+    q = (out.df.writeStream.format("memory").queryName("sij_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    n = spark.sql("SELECT COUNT(*) c FROM sij_test").first().c
+    q.stop()
+    assert n > 0
