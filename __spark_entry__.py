@@ -1683,6 +1683,100 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape: local-supplier volume — the 5-table join whose
+    interesting edge is the two-key supplier join (l_suppkey AND
+    c_nationkey = s_nationkey); dims broadcast, facts shuffle once."""
+    return (
+        _t(spark, sf, "customer")
+        >> inner_join(_t(spark, sf, "orders"), on={"c_custkey": "o_custkey"})
+        >> filter(_.o_orderdate >= "1996-01-01", _.o_orderdate < "1997-01-01")
+        >> inner_join(_t(spark, sf, "lineitem"), on={"o_orderkey": "l_orderkey"})
+        >> inner_join(_t(spark, sf, "supplier"),
+                      on={"l_suppkey": "s_suppkey", "c_nationkey": "s_nationkey"},
+                      hint="broadcast")
+        >> inner_join(_t(spark, sf, "nation"),
+                      on={"s_nationkey": "n_nationkey"}, hint="broadcast")
+        >> group_by(_.n_name)
+        >> summarize(revenue=_dsum(_.l_extendedprice * (1 - _.l_discount)))
+        >> arrange(-_.revenue, _.n_name)
+    ).df
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+    AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n_name
+"""
+
+
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 shape: top 20 customers by returned-item revenue
+    (agg → global top-k; deterministic tie-break on the key)."""
+    return (
+        _t(spark, sf, "customer")
+        >> inner_join(_t(spark, sf, "orders"), on={"c_custkey": "o_custkey"})
+        >> inner_join(_t(spark, sf, "lineitem"), on={"o_orderkey": "l_orderkey"})
+        >> filter(_.l_returnflag == "R")
+        >> group_by(_.c_custkey, _.c_name)
+        >> summarize(revenue=_dsum(_.l_extendedprice * (1 - _.l_discount)))
+        >> arrange(-_.revenue, _.c_custkey)
+        >> head(20)
+    ).df
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+    AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape: large-volume orders — HAVING over a fact agg,
+    then enrich by joining orders+customer back."""
+    big = (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_orderkey)
+        >> summarize(qty=_.l_quantity.sum())
+        >> filter(_.qty > 150)
+    )
+    return (
+        big
+        >> inner_join(_t(spark, sf, "orders"), on={"l_orderkey": "o_orderkey"})
+        >> inner_join(_t(spark, sf, "customer"), on={"o_custkey": "c_custkey"},
+                      hint="broadcast")
+        >> select(_.c_name, _.c_custkey, _.o_orderkey, _.o_totalprice, _.qty)
+        >> arrange(-_.qty, _.o_orderkey)
+        >> head(100)
+    ).df
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY qty DESC, o_orderkey LIMIT 100
+"""
+
+
 def q_tpch_q14(spark, sf):
     """TPC-H Q14 shape: promo revenue share; part is a broadcast dim."""
     return (
@@ -1977,6 +2071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
         "tpch_q14": q_tpch_q14,
         "json_props": q_json_props,
         "asof_last_purchase": q_asof_last_purchase,
@@ -2069,6 +2166,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": SQL_ROLLUP_AGG,
         "tpch_q6": SQL_TPCH_Q6,
         "tpch_q12": SQL_TPCH_Q12,
+        "tpch_q5": SQL_TPCH_Q5,
+        "tpch_q10": SQL_TPCH_Q10,
+        "tpch_q18": SQL_TPCH_Q18,
         "tpch_q14": SQL_TPCH_Q14,
         "json_props": SQL_JSON_PROPS,
         "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,

@@ -38,7 +38,8 @@ def main():
     import __spark_entry__ as entry
 
     HEADLINE = [
-        "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q12", "tpch_q14",
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q12",
+        "tpch_q14", "tpch_q18",
         "revenue_by_nation", "join_inner",
         "grouped_mutate_zscore", "window_ranks", "lead_lag", "cumsum_running",
         "agg_stats", "pivot_wider", "cube_agg", "json_props",
