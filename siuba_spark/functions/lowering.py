@@ -205,13 +205,35 @@ def _cumprod(ctx, col):
     return F.when(zero == 0, F.lit(0.0)).otherwise(sign * F.exp(logsum))
 
 
-def _rank_average(ctx, col):
-    # pandas rank(method="average"): min_rank + (ties-1)/2
-    # (reference trick: siuba/sql/dialects/base.py:75-80)
-    w_rank = ctx.w_ordered([col.asc_nulls_last()])
+def _rank_average(ctx, col, method: str = "average", ascending: bool = True,
+                  pct: bool = False):
+    """pandas Series.rank — all five methods.  average = min_rank +
+    (ties-1)/2 (reference trick: siuba/sql/dialects/base.py:75-80); the
+    others map straight onto Spark rank/dense_rank/row_number.  NULLs
+    stay unranked (na_option='keep')."""
+    order = col.asc_nulls_last() if ascending else col.desc_nulls_last()
+    w_rank = ctx.w_ordered([order])
     w_ties = Window.partitionBy(*[F.col(g) for g in ctx.group_by], col)
-    r = F.rank().over(w_rank) + (F.count(col).over(w_ties) - 1) / 2.0
-    return F.when(col.isNotNull(), r)
+    if method == "average":
+        r = F.rank().over(w_rank) + (F.count(col).over(w_ties) - 1) / 2.0
+    elif method == "min":
+        r = F.rank().over(w_rank)
+    elif method == "max":
+        r = F.rank().over(w_rank) + F.count(col).over(w_ties) - 1
+    elif method == "dense":
+        r = F.dense_rank().over(w_rank)
+    elif method == "first":
+        # ties broken by encounter order — nondeterministic in a
+        # distributed engine unless an arrange() fixed the order (same
+        # caveat pandas has under a shuffled frame)
+        r = F.row_number().over(w_rank)
+    else:
+        raise TranslationError(f"rank method {method!r} not supported")
+    r = F.when(col.isNotNull(), r)
+    if pct:
+        w_all = Window.partitionBy(*[F.col(g) for g in ctx.group_by])
+        r = r / F.count(col).over(w_all)
+    return r
 
 
 WINDOW_METHODS = {

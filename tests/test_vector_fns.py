@@ -221,3 +221,39 @@ def test_total_seconds_matches_pandas(spark):
     got = (t >> mutate(s=(_.a - _.b).dt.total_seconds())).df.toPandas()["s"]
     want = (pdf.a - pdf.b).dt.total_seconds()
     assert got.tolist() == want.tolist()  # includes a negative interval
+
+
+def test_rank_all_methods_match_pandas(spark):
+    import pandas as pd
+    from siuba_spark import _, group_by, mutate, tbl, ungroup
+    pdf = pd.DataFrame({"i": range(7),
+                        "g": ["a", "a", "a", "a", "b", "b", "b"],
+                        "x": [1.0, 1.0, 2.0, None, 5.0, 5.0, 5.0]})
+    # literal tuples + schema so the missing value is a true SQL NULL
+    # (pandas NaN is a float VALUE to Spark and ranks last, by design —
+    # pdf.itertuples would re-introduce NaN)
+    rows = [(0, "a", 1.0), (1, "a", 1.0), (2, "a", 2.0), (3, "a", None),
+            (4, "b", 5.0), (5, "b", 5.0), (6, "b", 5.0)]
+    t = tbl(spark.createDataFrame(rows, "i long, g string, x double"))
+    for method in ["average", "min", "max", "dense", "first"]:
+        for asc in (True, False):
+            if method == "first" and not asc:
+                continue  # encounter order under desc differs by engine
+            got = (t >> group_by(_.g)
+                   >> mutate(r=_.x.rank(method=method, ascending=asc))
+                   >> ungroup()).df.toPandas().sort_values("i")["r"]
+            want = pdf.groupby("g")["x"].rank(method=method, ascending=asc)
+            assert got.tolist() == pytest.approx(want.tolist(), nan_ok=True), \
+                (method, asc)
+
+
+def test_rank_pct_matches_pandas(spark):
+    import pandas as pd
+    from siuba_spark import _, group_by, mutate, tbl, ungroup
+    pdf = pd.DataFrame({"i": range(5), "g": ["a"] * 3 + ["b"] * 2,
+                        "x": [3.0, 1.0, 2.0, 9.0, 8.0]})
+    t = tbl(spark.createDataFrame(pdf))
+    got = (t >> group_by(_.g) >> mutate(r=_.x.rank(pct=True))
+           >> ungroup()).df.toPandas().sort_values("i")["r"]
+    want = pdf.groupby("g")["x"].rank(pct=True)
+    assert got.tolist() == pytest.approx(want.tolist())
