@@ -809,6 +809,45 @@ FROM r GROUP BY 1
 """
 
 
+def q_corpus_prep(spark, sf):
+    """End-to-end training-data prep: quality-score → filter → exact dedup
+    → per-language stats.  The composed pipeline the corpus operators
+    exist for — one projection, one dedup shuffle, one agg shuffle."""
+    return (
+        text_stats(_t(spark, sf, "documents"))
+        >> filter(_.n_tokens >= 5, _.stopword_ratio > 0)
+        >> exact_dedup(cols=("text",), id_col="doc_id")
+        >> group_by(_.lang)
+        >> summarize(n_docs=n(_),
+                     sum_tokens=_.n_tokens.sum(),
+                     avg_ttr=(_dsum(_.type_token_ratio)
+                              / _.type_token_ratio.count()).round(4))
+        >> arrange(_.lang)
+    ).df
+
+
+SQL_CORPUS_PREP = """
+WITH t AS (SELECT doc_id, text, lang,
+    string_split(lower(trim(text)), ' ') AS toks FROM documents),
+s AS (SELECT doc_id, text, lang,
+    CAST(len(toks) AS INT) AS n_tokens,
+    ROUND(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in',
+        'is','on','for','with','order','window','table','row','group')))
+        / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+    ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+        AS type_token_ratio
+  FROM t),
+f AS (SELECT * FROM s WHERE n_tokens >= 5 AND stopword_ratio > 0),
+d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM f)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  ROUND(CAST(SUM(CAST(type_token_ratio AS DECIMAL(30,6))) AS DOUBLE)
+        / COUNT(type_token_ratio), 4) AS avg_ttr
+FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_str_findall_family(spark, sf):
     """findall + negative slice over documents (reference pandas str ops,
     siuba/ops/generics.py:140)."""
@@ -2033,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fct_reorder_arrange": q_fct_reorder_arrange,
         "events_total_seconds": q_events_total_seconds,
         "str_findall_family": q_str_findall_family,
+        "corpus_prep": q_corpus_prep,
         "fct_lump_prop": q_fct_lump_prop,
         "fct_infreq_arrange": q_fct_infreq_arrange,
         "top_n": q_top_n,
@@ -2128,6 +2168,7 @@ def oracle_sql() -> dict[str, str]:
         "fct_reorder_arrange": SQL_FCT_REORDER_ARRANGE,
         "events_total_seconds": SQL_EVENTS_TOTAL_SECONDS,
         "str_findall_family": SQL_STR_FINDALL_FAMILY,
+        "corpus_prep": SQL_CORPUS_PREP,
         "fct_lump_prop": SQL_FCT_LUMP_PROP,
         "fct_infreq_arrange": SQL_FCT_INFREQ_ARRANGE,
         "top_n": SQL_TOP_N,
