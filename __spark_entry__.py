@@ -809,6 +809,55 @@ FROM r GROUP BY 1
 """
 
 
+def q_salted_join_agg(spark, sf):
+    """salted_join is result-identical to the plain join — the oracle IS
+    the unsalted SQL join (skew knob, SCALE.md)."""
+    from siuba_spark import salted_join
+    return (
+        salted_join(_t(spark, sf, "orders"), _t(spark, sf, "customer"),
+                    on={"o_custkey": "c_custkey"}, salts=8)
+        >> group_by(_.c_mktsegment)
+        >> summarize(n_rows=n(_), revenue=_dsum(_.o_totalprice))
+        >> arrange(_.c_mktsegment)
+    ).df
+
+
+SQL_SALTED_JOIN_AGG = """
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rank_methods(spark, sf):
+    """All five pandas rank methods in one windowed projection."""
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_orderpriority)
+        >> mutate(r_avg=_.o_totalprice.rank(),
+                  r_min=_.o_totalprice.rank(method="min"),
+                  r_max=_.o_totalprice.rank(method="max"),
+                  r_dense=_.o_totalprice.rank(method="dense"))
+        >> ungroup()
+        >> select(_.o_orderkey, _.o_orderpriority,
+                  _.r_avg, _.r_min, _.r_max, _.r_dense)
+    ).df
+
+
+SQL_RANK_METHODS = """
+SELECT o_orderkey, o_orderpriority,
+  RANK() OVER w + (COUNT(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1) / 2.0
+    AS r_avg,
+  CAST(RANK() OVER w AS INT) AS r_min,
+  CAST(RANK() OVER w + COUNT(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1
+    AS INT) AS r_max,
+  CAST(DENSE_RANK() OVER w AS INT) AS r_dense
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC)
+"""
+
+
 def q_corpus_prep(spark, sf):
     """End-to-end training-data prep: quality-score → filter → exact dedup
     → per-language stats.  The composed pipeline the corpus operators
@@ -2073,6 +2122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_total_seconds": q_events_total_seconds,
         "str_findall_family": q_str_findall_family,
         "corpus_prep": q_corpus_prep,
+        "salted_join_agg": q_salted_join_agg,
+        "rank_methods": q_rank_methods,
         "fct_lump_prop": q_fct_lump_prop,
         "fct_infreq_arrange": q_fct_infreq_arrange,
         "top_n": q_top_n,
@@ -2169,6 +2220,8 @@ def oracle_sql() -> dict[str, str]:
         "events_total_seconds": SQL_EVENTS_TOTAL_SECONDS,
         "str_findall_family": SQL_STR_FINDALL_FAMILY,
         "corpus_prep": SQL_CORPUS_PREP,
+        "salted_join_agg": SQL_SALTED_JOIN_AGG,
+        "rank_methods": SQL_RANK_METHODS,
         "fct_lump_prop": SQL_FCT_LUMP_PROP,
         "fct_infreq_arrange": SQL_FCT_INFREQ_ARRANGE,
         "top_n": SQL_TOP_N,
