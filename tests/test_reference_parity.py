@@ -631,3 +631,49 @@ def test_parity_across_contexts(spark):
     want = ref.filter(pdf, r_across(R[R.x, R.y], RFx > 2))
     got = (t >> ours.filter(s_across(S[S.x, S.y], SFx > 2))).df.toPandas()
     pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_parity_str_dt_accessor_sweep(spark):
+    """~20 .str/.dt ops through BOTH engines on the same frame — pandas
+    semantics are the ground truth the DuckDB matrix can't fully pin
+    (e.g. Monday-0 weekday, capitalize, zfill)."""
+    pdf = pd.DataFrame({
+        "i": range(4),
+        "s": ["Apple pie", " Banana ", "e33", "date Nut"],
+        "t": pd.to_datetime(["2020-01-01 00:00:00", "2020-02-29 23:59:59",
+                             "2021-12-31 12:30:45", "2020-06-15 08:05:30"]),
+    })
+    t = ours.tbl(spark.createDataFrame(pdf))
+
+    exprs = {
+        "lo": lambda c: c.s.str.lower(),
+        "up": lambda c: c.s.str.upper(),
+        "ln": lambda c: c.s.str.len(),
+        "st": lambda c: c.s.str.strip(),
+        "cap": lambda c: c.s.str.capitalize(),
+        "sw": lambda c: c.s.str.startswith("A"),
+        "ct": lambda c: c.s.str.contains("[ae]"),
+        "sl": lambda c: c.s.str.slice(1, 4),
+        "sn": lambda c: c.s.str.slice(-3),
+        "zf": lambda c: c.s.str.zfill(12),
+        "yr": lambda c: c.t.dt.year,
+        "mo": lambda c: c.t.dt.month,
+        "dw": lambda c: c.t.dt.dayofweek,
+        "dy": lambda c: c.t.dt.dayofyear,
+        "dm": lambda c: c.t.dt.days_in_month,
+        "ms": lambda c: c.t.dt.is_month_start,
+        "me": lambda c: c.t.dt.is_month_end,
+        "sf": lambda c: c.t.dt.strftime("%Y-%m"),
+        "nm": lambda c: c.t.dt.month_name(),
+        "dn": lambda c: c.t.dt.day_name(),
+    }
+    want = ref.mutate(pdf, **{k: f(R) for k, f in exprs.items()})
+    got = (t >> ours.mutate(**{k: f(S) for k, f in exprs.items()})) \
+        .df.toPandas()
+    got = got.sort_values("i").reset_index(drop=True)
+    want = want.sort_values("i").reset_index(drop=True)
+    for k in exprs:
+        a, b = got[k], want[k]
+        if b.dtype.kind in "iu":
+            a, b = a.astype("int64"), b.astype("int64")
+        assert a.tolist() == b.tolist(), (k, a.tolist(), b.tolist())
