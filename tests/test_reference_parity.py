@@ -677,3 +677,63 @@ def test_parity_str_dt_accessor_sweep(spark):
         if b.dtype.kind in "iu":
             a, b = a.astype("int64"), b.astype("int64")
         assert a.tolist() == b.tolist(), (k, a.tolist(), b.tolist())
+
+
+# -- randomized pipeline fuzzing: both engines, same pipeline --------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_STAGES = {
+    "mutate_arith": (lambda C: ref.mutate(z=C.x * 2 + C.y),
+                     lambda C: ours.mutate(z=C.x * 2 + C.y)),
+    "mutate_abs": (lambda C: ref.mutate(z=(C.x - C.y).abs()),
+                   lambda C: ours.mutate(z=(C.x - C.y).abs())),
+    "filter_pos": (lambda C: ref.filter(C.x > 0),
+                   lambda C: ours.filter(C.x > 0)),
+    "filter_xy": (lambda C: ref.filter(C.x <= C.y),
+                  lambda C: ours.filter(C.x <= C.y)),
+    "grouped_mean": (lambda C: ref.group_by(C.g) >> ref.mutate(m=C.x.mean())
+                     >> ref.ungroup(),
+                     lambda C: ours.group_by(C.g) >> ours.mutate(m=C.x.mean())
+                     >> ours.ungroup()),
+    "grouped_sum": (lambda C: ref.group_by(C.g)
+                    >> ref.summarize(s=C.x.sum(), n_rows=C.x.count()),
+                    lambda C: ours.group_by(C.g)
+                    >> ours.summarize(s=C.x.sum(), n_rows=C.x.count())),
+    "distinct_g": (lambda C: ref.distinct(C.g), lambda C: ours.distinct(C.g)),
+    "select_gx": (lambda C: ref.select(C.g, C.x),
+                  lambda C: ours.select(C.g, C.x)),
+}
+_TERMINAL = {"grouped_sum", "distinct_g", "select_gx"}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=hst.lists(
+        hst.tuples(hst.sampled_from("abc"),
+                   hst.integers(-50, 50), hst.integers(-50, 50)),
+        min_size=1, max_size=15),
+    ops=hst.lists(hst.sampled_from(sorted(_STAGES)), min_size=1, max_size=3),
+)
+def test_fuzz_pipelines_match_reference(spark, rows, ops):
+    """Random verb pipelines produce identical results in both engines."""
+    # terminal stages change the column set; keep them last only
+    ops = [o for o in ops[:-1] if o not in _TERMINAL] + [ops[-1]]
+    pdf = pd.DataFrame(rows, columns=["g", "xi", "yi"]).assign(
+        x=lambda d: d.xi.astype(float), y=lambda d: d.yi.astype(float)
+    )[["g", "x", "y"]]
+    t = ours.tbl(spark.createDataFrame(pdf))
+
+    want = pdf
+    for o in ops:
+        want = want >> _STAGES[o][0](R)
+    got = t
+    for o in ops:
+        got = got >> _STAGES[o][1](S)
+    got = got.df.toPandas()
+
+    assert sorted(got.columns) == sorted(want.columns), (ops,)
+    a, b = _norm(got), _norm(want)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
