@@ -225,3 +225,25 @@ def test_lsh_topk_query_side_broadcasts(spark):
     plan = _plan(out.df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q5_shape_broadcasts_dims_single_agg_shuffle(spark):
+    """Multi-table TPC-H Q5 shape: dimension joins broadcast (incl. the
+    two-key supplier join), no sort-merge join at this SF, and exactly one
+    aggregation shuffle."""
+    import __spark_entry__ as entry
+    df = entry.queries()["tpch_q5"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_corpus_prep_two_shuffles(spark):
+    """The composed corpus pipeline: dedup window shuffle (text) + agg
+    shuffle (lang) — nothing else; stats are a zero-shuffle projection."""
+    import __spark_entry__ as entry
+    df = entry.queries()["corpus_prep"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan  # dedup is a window, never a self-join
