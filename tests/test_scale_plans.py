@@ -247,3 +247,18 @@ def test_corpus_prep_two_shuffles(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Join" not in plan  # dedup is a window, never a self-join
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """write_parquet(partition_by=...) → a filter on the partition column
+    prunes directories at planning time (PartitionFilters in the scan)."""
+    out = str(tmp_path / "events_by_type")
+    t = tbl(spark, f"{SF}/orders.parquet")
+    write_parquet(t, out, partition_by=["o_orderpriority"])
+    back = (tbl(spark, out)
+            >> filter(_.o_orderpriority == "1-URGENT")
+            >> select(_.o_orderkey))
+    explained = back.df._jdf.queryExecution().toString()
+    assert "PartitionFilters" in explained
+    assert "1-URGENT" in explained.split("PartitionFilters", 1)[1][:400], \
+        "partition filter did not reach the scan"
