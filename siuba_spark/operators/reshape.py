@@ -498,6 +498,14 @@ def _pivot_longer_impl(tbl: SparkTbl, spec, names_to, values_to,
         df = pieces[0]
         for p in pieces[1:]:
             df = df.unionByName(p)
+        if values_drop_na:
+            # reference: dropna(subset=value_columns, how="all"),
+            # pivot_long.py:320-322
+            keep = None
+            for vn in value_names:
+                c = F.col(vn).isNotNull()
+                keep = c if keep is None else (keep | c)
+            df = df.filter(keep)
         df = _apply_values_transform(df, value_names, values_transform)
         repaired = _repair_names(df.columns, names_repair)
         if repaired != df.columns:

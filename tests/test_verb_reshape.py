@@ -323,3 +323,17 @@ def test_pivot_wider_id_expand(spark):
                             values_fill=0)).df.toPandas()
     assert len(out) == 4  # a/b x 1/2 grid
     assert out.set_index(["g", "h"]).loc[("a", 2), "x"] == 0
+
+
+def test_pivot_longer_dot_value_drop_na(spark):
+    """values_drop_na in the .value path drops rows where ALL value
+    columns are NULL (reference pivot_long.py:320-322)."""
+    t = data_frame(spark, id=[1, 2],
+                   x_1=[1.0, None], y_1=[None, None],
+                   x_2=[3.0, 4.0], y_2=[5.0, 6.0])
+    out = (t >> pivot_longer(_.x_1, _.x_2, _.y_1, _.y_2,
+                             names_to=(".value", "set"), names_sep="_",
+                             values_drop_na=True)).df.toPandas()
+    # id=2/set=1 row has x AND y null -> dropped; id=1/set=1 keeps (x=1, y=NULL)
+    assert len(out) == 3
+    assert ((out["id"] == 2) & (out["set"] == "1")).sum() == 0
