@@ -84,7 +84,7 @@ class _AliasProxy:
 
 
 @join_verb
-def join(left, right, on=None, how: str = "inner", *, sql_on=None,
+def join(left, right, on=None, how: str = "inner", *, by=None, sql_on=None,
          null_safe: bool = False, hint: str | None = None):
     """Core join (reference: siuba/dply/verbs.py:1545-1677,
     siuba/sql/verbs/join.py:56-107).
@@ -106,6 +106,10 @@ def join(left, right, on=None, how: str = "inner", *, sql_on=None,
     """
     left = wrap_table(left)
     right = wrap_table(right)
+    if by is not None:
+        if on is not None:
+            raise ValueError("pass on= or by=, not both (reference verbs.py:1608)")
+        on = by
     how = {"outer": "full"}.get(how, how)
     ldf, rdf = left.df, right.df
 
@@ -156,8 +160,9 @@ def join(left, right, on=None, how: str = "inner", *, sql_on=None,
 
 def _make_join(how):
     @join_verb
-    def _join(left, right, on=None, *, sql_on=None, null_safe=False, hint=None):
-        return join(left, right, on=on, how=how, sql_on=sql_on,
+    def _join(left, right, on=None, *, by=None, sql_on=None, null_safe=False,
+              hint=None):
+        return join(left, right, on=on, how=how, by=by, sql_on=sql_on,
                     null_safe=null_safe, hint=hint)
     _join.__name__ = f"{how}_join"
     return _join

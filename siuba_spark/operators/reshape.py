@@ -115,7 +115,8 @@ def _distinct_keys(df, col):
 
 
 @verb
-def spread(tbl: SparkTbl, key, value, fill=None, sep: str | None = None):
+def spread(tbl: SparkTbl, key, value, fill=None, sep: str | None = None,
+           reset_index: bool = True):
     """Long→wide (reference: siuba/dply/verbs.py:2013-2082)."""
     keyc = _colname(key)
     valc = _colname(value)
@@ -207,10 +208,20 @@ def unite(tbl: SparkTbl, name: str, *cols, sep: str = "_", remove: bool = True):
 
 @verb
 def extract(tbl: SparkTbl, col, into, regex: str = r"(\w+)",
-            remove: bool = True, convert: bool = False):
+            remove: bool = True, convert: bool = False, flags: int = 0):
     """Regex capture groups → new columns
     (reference: siuba/dply/verbs.py:2476-2543)."""
     name = _colname(col)
+    if flags:
+        # re module flags -> Java inline flags (reference passes them to
+        # pandas str.extract, verbs.py:2480)
+        import re as _re
+        inline = "".join(ch for f, ch in
+                         [(_re.IGNORECASE, "i"), (_re.MULTILINE, "m"),
+                          (_re.DOTALL, "s"), (_re.UNICODE, "u"),
+                          (_re.VERBOSE, "x")] if flags & f)
+        if inline:
+            regex = f"(?{inline}){regex}"
     df = tbl.df
     pieces = [
         F.when(F.regexp_extract(F.col(name), regex, i + 1) == "", None)

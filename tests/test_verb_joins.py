@@ -216,3 +216,14 @@ def test_salted_join_salt_in_join_keys(spark):
     plan = out.df._jdf.queryExecution().toString()
     assert "__salt" in plan  # the shuffle key includes the salt
     assert "__salt" not in out.df.columns  # but it never leaks to the user
+
+
+def test_join_by_keyword_alias(spark):
+    from siuba_spark import inner_join, tbl
+    l = tbl(spark.createDataFrame([("a", 1)], "k string, x int"))
+    r = tbl(spark.createDataFrame([("a", 9)], "k string, y int"))
+    out = inner_join(l, r, by="k")
+    assert out.df.collect()[0].y == 9
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not both"):
+        inner_join(l, r, on="k", by="k")

@@ -337,3 +337,11 @@ def test_pivot_longer_dot_value_drop_na(spark):
     # id=2/set=1 row has x AND y null -> dropped; id=1/set=1 keeps (x=1, y=NULL)
     assert len(out) == 3
     assert ((out["id"] == 2) & (out["set"] == "1")).sum() == 0
+
+
+def test_extract_flags_ignorecase(spark):
+    import re
+    t = data_frame(spark, s=["ABC1", "xyz2"])
+    out = (t >> extract(_.s, into=["word"], regex=r"([a-z]+)",
+                        flags=re.IGNORECASE)).df
+    assert sorted(r.word for r in out.collect()) == ["ABC", "xyz"]
