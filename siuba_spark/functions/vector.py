@@ -154,14 +154,34 @@ def _n_distinct(ctx, args, kwargs):
 
 @register_fn("nth")
 def _nth(ctx, args, kwargs):
-    if ctx.mode == AGG:
-        raise TranslationError(
-            "nth()/first()/last() in summarize() require an ordered window; "
-            "the reference errors here too (siuba/sql/dply/vector.py:259-262)"
-        )
     col = _low(args[0], ctx)
     nidx = int(_lit(args[1]))
     order_by = kwargs.get("order_by")
+    if ctx.mode == AGG:
+        if order_by is None:
+            raise TranslationError(
+                "nth()/first()/last() in summarize() require order_by= "
+                "(without it the reference SQL engines error too, "
+                "siuba/sql/dply/vector.py:259-262)"
+            )
+        # pandas honors order_by in aggregation: sort (keys..., value)
+        # structs inside the group, then index (struct compare is
+        # field-ordered, so the keys sort first; desc = numeric negation)
+        ob = order_by if isinstance(order_by, tuple) else (order_by,)
+        okeys = []
+        for o in ob:
+            node, desc_flag = o, False
+            if isinstance(node, UnaryOp) and node.op == "__neg__":
+                node, desc_flag = node.operand, True
+            if isinstance(node, FnCall) and node.name == "desc":
+                node, desc_flag = node.args[0], True
+            c = _low(node, ctx)
+            okeys.append((-c) if desc_flag else c)
+        packed = F.array_sort(F.collect_list(F.struct(
+            *[k.alias(f"k{i}") for i, k in enumerate(okeys)],
+            col.alias("v"))))
+        idx = nidx + 1 if nidx >= 0 else nidx
+        return F.try_element_at(packed, F.lit(idx)).getField("v"), AGGED
     order_cols = None
     if order_by is not None:
         ob = order_by if isinstance(order_by, tuple) else (order_by,)
@@ -179,14 +199,14 @@ def _nth(ctx, args, kwargs):
 
 @register_fn("first")
 def _first(ctx, args, kwargs):
-    if ctx.mode == AGG:
+    if ctx.mode == AGG and kwargs.get("order_by") is None:
         return F.first(_low(args[0], ctx), ignorenulls=False), AGGED
     return _nth(ctx, (args[0], Lit(0)), kwargs)
 
 
 @register_fn("last")
 def _last(ctx, args, kwargs):
-    if ctx.mode == AGG:
+    if ctx.mode == AGG and kwargs.get("order_by") is None:
         return F.last(_low(args[0], ctx), ignorenulls=False), AGGED
     return _nth(ctx, (args[0], Lit(-1)), kwargs)
 

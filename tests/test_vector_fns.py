@@ -257,3 +257,19 @@ def test_rank_pct_matches_pandas(spark):
            >> ungroup()).df.toPandas().sort_values("i")["r"]
     want = pdf.groupby("g")["x"].rank(pct=True)
     assert got.tolist() == pytest.approx(want.tolist())
+
+
+def test_nth_first_last_order_by_in_summarize(spark):
+    """nth/first/last with order_by= work inside summarize (the pandas
+    reference honors order_by; SQL engines error without it)."""
+    from siuba_spark import first, group_by, last, nth, summarize, tbl
+    t = tbl(spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)],
+        "g string, i long, x double"))
+    out = (t >> group_by(_.g)
+           >> summarize(f=first(_.x, order_by=_.i),
+                        l=last(_.x, order_by=_.i),
+                        n1=nth(_.x, 1, order_by=_.i))).df
+    got = {r.g: (r.f, r.l, r.n1) for r in out.collect()}
+    assert got["a"] == (10.0, 30.0, 20.0)
+    assert got["b"] == (5.0, 5.0, None)
