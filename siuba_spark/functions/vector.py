@@ -77,7 +77,9 @@ def _register_rank(name, builder, null_unranked=True):
             w = ctx.w_ordered()
             return _builder(kwargs).over(w), SCALAR
         order_col, plain = _rank_order_col(arg, ctx)
-        if _nu:
+        na_option = kwargs.get("na_option", "keep")
+        na_option = getattr(na_option, "value", na_option)
+        if _nu and na_option == "keep":
             # pandas leaves NaN unranked AND excludes it from rank
             # denominators (percent_rank/cume_dist); the reference routes
             # NULLs into their own window partition for the same effect
@@ -87,6 +89,16 @@ def _register_rank(name, builder, null_unranked=True):
                 *[F.col(g) for g in ctx.group_by], plain.isNull()
             ).orderBy(order_col)
             return F.when(plain.isNotNull(), _builder(kwargs).over(w)), SCALAR
+        if _nu and na_option in ("top", "bottom"):
+            # pandas na_option="top"/"bottom": NULLs rank smallest/largest
+            # (reference: siuba/dply/vector.py min_rank na_option arg)
+            ctx.used_window = True
+            # order_col keeps its asc/desc; a leading boolean key moves the
+            # NULL block to the front ("top") or back ("bottom")
+            sort = plain.isNull() if na_option == "top" else plain.isNotNull()
+            w = Window.partitionBy(*[F.col(g) for g in ctx.group_by]) \
+                .orderBy(sort.desc(), order_col)
+            return _builder(kwargs).over(w), SCALAR
         w = ctx.w_ordered([order_col])
         return _builder(kwargs).over(w), SCALAR
 

@@ -737,3 +737,15 @@ def test_fuzz_pipelines_match_reference(spark, rows, ops):
     assert sorted(got.columns) == sorted(want.columns), (ops,)
     a, b = _norm(got), _norm(want)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_parity_rank_na_option(spark):
+    from siuba.dply.vector import min_rank as ref_min_rank
+    pdf = pd.DataFrame({"i": range(4), "x": [2.0, 1.0, None, 2.0]})
+    t = ours.tbl(spark.createDataFrame(
+        [(0, 2.0), (1, 1.0), (2, None), (3, 2.0)], "i long, x double"))
+    for opt in ["keep", "top", "bottom"]:
+        want = list(ref_min_rank(pdf.x, na_option=opt))
+        got = (t >> ours.mutate(r=ours.min_rank(S.x, na_option=opt))) \
+            .df.toPandas().sort_values("i")["r"].tolist()
+        assert got == pytest.approx(want, nan_ok=True), opt
