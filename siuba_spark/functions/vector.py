@@ -244,7 +244,13 @@ def _na_if(ctx, args, kwargs):
 @register_fn("between")
 def _between(ctx, args, kwargs):
     col = _low(args[0], ctx)
-    return col.between(_low(args[1], ctx), _low(args[2], ctx)), SCALAR
+    out = col.between(_low(args[1], ctx), _low(args[2], ctx))
+    default = kwargs.get("default", args[3] if len(args) > 3 else None)
+    default = getattr(default, "value", default)
+    if default is not None:
+        # reference: NA comparisons fill with default (dply/vector.py)
+        out = F.coalesce(out, F.lit(default))
+    return out, SCALAR
 
 
 @register_fn("near")

@@ -749,3 +749,14 @@ def test_parity_rank_na_option(spark):
         got = (t >> ours.mutate(r=ours.min_rank(S.x, na_option=opt))) \
             .df.toPandas().sort_values("i")["r"].tolist()
         assert got == pytest.approx(want, nan_ok=True), opt
+
+
+def test_parity_between_default(spark):
+    from siuba.dply.vector import between as ref_between
+    pdf = pd.DataFrame({"i": range(3), "x": [1.0, None, 7.0]})
+    t = ours.tbl(spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 7.0)], "i long, x double"))
+    want = list(ref_between(pdf.x, 0, 5, default=False))
+    got = (t >> ours.mutate(b=ours.between(S.x, 0, 5, default=False))) \
+        .df.toPandas().sort_values("i")["b"].tolist()
+    assert got == want
