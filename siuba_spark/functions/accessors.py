@@ -16,14 +16,24 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 
-def _str_contains(col, pat, case=True, regex=True):
+def _with_na(out, na):
+    """pandas str predicates take na= to fill the NULL result."""
+    if na is None:
+        return out
+    return F.coalesce(out, F.lit(bool(na)))
+
+
+def _str_contains(col, pat, case=True, regex=True, na=None):
     if regex:
         if not case:
-            return F.upper(col).rlike(pat.upper()) if isinstance(pat, str) else col.rlike(pat)
-        return col.rlike(pat)
-    if not case:
-        return F.upper(col).contains(F.upper(F.lit(pat)))
-    return col.contains(pat)
+            out = F.upper(col).rlike(pat.upper()) if isinstance(pat, str)                 else col.rlike(pat)
+        else:
+            out = col.rlike(pat)
+    elif not case:
+        out = F.upper(col).contains(F.upper(F.lit(pat)))
+    else:
+        out = col.contains(pat)
+    return _with_na(out, na)
 
 
 def _str_slice(col, start=None, stop=None):
@@ -56,8 +66,8 @@ STR_METHODS = {
     "capitalize": lambda col: F.concat(
         F.upper(F.substring(col, 1, 1)), F.lower(F.substring(col, 2, 2147483647))
     ),
-    "startswith": lambda col, pat: col.startswith(pat),
-    "endswith": lambda col, pat: col.endswith(pat),
+    "startswith": lambda col, pat, na=None: _with_na(col.startswith(pat), na),
+    "endswith": lambda col, pat, na=None: _with_na(col.endswith(pat), na),
     "contains": _str_contains,
     "replace": lambda col, pat, repl, regex=True: (
         F.regexp_replace(col, pat, repl) if regex

@@ -273,3 +273,14 @@ def test_nth_first_last_order_by_in_summarize(spark):
     got = {r.g: (r.f, r.l, r.n1) for r in out.collect()}
     assert got["a"] == (10.0, 30.0, 20.0)
     assert got["b"] == (5.0, 5.0, None)
+
+
+def test_str_predicates_na_kwarg(spark):
+    from siuba_spark import filter as sfilter, tbl
+    t = tbl(spark.createDataFrame([(0, "apple"), (1, None), (2, "banana")],
+                                  "i long, s string"))
+    out = (t >> sfilter(_.s.str.contains("an", na=False))).df
+    assert [r.i for r in out.collect()] == [2]
+    got = (t >> mutate(sw=_.s.str.startswith("a", na=True))).df.toPandas() \
+        .sort_values("i")["sw"].tolist()
+    assert got == [True, True, False]
