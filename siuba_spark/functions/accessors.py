@@ -186,17 +186,42 @@ _FIXED_SECONDS = {
 }
 
 
+def _fixed_freq_seconds(freq):
+    """Seconds in a fixed-width pandas freq string, supporting integer
+    multiples ('15T', '30S', '6H').  None for calendar units."""
+    import re as _re
+    m = _re.fullmatch(r"(\d*)\s*([A-Za-z]+)", str(freq))
+    if not m:
+        return None
+    mult = int(m.group(1)) if m.group(1) else 1
+    secs = _FIXED_SECONDS.get(m.group(2))
+    return mult * secs if secs else None
+
+
 def _dt_round(col, freq):
     """Round to the nearest multiple of a fixed-width unit, half-to-even on
     the unit count — exactly pandas ``Series.dt.round`` (which uses banker's
     rounding on the number of units since epoch)."""
-    secs = _FIXED_SECONDS.get(freq)
+    secs = _fixed_freq_seconds(freq)
     if secs is None:
         raise NotImplementedError(
-            f"dt.round only supports fixed frequencies {sorted(set(_FIXED_SECONDS))}, "
-            f"got {freq!r} (pandas raises for calendar units too)")
+            f"dt.round only supports fixed frequencies (multiples of "
+            f"{sorted(set(_FIXED_SECONDS))}), got {freq!r} "
+            "(pandas raises for calendar units too)")
     cnt = F.bround(col.cast("double") / secs)  # bround = half-to-even
     return (cnt * secs).cast("timestamp")
+
+
+def _dt_floor(col, freq):
+    """Floor to a fixed multiple when the freq carries a multiplier
+    ('15T', '6H' — epoch arithmetic); plain units keep date_trunc
+    (session-timezone semantics, unchanged)."""
+    import re as _re
+    m = _re.fullmatch(r"(\d+)\s*([A-Za-z]+)", str(freq))
+    if m and _FIXED_SECONDS.get(m.group(2)):
+        secs = int(m.group(1)) * _FIXED_SECONDS[m.group(2)]
+        return (F.floor(col.cast("double") / secs) * secs).cast("timestamp")
+    return F.date_trunc(_FREQ_UNIT[freq], col)
 
 
 DT_METHODS = {
@@ -204,7 +229,7 @@ DT_METHODS = {
     "month_name": lambda col: F.date_format(col, "MMMM"),
     "day_name": lambda col: F.date_format(col, "EEEE"),
     "normalize": lambda col: F.date_trunc("day", col),
-    "floor": lambda col, freq: F.date_trunc(_FREQ_UNIT[freq], col),
+    "floor": _dt_floor,
     "round": _dt_round,
     "total_seconds": _interval_total_seconds,
 }

@@ -284,3 +284,17 @@ def test_str_predicates_na_kwarg(spark):
     got = (t >> mutate(sw=_.s.str.startswith("a", na=True))).df.toPandas() \
         .sort_values("i")["sw"].tolist()
     assert got == [True, True, False]
+
+
+def test_dt_floor_round_multiples_match_pandas(spark):
+    import pandas as pd
+    from siuba_spark import _, mutate, tbl
+    ts = pd.Series(pd.to_datetime([
+        "2020-01-01 00:07:30", "2020-01-01 00:22:31", "2020-03-05 17:44:59",
+    ]))
+    t = tbl(spark.createDataFrame(pd.DataFrame({"t": ts})))
+    got = (t >> mutate(f15=_.t.dt.floor("15T"), r15=_.t.dt.round("15T"),
+                       f6h=_.t.dt.floor("6H"))).df.toPandas()
+    assert got["f15"].tolist() == ts.dt.floor("15min").tolist()
+    assert got["r15"].tolist() == ts.dt.round("15min").tolist()
+    assert got["f6h"].tolist() == ts.dt.floor("6h").tolist()
