@@ -316,10 +316,13 @@ def _str_c(ctx, args, kwargs):
 
 @register_fn("floor_date")
 def _floor_date(ctx, args, kwargs):
-    from .accessors import _FREQ_UNIT
+    from .accessors import _FREQ_UNIT, _dt_floor
     col = _low(args[0], ctx)
     unit = _lit(args[1]) if len(args) > 1 else _lit(kwargs.get("unit", "D"))
-    return F.date_trunc(_FREQ_UNIT.get(unit, unit), col), SCALAR
+    if unit in _FREQ_UNIT or str(unit) in _FREQ_UNIT:
+        return F.date_trunc(_FREQ_UNIT.get(unit, unit), col), SCALAR
+    # multiple-unit freqs ('15T', '6H') route through the epoch path
+    return _dt_floor(col, unit), SCALAR
 
 
 @register_fn("ceil_date")
