@@ -232,7 +232,14 @@ def _rank_average(ctx, col, method: str = "average", ascending: bool = True,
     r = F.when(col.isNotNull(), r)
     if pct:
         w_all = Window.partitionBy(*[F.col(g) for g in ctx.group_by])
-        r = r / F.count(col).over(w_all)
+        if method == "dense":
+            # pandas divides dense ranks by the number of DISTINCT non-null
+            # values, not the row count ([1,1,2,3] → [1/3,1/3,2/3,1]);
+            # collect_set because DISTINCT aggs are banned inside windows
+            denom = F.size(F.collect_set(col).over(w_all))
+        else:
+            denom = F.count(col).over(w_all)
+        r = r / denom
     return r
 
 

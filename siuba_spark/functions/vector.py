@@ -164,6 +164,28 @@ def _n_distinct(ctx, args, kwargs):
 
 # -- positional -------------------------------------------------------------
 
+def _ob_comparator(descs):
+    """array_sort comparator over ``struct(k0.., v)`` honoring per-key
+    asc/desc for any orderable type (numeric negation only worked for
+    numbers; strings/timestamps threw CAST_INVALID_INPUT under ANSI).
+    NULL keys sort last in both directions (DuckDB's default_null_order)."""
+
+    def cmp(left, right):
+        res = F.lit(0)
+        for i in reversed(range(len(descs))):
+            lk, rk = left[f"k{i}"], right[f"k{i}"]
+            lt, gt = (F.lit(1), F.lit(-1)) if descs[i] else (F.lit(-1), F.lit(1))
+            res = (F.when(lk.isNull() & rk.isNull(), res)
+                    .when(lk.isNull(), F.lit(1))
+                    .when(rk.isNull(), F.lit(-1))
+                    .when(lk < rk, lt)
+                    .when(lk > rk, gt)
+                    .otherwise(res))
+        return res
+
+    return cmp
+
+
 @register_fn("nth")
 def _nth(ctx, args, kwargs):
     col = _low(args[0], ctx)
@@ -180,18 +202,24 @@ def _nth(ctx, args, kwargs):
         # structs inside the group, then index (struct compare is
         # field-ordered, so the keys sort first; desc = numeric negation)
         ob = order_by if isinstance(order_by, tuple) else (order_by,)
-        okeys = []
+        okeys, descs = [], []
         for o in ob:
             node, desc_flag = o, False
             if isinstance(node, UnaryOp) and node.op == "__neg__":
                 node, desc_flag = node.operand, True
             if isinstance(node, FnCall) and node.name == "desc":
                 node, desc_flag = node.args[0], True
-            c = _low(node, ctx)
-            okeys.append((-c) if desc_flag else c)
-        packed = F.array_sort(F.collect_list(F.struct(
+            okeys.append(_low(node, ctx))
+            descs.append(desc_flag)
+        packed = F.collect_list(F.struct(
             *[k.alias(f"k{i}") for i, k in enumerate(okeys)],
-            col.alias("v"))))
+            col.alias("v")))
+        if any(descs):
+            # desc on non-numeric keys can't negate; a comparator lambda
+            # sorts any orderable type, nulls last both directions
+            packed = F.array_sort(packed, _ob_comparator(descs))
+        else:
+            packed = F.array_sort(packed)
         idx = nidx + 1 if nidx >= 0 else nidx
         return F.try_element_at(packed, F.lit(idx)).getField("v"), AGGED
     order_cols = None

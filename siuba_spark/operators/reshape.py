@@ -100,6 +100,25 @@ def _agg_fn(fn):
     raise TranslationError(f"unknown values_fn {fn!r}")
 
 
+def _key_str(k):
+    """The column name Spark's pivot gives a key value: Scala toString —
+    None → 'null', booleans lowercase.  Using str() here broke NULL and
+    boolean keys (the rename/select targeted nonexistent columns)."""
+    if k is None:
+        return "null"
+    if k is True:
+        return "true"
+    if k is False:
+        return "false"
+    return str(k)
+
+
+def _bq(name):
+    """Backtick-quoted column ref: plain ``df.select(name)`` parses dots
+    as struct access, so pivot keys like '1.5' need escaping."""
+    return F.col("`" + str(name).replace("`", "``") + "`")
+
+
 def _distinct_keys(df, col):
     """Collect the pivot spec (the reference also requires a collected spec,
     sql_pivot_wide.py:31-38).  The caller should ``persist`` the input
@@ -124,10 +143,10 @@ def spread(tbl: SparkTbl, key, value, fill=None, sep: str | None = None,
     base = tbl.df.persist()
     keys = _distinct_keys(base, keyc)
     tbl = tbl.evolve(df=base)
-    out_names = [f"{keyc}{sep}{k}" if sep else str(k) for k in keys]
+    out_names = [f"{keyc}{sep}{_key_str(k)}" if sep else _key_str(k) for k in keys]
     df = tbl.df.groupBy(*ids).pivot(keyc, keys).agg(F.first(valc, ignorenulls=True))
     if sep:
-        df = df.withColumnsRenamed(dict(zip([str(k) for k in keys], out_names)))
+        df = df.withColumnsRenamed(dict(zip([_key_str(k) for k in keys], out_names)))
     if fill is not None:
         df = df.fillna(fill, subset=out_names)
     return tbl.evolve(df=df).pin(base)
@@ -590,7 +609,7 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
         work = tbl.df.persist()
         keys = _distinct_keys(work, names_from[0])
         # one name part per key: (key,)
-        parts_by_key = {str(k): (str(k),) for k in keys}
+        parts_by_key = {_key_str(k): (_key_str(k),) for k in keys}
     else:
         work = tbl.df.withColumn(
             "__pw_key", F.concat_ws(names_sep, *names_from)).persist()
@@ -617,9 +636,9 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
                     "that wide is a driver hazard — aggregate first")
             rows.sort(key=lambda r: (r[0] is None, str(r[0])))
             keys = [r[0] for r in rows]
-            parts_by_key = {str(r[0]): tuple(str(p) for p in r[1:]) for r in rows}
+            parts_by_key = {_key_str(r[0]): tuple(str(p) for p in r[1:]) for r in rows}
         work = work.drop(*names_from)
-    key_strs = [str(k) for k in keys]
+    key_strs = [_key_str(k) for k in keys]
 
     def tidy_name(ks, v=None):
         parts = parts_by_key[ks]
@@ -662,7 +681,8 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
             "(names_repair='check_unique', the reference default)")
     if rename:
         df = df.withColumnsRenamed(rename)
-    df = df.select(*ids, *out_names)
+    # backtick-escape: ids/keys containing '.' must not parse as struct refs
+    df = df.select(*[_bq(c) for c in ids], *[_bq(c) for c in out_names])
     if id_expand and ids:
         # complete the id grid (cartesian product of per-id levels) and
         # sort by ids, like the reference's expand() path (pivot_wide.py:320+)
