@@ -54,6 +54,20 @@ def _str_slice(col, start=None, stop=None):
     return F.substring(col, start + 1, length)
 
 
+def _str_findall(col, pat):
+    """pandas findall = re.findall: with no capture groups each element is
+    the whole match; with exactly one group it is that group's content
+    (reference pandas op, siuba/ops/generics.py:140).  Multi-group patterns
+    would need arrays of tuples — not expressible as a flat Spark array."""
+    import re as _re
+    n_groups = _re.compile(pat).groups
+    if n_groups > 1:
+        raise NotImplementedError(
+            "str.findall with >1 capture group returns tuples in pandas; "
+            "use str.extract per group instead")
+    return F.regexp_extract_all(col, F.lit(pat), min(n_groups, 1))
+
+
 STR_METHODS = {
     "lower": lambda col: F.lower(col),
     "upper": lambda col: F.upper(col),
@@ -87,9 +101,7 @@ STR_METHODS = {
     "isalpha": lambda col: col.rlike(r"^[A-Za-z]+$"),
     "isspace": lambda col: col.rlike(r"^\s+$"),
     "extract": lambda col, pat, idx=1: F.regexp_extract(col, pat, idx),
-    # pandas findall: every non-overlapping match (reference pandas op,
-    # siuba/ops/generics.py:140); group 0 = the whole match
-    "findall": lambda col, pat: F.regexp_extract_all(col, F.lit(pat), 0),
+    "findall": lambda col, pat: _str_findall(col, pat),
     "count": lambda col, pat: F.size(F.split(col, pat)) - 1,
     "find": lambda col, sub: F.instr(col, sub) - 1,
     "repeat": lambda col, n: F.repeat(col, n),
@@ -145,6 +157,36 @@ DT_PROPERTIES = {
     "components": lambda col: _interval_components(col),
 }
 
+def epoch_seconds(col):
+    """Seconds since epoch as double, tolerant of every timeline type.
+
+    Spark 4 reads parquet timestamps without the UTC-adjustment flag as
+    TIMESTAMP_NTZ, and ``ntz.cast("double")`` is a DATATYPE_MISMATCH error.
+    Casting through TIMESTAMP first interprets the NTZ wall clock in the
+    session timezone (exactly how DuckDB/pandas treat naive timestamps when
+    the session runs UTC); for TIMESTAMP / DATE / numeric inputs the extra
+    cast is a no-op that Catalyst folds away."""
+    return col.cast("timestamp").cast("double")
+
+
+def _wall_seconds(col):
+    """Session-timezone wall-clock seconds since epoch.
+
+    pandas dt.round/floor operate on the naive wall clock; Spark timestamps
+    are instants rendered in the session timezone.  Shifting the instant by
+    the session offset (from_utc_timestamp with the session zone) makes its
+    UTC epoch value equal the wall-clock seconds, so fixed-frequency
+    floor/round land on session-local midnights — the same semantics as
+    ``date_trunc``, in every session timezone, not just UTC."""
+    ts = col.cast("timestamp")
+    return F.from_utc_timestamp(ts, F.current_timezone()).cast("double")
+
+
+def _from_wall_seconds(secs):
+    """Inverse of _wall_seconds: wall-clock epoch seconds → instant."""
+    return F.to_utc_timestamp(F.timestamp_seconds(secs), F.current_timezone())
+
+
 def _interval_total_seconds(col):
     """Total seconds of a day-time interval (pandas Timedelta.total_seconds,
     reference: siuba/ops/generics.py:222).  Spark can't cast an interval
@@ -157,21 +199,24 @@ def _interval_components(col):
     """pandas Timedelta.components as a struct (reference: generics.py:233).
     Sign convention matches pandas: all fields carry the interval's sign."""
     tot = _interval_total_seconds(col)
-    sign = F.when(tot < 0, F.lit(-1)).otherwise(F.lit(1))
-    a = F.abs(tot)
-    days = F.floor(a / 86400)
-    hours = F.floor(a % 86400 / 3600)
-    minutes = F.floor(a % 3600 / 60)
-    seconds = F.floor(a % 60)
-    millis = F.floor((a % 1) * 1000)
-    micros = F.floor((a * 1000 % 1) * 1000)
+    # pandas normalizes so only `days` carries the sign:
+    # Timedelta('-1h').components == (days=-1, hours=23, ...).  Floor
+    # division of the SIGNED total reproduces that (floor(-3600/86400) = -1
+    # day, remainder 82800s = 23h); the remainder is always non-negative.
+    days = F.floor(tot / 86400)
+    rem = tot - days * 86400
+    hours = F.floor(rem / 3600)
+    minutes = F.floor(rem % 3600 / 60)
+    seconds = F.floor(rem % 60)
+    millis = F.floor((rem % 1) * 1000)
+    micros = F.floor((rem * 1000 % 1) * 1000)
     return F.struct(
-        (sign * days).cast("long").alias("days"),
-        (sign * hours).cast("long").alias("hours"),
-        (sign * minutes).cast("long").alias("minutes"),
-        (sign * seconds).cast("long").alias("seconds"),
-        (sign * millis).cast("long").alias("milliseconds"),
-        (sign * micros).cast("long").alias("microseconds"),
+        days.cast("long").alias("days"),
+        hours.cast("long").alias("hours"),
+        minutes.cast("long").alias("minutes"),
+        seconds.cast("long").alias("seconds"),
+        millis.cast("long").alias("milliseconds"),
+        micros.cast("long").alias("microseconds"),
         F.lit(0).cast("long").alias("nanoseconds"),
     )
 
@@ -208,8 +253,8 @@ def _dt_round(col, freq):
             f"dt.round only supports fixed frequencies (multiples of "
             f"{sorted(set(_FIXED_SECONDS))}), got {freq!r} "
             "(pandas raises for calendar units too)")
-    cnt = F.bround(col.cast("double") / secs)  # bround = half-to-even
-    return (cnt * secs).cast("timestamp")
+    cnt = F.bround(_wall_seconds(col) / secs)  # bround = half-to-even
+    return _from_wall_seconds(cnt * secs)
 
 
 def _dt_floor(col, freq):
@@ -220,7 +265,7 @@ def _dt_floor(col, freq):
     m = _re.fullmatch(r"(\d+)\s*([A-Za-z]+)", str(freq))
     if m and _FIXED_SECONDS.get(m.group(2)):
         secs = int(m.group(1)) * _FIXED_SECONDS[m.group(2)]
-        return (F.floor(col.cast("double") / secs) * secs).cast("timestamp")
+        return _from_wall_seconds(F.floor(_wall_seconds(col) / secs) * secs)
     return F.date_trunc(_FREQ_UNIT[freq], col)
 
 

@@ -16,6 +16,7 @@ import warnings
 
 from pyspark.sql import functions as F
 
+from ..functions.accessors import epoch_seconds as _epoch
 from ..plans.pipe import join_verb, wrap_table
 from ..plans.tbl import SparkTbl
 
@@ -289,7 +290,7 @@ def asof_join(left, right, on: str, by=(), direction: str = "backward",
 
     out = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
-        gap = F.abs(ts.cast("double") - F.col("__match_ts").cast("double"))
+        gap = F.abs(_epoch(ts) - _epoch(F.col("__match_ts")))
         keep = gap <= float(tolerance)
         for c in payload:
             out = out.withColumn(f"__c_{c}", F.when(keep, F.col(f"__c_{c}")))
@@ -325,7 +326,7 @@ def interval_join(left, right, left_on: str, right_on: str,
     payload = [c for c in right.df.columns if c not in by]
     out_names = {c: (f"{c}{suffix}" if c in lcols else c) for c in payload}
 
-    lts = F.col(left_on).cast("double")
+    lts = _epoch(F.col(left_on))
     lo_bin = F.floor((lts + float(lower)) / width).cast("long")
     hi_bin = F.floor((lts + float(upper)) / width).cast("long")
     lhs = left.df.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
@@ -334,11 +335,11 @@ def interval_join(left, right, left_on: str, right_on: str,
     rhs = right.df.select(
         *[F.col(c) for c in by],
         *[F.col(c).alias(out_names[c]) for c in payload],
-    ).withColumn("__bin", F.floor(F.col(r_on).cast("double") / width).cast("long"))
+    ).withColumn("__bin", F.floor(_epoch(F.col(r_on)) / width).cast("long"))
 
     joined = lhs.join(rhs, by + ["__bin"], "inner")
-    exact = (F.col(r_on).cast("double") >= lts + float(lower)) & \
-            (F.col(r_on).cast("double") <= lts + float(upper))
+    exact = (_epoch(F.col(r_on)) >= lts + float(lower)) & \
+            (_epoch(F.col(r_on)) <= lts + float(upper))
     out = joined.filter(exact).drop("__bin")
     if how == "inner":
         return SparkTbl(out)

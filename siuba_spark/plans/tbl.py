@@ -83,11 +83,26 @@ class SparkTbl:
 # sources (reference: tbl(), siuba/dply/verbs.py:2550-2641)
 # --------------------------------------------------------------------------
 
+def _normalize_ntz(df):
+    """Interpret naive (TIMESTAMP_NTZ) columns in the session timezone.
+
+    Parquet files whose timestamps lack the isAdjustedToUTC flag read as
+    TIMESTAMP_NTZ in Spark 4.  Everything downstream — watermarks, window
+    specs, interval math — wants instants, and pandas/DuckDB both treat
+    naive timestamps as session-local wall clock, so cast once at the
+    source (a zero-cost projection Catalyst folds into the scan)."""
+    from pyspark.sql import functions as F
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 _READERS = {
-    "parquet": lambda s, p, **kw: s.read.parquet(p),
+    "parquet": lambda s, p, **kw: _normalize_ntz(s.read.parquet(p)),
     "csv": lambda s, p, **kw: s.read.csv(p, header=True, inferSchema=True, **kw),
     "json": lambda s, p, **kw: s.read.json(p, **kw),
-    "orc": lambda s, p, **kw: s.read.orc(p),
+    "orc": lambda s, p, **kw: _normalize_ntz(s.read.orc(p)),
 }
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.accessors import epoch_seconds as _epoch
 from ..plans.pipe import join_verb, verb
 from ..plans.tbl import SparkTbl
 
@@ -68,7 +69,7 @@ def sessionize(tbl: SparkTbl, ts: str, by, gap_minutes: float = 30.0,
     by = [by] if isinstance(by, str) else list(by)
     w = Window.partitionBy(*[F.col(b) for b in by]).orderBy(F.col(ts).asc())
     prev = F.lag(F.col(ts)).over(w)
-    gap = F.col(ts).cast("double") - prev.cast("double")
+    gap = _epoch(F.col(ts)) - _epoch(prev)
     is_new = F.when(prev.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return tbl.evolve(df=tbl.df.withColumn(out, sess.cast("long")))
@@ -79,10 +80,11 @@ def read_event_stream(spark, path: str, schema=None, max_files: int = 1):
 
     ``maxFilesPerTrigger`` bounds per-microbatch work; pair with
     ``stream_tumble`` + watermark for late-data-safe windowed aggs."""
+    from ..plans.tbl import _normalize_ntz
     reader = spark.readStream.option("maxFilesPerTrigger", max_files)
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return SparkTbl(reader.schema(schema).parquet(path))
+    return SparkTbl(_normalize_ntz(reader.schema(schema).parquet(path)))
 
 
 @verb

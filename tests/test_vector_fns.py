@@ -298,3 +298,65 @@ def test_dt_floor_round_multiples_match_pandas(spark):
     assert got["f15"].tolist() == ts.dt.floor("15min").tolist()
     assert got["r15"].tolist() == ts.dt.round("15min").tolist()
     assert got["f6h"].tolist() == ts.dt.floor("6h").tolist()
+
+
+def test_dt_components_negative_interval(spark):
+    """pandas normalizes so only days is negative:
+    Timedelta('-1h').components == (days=-1, hours=23, ...)."""
+    import pandas as pd
+    from siuba_spark import tbl
+    pdf = pd.DataFrame({
+        "a": pd.to_datetime(["2020-01-01 00:00:00", "2020-01-01 00:00:00"]),
+        "b": pd.to_datetime(["2020-01-01 01:00:00", "2020-01-03 04:05:06.25"],
+                            format="mixed"),
+    })
+    t = tbl(spark.createDataFrame(pdf))
+    got = (t >> mutate(c=(_.a - _.b).dt.components)).df.toPandas()["c"]
+    want = (pdf.a - pdf.b).dt.components
+    for i in range(len(pdf)):
+        for f in ("days", "hours", "minutes", "seconds", "milliseconds"):
+            assert got[i][f] == getattr(want.iloc[i], f), (i, f)
+
+
+def test_str_findall_capture_group(spark):
+    """pandas findall returns the capture group content when the pattern
+    has exactly one group (re.findall semantics)."""
+    from siuba_spark import tbl
+    pdf = pd.DataFrame({"s": ["a1b2", "x9", "none"]})
+    t = tbl(spark.createDataFrame(pdf))
+    got = (t >> mutate(m=_.s.str.findall(r"([a-z])\d"))).df.toPandas()["m"]
+    want = pdf.s.str.findall(r"([a-z])\d")
+    assert [list(g) for g in got] == [list(w) for w in want]
+    # no groups: whole match, unchanged
+    got0 = (t >> mutate(m=_.s.str.findall(r"[a-z]\d"))).df.toPandas()["m"]
+    want0 = pdf.s.str.findall(r"[a-z]\d")
+    assert [list(g) for g in got0] == [list(w) for w in want0]
+    with pytest.raises(NotImplementedError):
+        (t >> mutate(m=_.s.str.findall(r"([a-z])(\d)"))).df.collect()
+
+
+def test_dt_round_floor_agree_non_utc(spark):
+    """dt.round('D') and dt.floor('D')/date_trunc must agree on session-local
+    midnights in a non-UTC session (ADVICE r2: round used UTC epoch math)."""
+    import pandas as pd
+    from siuba_spark import tbl
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        walls = ["2020-06-01 09:00:00", "2020-06-01 15:00:00"]
+        pdf = pd.DataFrame({"t": pd.to_datetime(walls)})
+        # timestamp literals parse in the session tz, so the Spark wall
+        # clock matches pandas' naive wall clock
+        t = tbl(spark.sql(" UNION ALL ".join(
+            f"SELECT timestamp'{w}' AS t" for w in walls)))
+        got = (t >> mutate(
+            r=_.t.dt.round("D"), f=_.t.dt.floor("D"),
+            f6=_.t.dt.floor("6H"), r6=_.t.dt.round("6H"),
+        )).df.toPandas()
+        # pandas naive semantics on the same wall clock
+        assert got["r"].tolist() == pdf.t.dt.round("D").tolist()
+        assert got["f"].tolist() == pdf.t.dt.floor("D").tolist()
+        assert got["f6"].tolist() == pdf.t.dt.floor("6h").tolist()
+        assert got["r6"].tolist() == pdf.t.dt.round("6h").tolist()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
