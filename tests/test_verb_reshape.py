@@ -345,3 +345,23 @@ def test_extract_flags_ignorecase(spark):
     out = (t >> extract(_.s, into=["word"], regex=r"([a-z]+)",
                         flags=re.IGNORECASE)).df
     assert sorted(r.word for r in out.collect()) == ["ABC", "xyz"]
+
+
+def test_pivot_wider_dotted_and_null_keys(spark):
+    """Numeric names_from values ('1.5' → dotted column name) and NULL keys
+    (Spark names the pivot column 'null') must survive the final select."""
+    from siuba_spark import pivot_wider
+    t = data_frame(spark, id=[1, 1, 2], k=[1.5, None, 1.5], v=[10, 20, 30])
+    out = (t >> pivot_wider(names_from=_.k, values_from=_.v)).df.toPandas()
+    cols = sorted(out.columns)
+    assert "1.5" in cols and "null" in cols
+    got = out.sort_values("id").reset_index(drop=True)
+    assert got.loc[0, "1.5"] == 10 and got.loc[0, "null"] == 20
+    assert got.loc[1, "1.5"] == 30 and pd.isna(got.loc[1, "null"])
+
+
+def test_spread_dotted_keys(spark):
+    from siuba_spark import spread
+    t = data_frame(spark, id=[1, 1], k=["a.b", "c"], v=[10, 20])
+    out = (t >> spread(_.k, _.v)).df.toPandas()
+    assert sorted(c for c in out.columns if c != "id") == ["a.b", "c"]
