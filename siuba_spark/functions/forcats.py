@@ -117,6 +117,119 @@ def _fct_lump(ctx, args, kwargs):
     return F.when(rk <= abs(int(n)), col).otherwise(F.lit(other)), SCALAR
 
 
+# --------------------------------------------------------------------------
+# Scale-safe fct_lump: the expression translation above ranks with windows
+# partitioned only by the grouping keys — ungrouped, that is an empty
+# partitionBy funnelling the whole table through one reducer.  mutate()
+# calls rewrite_fct_lump() first, which replaces each fct_lump node with an
+# agg → rank-the-tiny-distinct-table → broadcast-join plan: the full table
+# shuffles once on (groups, value) for the count, the window runs over at
+# most |distinct values| rows, and the keep-set joins back broadcast.
+# Same results (the rank keys and tie-breaks are identical), 100 TB-safe.
+# --------------------------------------------------------------------------
+
+
+def _fct_lump_params(ctx, node):
+    from ..siu.calls import Lit
+
+    def val(x, default=None):
+        if x is None:
+            return default
+        return x.value if isinstance(x, Lit) else x
+
+    args, kwargs = node.args, node.kwargs
+    n = val(kwargs.get("n", args[1] if len(args) > 1 else None))
+    prop = val(kwargs.get("prop"))
+    other = val(kwargs.get("other_level"), "Other")
+    w = kwargs.get("w")
+    if n is None and prop is None:
+        n = 5
+    return n, prop, other, w
+
+
+def _fct_lump_plan(ctx, node, df, idx):
+    """DataFrame-level fct_lump: returns (df, replacement Column, tmp cols)."""
+    n, prop, other, w = _fct_lump_params(ctx, node)
+    col = _low(node.args[0], ctx)
+    groups = list(ctx.group_by)
+    vname = f"__fct_val_{idx}"
+    flag = f"__fct_keep_{idx}"
+    tmps = [vname, flag]
+    df = df.withColumn(vname, col)
+    if w is not None:
+        wname = f"__fct_wt_{idx}"
+        df = df.withColumn(wname, _low(w, ctx))
+        tmps.append(wname)
+        agg = F.sum(F.col(wname)).alias("__cnt")
+    else:
+        agg = F.count(F.lit(1)).alias("__cnt")
+    counts = df.groupBy(*[F.col(g) for g in groups], F.col(vname)).agg(agg)
+    # windows below run over the aggregated counts table (≤ |distinct
+    # values| rows), never the full input
+    wsp = Window.partitionBy(*[F.col(g) for g in groups])
+    if prop is not None:
+        share = F.col("__cnt") / F.sum("__cnt").over(wsp)
+        keep_cond = share > prop if prop >= 0 else share <= -prop
+    else:
+        if n >= 0:
+            order = [F.col("__cnt").desc(), F.col(vname).asc_nulls_last()]
+        else:
+            order = [F.col("__cnt").asc(), F.col(vname).asc_nulls_last()]
+        keep_cond = F.dense_rank().over(wsp.orderBy(*order)) <= abs(int(n))
+    gkeys = [f"__fct_g{i}_{idx}" for i in range(len(groups))]
+    keep = (counts.withColumn(flag, keep_cond).filter(F.col(flag))
+            .select(*[F.col(g).alias(a) for g, a in zip(groups, gkeys)],
+                    F.col(vname).alias(f"__fct_k_{idx}"), F.col(flag)))
+    cond = F.col(vname).eqNullSafe(F.col(f"__fct_k_{idx}"))
+    for g, a in zip(groups, gkeys):
+        cond = cond & F.col(g).eqNullSafe(F.col(a))
+    df = df.join(F.broadcast(keep), cond, "left")
+    tmps.extend(gkeys + [f"__fct_k_{idx}"])
+    out = F.when(F.col(flag), F.col(vname)).otherwise(F.lit(other))
+    return df, out, tmps
+
+
+def rewrite_fct_lump(node, ctx, df):
+    """Replace fct_lump nodes in a Call tree with their precomputed plans.
+
+    Returns ``(df, node, tmp_col_names)``; the caller drops the tmp columns
+    after projecting the final expression.  No-op (identity) when the tree
+    contains no fct_lump."""
+    from ..siu.calls import (BinaryOp, Call, FnCall, GetAttr, GetItem, Lit,
+                             MethodCall, UnaryOp)
+
+    state = {"df": df, "tmps": [], "idx": 0}
+
+    def walk(nd):
+        if not isinstance(nd, Call):
+            return nd
+        if isinstance(nd, FnCall):
+            if nd.name == "fct_lump":
+                state["df"], col, tmps = _fct_lump_plan(
+                    ctx, nd, state["df"], state["idx"])
+                state["idx"] += 1
+                state["tmps"].extend(tmps)
+                return Lit(col)  # F.lit(Column) passes the column through
+            return FnCall(nd.name, tuple(walk(a) for a in nd.args),
+                          {k: walk(v) for k, v in nd.kwargs.items()})
+        if isinstance(nd, BinaryOp):
+            return BinaryOp(nd.op, walk(nd.left), walk(nd.right))
+        if isinstance(nd, UnaryOp):
+            return UnaryOp(nd.op, walk(nd.operand))
+        if isinstance(nd, MethodCall):
+            return MethodCall(walk(nd.obj), nd.name,
+                              tuple(walk(a) for a in nd.args),
+                              {k: walk(v) for k, v in nd.kwargs.items()})
+        if isinstance(nd, GetAttr):
+            return GetAttr(walk(nd.obj), nd.name)
+        if isinstance(nd, GetItem):
+            return GetItem(walk(nd.obj), walk(nd.key))
+        return nd
+
+    new = walk(node)
+    return state["df"], new, state["tmps"]
+
+
 @register_fn("fct_rev")
 def _fct_rev(ctx, args, kwargs):
     return _low(args[0], ctx), SCALAR  # value context: passthrough (no cat dtype)

@@ -106,12 +106,19 @@ def mutate(tbl: SparkTbl, *args, **kwargs):
     >>> sorted(out.dev.tolist())
     [-1.0, 0.0, 1.0]
     """
+    from ..functions.forcats import rewrite_fct_lump
+
     kwargs = _merge_across(tbl, args, kwargs)
     df = tbl.df
     for name, expr in kwargs.items():
         ctx = tbl.row_ctx()
-        col, _ = lower(strip_symbolic(expr), ctx)
+        # fct_lump lowers to an agg→rank→broadcast-join plan, not a global
+        # window — rewrite the expression tree first (no-op otherwise)
+        df, node, tmps = rewrite_fct_lump(strip_symbolic(expr), ctx, df)
+        col, _ = lower(node, ctx)
         df = df.withColumn(name, col)
+        if tmps:
+            df = df.drop(*tmps)
     return tbl.evolve(df=df)
 
 

@@ -262,3 +262,32 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in explained
     assert "1-URGENT" in explained.split("PartitionFilters", 1)[1][:400], \
         "partition filter did not reach the scan"
+
+
+def test_fct_lump_no_window_over_full_table(spark):
+    """Ungrouped fct_lump must not rank the full table through an
+    unpartitioned window: the plan is agg (one shuffle on the value) ->
+    rank the tiny distinct table -> broadcast-join the keep-set back."""
+    from siuba_spark import fct_lump
+    t = (tbl(spark, f"{SF}/orders.parquet")
+         >> mutate(prio=fct_lump(_.o_orderpriority, n=2)))
+    plan = _plan(t.df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # every Window sits above the HashAggregate (counts) subtree: walking
+    # the tree text down from each Window line, an Aggregate must appear
+    # before any parquet scan (children print below parents, deeper indent)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" not in ln:
+            continue
+        for nxt in lines[i + 1:]:
+            if "HashAggregate" in nxt or "SortAggregate" in nxt:
+                break
+            assert "FileScan" not in nxt, (
+                "Window ranks the raw scan (unpartitioned global window "
+                "over the full table):\n" + plan)
+    # prop= variant: same shape
+    t2 = (tbl(spark, f"{SF}/orders.parquet")
+          >> mutate(prio=fct_lump(_.o_orderpriority, prop=0.15)))
+    plan2 = _plan(t2.df)
+    assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2
