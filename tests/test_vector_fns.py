@@ -360,3 +360,28 @@ def test_dt_round_floor_agree_non_utc(spark):
         assert got["r6"].tolist() == pdf.t.dt.round("6h").tolist()
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_rank_dense_pct_divides_by_distinct(spark):
+    """pandas divides dense ranks by the DISTINCT value count:
+    [1,1,2,3].rank('dense', pct=True) == [1/3, 1/3, 2/3, 1.0]."""
+    t = data_frame(spark, x=[1.0, 1.0, 2.0, 3.0])
+    got = sorted((t >> mutate(r=_.x.rank(method="dense", pct=True))
+                  ).df.toPandas()["r"])
+    want = sorted(pd.Series([1.0, 1.0, 2.0, 3.0]).rank(method="dense", pct=True))
+    assert got == pytest.approx(want)
+
+
+def test_first_last_desc_string_key_in_summarize(spark):
+    """order_by=desc(string_col) in summarize must not use numeric negation
+    (CAST_INVALID_INPUT under ANSI); comparator sort handles any type."""
+    from siuba_spark import desc, first, group_by, last, summarize
+    t = data_frame(spark, g=["a", "a", "b", "b"],
+                   s=["x", "z", "m", "k"], v=[1, 2, 3, 4])
+    out = (t >> group_by(_.g)
+           >> summarize(fv=first(_.v, order_by=desc(_.s)),
+                        lv=last(_.v, order_by=desc(_.s)))
+           ).df.toPandas().sort_values("g").reset_index(drop=True)
+    # group a sorted by s desc: z(2), x(1); group b: m(3), k(4)
+    assert out.fv.tolist() == [2, 3]
+    assert out.lv.tolist() == [1, 4]
