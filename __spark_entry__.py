@@ -2087,6 +2087,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
+def _managed(fn):
+    """Release the previous query's pinned intermediates before building
+    the next one.  The harness/bench consume raw DataFrames (never
+    ``collect()``), so this is where spread/pivot_wider/minhash pins get
+    unpersisted on that path."""
+    import functools
+
+    from siuba_spark import release_all_pins
+
+    @functools.wraps(fn)
+    def run(spark, sf_dir):
+        release_all_pins()
+        return fn(spark, sf_dir)
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver grades the FIRST 50 entries only.
     # Round 2 graded the old first-50 green (CORRECTNESS_r02.json), so round
@@ -2095,7 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # release, timedelta components, findall groups, dt.round tz).  The
     # previously-graded remainder stays registered below the window and is
     # still covered by tools/oracle_sweep.py (CORRECTNESS_local.json).
-    return {
+    raw = {
         # --- not yet driver-graded (41) ---
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -2193,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_score": q_lang_score,
         "fingerprint": q_fingerprint,
     }
+    return {k: _managed(v) for k, v in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -36,6 +36,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
+    from siuba_spark import release_all_pins
 
     HEADLINE = [
         "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q12",
@@ -53,6 +54,7 @@ def main():
     def run(name):
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        release_all_pins()
 
     # warmup: absorb JVM startup + whole-stage-codegen JIT compilation for
     # every query shape (first execution of a large generated class costs
@@ -77,6 +79,11 @@ def main():
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3) if best is not None else None
+
+    release_all_pins()
+    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+    if leaked:
+        print(f"bench warning: {leaked} persistent RDDs leaked", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -15,6 +15,27 @@ from ..functions.lowering import AGG, ROW, LowerCtx
 from .pipe import Pipe, verb
 
 
+# Session-wide ledger of pinned (persisted) intermediates, keyed by id().
+# SparkTbl.release() covers the collect()/write_*() path; consumers that
+# take ``.df`` directly (the grading harness, bench loops) never trigger
+# it, so release_all_pins() lets them drain outstanding pins between
+# queries — without it every spread/pivot_wider/minhash call leaks
+# executor memory for the session's lifetime.
+_ACTIVE_PINS: dict[int, DataFrame] = {}
+
+
+def release_all_pins() -> int:
+    """Unpersist every outstanding pinned intermediate; returns the count."""
+    n = len(_ACTIVE_PINS)
+    for p in list(_ACTIVE_PINS.values()):
+        try:
+            p.unpersist()
+        except Exception:
+            pass
+    _ACTIVE_PINS.clear()
+    return n
+
+
 class SparkTbl:
     """A Spark DataFrame + grouping/ordering metadata. Immutable.
 
@@ -33,6 +54,8 @@ class SparkTbl:
         self.group_by = tuple(group_by)
         self.order_by = tuple(order_by)
         self.pins = tuple(pins)
+        for p in self.pins:
+            _ACTIVE_PINS.setdefault(id(p), p)
 
     # -- state helpers -----------------------------------------------------
     def evolve(self, df=None, group_by=None, order_by=None, pins=None) -> "SparkTbl":
@@ -55,6 +78,7 @@ class SparkTbl:
                 p.unpersist()
             except Exception:
                 pass
+            _ACTIVE_PINS.pop(id(p), None)
         return self.evolve(pins=())
 
     def row_ctx(self) -> LowerCtx:

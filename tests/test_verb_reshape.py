@@ -365,3 +365,20 @@ def test_spread_dotted_keys(spark):
     t = data_frame(spark, id=[1, 1], k=["a.b", "c"], v=[10, 20])
     out = (t >> spread(_.k, _.v)).df.toPandas()
     assert sorted(c for c in out.columns if c != "id") == ["a.b", "c"]
+
+
+def test_entry_path_releases_pins(spark):
+    """Queries consumed via the harness path (raw .df, no collect) must not
+    leak persisted intermediates: the entry wrappers drain the pin ledger
+    before each query, and release_all_pins() drains the tail."""
+    import __spark_entry__ as entry
+    from siuba_spark import release_all_pins
+
+    release_all_pins()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    qs = entry.queries()
+    for name in ("spread_wide", "pivot_wider", "minhash_near_dups"):
+        qs[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()
+    release_all_pins()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
