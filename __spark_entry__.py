@@ -1326,6 +1326,42 @@ def q_multimodal_decode(spark, sf):
     ).df
 
 
+def q_multimodal_headers(spark, sf):
+    """Real header decode: synthesize valid PNG byte payloads JVM-side
+    (unhex of magic + IHDR with computed dimensions), parse them back with
+    the pure-Python header decoder — fully oracle-able since the
+    dimensions are deterministic functions of the row."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.multimodal import decode_images
+    docs = _t(spark, sf, "documents")
+    w = (F.length("text") % 512 + 16).cast("long")
+    h = (F.col("doc_id") % 256 + 16).cast("long")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"),
+        F.lit("080600000000000000"))
+    with_bin = docs.evolve(df=docs.df.withColumn("image", F.unhex(png_hex)))
+    return (
+        decode_images(with_bin, col="image", decoder="headers")
+        >> mutate(width=_.decoded.width.astype("bigint"),
+                  height=_.decoded.height.astype("bigint"),
+                  fmt=_.decoded.format,
+                  n_bytes=_.decoded.n_bytes)
+        >> select(_.doc_id, _.width, _.height, _.fmt, _.n_bytes)
+    ).df
+
+
+SQL_MULTIMODAL_HEADERS = """
+SELECT doc_id,
+  length(text) % 512 + 16 AS width,
+  doc_id % 256 + 16 AS height,
+  'png' AS fmt,
+  CAST(33 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 # ===========================================================================
 # batch 2: additional §2 coverage
 # ===========================================================================
@@ -2153,7 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
-        "multimodal_decode": q_multimodal_decode,
+        "multimodal_headers": q_multimodal_headers,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         # --- sentinels: green in r02 but behavior touched this round (9) ---
@@ -2208,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_score": q_lang_score,
         "fingerprint": q_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
     }
     return {k: _managed(v) for k, v in raw.items()}
 
@@ -2250,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "fct_reorder_arrange": SQL_FCT_REORDER_ARRANGE,
         "events_total_seconds": SQL_EVENTS_TOTAL_SECONDS,
         "str_findall_family": SQL_STR_FINDALL_FAMILY,
+        "multimodal_headers": SQL_MULTIMODAL_HEADERS,
         "corpus_prep": SQL_CORPUS_PREP,
         "salted_join_agg": SQL_SALTED_JOIN_AGG,
         "rank_methods": SQL_RANK_METHODS,

@@ -23,7 +23,8 @@ from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
 __all__ = ["attach_binary_meta", "decode_images", "sample_frames",
-           "resize_images", "extract_features", "IMAGE_META_SCHEMA"]
+           "resize_images", "extract_features", "parse_image_header",
+           "IMAGE_META_SCHEMA"]
 
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
@@ -54,28 +55,77 @@ def _fake_decode(payload: bytes):
     return int.from_bytes(h[0:2], "big") % 2048 + 1, int.from_bytes(h[2:4], "big") % 2048 + 1
 
 
+# JPEG start-of-frame markers that carry dimensions (C0-CF minus DHT C4,
+# JPG C8, DAC CC — the same set every header sniffer uses)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(b: bytes):
+    """(width, height, format) from PNG IHDR / JPEG SOFn / GIF headers —
+    pure Python, no codec libraries, per the published container formats
+    (PNG spec 11.2.2, JPEG ISO 10918-1 B.2.2, GIF89a spec 18)."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"), "png")
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"), "gif")
+    if b[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 3 < len(b):
+            if b[pos] != 0xFF:
+                pos += 1  # padding/entropy bytes between segments
+                continue
+            marker = b[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:  # RST/SOI/EOI: no payload
+                pos += 2
+                continue
+            seg_len = int.from_bytes(b[pos + 2:pos + 4], "big")
+            if marker in _JPEG_SOF and pos + 9 <= len(b):
+                return (int.from_bytes(b[pos + 7:pos + 9], "big"),
+                        int.from_bytes(b[pos + 5:pos + 7], "big"), "jpeg")
+            pos += 2 + seg_len
+        return (None, None, "jpeg")
+    return (None, None, "unknown")
+
+
 @verb
 def decode_images(tbl: SparkTbl, col: str = "image", decoder: str = "fake",
                   out: str = "decoded"):
     """Decode binary images to (width, height, format, n_bytes) metadata
-    via Arrow-batched mapInPandas.  ``decoder='real'`` is a stub — no
-    imaging libraries in this container."""
+    via Arrow-batched mapInPandas.
+
+    ``decoder='headers'`` is a REAL decoder: it parses PNG IHDR, JPEG
+    SOFn, and GIF logical-screen headers in pure Python over the Arrow
+    batches (no codec libraries needed).  ``decoder='fake'`` keeps the
+    deterministic hash-derived metadata for plumbing tests;
+    ``decoder='real'`` (full pixel decode) needs PIL/opencv, not in this
+    container."""
     if decoder == "real":
         raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not available here; "
-            "use decoder='fake' for plumbing tests"
+            "full pixel decoding requires PIL/opencv, not available here; "
+            "use decoder='headers' for real dimension extraction or "
+            "decoder='fake' for plumbing tests"
         )
+    if decoder not in ("fake", "headers"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     in_schema = tbl.df.schema
     out_schema = T.StructType(list(in_schema.fields) + [T.StructField(out, IMAGE_META_SCHEMA)])
 
     def batches(it):
-        import pandas as pd
         for pdf in it:
             metas = []
             for payload in pdf[col]:
                 b = bytes(payload) if payload is not None else b""
-                w, h = _fake_decode(b)
-                metas.append({"width": w, "height": h, "format": "fake",
+                if decoder == "headers":
+                    w, h, fmt = parse_image_header(b)
+                else:
+                    w, h = _fake_decode(b)
+                    fmt = "fake"
+                metas.append({"width": w, "height": h, "format": fmt,
                               "n_bytes": len(b)})
             pdf[out] = metas
             yield pdf

@@ -65,3 +65,45 @@ def test_attach_binary_meta_sniffs_format(spark):
     t = SparkTbl(spark.createDataFrame(rows, "id int, payload binary"))
     got = {r.id: r.meta.format for r in attach_binary_meta(t, "payload").df.collect()}
     assert got == {1: "jpeg", 2: "png", 3: "unknown"}
+
+
+def _png_bytes(w, h):
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + ihdr + b"\x00\x00\x00\x00")
+
+
+def _jpeg_bytes(w, h):
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def test_parse_image_header_real_fixtures():
+    from siuba_spark.corpus.multimodal import parse_image_header
+    assert parse_image_header(_png_bytes(640, 480)) == (640, 480, "png")
+    assert parse_image_header(_jpeg_bytes(1024, 768)) == (1024, 768, "jpeg")
+    assert parse_image_header(_gif_bytes(320, 200)) == (320, 200, "gif")
+    assert parse_image_header(b"notanimage") == (None, None, "unknown")
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == (None, None, "jpeg")
+    assert parse_image_header(b"") == (None, None, "unknown")
+
+
+def test_decode_images_headers_decoder(spark):
+    from siuba_spark import tbl
+    from siuba_spark.corpus.multimodal import decode_images
+    rows = [(1, _png_bytes(12, 34)), (2, _jpeg_bytes(56, 78)),
+            (3, _gif_bytes(90, 12)), (4, b"junk"), (5, None)]
+    t = tbl(spark.createDataFrame(rows, "id long, image binary"))
+    got = {r.id: r.decoded for r in
+           decode_images(t, col="image", decoder="headers").df.collect()}
+    assert (got[1].width, got[1].height, got[1].format) == (12, 34, "png")
+    assert (got[2].width, got[2].height, got[2].format) == (56, 78, "jpeg")
+    assert (got[3].width, got[3].height, got[3].format) == (90, 12, "gif")
+    assert got[4].format == "unknown" and got[4].width is None
+    assert got[5].n_bytes == 0
