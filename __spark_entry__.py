@@ -1310,7 +1310,9 @@ def q_lsh_ann(spark, sf):
     tests/test_oracle.py pins the floor)."""
     emb = _t(spark, sf, "embeddings")
     queries = emb >> filter(_.vec_id < 5)
-    return lsh_topk(emb, queries, k=10, n_planes=4, n_tables=12).df
+    # dim=64 (the synthetic embedding width) keeps construction fully
+    # lazy - omitting it costs a .first() dim-sniff job per call
+    return lsh_topk(emb, queries, k=10, n_planes=4, n_tables=12, dim=64).df
 
 
 def q_multimodal_decode(spark, sf):
@@ -2099,8 +2101,8 @@ def q_embedding_near_dups_lsh(spark, sf):
     SQL-expressible — rows-only check; exactness of the scoring is covered
     by embedding_near_dups' oracle)."""
     from siuba_spark.corpus.similarity import cosine_near_dups
-    return cosine_near_dups(_t(spark, sf, "embeddings"),
-                            threshold=0.35, method="lsh", n_planes=6).df
+    return cosine_near_dups(_t(spark, sf, "embeddings"), threshold=0.35,
+                            method="lsh", n_planes=6, dim=64).df
 
 
 def q_ivf_topk(spark, sf):

@@ -150,12 +150,19 @@ def test_mixed_distinct_agg_splits_no_expand(spark):
 def _jobs_during(spark, fn):
     """Run fn under a dedicated job group; return how many Spark jobs it
     launched (eager-probe accounting)."""
+    import time
+
     sc = spark.sparkContext
     group = f"__probe_count_{id(fn)}"
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     # AQE turns each query stage into its own job; disable so that
     # one action == one job and the count below means "number of actions"
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # quiesce: async jobs still finishing from earlier tests (broadcast
+    # builds, speculative stages) otherwise race the per-group counter
+    deadline = time.monotonic() + 10
+    while sc.statusTracker().getActiveJobsIds() and time.monotonic() < deadline:
+        time.sleep(0.05)
     sc.setJobGroup(group, "probe accounting")
     try:
         fn()
@@ -291,3 +298,14 @@ def test_fct_lump_no_window_over_full_table(spark):
           >> mutate(prio=fct_lump(_.o_orderpriority, prop=0.15)))
     plan2 = _plan(t2.df)
     assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2
+
+
+def test_ann_entry_queries_construct_lazily(spark):
+    """Entry ANN queries pass dim= so building the plan launches no jobs
+    (no .first() dimension sniff)."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    for name in ("lsh_ann", "embedding_near_dups_lsh"):
+        n = _jobs_during(
+            spark, lambda name=name: qs[name](spark, "/root/testdata/sf0.001"))
+        assert n == 0, f"{name} ran {n} jobs during construction"
