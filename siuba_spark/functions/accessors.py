@@ -54,6 +54,23 @@ def _str_slice(col, start=None, stop=None):
     return F.substring(col, start + 1, length)
 
 
+def _str_translate(col, table):
+    """pandas str.translate takes a ``str.maketrans``-style dict mapping
+    ordinals (or 1-char strings) to replacement chars or None (delete).
+    Spark's ``F.translate(col, matching, replace)`` deletes any matching
+    char beyond len(replace), so replacements are emitted first and
+    deletions last (reference pandas op: siuba/ops/generics.py:165)."""
+    repl_src, repl_dst, delete = [], [], []
+    for k, v in table.items():
+        src = chr(k) if isinstance(k, int) else str(k)
+        if v is None:
+            delete.append(src)
+        else:
+            repl_src.append(src)
+            repl_dst.append(chr(v) if isinstance(v, int) else str(v))
+    return F.translate(col, "".join(repl_src) + "".join(delete), "".join(repl_dst))
+
+
 def _str_findall(col, pat):
     """pandas findall = re.findall: with no capture groups each element is
     the whole match; with exactly one group it is that group's content
@@ -105,6 +122,44 @@ STR_METHODS = {
     "count": lambda col, pat: F.size(F.split(col, pat)) - 1,
     "find": lambda col, sub: F.instr(col, sub) - 1,
     "repeat": lambda col, n: F.repeat(col, n),
+    "translate": _str_translate,
+    # swapcase has no Spark builtin: per-char, upper if it equals its
+    # lower form, else lower (pure codegen via transform over the chars)
+    "swapcase": lambda col: F.array_join(
+        F.transform(
+            F.split(col, ""),
+            lambda ch: F.when(ch == F.lower(ch), F.upper(ch)).otherwise(F.lower(ch)),
+        ), ""),
+    "casefold": lambda col: F.lower(col),
+    "isnumeric": lambda col: col.rlike(r"^[0-9]+$"),
+    "isdecimal": lambda col: col.rlike(r"^[0-9]+$"),
+    "isalnum": lambda col: col.rlike(r"^[A-Za-z0-9]+$"),
+    "istitle": lambda col: (col == F.initcap(col)) & col.rlike(r"[A-Za-z]"),
+    "removeprefix": lambda col, pre: F.when(
+        col.startswith(pre), F.substring(col, len(pre) + 1, 2147483647)
+    ).otherwise(col),
+    "removesuffix": lambda col, suf: F.when(
+        col.endswith(suf),
+        F.substring(col, 1, F.length(col) - len(suf)),
+    ).otherwise(col),
+    "rfind": lambda col, sub: (
+        F.when(F.instr(col, sub) == 0, F.lit(-1)).otherwise(
+            F.length(col) - len(sub)
+            - F.instr(F.reverse(col), sub[::-1]) + 1)
+    ),
+    # unlike Spark's pad builtins, pandas just/center never truncate
+    "ljust": lambda col, width, fillchar=" ": F.when(
+        F.length(col) >= width, col).otherwise(F.rpad(col, width, fillchar)),
+    "rjust": lambda col, width, fillchar=" ": F.when(
+        F.length(col) >= width, col).otherwise(F.lpad(col, width, fillchar)),
+    # pandas center: left pad gets floor of the slack, right gets the rest
+    "center": lambda col, width, fillchar=" ": F.when(
+        F.length(col) >= width, col).otherwise(
+        F.rpad(
+            F.lpad(col,
+                   F.floor((F.lit(width) + F.length(col)) / 2).cast("int"),
+                   fillchar),
+            width, fillchar)),
 }
 
 # --------------------------------------------------------------------------
@@ -155,6 +210,25 @@ DT_PROPERTIES = {
     "is_year_start": lambda col: (F.month(col) == 1) & (F.dayofmonth(col) == 1),
     "is_year_end": lambda col: (F.month(col) == 12) & (F.dayofmonth(col) == 31),
     "components": lambda col: _interval_components(col),
+    "is_leap_year": lambda col: (F.year(col) % 4 == 0)
+        & ((F.year(col) % 100 != 0) | (F.year(col) % 400 == 0)),
+    # sub-second components of a timestamp (Spark precision is µs, so
+    # pandas' nanosecond remainder is always 0)
+    "microsecond": lambda col: (
+        # unix_micros is exact where double epoch seconds would round at µs
+        (F.unix_micros(col.cast("timestamp")) % 1000000 + 1000000) % 1000000
+    ).cast("long"),
+    "nanosecond": lambda col: F.lit(0).cast("int"),
+    # timedelta field properties — pandas Timedelta normalization: days is
+    # the signed floor, seconds/microseconds are non-negative remainders
+    "days": lambda col: F.floor(_interval_total_seconds(col) / 86400).cast("long"),
+    "seconds": lambda col: F.floor(
+        _interval_total_seconds(col)
+        - F.floor(_interval_total_seconds(col) / 86400) * 86400
+    ).cast("long"),
+    "microseconds": lambda col: F.round(
+        (_interval_total_seconds(col) % 1 + 1) % 1 * 1000000
+    ).cast("long"),
 }
 
 def epoch_seconds(col):

@@ -104,6 +104,17 @@ _CAST_MAP = {
 }
 
 
+def _astype(col, t):
+    if t == "category":
+        # Spark has no categorical type; values are unchanged, so a string
+        # cast is behavior-compatible for everything but memory layout
+        import warnings
+        warnings.warn("astype('category') keeps values as strings on Spark "
+                      "(no dictionary-encoded column type)")
+        return col.cast("string")
+    return col.cast(_CAST_MAP.get(t, t if isinstance(t, str) else None))
+
+
 def _replace(col, mapping):
     out = col
     for k, v in mapping.items():
@@ -115,7 +126,7 @@ ELWISE_METHODS = {
     "abs": lambda col: F.abs(col),
     "round": lambda col, n=0: F.round(col, n),
     "isin": lambda col, values: col.isin(list(values)),
-    "astype": lambda col, t: col.cast(_CAST_MAP.get(t, t if isinstance(t, str) else None)),
+    "astype": lambda col, t: _astype(col, t),
     "fillna": lambda col, v: F.coalesce(col, F.lit(v) if not isinstance(v, Column) else v),
     "isna": lambda col: col.isNull(),
     "isnull": lambda col: col.isNull(),

@@ -160,9 +160,12 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
     (reference: siuba/dply/verbs.py:2284-2398)."""
     name = _colname(col)
     # extra="merge": the last target keeps the un-split remainder
-    # (split's limit arg); "drop"/"warn" discard extra pieces (the
-    # reference warns per-row from pandas — not knowable without a scan
-    # here, so "warn" behaves as "drop", documented divergence)
+    # (split's limit arg); "drop"/"warn" discard extra pieces.  The
+    # reference warns per-row from pandas; row indices aren't knowable
+    # without a scan, so "warn" emits an aggregate count — and only when
+    # convert=True already runs a probe job (piggybacked on the same agg,
+    # zero extra jobs).  On the lazy paths "warn" behaves as "drop"
+    # (documented divergence).
     if extra == "merge":
         parts = F.split(F.col(name), sep, len(into))
     else:
@@ -173,7 +176,7 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
         # explicit target dtype: fully lazy, no probe job
         for i, new in enumerate(into):
             if new is not None:
-                df = df.withColumn(new, parts.getItem(i).try_cast(convert))
+                df = df.withColumn(new, F.get(parts, i).try_cast(convert))
         if remove and name not in into:
             df = df.drop(name)
         return tbl.evolve(df=df)
@@ -184,17 +187,38 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
         # schemas are static) — exactly one aggregation job runs here.
         # Pass convert="double" (any dtype string) for a lazy cast.
         probes = [
-            F.bool_and(parts.getItem(i).isNull()
-                       | parts.getItem(i).try_cast("double").isNotNull()).alias(f"p{i}")
+            F.bool_and(F.get(parts, i).isNull()
+                       | F.get(parts, i).try_cast("double").isNotNull()).alias(f"p{i}")
             for i, new in enumerate(into) if new is not None
         ]
+        if extra == "warn":
+            probes.append(F.sum((F.size(F.split(F.col(name), sep)) > len(into))
+                                .cast("long")).alias("__extra_rows"))
+        if fill == "warn":
+            probes.append(F.sum((F.size(F.split(F.col(name), sep)) < len(into))
+                                .cast("long")).alias("__missing_rows"))
         row = df.agg(*probes).first()
-        convertible = {int(k[1:]): bool(v) for k, v in row.asDict().items()
+        rowd = row.asDict()
+        n_extra = rowd.pop("__extra_rows", 0) or 0
+        n_missing = rowd.pop("__missing_rows", 0) or 0
+        if n_extra:
+            import warnings
+            warnings.warn(f"separate: {n_extra} row(s) had more pieces than "
+                          f"len(into)={len(into)}; extra pieces discarded "
+                          "(pass extra='merge' or 'drop' to silence)")
+        if n_missing:
+            import warnings
+            warnings.warn(f"separate: {n_missing} row(s) had fewer pieces than "
+                          f"len(into)={len(into)}; missing values filled with "
+                          "NULL (pass fill='right' or 'left' to silence)")
+        convertible = {int(k[1:]): bool(v) for k, v in rowd.items()
                        if v is not None}
     for i, new in enumerate(into):
         if new is None:
             continue
-        c = parts.getItem(i)
+        # F.get (not getItem): rows with fewer pieces fill NULL instead
+        # of raising INVALID_ARRAY_INDEX under ANSI mode
+        c = F.get(parts, i)
         if convert and convertible.get(i):
             c = F.coalesce(c.try_cast("bigint").cast("double"), c.try_cast("double"))
         df = df.withColumn(new, c)

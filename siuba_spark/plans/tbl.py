@@ -122,8 +122,25 @@ def _normalize_ntz(df):
     return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
+# path → StructType: reading a parquet path without a schema launches a
+# footer-inference job EVERY time; tables are immutable for a session's
+# lifetime (testdata, warehouse dirs), so infer once and replay the schema —
+# repeated tbl() calls on the same path are then fully lazy (zero jobs)
+_PARQUET_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached(s, p):
+    key = (id(s.sparkContext), p)
+    schema = _PARQUET_SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return s.read.schema(schema).parquet(p)
+    df = s.read.parquet(p)
+    _PARQUET_SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 _READERS = {
-    "parquet": lambda s, p, **kw: _normalize_ntz(s.read.parquet(p)),
+    "parquet": lambda s, p, **kw: _normalize_ntz(_read_parquet_cached(s, p)),
     "csv": lambda s, p, **kw: s.read.csv(p, header=True, inferSchema=True, **kw),
     "json": lambda s, p, **kw: s.read.json(p, **kw),
     "orc": lambda s, p, **kw: _normalize_ntz(s.read.orc(p)),
@@ -194,6 +211,9 @@ def write_parquet(tbl: SparkTbl, path: str, mode: str = "overwrite",
                   table_name: str | None = None):
     """Parquet sink with optional hive-style partitioning or bucketing
     (bucketing enables shuffle-free co-located joins at scale)."""
+    # a rewrite can change the file's schema — drop any cached inference
+    sc_id = id(tbl.df.sparkSession.sparkContext)
+    _PARQUET_SCHEMA_CACHE.pop((sc_id, path), None)
     w = tbl.df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

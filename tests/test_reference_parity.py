@@ -679,6 +679,57 @@ def test_parity_str_dt_accessor_sweep(spark):
         assert a.tolist() == b.tolist(), (k, a.tolist(), b.tolist())
 
 
+def test_parity_str_dt_long_tail(spark):
+    """Round-3 registry long tail: translate/swapcase/just/center/
+    removeprefix/rfind/istitle + dt.is_leap_year/microsecond + timedelta
+    field properties — pandas is the ground truth."""
+    pdf = pd.DataFrame({
+        "i": range(4),
+        "s": ["Hello World", "aBc1", "", "xyzx"],
+        "t": pd.to_datetime(["2024-02-29 10:30:15.123456", "2023-01-01 00:00:00",
+                             "2000-02-29 23:59:59.5", "1999-07-04 12:00:00"],
+                            format="mixed"),
+        "a": pd.to_datetime(["2024-01-02 03:00:00", "2024-01-01 00:00:00",
+                             "2024-03-01 00:00:01", "2023-12-31 23:59:59"],
+                            format="mixed"),
+        "b": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:30:00.5",
+                             "2024-02-29 23:59:59", "2024-01-01 00:00:00"],
+                            format="mixed"),
+    })
+    t = ours.tbl(spark.createDataFrame(pdf))
+    table = {ord("l"): "L", ord("o"): None}
+
+    exprs = {
+        "tr": (lambda c: c.s.str.translate(table),
+               lambda c: c.s.str.translate({"l": "L", ord("o"): None})),
+        "sw": (lambda c: c.s.str.swapcase(),) * 2,
+        "nu": (lambda c: c.s.str.isnumeric(),) * 2,
+        "an": (lambda c: c.s.str.isalnum(),) * 2,
+        "ti": (lambda c: c.s.str.istitle(),) * 2,
+        "rp": (lambda c: c.s.str.removeprefix("He"),) * 2,
+        "rs": (lambda c: c.s.str.removesuffix("x"),) * 2,
+        "rf": (lambda c: c.s.str.rfind("x"),) * 2,
+        "lj": (lambda c: c.s.str.ljust(6, "."),) * 2,
+        "rj": (lambda c: c.s.str.rjust(6, "."),) * 2,
+        "ce": (lambda c: c.s.str.center(8, "*"),) * 2,
+        "ly": (lambda c: c.t.dt.is_leap_year,) * 2,
+        "us": (lambda c: c.t.dt.microsecond,) * 2,
+        "tdd": (lambda c: (c.a - c.b).dt.days,) * 2,
+        "tds": (lambda c: (c.a - c.b).dt.seconds,) * 2,
+        "tdu": (lambda c: (c.a - c.b).dt.microseconds,) * 2,
+    }
+    want = ref.mutate(pdf, **{k: fns[0](R) for k, fns in exprs.items()})
+    got = (t >> ours.mutate(**{k: fns[1](S) for k, fns in exprs.items()})) \
+        .df.toPandas()
+    got = got.sort_values("i").reset_index(drop=True)
+    want = want.sort_values("i").reset_index(drop=True)
+    for k in exprs:
+        a, b = got[k], want[k]
+        if b.dtype.kind in "iu":
+            a, b = a.astype("int64"), b.astype("int64")
+        assert a.tolist() == b.tolist(), (k, a.tolist(), b.tolist())
+
+
 # -- randomized pipeline fuzzing: both engines, same pipeline --------------
 
 from hypothesis import HealthCheck, given, settings

@@ -304,7 +304,12 @@ def test_ann_entry_queries_construct_lazily(spark):
     """Entry ANN queries pass dim= so building the plan launches no jobs
     (no .first() dimension sniff)."""
     import __spark_entry__ as entry
+    from siuba_spark.plans.tbl import tbl as _tbl
     qs = entry.queries()
+    # warm the parquet schema cache: the FIRST read of any path runs one
+    # unavoidable footer-inference job; after that, construction must be free
+    _tbl(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    _tbl(spark, "/root/testdata/sf0.001/documents.parquet")
     for name in ("lsh_ann", "embedding_near_dups_lsh"):
         n = _jobs_during(
             spark, lambda name=name: qs[name](spark, "/root/testdata/sf0.001"))

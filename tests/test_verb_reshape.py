@@ -382,3 +382,29 @@ def test_entry_path_releases_pins(spark):
             "noop").mode("overwrite").save()
     release_all_pins()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+
+def test_separate_ragged_rows_fill_null(spark):
+    """Rows with fewer pieces than into NULL-fill (F.get, not getItem —
+    getItem raises INVALID_ARRAY_INDEX under ANSI mode)."""
+    t = data_frame(spark, s=["a-b", "c"])
+    out = (t >> separate(_.s, into=["p", "q"], sep="-")).df.toPandas()
+    assert out.p.tolist() == ["a", "c"]
+    assert out.q.tolist() == ["b", None]
+
+
+def test_separate_warn_counts_on_convert_probe(spark):
+    """extra='warn' / fill='warn' emit aggregate-counted warnings when the
+    convert probe already scans (reference warns per-row,
+    verbs.py:2284-2398 — count-only is the documented approximation)."""
+    import warnings
+
+    t = data_frame(spark, s=["1-2-3", "4-5", "6"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = (t >> separate(_.s, into=["a", "b"], sep="-", convert=True)
+               ).df.toPandas()
+    msgs = [str(wi.message) for wi in w]
+    assert any("1 row(s) had more pieces" in m for m in msgs), msgs
+    assert any("1 row(s) had fewer pieces" in m for m in msgs), msgs
+    assert out.a.tolist() == [1, 4, 6]
