@@ -32,7 +32,7 @@ from siuba_spark import (  # noqa: F401
     cumall, cumany, fct_lump, fct_reorder, fct_infreq,
 )
 from siuba_spark.corpus.text import (
-    text_stats, lang_score, fingerprint, token_count_bpe,
+    text_stats, lang_score, fingerprint, token_count_bpe, vocab_topk, tf_idf,
 )
 from siuba_spark.corpus.dedup import (
     exact_dedup, add_shingles, jaccard_pairs, minhash_near_dups, add_simhash,
@@ -1935,6 +1935,583 @@ WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
 """
 
 
+# ===========================================================================
+# TPC-H sweep completion (q2..q22 shapes adapted to the synthetic schema:
+# no partsupp / commitdate / receiptdate / phone columns, so each query keeps
+# the REFERENCE SHAPE — correlated aggregate, exists/not-exists, disjunctive
+# scan, distribution histogram — against the columns that exist)
+# ===========================================================================
+
+
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape: min-cost supplier per part (correlated MIN).  Without
+    partsupp, the supplier pool for a part is the set that shipped it and
+    'cost' is s_acctbal.  Correlated min → tiny per-part agg + join-back,
+    never a global window."""
+    pairs = (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "part"), on={"l_partkey": "p_partkey"},
+                      hint="broadcast")
+        >> filter(_.p_size == 15, _.p_type == "SMALL")
+        >> inner_join(_t(spark, sf, "supplier"), on={"l_suppkey": "s_suppkey"},
+                      hint="broadcast")
+        >> distinct(_.p_partkey, _.p_name, _.s_suppkey, _.s_name, _.s_acctbal)
+    )
+    mins = pairs >> group_by(_.p_partkey) >> summarize(min_bal=_.s_acctbal.min())
+    return (
+        pairs
+        >> inner_join(mins, on="p_partkey", hint="broadcast")
+        >> filter(_.s_acctbal == _.min_bal)
+        >> select(_.p_partkey, _.p_name, _.s_name, _.s_acctbal)
+        >> arrange(_.p_partkey, _.s_name)
+    ).df
+
+
+SQL_TPCH_Q2 = """
+WITH pairs AS (
+  SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type = 'SMALL')
+SELECT p_partkey, p_name, s_name, s_acctbal
+FROM pairs
+WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM pairs p2
+                   WHERE p2.p_partkey = pairs.p_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape: order-priority check via EXISTS.  The lateness
+    predicate (commitdate < receiptdate) becomes 'some lineitem shipped
+    >30 days after the order date'; EXISTS = distinct-orderkey after the
+    fact-fact join, then a 5-group count."""
+    late = (
+        _t(spark, sf, "orders")
+        >> filter(_.o_orderdate >= "1996-01-01", _.o_orderdate < "1996-07-01")
+        >> inner_join(_t(spark, sf, "lineitem"), on={"o_orderkey": "l_orderkey"})
+        >> filter((_.l_shipdate - _.o_orderdate).dt.days > 30)
+        >> distinct(_.o_orderkey, _.o_orderpriority)
+    )
+    return (
+        late
+        >> group_by(_.o_orderpriority)
+        >> summarize(order_count=_.o_orderkey.count())
+        >> arrange(_.o_orderpriority)
+    ).df
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count FROM (
+  SELECT DISTINCT o_orderkey, o_orderpriority
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+    AND date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 30)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 shape: volume shipping between two nations — supplier
+    nation × customer nation pairs by ship year.  Both nation lookups are
+    pre-projected (transmute) so the two joins never collide on n_name."""
+    n_supp = _t(spark, sf, "nation") >> transmute(
+        s_nationkey=_.n_nationkey, supp_nation=_.n_name)
+    n_cust = _t(spark, sf, "nation") >> transmute(
+        c_nationkey=_.n_nationkey, cust_nation=_.n_name)
+    return (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "supplier"), on={"l_suppkey": "s_suppkey"},
+                      hint="broadcast")
+        >> inner_join(n_supp, on="s_nationkey", hint="broadcast")
+        >> inner_join(_t(spark, sf, "orders"), on={"l_orderkey": "o_orderkey"})
+        >> inner_join(_t(spark, sf, "customer"), on={"o_custkey": "c_custkey"},
+                      hint="broadcast")
+        >> inner_join(n_cust, on="c_nationkey", hint="broadcast")
+        >> filter(_.supp_nation.isin(["NATION_1", "NATION_2"]),
+                  _.cust_nation.isin(["NATION_1", "NATION_2"]),
+                  _.supp_nation != _.cust_nation)
+        >> mutate(l_year=_.l_shipdate.dt.year)
+        >> group_by(_.supp_nation, _.cust_nation, _.l_year)
+        >> summarize(revenue=_dsum(_.l_extendedprice * (1 - _.l_discount)))
+        >> arrange(_.supp_nation, _.cust_nation, _.l_year)
+    ).df
+
+
+SQL_TPCH_Q7 = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1','NATION_2')
+  AND nc.n_name IN ('NATION_1','NATION_2')
+  AND ns.n_name != nc.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 shape: market share of one supplier nation inside one
+    customer region per order year (conditional-sum / total-sum)."""
+    n_supp = _t(spark, sf, "nation") >> transmute(
+        s_nationkey=_.n_nationkey, supp_nation=_.n_name)
+    n_cust = _t(spark, sf, "nation") >> transmute(
+        c_nationkey=_.n_nationkey, c_regionkey=_.n_regionkey)
+    return (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "part"), on={"l_partkey": "p_partkey"},
+                      hint="broadcast")
+        >> filter(_.p_type == "ECONOMY")
+        >> inner_join(_t(spark, sf, "orders"), on={"l_orderkey": "o_orderkey"})
+        >> filter(_.o_orderdate >= "1996-01-01", _.o_orderdate < "1998-01-01")
+        >> inner_join(_t(spark, sf, "customer"), on={"o_custkey": "c_custkey"},
+                      hint="broadcast")
+        >> inner_join(n_cust, on="c_nationkey", hint="broadcast")
+        >> inner_join(_t(spark, sf, "region"), on={"c_regionkey": "r_regionkey"},
+                      hint="broadcast")
+        >> filter(_.r_name == "AMERICA")
+        >> inner_join(_t(spark, sf, "supplier"), on={"l_suppkey": "s_suppkey"},
+                      hint="broadcast")
+        >> inner_join(n_supp, on="s_nationkey", hint="broadcast")
+        >> mutate(o_year=_.o_orderdate.dt.year,
+                  volume=_.l_extendedprice * (1 - _.l_discount))
+        >> group_by(_.o_year)
+        >> summarize(mkt_share=(
+            _dsum(if_else(_.supp_nation == "NATION_11", _.volume, 0.0))
+            / _dsum(_.volume)).round(6))
+        >> arrange(_.o_year)
+    ).df
+
+
+SQL_TPCH_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+  ROUND(
+    CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_11'
+          THEN l_extendedprice*(1-l_discount) ELSE 0.0 END
+          AS DECIMAL(30,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+          AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape: product-type profit by supplier nation and order
+    year.  Cost proxy (no partsupp): half the part's retail price per
+    unit."""
+    return (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "part"), on={"l_partkey": "p_partkey"},
+                      hint="broadcast")
+        >> filter(_.p_name.str.contains("widget"))
+        >> inner_join(_t(spark, sf, "supplier"), on={"l_suppkey": "s_suppkey"},
+                      hint="broadcast")
+        >> inner_join(_t(spark, sf, "nation"), on={"s_nationkey": "n_nationkey"},
+                      hint="broadcast")
+        >> inner_join(_t(spark, sf, "orders"), on={"l_orderkey": "o_orderkey"})
+        >> mutate(o_year=_.o_orderdate.dt.year,
+                  amount=_.l_extendedprice * (1 - _.l_discount)
+                  - 0.5 * _.p_retailprice * _.l_quantity)
+        >> group_by(_.n_name, _.o_year)
+        >> summarize(sum_profit=_dsum(_.amount))
+        >> arrange(_.n_name, -_.o_year)
+    ).df
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name, year(o_orderdate) AS o_year,
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                - 0.5*p_retailprice*l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+    AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape: important stock — per-part value for one nation's
+    suppliers, kept only when above a fraction of the total.  The scalar
+    total joins back via a 1-row broadcast theta join (no collect, no
+    global window)."""
+    vals = (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "supplier"), on={"l_suppkey": "s_suppkey"},
+                      hint="broadcast")
+        >> inner_join(_t(spark, sf, "nation"), on={"s_nationkey": "n_nationkey"},
+                      hint="broadcast")
+        >> filter(_.n_name == "NATION_7")
+        >> group_by(_.l_partkey)
+        >> summarize(value=_dsum(_.l_extendedprice))
+    )
+    tot = vals >> summarize(total=_dsum(_.value))
+    return (
+        vals
+        >> inner_join(tot, sql_on=lambda l, r: l.value > r.total * 0.001,
+                      hint="broadcast")
+        >> select(_.l_partkey, _.value)
+        >> arrange(-_.value, _.l_partkey)
+    ).df
+
+
+SQL_TPCH_Q11 = """
+WITH vals AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7' GROUP BY 1)
+SELECT l_partkey, value FROM vals
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+               FROM vals) * 0.001
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT join so
+    zero-order customers survive, per-customer count, then a histogram of
+    counts."""
+    non_urgent = (_t(spark, sf, "orders")
+                  >> filter(_.o_orderpriority != "1-URGENT"))
+    return (
+        _t(spark, sf, "customer")
+        >> left_join(non_urgent, on={"c_custkey": "o_custkey"})
+        >> group_by(_.c_custkey)
+        >> summarize(c_count=_.o_orderkey.count())
+        >> group_by(_.c_count)
+        >> summarize(custdist=_.c_custkey.count())
+        >> arrange(-_.custdist, -_.c_count)
+    ).df
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority != '1-URGENT') o
+    ON c_custkey = o_custkey
+  GROUP BY 1)
+GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 shape: top supplier by quarterly revenue.  The MAX scalar
+    joins back via equality theta join on the exact-decimal revenue — the
+    same no-collect pattern as q11."""
+    rev = (
+        _t(spark, sf, "lineitem")
+        >> filter(_.l_shipdate >= "1996-01-01", _.l_shipdate < "1996-04-01")
+        >> group_by(_.l_suppkey)
+        >> summarize(total_revenue=_dsum(_.l_extendedprice * (1 - _.l_discount)))
+    )
+    mx = rev >> summarize(max_revenue=_.total_revenue.max())
+    return (
+        rev
+        >> inner_join(mx, sql_on=lambda l, r: l.total_revenue == r.max_revenue,
+                      hint="broadcast")
+        >> inner_join(_t(spark, sf, "supplier"), on={"l_suppkey": "s_suppkey"},
+                      hint="broadcast")
+        >> select(_.l_suppkey, _.s_name, _.total_revenue)
+        >> arrange(_.l_suppkey)
+    ).df
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1)
+SELECT l_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY l_suppkey
+"""
+
+
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape: supplier diversity per (brand, type, size) — the
+    part-supplier relation comes from lineitem (no partsupp), suppliers
+    counted distinct."""
+    return (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "part"), on={"l_partkey": "p_partkey"},
+                      hint="broadcast")
+        >> filter(_.p_brand != "Brand#1",
+                  _.p_size.isin([1, 9, 14, 19, 23, 36, 45, 49]))
+        >> group_by(_.p_brand, _.p_type, _.p_size)
+        >> summarize(supplier_cnt=n_distinct(_.l_suppkey))
+        >> arrange(-_.supplier_cnt, _.p_brand, _.p_type, _.p_size)
+    ).df
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    per-part average becomes a tiny per-part agg joined back broadcast
+    (decimal-exact avg so both engines agree bit-for-bit)."""
+    li = _t(spark, sf, "lineitem")
+    avg_qty = (li >> group_by(_.l_partkey)
+               >> summarize(part_avg=_dsum(_.l_quantity) / _.l_quantity.count()))
+    return (
+        li
+        >> inner_join(_t(spark, sf, "part"), on={"l_partkey": "p_partkey"},
+                      hint="broadcast")
+        >> filter(_.p_brand == "Brand#9")
+        >> inner_join(avg_qty, on="l_partkey", hint="broadcast")
+        >> filter(_.l_quantity < 0.2 * _.part_avg)
+        >> summarize(avg_yearly=(_dsum(_.l_extendedprice) / 7.0).round(2))
+    ).df
+
+
+SQL_TPCH_Q17 = """
+WITH avg_qty AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+      / COUNT(l_quantity) AS part_avg
+  FROM lineitem GROUP BY 1)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty USING (l_partkey)
+WHERE p_brand = 'Brand#9' AND l_quantity < 0.2 * part_avg
+"""
+
+
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate pushed
+    into one scan (three OR'd conjunction arms)."""
+    return (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "part"), on={"l_partkey": "p_partkey"},
+                      hint="broadcast")
+        >> filter(
+            ((_.p_brand == "Brand#9") & _.p_size.between(1, 5)
+             & _.l_quantity.between(1, 11))
+            | ((_.p_brand == "Brand#13") & _.p_size.between(1, 10)
+               & _.l_quantity.between(10, 20))
+            | ((_.p_brand == "Brand#20") & _.p_size.between(1, 15)
+               & _.l_quantity.between(20, 30)))
+        >> summarize(revenue=_dsum(_.l_extendedprice * (1 - _.l_discount)))
+    ).df
+
+
+SQL_TPCH_Q19 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+    AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape: suppliers with excess volume of a part family —
+    per-(supplier, part) quantity threshold, then a semi-join keeps
+    matching suppliers."""
+    heavy = (
+        _t(spark, sf, "lineitem")
+        >> filter(_.l_shipdate >= "1996-01-01", _.l_shipdate < "1997-01-01")
+        >> inner_join(_t(spark, sf, "part"), on={"l_partkey": "p_partkey"},
+                      hint="broadcast")
+        >> filter(_.p_name.str.startswith("small"))
+        >> group_by(_.l_suppkey, _.l_partkey)
+        >> summarize(qty=_.l_quantity.sum())
+        >> filter(_.qty > 50)
+    )
+    return (
+        _t(spark, sf, "supplier")
+        >> semi_join(heavy, on={"s_suppkey": "l_suppkey"})
+        >> inner_join(_t(spark, sf, "nation"), on={"s_nationkey": "n_nationkey"},
+                      hint="broadcast")
+        >> select(_.s_suppkey, _.s_name, _.n_name)
+        >> arrange(_.s_suppkey)
+    ).df
+
+
+SQL_TPCH_Q20 = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 50)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape: suppliers who alone returned items in a
+    multi-supplier failed order.  The EXISTS / NOT-EXISTS pair collapses
+    into one per-order aggregate (supplier count vs returning-supplier
+    count) — one shuffle instead of two correlated scans."""
+    per_order = (
+        _t(spark, sf, "lineitem")
+        >> inner_join(_t(spark, sf, "orders"), on={"l_orderkey": "o_orderkey"})
+        >> filter(_.o_orderstatus == "F")
+        >> group_by(_.o_orderkey)
+        >> summarize(
+            n_supp=n_distinct(_.l_suppkey),
+            n_ret_supp=n_distinct(if_else(_.l_returnflag == "R",
+                                          _.l_suppkey, None)),
+            ret_supp=if_else(_.l_returnflag == "R", _.l_suppkey, None).max())
+        >> filter(_.n_supp > 1, _.n_ret_supp == 1)
+    )
+    return (
+        per_order
+        >> inner_join(_t(spark, sf, "supplier"),
+                      on={"ret_supp": "s_suppkey"}, hint="broadcast")
+        >> group_by(_.s_name)
+        >> summarize(numwait=_.o_orderkey.count())
+        >> arrange(-_.numwait, _.s_name)
+        >> head(20)
+    ).df
+
+
+SQL_TPCH_Q21 = """
+WITH per_order AS (
+  SELECT o_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+      AS n_ret_supp,
+    MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON ret_supp = s_suppkey
+WHERE n_supp > 1 AND n_ret_supp = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape: global sales opportunity — above-average-balance
+    customers with no RECENT orders, bucketed by 'country code' (nationkey
+    mod 5 stands in for the phone prefix).  The scalar average joins back
+    as a 1-row broadcast theta join; the dormancy check is an anti-join."""
+    cust = _t(spark, sf, "customer")
+    avg_bal = (cust >> filter(_.c_acctbal > 0.0)
+               >> summarize(avg_bal=_dsum(_.c_acctbal) / _.c_acctbal.count()))
+    recent = (_t(spark, sf, "orders")
+              >> filter(_.o_orderdate >= "2000-01-01"))
+    return (
+        cust
+        >> inner_join(avg_bal, sql_on=lambda l, r: l.c_acctbal > r.avg_bal,
+                      hint="broadcast")
+        >> anti_join(recent, on={"c_custkey": "o_custkey"})
+        >> mutate(cntrycode=_.c_nationkey % 5)
+        >> group_by(_.cntrycode)
+        >> summarize(numcust=_.c_custkey.count(),
+                     totacctbal=_dsum(_.c_acctbal))
+        >> arrange(_.cntrycode)
+    ).df
+
+
+SQL_TPCH_Q22 = """
+SELECT c_nationkey % 5 AS cntrycode, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+           / COUNT(c_acctbal)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary: top-50 tokens by frequency (training-pipeline
+    surface; one explode + one count shuffle + global top-k)."""
+    return vocab_topk(_t(spark, sf, "documents"), col="text", k=50).df
+
+
+SQL_VOCAB_TOPK = """
+SELECT token, COUNT(*) AS count FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents)
+WHERE token != ''
+GROUP BY 1 ORDER BY count DESC, token LIMIT 50
+"""
+
+
+def q_tfidf_topk(spark, sf):
+    """Per-document top-3 TF-IDF terms (training-pipeline surface; the
+    corpus-size scalar rides along as a 1-row broadcast)."""
+    return tf_idf(_t(spark, sf, "documents"), col="text", id_col="doc_id",
+                  k_per_doc=3).df
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tc AS (SELECT doc_id, term, COUNT(*) AS tc FROM toks
+       WHERE term != '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tc) AS doc_len FROM tc GROUP BY 1),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tc),
+scored AS (
+  SELECT tc.doc_id, tc.term,
+         ROUND((tc.tc / dl.doc_len)
+               * ln(nd.n_docs::DOUBLE / dfreq.df), 6) AS tfidf
+  FROM tc JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM scored)
+WHERE rk <= 3
+"""
+
+
 def q_json_props(spark, sf):
     """JSON metadata parsing over the events stream (training-pipeline
     shape: extract typed fields from a props blob, aggregate)."""
@@ -2204,6 +2781,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_total_seconds": q_events_total_seconds,
         "str_findall_family": q_str_findall_family,
         "dt_functions": q_dt_functions,
+        # --- new this round: TPC-H sweep completion (outside the 50-window;
+        # graded by tools/oracle_sweep.py now, rotate into the driver window
+        # next round) ---
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "vocab_topk": q_vocab_topk,
+        "tfidf_topk": q_tfidf_topk,
         # --- graded green in r02, unchanged (outside the 50-window) ---
         "select_rename": q_select_rename,
         "mutate_arith": q_mutate_arith,
@@ -2335,6 +2931,22 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10": SQL_TPCH_Q10,
         "tpch_q18": SQL_TPCH_Q18,
         "tpch_q14": SQL_TPCH_Q14,
+        "tpch_q2": SQL_TPCH_Q2,
+        "tpch_q4": SQL_TPCH_Q4,
+        "tpch_q7": SQL_TPCH_Q7,
+        "tpch_q8": SQL_TPCH_Q8,
+        "tpch_q9": SQL_TPCH_Q9,
+        "tpch_q11": SQL_TPCH_Q11,
+        "tpch_q13": SQL_TPCH_Q13,
+        "tpch_q15": SQL_TPCH_Q15,
+        "tpch_q16": SQL_TPCH_Q16,
+        "tpch_q17": SQL_TPCH_Q17,
+        "tpch_q19": SQL_TPCH_Q19,
+        "tpch_q20": SQL_TPCH_Q20,
+        "tpch_q21": SQL_TPCH_Q21,
+        "tpch_q22": SQL_TPCH_Q22,
+        "vocab_topk": SQL_VOCAB_TOPK,
+        "tfidf_topk": SQL_TFIDF_TOPK,
         "json_props": SQL_JSON_PROPS,
         "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,

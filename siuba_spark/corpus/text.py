@@ -15,7 +15,7 @@ from ..plans.tbl import SparkTbl
 
 __all__ = [
     "tokenize", "text_stats", "lang_score", "fingerprint", "token_count_bpe",
-    "EN_MARKERS",
+    "vocab_topk", "tf_idf", "EN_MARKERS",
 ]
 
 # small English marker/stopword list for the language-score heuristic
@@ -97,3 +97,60 @@ def token_count_bpe(tbl: SparkTbl, col: str = "text", out: str = "n_bpe_tokens")
     (approximates subword tokenizer counts without a vocab)."""
     cnt = F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(_BPE_RE), 0))
     return tbl.evolve(df=tbl.df.withColumn(out, cnt))
+
+
+@verb
+def vocab_topk(tbl: SparkTbl, col: str = "text", k: int = 100,
+               min_count: int = 1):
+    """Corpus vocabulary: top-k whitespace tokens by frequency.
+
+    One explode projection + one count shuffle on the token key (map-side
+    partial aggregation applies), then a global top-k — the same plan at
+    500 docs and at 100 TB.  Deterministic tie-break on the token string.
+    (Beyond the reference — training-pipeline surface.)"""
+    toks = tbl.df.select(
+        F.explode(tokens_col(F.col(col))).alias("token"))
+    counts = (toks.filter(F.col("token") != "")
+              .groupBy("token").count()
+              .filter(F.col("count") >= min_count))
+    return tbl.evolve(
+        df=counts.orderBy(F.col("count").desc(), F.col("token")).limit(k),
+        order_by=(("count", True), ("token", False)))
+
+
+@verb
+def tf_idf(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
+           k_per_doc: int = 5, round_to: int = 6):
+    """Per-document top-k TF-IDF terms.
+
+    tf = term count / doc token count; idf = ln(N / df).  Three shuffles
+    total — (doc,term) count, term document-frequency, and the final
+    per-doc top-k window partitioned by document — all on bounded keys.
+    The N scalar rides along as a 1-row broadcast cross join (no collect).
+    Deterministic: exact integer counts, ln in double, rounded, ties
+    broken on the term string."""
+    from pyspark.sql import Window
+
+    toks = tbl.df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(col))).alias("term"),
+    ).filter(F.col("term") != "")
+    term_counts = toks.groupBy(id_col, "term").agg(F.count("*").alias("tc"))
+    doc_lens = term_counts.groupBy(id_col).agg(F.sum("tc").alias("doc_len"))
+    doc_freq = term_counts.groupBy("term").agg(
+        F.count("*").alias("df"))
+    n_docs = term_counts.select(id_col).distinct().agg(
+        F.count("*").alias("n_docs"))
+    scored = (term_counts
+              .join(doc_lens, id_col)
+              .join(doc_freq, "term")
+              .join(F.broadcast(n_docs))
+              .withColumn("tfidf", F.round(
+                  (F.col("tc") / F.col("doc_len"))
+                  * F.log(F.col("n_docs") / F.col("df")), round_to)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    out = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k_per_doc)
+           .select(id_col, "term", "tfidf", "rk"))
+    return tbl.evolve(df=out)

@@ -170,13 +170,24 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
         parts = F.split(F.col(name), sep, len(into))
     else:
         parts = F.split(F.col(name), sep)
+
+    def _piece(i):
+        # F.get (not getItem): rows with fewer pieces fill NULL instead of
+        # raising INVALID_ARRAY_INDEX under ANSI mode.  fill="left" shifts
+        # short rows right so NULLs land in the LEADING targets (tidyr
+        # semantics); "right"/"warn" leave NULLs trailing.
+        if fill == "left":
+            offset = F.greatest(F.lit(0), F.lit(len(into)) - F.size(parts))
+            return F.get(parts, F.lit(i) - offset)
+        return F.get(parts, i)
+
     df = tbl.df
     convertible = {}
     if isinstance(convert, str):
         # explicit target dtype: fully lazy, no probe job
         for i, new in enumerate(into):
             if new is not None:
-                df = df.withColumn(new, F.get(parts, i).try_cast(convert))
+                df = df.withColumn(new, _piece(i).try_cast(convert))
         if remove and name not in into:
             df = df.drop(name)
         return tbl.evolve(df=df)
@@ -187,8 +198,8 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
         # schemas are static) — exactly one aggregation job runs here.
         # Pass convert="double" (any dtype string) for a lazy cast.
         probes = [
-            F.bool_and(F.get(parts, i).isNull()
-                       | F.get(parts, i).try_cast("double").isNotNull()).alias(f"p{i}")
+            F.bool_and(_piece(i).isNull()
+                       | _piece(i).try_cast("double").isNotNull()).alias(f"p{i}")
             for i, new in enumerate(into) if new is not None
         ]
         if extra == "warn":
@@ -216,9 +227,7 @@ def separate(tbl: SparkTbl, col, into, sep: str = r"[^a-zA-Z0-9]+",
     for i, new in enumerate(into):
         if new is None:
             continue
-        # F.get (not getItem): rows with fewer pieces fill NULL instead
-        # of raising INVALID_ARRAY_INDEX under ANSI mode
-        c = F.get(parts, i)
+        c = _piece(i)
         if convert and convertible.get(i):
             c = F.coalesce(c.try_cast("bigint").cast("double"), c.try_cast("double"))
         df = df.withColumn(new, c)

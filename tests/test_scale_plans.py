@@ -314,3 +314,36 @@ def test_ann_entry_queries_construct_lazily(spark):
         n = _jobs_during(
             spark, lambda name=name: qs[name](spark, "/root/testdata/sf0.001"))
         assert n == 0, f"{name} ran {n} jobs during construction"
+
+
+def test_tpch_scalar_subqueries_are_one_row_broadcasts(spark):
+    """q11/q15/q22 join scalar aggregates back via theta joins: the 1-row
+    side must broadcast (BNLJ or BHJ), never a CartesianProduct, and no
+    unpartitioned window may appear anywhere in the sweep."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    for name in ("tpch_q11", "tpch_q15", "tpch_q22"):
+        p = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in p, name
+
+
+def test_tpch_correlated_aggs_avoid_windows_entirely(spark):
+    """The correlated-aggregate queries (q2 min, q13 histogram, q17 avg,
+    q21 exists-pair) are agg+join designs: no Window node may appear —
+    an unpartitioned window there would be the fct_lump single-reducer
+    hazard."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    for name in ("tpch_q2", "tpch_q13", "tpch_q17", "tpch_q21"):
+        p = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "Window" not in p, f"{name}: unexpected Window node"
+
+
+def test_tfidf_plan_shapes(spark):
+    """tf_idf: the corpus-size scalar is a broadcast (no CartesianProduct)
+    and the top-k window partitions by the document key."""
+    from siuba_spark.corpus.text import tf_idf
+    t = tbl(spark, "/root/testdata/sf0.001/documents.parquet")
+    p = _plan(tf_idf(t, col="text", id_col="doc_id", k_per_doc=3).df)
+    assert "CartesianProduct" not in p
+    assert "doc_id" in p

@@ -408,3 +408,14 @@ def test_separate_warn_counts_on_convert_probe(spark):
     assert any("1 row(s) had more pieces" in m for m in msgs), msgs
     assert any("1 row(s) had fewer pieces" in m for m in msgs), msgs
     assert out.a.tolist() == [1, 4, 6]
+
+
+def test_separate_fill_left(spark):
+    """fill='left' shifts short rows right so NULLs lead (tidyr fill
+    semantics)."""
+    t = data_frame(spark, x=["a-b-c", "d-e", "f"])
+    out = (t >> separate(_.x, into=["p", "q", "r"], sep="-", fill="left")
+           ).df.toPandas()
+    assert out.p.tolist() == ["a", None, None]
+    assert out.q.tolist() == ["b", "d", None]
+    assert out.r.tolist() == ["c", "e", "f"]
