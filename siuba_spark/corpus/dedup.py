@@ -170,10 +170,15 @@ def minhash_near_dups(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
 
     The (id, shingles) projection is persisted: it feeds the signature
     branch AND both sides of the verification join — without it Spark
-    re-tokenizes the corpus three times."""
+    re-tokenizes the corpus three times.  The signature table is persisted
+    too: the LSH bucket self-join evaluates both aliases of its input, and
+    exchange reuse does not fire across the alias boundary, so an unpinned
+    signature branch would run the explode + H min-aggs pass twice
+    (measured ~25% of the whole pipeline at sf0.1)."""
     base = add_shingles(tbl, col=col, k=k)
     sets_ = base.df.select(F.col(id_col), F.col("shingles")).persist()
     sigs = add_minhash(SparkTbl(sets_), num_hashes=num_hashes, id_col=id_col)
+    sigs = SparkTbl(sigs.df.persist())
     cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows)
     verified = (cands.df
                 .join(sets_.select(F.col(id_col).alias("id_a"),
@@ -185,7 +190,7 @@ def minhash_near_dups(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
                     / F.size(F.array_union("set_a", "set_b")), 4))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
-    return SparkTbl(verified, pins=tbl.pins + (sets_,))
+    return SparkTbl(verified, pins=tbl.pins + (sets_, sigs.df))
 
 
 @verb
