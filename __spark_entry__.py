@@ -1328,6 +1328,56 @@ def q_multimodal_decode(spark, sf):
     ).df
 
 
+def q_audio_meta(spark, sf):
+    """Audio-metadata twin of multimodal_decode: real WAV bytes are built
+    per-row inside the Arrow batches (stdlib wave module), then decoded
+    back by the pure-Python RIFF header parser — the full binary-column
+    round trip, no codec libraries."""
+    import io
+    import wave
+
+    from pyspark.sql import types as T
+
+    from siuba_spark.corpus.multimodal import decode_audio
+
+    docs = _t(spark, sf, "documents")
+    in_schema = docs.df.schema
+    out_schema = T.StructType(list(in_schema.fields)
+                              + [T.StructField("audio", T.BinaryType())])
+
+    def synth(it):
+        for pdf in it:
+            payloads = []
+            for n_chars in pdf["n_chars"]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(b"\x00\x01" * int(n_chars))
+                payloads.append(buf.getvalue())
+            pdf["audio"] = payloads
+            yield pdf
+
+    with_bin = docs.evolve(df=docs.df.mapInPandas(synth, out_schema))
+    return (
+        decode_audio(with_bin, col="audio", decoder="headers")
+        >> mutate(sample_rate=_.decoded.sample_rate,
+                  n_samples=_.decoded.n_samples,
+                  duration_s=_.decoded.duration_s)
+        >> select(_.doc_id, _.sample_rate, _.n_samples, _.duration_s)
+    ).df
+
+
+# the WAV synth writes n_chars frames at 8 kHz mono — the header parser
+# must read exactly those numbers back, so the oracle is closed-form
+SQL_AUDIO_META = """
+SELECT doc_id, 8000 AS sample_rate, CAST(n_chars AS BIGINT) AS n_samples,
+       n_chars / 8000.0 AS duration_s
+FROM documents
+"""
+
+
 def q_multimodal_headers(spark, sf):
     """Real header decode: synthesize valid PNG byte payloads JVM-side
     (unhex of magic + IHDR with computed dimensions), parse them back with
@@ -2843,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_score": q_lang_score,
         "fingerprint": q_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "audio_meta": q_audio_meta,
     }
     return {k: _managed(v) for k, v in raw.items()}
 
@@ -2946,6 +2997,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21": SQL_TPCH_Q21,
         "tpch_q22": SQL_TPCH_Q22,
         "vocab_topk": SQL_VOCAB_TOPK,
+        "audio_meta": SQL_AUDIO_META,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "json_props": SQL_JSON_PROPS,
         "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,

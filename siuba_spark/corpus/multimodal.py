@@ -22,13 +22,24 @@ from pyspark.sql import types as T
 from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
-__all__ = ["attach_binary_meta", "decode_images", "sample_frames",
-           "resize_images", "extract_features", "parse_image_header",
-           "IMAGE_META_SCHEMA"]
+__all__ = ["attach_binary_meta", "decode_images", "decode_audio",
+           "sample_frames", "resize_images", "extract_features",
+           "parse_image_header", "parse_audio_header",
+           "IMAGE_META_SCHEMA", "AUDIO_META_SCHEMA"]
 
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
     T.StructField("format", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
 ])
@@ -127,6 +138,84 @@ def decode_images(tbl: SparkTbl, col: str = "image", decoder: str = "fake",
                     fmt = "fake"
                 metas.append({"width": w, "height": h, "format": fmt,
                               "n_bytes": len(b)})
+            pdf[out] = metas
+            yield pdf
+
+    return tbl.evolve(df=tbl.df.mapInPandas(batches, out_schema))
+
+
+def parse_audio_header(b: bytes):
+    """(sample_rate, channels, bits_per_sample, n_samples, format) from
+    WAV/RIFF fmt+data chunks or a FLAC STREAMINFO block — pure Python per
+    the published container formats (RIFF WAVE: MS/IBM 1991 spec; FLAC:
+    format spec §STREAMINFO).  Returns Nones + 'unknown' for anything
+    else."""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, rate, ch, bits, data_len = 12, None, None, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            clen = int.from_bytes(b[pos + 4:pos + 8], "little")
+            if cid == b"fmt " and pos + 24 <= len(b):
+                ch = int.from_bytes(b[pos + 10:pos + 12], "little")
+                rate = int.from_bytes(b[pos + 12:pos + 16], "little")
+                bits = int.from_bytes(b[pos + 22:pos + 24], "little")
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        n = (data_len // (ch * bits // 8)
+             if None not in (data_len, ch, bits) and ch and bits else None)
+        return rate, ch, bits, n, "wav"
+    if b[:4] == b"fLaC" and len(b) >= 26:
+        # METADATA_BLOCK_STREAMINFO directly follows the marker: bytes
+        # 18-20 hold rate(20b)|channels-1(3b)|bits-1(5b)|total(36b)
+        sixty4 = int.from_bytes(b[18:26], "big")
+        rate = sixty4 >> 44
+        ch = ((sixty4 >> 41) & 0x7) + 1
+        bits = ((sixty4 >> 36) & 0x1F) + 1
+        n = sixty4 & 0xFFFFFFFFF
+        return rate, ch, bits, (n or None), "flac"
+    return None, None, None, None, "unknown"
+
+
+@verb
+def decode_audio(tbl: SparkTbl, col: str = "audio", decoder: str = "headers",
+                 out: str = "decoded"):
+    """Audio metadata via Arrow-batched ``mapInPandas`` — the audio twin of
+    ``decode_images``.
+
+    ``decoder='headers'`` is REAL: WAV/RIFF chunk walking and FLAC
+    STREAMINFO bit-unpacking in pure Python over the Arrow batches.
+    ``decoder='fake'`` derives deterministic metadata from a content hash
+    (stable plumbing tests); ``decoder='real'`` (sample decode) needs
+    soundfile/ffmpeg, not in this container."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "sample decoding requires soundfile/ffmpeg, not available here; "
+            "use decoder='headers' for real header extraction")
+    if decoder not in ("fake", "headers"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    in_schema = tbl.df.schema
+    out_schema = T.StructType(list(in_schema.fields)
+                              + [T.StructField(out, AUDIO_META_SCHEMA)])
+
+    def batches(it):
+        for pdf in it:
+            metas = []
+            for payload in pdf[col]:
+                b = bytes(payload) if payload is not None else b""
+                if decoder == "headers":
+                    rate, ch, bits, n, fmt = parse_audio_header(b)
+                else:
+                    h = hashlib.sha256(b).digest()
+                    rate = [8000, 16000, 22050, 44100][h[0] % 4]
+                    ch = h[1] % 2 + 1
+                    bits, fmt = 16, "fake"
+                    n = int.from_bytes(h[2:5], "big")
+                dur = (n / rate) if (n and rate) else None
+                metas.append({"sample_rate": rate, "channels": ch,
+                              "bits_per_sample": bits, "n_samples": n,
+                              "duration_s": dur, "n_bytes": len(b),
+                              "format": fmt})
             pdf[out] = metas
             yield pdf
 

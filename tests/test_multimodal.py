@@ -107,3 +107,64 @@ def test_decode_images_headers_decoder(spark):
     assert (got[3].width, got[3].height, got[3].format) == (90, 12, "gif")
     assert got[4].format == "unknown" and got[4].width is None
     assert got[5].n_bytes == 0
+
+
+def _wav_bytes(rate=16000, channels=1, n_samples=1600, bits=16):
+    """Real WAV via the stdlib wave module — not a hand-faked header."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(b"\x01\x02" * (n_samples * channels * (bits // 16)))
+    return buf.getvalue()
+
+
+def _flac_bytes(rate=44100, channels=2, bits=16, n=44100):
+    """fLaC marker + STREAMINFO with the spec's 64-bit packed field."""
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | n
+    info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + b"\x80" + len(info).to_bytes(3, "big") + info
+
+
+def test_parse_audio_header_real_fixtures():
+    from siuba_spark.corpus.multimodal import parse_audio_header
+    assert parse_audio_header(_wav_bytes(16000, 1, 1600)) == \
+        (16000, 1, 16, 1600, "wav")
+    assert parse_audio_header(_flac_bytes(44100, 2, 16, 44100)) == \
+        (44100, 2, 16, 44100, "flac")
+    assert parse_audio_header(b"mp3junk")[-1] == "unknown"
+    assert parse_audio_header(b"")[-1] == "unknown"
+
+
+def test_decode_audio_headers_decoder(spark):
+    from siuba_spark import tbl
+    from siuba_spark.corpus.multimodal import decode_audio
+    rows = [(1, _wav_bytes(8000, 2, 800)), (2, _flac_bytes(22050, 1, 24, 22050)),
+            (3, b"junk"), (4, None)]
+    t = tbl(spark.createDataFrame(rows, "id long, audio binary"))
+    got = {r.id: r.decoded for r in
+           decode_audio(t, col="audio", decoder="headers").df.collect()}
+    assert (got[1].sample_rate, got[1].channels, got[1].n_samples) == (8000, 2, 800)
+    assert got[1].duration_s == 0.1
+    assert (got[2].sample_rate, got[2].channels, got[2].bits_per_sample,
+            got[2].format) == (22050, 1, 24, "flac")
+    assert got[2].duration_s == 1.0
+    assert got[3].format == "unknown" and got[3].sample_rate is None
+    assert got[4].n_bytes == 0
+
+
+def test_decode_audio_fake_is_deterministic(spark):
+    from siuba_spark import tbl
+    from siuba_spark.corpus.multimodal import decode_audio
+    rows = [(1, b"payload-a"), (2, b"payload-b")]
+    t = tbl(spark.createDataFrame(rows, "id long, audio binary"))
+    a = {r.id: r.decoded for r in
+         decode_audio(t, col="audio", decoder="fake").df.collect()}
+    b = {r.id: r.decoded for r in
+         decode_audio(t, col="audio", decoder="fake").df.collect()}
+    assert a == b
+    assert a[1].format == "fake" and a[1].sample_rate in (8000, 16000, 22050, 44100)

@@ -9,10 +9,14 @@ on the name-sorted, row-sorted frame.  Last full run: 91/91 OK at sf0.1.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
+
+# runnable from anywhere: the repo root (one level up) holds __spark_entry__
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
