@@ -2562,6 +2562,32 @@ WHERE rk <= 3
 """
 
 
+def q_rolling_time_window(spark, sf):
+    """Time-RANGE rolling aggregates: trailing 30-minute mean and 1-hour
+    sum per user — a RANGE frame over epoch seconds, no self-join at any
+    scale (rolling_*(col, '30T') time-window form, beyond the reference)."""
+    from siuba_spark import rolling_mean, rolling_sum
+    return (
+        _t(spark, sf, "events")
+        >> group_by(_.user_id)
+        >> arrange(_.ts)
+        >> mutate(r_avg=rolling_mean(_.value, "30T").round(4),
+                  r_sum=rolling_sum(_.value, "1H").round(4))
+        >> ungroup()
+        >> select(_.event_id, _.r_avg, _.r_sum)
+    ).df
+
+
+SQL_ROLLING_TIME_WINDOW = """
+SELECT event_id,
+  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW), 4) AS r_avg,
+  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS r_sum
+FROM events
+"""
+
+
 def q_json_props(spark, sf):
     """JSON metadata parsing over the events stream (training-pipeline
     shape: extract typed fields from a props blob, aggregate)."""
@@ -2790,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": q_asof_last_purchase,
         "interval_join_events": q_interval_join_events,
         "rolling_window": q_rolling_window,
+        "rolling_time_window": q_rolling_time_window,
         "token_count_bpe": q_token_count_bpe,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3003,4 +3030,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "rolling_window": SQL_ROLLING_WINDOW,
+        "rolling_time_window": SQL_ROLLING_TIME_WINDOW,
     }

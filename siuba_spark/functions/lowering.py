@@ -72,6 +72,25 @@ class LowerCtx:
             cols = [F.monotonically_increasing_id()]
         return Window.partitionBy(*[F.col(g) for g in self.group_by]).orderBy(*cols)
 
+    def w_range_seconds(self, secs):
+        """RANGE frame of trailing ``secs`` seconds over the (single,
+        ascending) arrange key — the time-windowed rolling frame.  SQL
+        range semantics: both edges closed, [t - secs, t]."""
+        self.used_window = True
+        if not self.order_by:
+            raise TranslationError(
+                "time-window rolling requires arrange() on a time column")
+        call, asc = self.order_by[0]
+        if not asc:
+            raise TranslationError(
+                "time-window rolling requires an ascending time key")
+        sub = LowerCtx(self.group_by, (), ROW)
+        c, _ = lower(call, sub)
+        from .accessors import epoch_seconds
+        return (Window.partitionBy(*[F.col(g) for g in self.group_by])
+                .orderBy(epoch_seconds(c))
+                .rangeBetween(-secs, 0))
+
     def w_cuml(self):
         return self.w_ordered().rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -191,6 +210,13 @@ AGG_METHODS = {
     # deterministic mode: ties broken by smallest value (duckdb-compatible
     # needs the same tie-break on both sides of a comparison)
     "mode": lambda over, col: over(F.mode(col, True)),
+    # approximate aggregates (beyond the reference — the 100 TB path where
+    # exact distinct/percentile buffers would dominate the shuffle).
+    # HyperLogLog++ / KLL-style sketches: mergeable, bounded memory.
+    "approx_nunique": lambda over, col, rsd=0.05:
+        over(F.approx_count_distinct(col, rsd)),
+    "approx_quantile": lambda over, col, q=0.5, accuracy=10000:
+        over(F.percentile_approx(col, F.lit(q), F.lit(accuracy))),
 }
 
 # nunique: Spark bans DISTINCT aggregates inside windows → collect_set

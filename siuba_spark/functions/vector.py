@@ -444,13 +444,29 @@ def _register_rolling(name, agg):
     def impl(ctx, args, kwargs, _agg=agg, _name=name):
         """rolling_*(col, n, min_periods=None): trailing n-row frame over
         the arrange order (beyond the reference — pandas .rolling has no
-        siuba SQL translation; Spark frames give it for free)."""
+        siuba SQL translation; Spark frames give it for free).
+
+        ``n`` may also be a time-window string ('7D', '30T', '1H'): the
+        frame becomes RANGE [t - window, t] (closed edges, SQL range
+        semantics — pandas' closed='right' default excludes the left
+        edge) over epoch seconds of the arrange key — time-windowed
+        rolling without a self-join at any scale."""
         _guard_row(ctx, _name)
         col = _low(args[0], ctx)
-        n = int(_lit(args[1])) if len(args) > 1 else int(_lit(kwargs.get("n", 2)))
+        nval = _lit(args[1]) if len(args) > 1 else _lit(kwargs.get("n", 2))
         minp = kwargs.get("min_periods")
-        minp = int(_lit(minp)) if minp is not None else n
-        w = ctx.w_ordered().rowsBetween(-(n - 1), Window.currentRow)
+        if isinstance(nval, str):
+            from .accessors import _fixed_freq_seconds
+            secs = _fixed_freq_seconds(nval)
+            if secs is None:
+                raise TranslationError(
+                    f"rolling window {nval!r} is not a fixed-width frequency")
+            w = ctx.w_range_seconds(secs)
+            minp = int(_lit(minp)) if minp is not None else 1
+        else:
+            n = int(nval)
+            w = ctx.w_ordered().rowsBetween(-(n - 1), Window.currentRow)
+            minp = int(_lit(minp)) if minp is not None else n
         out = _agg(col).over(w)
         if minp > 1:
             cnt = F.count(col).over(w)

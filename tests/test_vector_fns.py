@@ -385,3 +385,49 @@ def test_first_last_desc_string_key_in_summarize(spark):
     # group a sorted by s desc: z(2), x(1); group b: m(3), k(4)
     assert out.fv.tolist() == [2, 3]
     assert out.lv.tolist() == [1, 4]
+
+
+def test_rolling_time_window_range_frame(spark):
+    """rolling_*(col, '10S') uses a RANGE frame [t-10s, t] over epoch
+    seconds of the arrange key (SQL closed-edge semantics)."""
+    import pandas as pd
+
+    from siuba_spark import arrange, group_by, mutate, rolling_sum, tbl, ungroup
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 4,
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:05",
+                              "2024-01-01 00:00:10", "2024-01-01 00:00:21"]),
+        "v": [1.0, 2.0, 4.0, 8.0],
+    })
+    t = tbl(spark.createDataFrame(pdf))
+    out = (t >> group_by(_.g) >> arrange(_.ts)
+           >> mutate(s=rolling_sum(_.v, "10S")) >> ungroup()
+           ).df.toPandas().sort_values("ts")
+    # [t-10, t] closed: row3 (t=10) includes t=0,5,10; row4 (t=21) only itself
+    assert out.s.tolist() == [1.0, 3.0, 7.0, 8.0]
+
+
+def test_rolling_time_window_requires_order(spark):
+    import pytest as _pytest
+
+    from siuba_spark import group_by, mutate, rolling_mean, tbl
+    from siuba_spark.functions.lowering import TranslationError
+
+    t = tbl(spark.createDataFrame([("a", 1.0)], "g string, v double"))
+    with _pytest.raises(TranslationError):
+        (t >> group_by(_.g) >> mutate(m=rolling_mean(_.v, "1H"))).df
+
+
+def test_approx_aggs_within_tolerance(spark):
+    from siuba_spark import group_by, summarize, tbl
+
+    t = tbl(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    r = (t >> group_by(_.l_returnflag)
+         >> summarize(exact=_.l_partkey.nunique(),
+                      approx=_.l_partkey.approx_nunique(),
+                      q=_.l_quantity.quantile(0.5),
+                      qa=_.l_quantity.approx_quantile(0.5))
+         ).df.toPandas()
+    assert ((r.approx - r.exact).abs() / r.exact).max() < 0.1
+    assert (r.q - r.qa).abs().max() <= 1.0
