@@ -152,6 +152,14 @@ STR_METHODS = {
         F.length(col) >= width, col).otherwise(F.rpad(col, width, fillchar)),
     "rjust": lambda col, width, fillchar=" ": F.when(
         F.length(col) >= width, col).otherwise(F.lpad(col, width, fillchar)),
+    "encode": lambda col, encoding="utf-8": F.encode(col, encoding),
+    "decode": lambda col, encoding="utf-8": F.decode(col, encoding),
+    # pandas slice_replace: splice repl between [start, stop)
+    "slice_replace": lambda col, start=0, stop=None, repl="": F.concat(
+        F.substring(col, 1, start),
+        F.lit(repl),
+        F.substring(col, (stop if stop is not None else 2147483647) + 1,
+                    2147483647)),
     # pandas center: left pad gets floor of the slack, right gets the rest
     "center": lambda col, width, fillchar=" ": F.when(
         F.length(col) >= width, col).otherwise(
@@ -351,6 +359,12 @@ DT_METHODS = {
     "floor": _dt_floor,
     "round": _dt_round,
     "total_seconds": _interval_total_seconds,
+    # pandas tz_localize attaches a zone to a NAIVE timestamp; Spark
+    # timestamps are instants rendered in the session zone, so the
+    # equivalent is "interpret this wall clock in tz": to_utc_timestamp.
+    # tz_convert (display-zone change) has no per-column representation —
+    # it raises via registry absence, like the reference's sql_not_impl.
+    "tz_localize": lambda col, tz: F.to_utc_timestamp(col, tz),
 }
 
 _FREQ_UNIT = {

@@ -141,11 +141,21 @@ def _replace(col, mapping):
     return out
 
 
+def _map_dict(col, mapping, na_action=None):
+    """pandas Series.map(dict): matched keys remap, UNMATCHED become NULL
+    (unlike .replace, which keeps the original value)."""
+    out = F.lit(None)
+    for k, v in mapping.items():
+        out = F.when(col == F.lit(k), F.lit(v)).otherwise(out)
+    return out
+
+
 ELWISE_METHODS = {
     "abs": lambda col: F.abs(col),
     "round": lambda col, n=0: F.round(col, n),
     "isin": lambda col, values: col.isin(list(values)),
     "astype": lambda col, t: _astype(col, t),
+    "map": _map_dict,
     "fillna": lambda col, v: F.coalesce(col, F.lit(v) if not isinstance(v, Column) else v),
     "isna": lambda col: col.isNull(),
     "isnull": lambda col: col.isNull(),
@@ -217,6 +227,9 @@ AGG_METHODS = {
         over(F.approx_count_distinct(col, rsd)),
     "approx_quantile": lambda over, col, q=0.5, accuracy=10000:
         over(F.percentile_approx(col, F.lit(q), F.lit(accuracy))),
+    # pandas returns uniques in appearance order; distributed engines have
+    # no appearance order, so the deterministic choice is sorted
+    "unique": lambda over, col: F.array_sort(over(F.collect_set(col))),
 }
 
 # nunique: Spark bans DISTINCT aggregates inside windows → collect_set

@@ -717,6 +717,8 @@ def test_parity_str_dt_long_tail(spark):
         "tdd": (lambda c: (c.a - c.b).dt.days,) * 2,
         "tds": (lambda c: (c.a - c.b).dt.seconds,) * 2,
         "tdu": (lambda c: (c.a - c.b).dt.microseconds,) * 2,
+        "mp": (lambda c: c.s.str.len().map({4: "four", 11: "eleven"}),) * 2,
+        "sr": (lambda c: c.s.str.slice_replace(1, 3, "XY"),) * 2,
     }
     want = ref.mutate(pdf, **{k: fns[0](R) for k, fns in exprs.items()})
     got = (t >> ours.mutate(**{k: fns[1](S) for k, fns in exprs.items()})) \
@@ -727,6 +729,8 @@ def test_parity_str_dt_long_tail(spark):
         a, b = got[k], want[k]
         if b.dtype.kind in "iu":
             a, b = a.astype("int64"), b.astype("int64")
+        elif b.dtype.kind == "O":
+            b = b.where(b.notna(), None)  # pandas NaN == our NULL
         assert a.tolist() == b.tolist(), (k, a.tolist(), b.tolist())
 
 
