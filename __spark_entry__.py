@@ -2588,6 +2588,28 @@ FROM events
 """
 
 
+def q_one_hot(spark, sf):
+    """One-hot encode customer market segment (training-pipeline feature
+    prep; collected-spec projection, no shuffle, no UDF)."""
+    from siuba_spark import one_hot
+    return (
+        one_hot(_t(spark, sf, "customer"), _.c_mktsegment, prefix="seg")
+        >> select(_.c_custkey, _.seg_AUTOMOBILE, _.seg_BUILDING,
+                  _.seg_FURNITURE, _.seg_HOUSEHOLD, _.seg_MACHINERY)
+    ).df
+
+
+SQL_ONE_HOT = """
+SELECT c_custkey,
+  CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS seg_AUTOMOBILE,
+  CAST(c_mktsegment = 'BUILDING' AS INT) AS seg_BUILDING,
+  CAST(c_mktsegment = 'FURNITURE' AS INT) AS seg_FURNITURE,
+  CAST(c_mktsegment = 'HOUSEHOLD' AS INT) AS seg_HOUSEHOLD,
+  CAST(c_mktsegment = 'MACHINERY' AS INT) AS seg_MACHINERY
+FROM customer
+"""
+
+
 def q_json_props(spark, sf):
     """JSON metadata parsing over the events stream (training-pipeline
     shape: extract typed fields from a props blob, aggregate)."""
@@ -2817,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": q_interval_join_events,
         "rolling_window": q_rolling_window,
         "rolling_time_window": q_rolling_time_window,
+        "one_hot": q_one_hot,
         "token_count_bpe": q_token_count_bpe,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3031,4 +3054,5 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_events": SQL_INTERVAL_JOIN_EVENTS,
         "rolling_window": SQL_ROLLING_WINDOW,
         "rolling_time_window": SQL_ROLLING_TIME_WINDOW,
+        "one_hot": SQL_ONE_HOT,
     }

@@ -15,7 +15,7 @@ from ..plans.tbl import SparkTbl
 
 __all__ = [
     "tokenize", "text_stats", "lang_score", "fingerprint", "token_count_bpe",
-    "vocab_topk", "tf_idf", "EN_MARKERS",
+    "vocab_topk", "tf_idf", "hash_features", "EN_MARKERS",
 ]
 
 # small English marker/stopword list for the language-score heuristic
@@ -154,3 +154,45 @@ def tf_idf(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
            .filter(F.col("rk") <= k_per_doc)
            .select(id_col, "term", "tfidf", "rk"))
     return tbl.evolve(df=out)
+
+
+@verb
+def hash_features(tbl: SparkTbl, col: str = "text", dim: int = 64,
+                  out: str = "features"):
+    """Feature hashing (the 'hashing trick'): whitespace tokens →
+    fixed-``dim`` count vector via a stable md5 bucket hash.
+
+    Runs in Arrow-batched ``mapInPandas`` with numpy ``bincount`` per
+    document — the sanctioned vectorized-Python path (hash+bincount has no
+    JVM builtin once dim enters the picture; a per-row higher-order-
+    function fold would be interpreted and O(tokens·dim)).  Deterministic
+    across runs and machines (md5, not Python hash()).  Map-only stage —
+    no shuffle at any scale."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    in_schema = tbl.df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [T.StructField(out, T.ArrayType(T.IntegerType()))])
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            feats = []
+            for text in pdf[col]:
+                toks = (text or "").lower().split()
+                if toks:
+                    idx = np.fromiter(
+                        (int.from_bytes(
+                            hashlib.md5(t.encode()).digest()[:8], "big") % dim
+                         for t in toks), dtype=np.int64, count=len(toks))
+                    feats.append(np.bincount(idx, minlength=dim).astype("int32"))
+                else:
+                    feats.append(np.zeros(dim, dtype="int32"))
+            pdf[out] = feats
+            yield pdf
+
+    return tbl.evolve(df=tbl.df.mapInPandas(batches, out_schema))

@@ -26,6 +26,7 @@ from .tidyselect import resolve_names
 __all__ = [
     "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
+    "one_hot",
 ]
 
 MAX_PIVOT_KEYS = 10_000  # driver-side spec guard
@@ -314,6 +315,33 @@ def extract(tbl: SparkTbl, col, into, regex: str = r"(\w+)",
     if remove and name not in into:
         df = df.drop(name)
     return tbl.evolve(df=df)
+
+
+@verb
+def one_hot(tbl: SparkTbl, col, prefix: str | None = None,
+            drop_first: bool = False, dtype: str = "int",
+            remove: bool = True):
+    """One-hot encode a categorical column (pandas ``get_dummies`` for one
+    column; training-pipeline staple).
+
+    Same spec discipline as pivot_wider: the distinct values are collected
+    once (capped at MAX_PIVOT_KEYS) and the encoding itself is a pure
+    projection — no shuffle, no UDF, scales as a map-only stage.  NULL
+    values get all-zeros like pandas ``dummy_na=False``."""
+    name = _colname(col)
+    base = tbl.df.persist()
+    keys = [k for k in _distinct_keys(base, name) if k is not None]
+    if drop_first:
+        keys = keys[1:]
+    pre = f"{prefix}_" if prefix else f"{name}_"
+    out = base.withColumns({
+        f"{pre}{_key_str(k)}":
+            F.when(F.col(name) == F.lit(k), 1).otherwise(0).cast(dtype)
+        for k in keys
+    })
+    if remove:  # pandas get_dummies drops the encoded column
+        out = out.drop(name)
+    return tbl.evolve(df=out).pin(base)
 
 
 @verb

@@ -133,3 +133,24 @@ def test_ann_methods_perfect_precision_on_scored_pairs(_ann_frames):
             key = (r.query_id, r.nbr_id)
             if key in escore:
                 assert abs(r.score - escore[key]) < 1e-9, (name, key)
+
+
+def test_hash_features_deterministic_and_countful(spark):
+    """Feature hashing: md5-stable buckets, vector sums equal token counts,
+    identical across runs (Arrow mapInPandas path)."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import tbl
+    from siuba_spark.corpus.text import hash_features
+
+    t = tbl(spark, "/root/testdata/sf0.001/documents.parquet")
+    out = hash_features(t, col="text", dim=32, out="f")
+    agg = (out.df
+           .select(F.aggregate("f", F.lit(0), lambda a, x: a + x).alias("s"),
+                   F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"))
+           .agg(F.sum("s").alias("s"), F.sum("n").alias("n")).first())
+    assert agg.s == agg.n, (agg.s, agg.n)
+    a = out.df.select("doc_id", "f").orderBy("doc_id").collect()
+    b = hash_features(t, col="text", dim=32, out="f").df \
+        .select("doc_id", "f").orderBy("doc_id").collect()
+    assert a == b

@@ -419,3 +419,18 @@ def test_separate_fill_left(spark):
     assert out.p.tolist() == ["a", None, None]
     assert out.q.tolist() == ["b", "d", None]
     assert out.r.tolist() == ["c", "e", "f"]
+
+
+def test_one_hot_matches_get_dummies(spark):
+    from siuba_spark import one_hot
+
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4], "c": ["a", "b", None, "a"]})
+    t = data_frame(spark, id=[1, 2, 3, 4], c=["a", "b", None, "a"])
+    got = (t >> one_hot(_.c)).df.toPandas().sort_values("id").reset_index(drop=True)
+    want = pd.get_dummies(pdf, columns=["c"], dtype=int)
+    assert list(got.columns) == list(want.columns)
+    assert got.c_a.tolist() == want.c_a.tolist()
+    assert got.c_b.tolist() == want.c_b.tolist()
+    # drop_first drops the first level, keep source with remove=False
+    got2 = (t >> one_hot(_.c, drop_first=True, remove=False)).df.toPandas()
+    assert "c" in got2.columns and "c_a" not in got2.columns and "c_b" in got2.columns
