@@ -759,11 +759,22 @@ _STAGES = {
     "distinct_g": (lambda C: ref.distinct(C.g), lambda C: ours.distinct(C.g)),
     "select_gx": (lambda C: ref.select(C.g, C.x),
                   lambda C: ours.select(C.g, C.x)),
+    "arrange_head": (lambda C: ref.arrange(-C.x, C.g) >> ref.head(5),
+                     lambda C: ours.arrange(-C.x, C.g) >> ours.head(5)),
+    "if_else_band": (lambda C: ref.mutate(band=ref.if_else(C.x > 0, "pos", "neg")),
+                     lambda C: ours.mutate(band=ours.if_else(C.x > 0, "pos", "neg"))),
+    "gather_xy": (lambda C: ref.gather("k", "v", C.x, C.y),
+                  lambda C: ours.gather("k", "v", C.x, C.y)),
+    "unite_gk": (lambda C: ref.unite("gk", C.g),
+                 lambda C: ours.unite("gk", C.g)),
+    "count_g": (lambda C: ref.count(C.g),
+                lambda C: ours.count(C.g)),
 }
-_TERMINAL = {"grouped_sum", "distinct_g", "select_gx"}
+_TERMINAL = {"grouped_sum", "distinct_g", "select_gx", "arrange_head",
+             "gather_xy", "unite_gk", "count_g"}
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     rows=hst.lists(
