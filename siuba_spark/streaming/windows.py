@@ -16,7 +16,8 @@ from ..functions.accessors import epoch_seconds as _epoch
 from ..plans.pipe import join_verb, verb
 from ..plans.tbl import SparkTbl
 
-__all__ = ["tumble", "slide", "sessionize", "stream_tumble", "read_event_stream",
+__all__ = ["tumble", "slide", "sessionize", "stream_tumble", "stream_slide",
+           "read_event_stream",
            "stream_sessionize", "running_dedup_stream", "stream_interval_join"]
 
 
@@ -95,6 +96,24 @@ def stream_tumble(tbl: SparkTbl, ts: str, every: str, watermark: str = "30 minut
     (watermark / every) × |keys| regardless of stream length."""
     by = list(by)
     win = F.window(F.col(ts), every)
+    df = (tbl.df.withWatermark(ts, watermark)
+          .groupBy(win.alias("__w"), *[F.col(b) for b in by])
+          .agg(*_agg_exprs(aggs))
+          .select(F.col("__w.start").alias("w_start"),
+                  F.col("__w.end").alias("w_end"),
+                  *by, *aggs.keys()))
+    return SparkTbl(df)
+
+
+@verb
+def stream_slide(tbl: SparkTbl, ts: str, every: str, period: str,
+                 watermark: str = "30 minutes", by=(), **aggs):
+    """Streaming sliding-window aggregation (the streaming twin of the
+    batch ``slide`` verb): each event lands in every/period overlapping
+    windows; the watermark evicts closed windows, so state is bounded by
+    (watermark/period) × (every/period) × |keys|."""
+    by = list(by)
+    win = F.window(F.col(ts), every, period)
     df = (tbl.df.withWatermark(ts, watermark)
           .groupBy(win.alias("__w"), *[F.col(b) for b in by])
           .agg(*_agg_exprs(aggs))

@@ -181,3 +181,26 @@ def test_stream_interval_join_streaming_plan(spark, event_dir):
     n = spark.sql("SELECT COUNT(*) c FROM sij_test").first().c
     q.stop()
     assert n > 0
+
+
+def test_stream_slide_matches_batch(spark, event_dir):
+    """stream_slide (watermarked sliding windows) agrees with the batch
+    slide verb on the same data."""
+    from siuba_spark.streaming.windows import slide, stream_slide
+
+    batch = slide(SparkTbl(spark.read.parquet(event_dir)),
+                  ts="ts", every="20 minutes", period="10 minutes",
+                  n=("count", None), total=("dsum", "value"))
+    expected = {(r.w_start, r.n, r.total) for r in batch.df.collect()}
+
+    stream = read_event_stream(spark, event_dir, max_files=1)
+    agg = stream_slide(stream, ts="ts", every="20 minutes",
+                       period="10 minutes", watermark="1 hour",
+                       n=("count", None), total=("dsum", "value"))
+    q = (agg.df.writeStream.format("memory").queryName("slide_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.w_start, r.n, r.total)
+           for r in spark.sql("select * from slide_test").collect()}
+    assert got == expected
+    assert len(got) > 0
