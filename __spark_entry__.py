@@ -2610,6 +2610,42 @@ FROM customer
 """
 
 
+def q_cut_qcut_bands(spark, sf):
+    """Binning surface: explicit-edge cut() bands x quantile qcut() buckets
+    of lineitem quantity, counted per cell.  qcut's edge probe is the one
+    documented eager agg; both assignments are lazy when-chains."""
+    from siuba_spark import cut, qcut
+    return (
+        qcut(_t(spark, sf, "lineitem"), _.l_quantity, q=4, out="qb",
+             labels=False)
+        >> mutate(band=cut(_.l_extendedprice, bins=[0, 20000, 40000, 80000],
+                           labels=["low", "mid", "high"]))
+        >> group_by(_.band, _.qb)
+        >> summarize(n_rows=n(_))
+        >> arrange(_.band, _.qb)
+    ).df
+
+
+SQL_CUT_QCUT_BANDS = """
+WITH e AS (
+  SELECT quantile_cont(l_quantity, [0.0, 0.25, 0.5, 0.75, 1.0]) AS ed
+  FROM lineitem)
+SELECT
+  CASE WHEN l_extendedprice > 0 AND l_extendedprice <= 20000 THEN 'low'
+       WHEN l_extendedprice > 20000 AND l_extendedprice <= 40000 THEN 'mid'
+       WHEN l_extendedprice > 40000 AND l_extendedprice <= 80000 THEN 'high'
+       END AS band,
+  CASE WHEN l_quantity >= ed[1] AND l_quantity <= ed[2] THEN 0
+       WHEN l_quantity > ed[2] AND l_quantity <= ed[3] THEN 1
+       WHEN l_quantity > ed[3] AND l_quantity <= ed[4] THEN 2
+       WHEN l_quantity > ed[4] AND l_quantity <= ed[5] THEN 3
+       END AS qb,
+  COUNT(*) AS n_rows
+FROM lineitem CROSS JOIN e
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_json_props(spark, sf):
     """JSON metadata parsing over the events stream (training-pipeline
     shape: extract typed fields from a props blob, aggregate)."""
@@ -2840,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": q_rolling_window,
         "rolling_time_window": q_rolling_time_window,
         "one_hot": q_one_hot,
+        "cut_qcut_bands": q_cut_qcut_bands,
         "token_count_bpe": q_token_count_bpe,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3055,4 +3092,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_window": SQL_ROLLING_WINDOW,
         "rolling_time_window": SQL_ROLLING_TIME_WINDOW,
         "one_hot": SQL_ONE_HOT,
+        "cut_qcut_bands": SQL_CUT_QCUT_BANDS,
     }

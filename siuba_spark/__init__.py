@@ -24,6 +24,7 @@ from .plans.tbl import (
 from .plans.pipe import Pipe, Pipeable, pipe, verb
 from .operators.core import (
     select, rename, mutate, transmute, filter, arrange, distinct, head, top_n,
+    qcut,
 )
 from .operators.grouping import (
     group_by, ungroup, summarize, summarise, count, add_count,
@@ -44,7 +45,7 @@ from .functions.vector import (
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
     if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
-    near,
+    near, cut,
     rolling_mean, rolling_sum, rolling_min, rolling_max,
     cumall, cumany, cummean,
 )
@@ -63,7 +64,7 @@ __all__ = [
     "write_parquet", "write_csv", "Pipe", "Pipeable", "pipe", "verb", "TranslationError",
     "repartition", "coalesce_partitions", "cache",
     "select", "rename", "mutate", "transmute", "filter", "arrange",
-    "distinct", "head", "top_n",
+    "distinct", "head", "top_n", "qcut",
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
     "sample_frac", "sample_n",
     "join", "inner_join", "left_join", "right_join", "full_join",
@@ -74,7 +75,7 @@ __all__ = [
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
-    "coalesce", "na_if", "between", "near", "if_else", "case_when", "desc", "str_c",
+    "coalesce", "na_if", "between", "near", "if_else", "case_when", "desc", "str_c", "cut",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
     "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
     "fct_lump", "fct_recode", "fct_collapse", "fct_rev", "fct_infreq",

@@ -19,7 +19,7 @@ from .lowering import AGG, AGGED, SCALAR, LowerCtx, TranslationError, lower, reg
 __all__ = [
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
-    "coalesce", "na_if", "between", "if_else", "case_when", "desc",
+    "coalesce", "na_if", "between", "if_else", "case_when", "desc", "cut",
     "str_c", "floor_date", "ceil_date", "cumall", "cumany", "cummean",
     "json_extract", "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
 ]
@@ -293,6 +293,37 @@ def _near(ctx, args, kwargs):
     return F.abs(x - y) < tol, SCALAR
 
 
+@register_fn("cut")
+def _cut(ctx, args, kwargs):
+    """pandas.cut with explicit bin edges: right-closed intervals
+    (lo, hi], values outside the bins → NULL.  ``labels=`` names the
+    buckets; ``labels=False`` yields integer codes; default interval
+    strings match pandas' repr.  Pure when-chain — lazy, codegen-friendly
+    (the reference reaches pd.cut only through the call() escape hatch;
+    first-class here)."""
+    col = _low(args[0], ctx)
+    bins = _lit(kwargs.get("bins", args[1] if len(args) > 1 else None))
+    labels = _lit(kwargs.get("labels"))
+    right = _lit(kwargs.get("right", True))
+    if not isinstance(bins, (list, tuple)) or len(bins) < 2:
+        raise TranslationError("cut() needs an explicit list of bin edges "
+                               "(use qcut() for quantile bins)")
+    if labels is False:
+        names = list(range(len(bins) - 1))
+    elif labels is None:
+        fmt = "({}, {}]" if right else "[{}, {})"
+        # pandas formats edges in their input type (int bins → "(0, 10]")
+        names = [fmt.format(a, b) for a, b in zip(bins, bins[1:])]
+    else:
+        names = list(labels)
+    out = F.lit(None)
+    for (lo, hi), lab in zip(zip(bins, bins[1:]), names):
+        cond = ((col > lo) & (col <= hi)) if right else \
+            ((col >= lo) & (col < hi))
+        out = F.when(cond, F.lit(lab)).otherwise(out)
+    return out, SCALAR
+
+
 @register_fn("if_else")
 def _if_else(ctx, args, kwargs):
     cond = _low(args[0], ctx)
@@ -424,6 +455,7 @@ na_if = _fn("na_if")
 between = _fn("between")
 near = _fn("near")
 if_else = _fn("if_else")
+cut = _fn("cut")
 desc = _fn("desc")
 str_c = _fn("str_c")
 floor_date = _fn("floor_date")

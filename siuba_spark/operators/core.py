@@ -18,7 +18,7 @@ from .tidyselect import resolve_names, resolve_select
 
 __all__ = [
     "select", "rename", "mutate", "transmute", "filter", "arrange",
-    "distinct", "head", "top_n",
+    "distinct", "head", "top_n", "qcut",
 ]
 
 
@@ -292,3 +292,38 @@ def top_n(tbl: SparkTbl, n: int, wt=None):
           .filter(F.col("__tn_rank") <= abs(n))
           .drop("__tn_rank"))
     return tbl.evolve(df=df)
+
+
+@verb
+def qcut(tbl: SparkTbl, col, q: int = 4, out: str | None = None, labels=None):
+    """Quantile binning (pandas.qcut): assign each row to one of ``q``
+    equal-population buckets of ``col``.
+
+    NOTE: computing the quantile edges is EAGER — exactly one aggregation
+    job runs here (exact ``percentile``; the edges are data-dependent, and
+    Spark schemas/plans are static).  The assignment itself is a lazy
+    when-chain like ``cut``.  ``labels=False`` → integer codes; a list →
+    names; default → interval strings (edges at full precision, where
+    pandas trims display precision)."""
+    from ..functions.lowering import lower as _lower
+
+    node = strip_symbolic(col)
+    c, _kind = _lower(node, tbl.row_ctx())
+    probs = [i / q for i in range(q + 1)]
+    row = tbl.df.agg(
+        F.percentile(c, F.array(*[F.lit(p) for p in probs])).alias("e")).first()
+    edges = list(row.e)
+    if out is None:
+        out = "qcut"
+    if labels is False:
+        names = list(range(q))
+    elif labels is None:
+        names = [f"({a}, {b}]" for a, b in zip(edges, edges[1:])]
+        names[0] = "[" + names[0][1:]
+    else:
+        names = list(labels)
+    expr = F.lit(None)
+    for i, ((lo, hi), lab) in enumerate(zip(zip(edges, edges[1:]), names)):
+        cond = ((c >= lo) if i == 0 else (c > lo)) & (c <= hi)
+        expr = F.when(cond, F.lit(lab)).otherwise(expr)
+    return tbl.evolve(df=tbl.df.withColumn(out, expr))

@@ -431,3 +431,40 @@ def test_approx_aggs_within_tolerance(spark):
          ).df.toPandas()
     assert ((r.approx - r.exact).abs() / r.exact).max() < 0.1
     assert (r.q - r.qa).abs().max() <= 1.0
+
+
+def test_cut_matches_pandas(spark):
+    import pandas as pd
+
+    from siuba_spark import cut, mutate, tbl
+
+    pdf = pd.DataFrame({"x": [1.0, 5.0, 10.0, 15.0, 25.0, None]})
+    t = tbl(spark.createDataFrame(pdf))
+    out = (t >> mutate(
+        b=cut(_.x, bins=[0, 10, 20], labels=["lo", "hi"]),
+        c=cut(_.x, bins=[0, 10, 20]),
+        d=cut(_.x, bins=[0, 10, 20], labels=False),
+        e=cut(_.x, bins=[0, 10, 20], labels=["lo", "hi"], right=False),
+    )).df.toPandas()
+    asobj = lambda s: s.astype(object).where(s.notna(), None).tolist()
+    assert out.b.tolist() == asobj(pd.cut(pdf.x, [0, 10, 20], labels=["lo", "hi"]))
+    assert out.c.tolist() == [None if v == "nan" else v
+                              for v in pd.cut(pdf.x, [0, 10, 20]).astype(str)]
+    assert out.d.tolist()[:4] == pd.cut(pdf.x, [0, 10, 20], labels=False).tolist()[:4]
+    assert out.e.tolist() == asobj(
+        pd.cut(pdf.x, [0, 10, 20], labels=["lo", "hi"], right=False))
+
+
+def test_qcut_matches_pandas(spark):
+    import pandas as pd
+
+    from siuba_spark import qcut, tbl
+
+    pdf = pd.DataFrame({"x": [float(i) for i in range(1, 13)]})
+    t = tbl(spark.createDataFrame(pdf))
+    out = qcut(t, _.x, q=4, out="b", labels=False).df.toPandas().sort_values("x")
+    assert out.b.tolist() == pd.qcut(pdf.x, 4, labels=False).tolist()
+    out2 = qcut(t, _.x, q=3, out="b", labels=["s", "m", "l"]) \
+        .df.toPandas().sort_values("x")
+    assert out2.b.tolist() == pd.qcut(pdf.x, 3, labels=["s", "m", "l"]) \
+        .astype(object).tolist()
