@@ -2646,6 +2646,34 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_hash_split(spark, sf):
+    """Deterministic md5 train/val/test split of documents, counted per
+    (split, lang) — reproducible on any engine/cluster size (content hash,
+    not a partition-dependent RNG)."""
+    from siuba_spark import hash_split
+    return (
+        hash_split(_t(spark, sf, "documents"), _.doc_id,
+                   splits={"train": 0.8, "val": 0.1, "test": 0.1})
+        >> group_by(_.split, _.lang)
+        >> summarize(n_docs=n(_))
+        >> arrange(_.split, _.lang)
+    ).df
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT lang,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      % 10000 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_json_props(spark, sf):
     """JSON metadata parsing over the events stream (training-pipeline
     shape: extract typed fields from a props blob, aggregate)."""
@@ -2877,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_time_window": q_rolling_time_window,
         "one_hot": q_one_hot,
         "cut_qcut_bands": q_cut_qcut_bands,
+        "hash_split": q_hash_split,
         "token_count_bpe": q_token_count_bpe,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3093,4 +3122,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_time_window": SQL_ROLLING_TIME_WINDOW,
         "one_hot": SQL_ONE_HOT,
         "cut_qcut_bands": SQL_CUT_QCUT_BANDS,
+        "hash_split": SQL_HASH_SPLIT,
     }

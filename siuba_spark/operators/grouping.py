@@ -20,6 +20,7 @@ from .core import arrange, mutate
 from ..functions.vector import desc as _desc_fn
 
 __all__ = ["group_by", "ungroup", "summarize", "summarise", "count", "add_count",
+           "hash_split",
            "sample_frac", "sample_n"]
 
 
@@ -278,3 +279,32 @@ def sample_n(tbl: SparkTbl, n: int, seed: int = 42):
     df = (tbl.df.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") <= n).drop("__rn"))
     return tbl.evolve(df=df)
+
+
+@verb
+def hash_split(tbl: SparkTbl, id_col, splits=None, out: str = "split"):
+    """Deterministic train/val/test split by content hash of a stable id —
+    the production pattern for dataset splits at scale: no shuffle, no
+    seed-state, reproducible on any cluster size or engine (md5, not a
+    partition-dependent RNG), and new rows land in stable splits.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; remainder → NULL),
+    default ``{"train": 0.8, "test": 0.2}``.  Assignment: the first 8 hex
+    digits of md5(id) as an integer mod 10_000 walks the cumulative
+    fraction table."""
+    splits = dict(splits or {"train": 0.8, "test": 0.2})
+    if sum(splits.values()) > 1.0 + 1e-9:
+        raise TranslationError("hash_split fractions must sum to <= 1")
+    node = strip_symbolic(id_col)
+    c, _k = lower(node, tbl.row_ctx()) if isinstance(node, Call) \
+        else (F.col(node), None)
+    bucket = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10) \
+        .cast("long") % 10000
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    for name, frac in splits.items():
+        lo, acc = acc, acc + frac
+        expr = F.when((bucket >= int(round(lo * 10000)))
+                      & (bucket < int(round(acc * 10000))),
+                      F.lit(name)).otherwise(expr)
+    return tbl.evolve(df=tbl.df.withColumn(out, expr))

@@ -193,3 +193,30 @@ def test_global_agg_and_empty_group_semantics(spark):
         "SELECT SUM(x) s, COUNT(x) c, AVG(x) m FROM (SELECT 1.0 x WHERE FALSE)"
     ).fetchall()[0]
     assert (got.s, got.c, got.m) == want == (None, 0, None)
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from siuba_spark import hash_split, tbl
+
+    t = tbl(spark, "/root/testdata/sf0.001/documents.parquet")
+    a = hash_split(t, _.doc_id).df.groupBy("split").count().collect()
+    b = hash_split(t, _.doc_id).df.groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # content hash, no RNG
+    counts = dict((r["split"], r["count"]) for r in a)
+    assert set(counts) == {"train", "test"}
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.7  # 0.8 nominal, hash variance
+    # fractions must cover every row (0.8+0.2 == 1 -> no NULL split)
+    from siuba_spark import filter as s_filter
+    assert hash_split(t, _.doc_id).df.filter("split IS NULL").count() == 0
+
+
+def test_hash_split_overallocation_raises(spark):
+    import pytest as _pytest
+
+    from siuba_spark import hash_split, tbl
+    from siuba_spark.functions.lowering import TranslationError
+
+    t = tbl(spark, "/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(TranslationError):
+        hash_split(t, _.doc_id, splits={"a": 0.9, "b": 0.2})
