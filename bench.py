@@ -50,6 +50,8 @@ def main():
         "text_stats", "fingerprint", "dedup_exact", "minhash_near_dups",
         "ann_topk", "simhash", "embedding_near_dups_lsh",
         "asof_last_purchase", "interval_join_events", "rolling_window",
+        "rolling_time_window", "vocab_topk", "tfidf_topk", "one_hot",
+        "hash_split", "cut_qcut_bands", "audio_meta",
     ]
     queries = entry.queries()
 

@@ -27,6 +27,9 @@ def _agg_exprs(aggs):
         table = {"count": lambda c: F.count(F.lit(1)), "sum": F.sum, "avg": F.avg,
                  "mean": F.avg, "min": F.min, "max": F.max,
                  "n_distinct": F.count_distinct,
+                 # streaming rejects DISTINCT aggregates; the HLL++ sketch
+                 # is the streaming-legal (and 100 TB) distinct count
+                 "approx_n_distinct": F.approx_count_distinct,
                  # exact (order-independent) double sum via decimal
                  "dsum": lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")}
         out.append(table[fn](F.col(col) if col else F.lit(1)).alias(name))

@@ -204,3 +204,23 @@ def test_stream_slide_matches_batch(spark, event_dir):
            for r in spark.sql("select * from slide_test").collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_tumble_approx_distinct(spark, event_dir):
+    """approx_n_distinct is the streaming-legal distinct count (DISTINCT
+    aggs are rejected on streams); the HLL sketch is merge-order
+    independent, so stream and batch agree exactly."""
+    batch = tumble(SparkTbl(spark.read.parquet(event_dir)),
+                   ts="ts", every="30 minutes",
+                   u=("approx_n_distinct", "user_id"))
+    expected = {(r.w_start, r.u) for r in batch.df.collect()}
+
+    stream = read_event_stream(spark, event_dir, max_files=1)
+    agg = stream_tumble(stream, ts="ts", every="30 minutes",
+                        watermark="1 hour", u=("approx_n_distinct", "user_id"))
+    q = (agg.df.writeStream.format("memory").queryName("approx_nd_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.w_start, r.u)
+           for r in spark.sql("select * from approx_nd_test").collect()}
+    assert got == expected and len(got) > 0
