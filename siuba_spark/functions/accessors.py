@@ -365,6 +365,17 @@ DT_METHODS = {
     # tz_convert (display-zone change) has no per-column representation —
     # it raises via registry absence, like the reference's sql_not_impl.
     "tz_localize": lambda col, tz: F.to_utc_timestamp(col, tz),
+    # pandas Period string forms: 'M' → '2024-01', 'Q' → '2024Q1',
+    # 'Y' → '2024', 'D' → '2024-01-15', 'W' raises (week periods render
+    # as ranges, no scalar string form)
+    "to_period": lambda col, freq="M": {
+        "M": lambda c: F.date_format(c, "yyyy-MM"),
+        "Y": lambda c: F.date_format(c, "yyyy"),
+        "A": lambda c: F.date_format(c, "yyyy"),
+        "D": lambda c: F.date_format(c, "yyyy-MM-dd"),
+        "Q": lambda c: F.concat(F.date_format(c, "yyyy"), F.lit("Q"),
+                                F.quarter(c).cast("string")),
+    }[freq](col),
 }
 
 _FREQ_UNIT = {

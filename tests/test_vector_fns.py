@@ -468,3 +468,18 @@ def test_qcut_matches_pandas(spark):
         .df.toPandas().sort_values("x")
     assert out2.b.tolist() == pd.qcut(pdf.x, 3, labels=["s", "m", "l"]) \
         .astype(object).tolist()
+
+
+def test_dt_to_period_matches_pandas(spark):
+    import pandas as pd
+
+    from siuba_spark import mutate, tbl
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-01-15 10:00:00", "2023-11-03 00:00:00", "2000-07-01 23:59:59"])})
+    t = tbl(spark.createDataFrame(pdf))
+    out = (t >> mutate(m=_.ts.dt.to_period("M"), q=_.ts.dt.to_period("Q"),
+                       y=_.ts.dt.to_period("Y"), d=_.ts.dt.to_period("D"))
+           ).df.toPandas()
+    for f, c in [("M", "m"), ("Q", "q"), ("Y", "y"), ("D", "d")]:
+        assert out[c].tolist() == pdf.ts.dt.to_period(f).astype(str).tolist(), f
