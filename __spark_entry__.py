@@ -2674,6 +2674,38 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_corr_matrix(spark, sf):
+    """Pairwise correlation matrix of lineitem numerics per return flag —
+    one aggregation pass for all pairs, melted zero-shuffle."""
+    from siuba_spark import corr_matrix
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> corr_matrix(_.l_quantity, _.l_extendedprice, _.l_discount)
+        >> arrange(_.l_returnflag, _.col_a, _.col_b)
+    ).df
+
+
+SQL_CORR_MATRIX = """
+SELECT l_returnflag, col_a, col_b,
+       CASE col_a || col_b
+         WHEN 'l_quantityl_quantity' THEN ROUND(corr(l_quantity, l_quantity), 4)
+         WHEN 'l_quantityl_extendedprice' THEN ROUND(corr(l_quantity, l_extendedprice), 4)
+         WHEN 'l_quantityl_discount' THEN ROUND(corr(l_quantity, l_discount), 4)
+         WHEN 'l_extendedpricel_extendedprice' THEN ROUND(corr(l_extendedprice, l_extendedprice), 4)
+         WHEN 'l_extendedpricel_discount' THEN ROUND(corr(l_extendedprice, l_discount), 4)
+         WHEN 'l_discountl_discount' THEN ROUND(corr(l_discount, l_discount), 4)
+       END AS corr
+FROM lineitem
+CROSS JOIN (VALUES
+  ('l_quantity', 'l_quantity'), ('l_quantity', 'l_extendedprice'),
+  ('l_quantity', 'l_discount'),
+  ('l_extendedprice', 'l_extendedprice'), ('l_extendedprice', 'l_discount'),
+  ('l_discount', 'l_discount')) AS p(col_a, col_b)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def q_json_props(spark, sf):
     """JSON metadata parsing over the events stream (training-pipeline
     shape: extract typed fields from a props blob, aggregate)."""
@@ -2906,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot": q_one_hot,
         "cut_qcut_bands": q_cut_qcut_bands,
         "hash_split": q_hash_split,
+        "corr_matrix": q_corr_matrix,
         "token_count_bpe": q_token_count_bpe,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3123,4 +3156,5 @@ def oracle_sql() -> dict[str, str]:
         "one_hot": SQL_ONE_HOT,
         "cut_qcut_bands": SQL_CUT_QCUT_BANDS,
         "hash_split": SQL_HASH_SPLIT,
+        "corr_matrix": SQL_CORR_MATRIX,
     }

@@ -20,7 +20,7 @@ from .core import arrange, mutate
 from ..functions.vector import desc as _desc_fn
 
 __all__ = ["group_by", "ungroup", "summarize", "summarise", "count", "add_count",
-           "hash_split",
+           "hash_split", "corr_matrix",
            "sample_frac", "sample_n"]
 
 
@@ -308,3 +308,36 @@ def hash_split(tbl: SparkTbl, id_col, splits=None, out: str = "split"):
                       & (bucket < int(round(acc * 10000))),
                       F.lit(name)).otherwise(expr)
     return tbl.evolve(df=tbl.df.withColumn(out, expr))
+
+
+@verb
+def corr_matrix(tbl: SparkTbl, *cols, round_to: int = 4):
+    """Pairwise Pearson correlations of numeric columns, melted to
+    (col_a, col_b, corr) rows — data-QA staple.
+
+    ONE aggregation pass computes every pair (map-side partials, one
+    shuffle on the group keys or a scalar agg when ungrouped); the melt is
+    a zero-shuffle explode of the single result row.  O(k²) agg buffers
+    for k columns — cap k, not rows."""
+    from .tidyselect import resolve_names
+
+    names = resolve_names(cols, tbl.columns) if cols else [
+        f.name for f in tbl.df.schema.fields
+        if f.dataType.simpleString() in
+        ("double", "float", "bigint", "int", "smallint", "tinyint")
+        and f.name not in tbl.group_by
+    ]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    aggs = [F.round(F.corr(F.col(a), F.col(b)), round_to)
+            .alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
+    gb = tbl.df.groupBy(*[F.col(g) for g in tbl.group_by]) if tbl.group_by \
+        else tbl.df.groupBy()
+    row = gb.agg(*aggs)
+    melted = F.explode(F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col(f"__c_{i}").alias("corr"))
+        for i, (a, b) in enumerate(pairs)
+    ])).alias("__p")
+    df = (row.select(*tbl.group_by, melted)
+          .select(*tbl.group_by, "__p.col_a", "__p.col_b", "__p.corr"))
+    return tbl.evolve(df=df, group_by=())

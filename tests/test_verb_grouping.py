@@ -220,3 +220,19 @@ def test_hash_split_overallocation_raises(spark):
     t = tbl(spark, "/root/testdata/sf0.001/documents.parquet")
     with _pytest.raises(TranslationError):
         hash_split(t, _.doc_id, splits={"a": 0.9, "b": 0.2})
+
+
+def test_corr_matrix_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from siuba_spark import corr_matrix, tbl
+
+    pdf = pd.DataFrame({"x": [1., 2, 3, 4, 5], "y": [2., 4, 6, 8, 11],
+                        "z": [5., 3, 4, 1, 0]})
+    t = tbl(spark.createDataFrame(pdf))
+    out = corr_matrix(t).df.toPandas()  # auto-selects numeric columns
+    want = pdf.corr()
+    assert len(out) == 6  # upper triangle incl. diagonal of 3 cols
+    for _i, r in out.iterrows():
+        assert abs(r["corr"] - round(want.loc[r.col_a, r.col_b], 4)) < 1e-9
