@@ -2706,6 +2706,60 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q_describe_stats(spark, sf):
+    """pandas describe() of lineitem numerics: one agg pass for every
+    (column, stat) cell, melted zero-shuffle."""
+    from siuba_spark import describe
+    return (
+        describe(_t(spark, sf, "lineitem"), _.l_quantity, _.l_discount)
+        >> arrange(_.column, _.stat)
+    ).df
+
+
+SQL_DESCRIBE_STATS = """
+WITH s AS (
+  SELECT
+    CAST(COUNT(l_quantity) AS DOUBLE) AS q_count,
+    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+          / COUNT(l_quantity), 4) AS q_mean,
+    ROUND(stddev_samp(l_quantity), 4) AS q_std,
+    CAST(MIN(l_quantity) AS DOUBLE) AS q_min,
+    ROUND(quantile_cont(l_quantity, 0.25), 4) AS q_25,
+    ROUND(quantile_cont(l_quantity, 0.5), 4) AS q_50,
+    ROUND(quantile_cont(l_quantity, 0.75), 4) AS q_75,
+    CAST(MAX(l_quantity) AS DOUBLE) AS q_max,
+    CAST(COUNT(l_discount) AS DOUBLE) AS d_count,
+    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)
+          / COUNT(l_discount), 4) AS d_mean,
+    ROUND(stddev_samp(l_discount), 4) AS d_std,
+    CAST(MIN(l_discount) AS DOUBLE) AS d_min,
+    ROUND(quantile_cont(l_discount, 0.25), 4) AS d_25,
+    ROUND(quantile_cont(l_discount, 0.5), 4) AS d_50,
+    ROUND(quantile_cont(l_discount, 0.75), 4) AS d_75,
+    CAST(MAX(l_discount) AS DOUBLE) AS d_max
+  FROM lineitem)
+SELECT p."column", p.stat,
+  CASE p."column" || '/' || p.stat
+    WHEN 'l_quantity/count' THEN q_count WHEN 'l_quantity/mean' THEN q_mean
+    WHEN 'l_quantity/std' THEN q_std WHEN 'l_quantity/min' THEN q_min
+    WHEN 'l_quantity/25%' THEN q_25 WHEN 'l_quantity/50%' THEN q_50
+    WHEN 'l_quantity/75%' THEN q_75 WHEN 'l_quantity/max' THEN q_max
+    WHEN 'l_discount/count' THEN d_count WHEN 'l_discount/mean' THEN d_mean
+    WHEN 'l_discount/std' THEN d_std WHEN 'l_discount/min' THEN d_min
+    WHEN 'l_discount/25%' THEN d_25 WHEN 'l_discount/50%' THEN d_50
+    WHEN 'l_discount/75%' THEN d_75 WHEN 'l_discount/max' THEN d_max
+  END AS value
+FROM s CROSS JOIN (VALUES
+  ('l_quantity','count'),('l_quantity','mean'),('l_quantity','std'),
+  ('l_quantity','min'),('l_quantity','25%'),('l_quantity','50%'),
+  ('l_quantity','75%'),('l_quantity','max'),
+  ('l_discount','count'),('l_discount','mean'),('l_discount','std'),
+  ('l_discount','min'),('l_discount','25%'),('l_discount','50%'),
+  ('l_discount','75%'),('l_discount','max')) AS p("column", stat)
+ORDER BY 1, 2
+"""
+
+
 def q_json_props(spark, sf):
     """JSON metadata parsing over the events stream (training-pipeline
     shape: extract typed fields from a props blob, aggregate)."""
@@ -2939,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_qcut_bands": q_cut_qcut_bands,
         "hash_split": q_hash_split,
         "corr_matrix": q_corr_matrix,
+        "describe_stats": q_describe_stats,
         "token_count_bpe": q_token_count_bpe,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3157,4 +3212,5 @@ def oracle_sql() -> dict[str, str]:
         "cut_qcut_bands": SQL_CUT_QCUT_BANDS,
         "hash_split": SQL_HASH_SPLIT,
         "corr_matrix": SQL_CORR_MATRIX,
+        "describe_stats": SQL_DESCRIBE_STATS,
     }

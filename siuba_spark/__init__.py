@@ -28,7 +28,7 @@ from .operators.core import (
 )
 from .operators.grouping import (
     group_by, ungroup, summarize, summarise, count, add_count,
-    sample_frac, sample_n, hash_split, corr_matrix,
+    sample_frac, sample_n, hash_split, corr_matrix, describe,
 )
 from .operators.across import across, Fx, Across
 from .functions.udf import call, py_func
@@ -66,7 +66,7 @@ __all__ = [
     "select", "rename", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n", "qcut",
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
-    "sample_frac", "sample_n", "hash_split", "corr_matrix",
+    "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
     "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "call", "py_func",
     "gather", "spread", "separate", "unite", "extract", "nest", "unnest",

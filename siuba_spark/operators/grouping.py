@@ -20,7 +20,7 @@ from .core import arrange, mutate
 from ..functions.vector import desc as _desc_fn
 
 __all__ = ["group_by", "ungroup", "summarize", "summarise", "count", "add_count",
-           "hash_split", "corr_matrix",
+           "hash_split", "corr_matrix", "describe",
            "sample_frac", "sample_n"]
 
 
@@ -340,4 +340,52 @@ def corr_matrix(tbl: SparkTbl, *cols, round_to: int = 4):
     ])).alias("__p")
     df = (row.select(*tbl.group_by, melted)
           .select(*tbl.group_by, "__p.col_a", "__p.col_b", "__p.corr"))
+    return tbl.evolve(df=df, group_by=())
+
+
+@verb
+def describe(tbl: SparkTbl, *cols, round_to: int = 4):
+    """pandas ``describe()`` for numeric columns: count/mean/std/min/
+    25%/50%/75%/max, melted to (column, stat, value) rows.
+
+    ONE aggregation pass for every (column, stat) cell — exact
+    interpolating percentiles, decimal-exact means — then a zero-shuffle
+    explode.  Respects grouping."""
+    from .tidyselect import resolve_names
+
+    names = resolve_names(cols, tbl.columns) if cols else [
+        f.name for f in tbl.df.schema.fields
+        if f.dataType.simpleString() in
+        ("double", "float", "bigint", "int", "smallint", "tinyint")
+        and f.name not in tbl.group_by
+    ]
+    stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+
+    def exprs(c):
+        col = F.col(c)
+        dmean = (F.sum(col.cast("decimal(30,6)")).cast("double")
+                 / F.count(col))
+        return [
+            F.count(col).cast("double"),
+            F.round(dmean, round_to),
+            F.round(F.stddev_samp(col), round_to),
+            F.min(col).cast("double"),
+            F.round(F.percentile(col, F.lit(0.25)), round_to),
+            F.round(F.percentile(col, F.lit(0.5)), round_to),
+            F.round(F.percentile(col, F.lit(0.75)), round_to),
+            F.max(col).cast("double"),
+        ]
+
+    aggs = [e.alias(f"__d_{i}_{j}") for i, c in enumerate(names)
+            for j, e in enumerate(exprs(c))]
+    gb = tbl.df.groupBy(*[F.col(g) for g in tbl.group_by]) if tbl.group_by \
+        else tbl.df.groupBy()
+    row = gb.agg(*aggs)
+    melted = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"), F.lit(s).alias("stat"),
+                 F.col(f"__d_{i}_{j}").alias("value"))
+        for i, c in enumerate(names) for j, s in enumerate(stats)
+    ])).alias("__p")
+    df = (row.select(*tbl.group_by, melted)
+          .select(*tbl.group_by, "__p.column", "__p.stat", "__p.value"))
     return tbl.evolve(df=df, group_by=())

@@ -236,3 +236,17 @@ def test_corr_matrix_matches_pandas(spark):
     assert len(out) == 6  # upper triangle incl. diagonal of 3 cols
     for _i, r in out.iterrows():
         assert abs(r["corr"] - round(want.loc[r.col_a, r.col_b], 4)) < 1e-9
+
+
+def test_describe_matches_pandas(spark):
+    import pandas as pd
+
+    from siuba_spark import describe, tbl
+
+    pdf = pd.DataFrame({"x": [1., 2, 3, 4, 10], "y": [5., 5, 6, 7, 100]})
+    t = tbl(spark.createDataFrame(pdf))
+    out = describe(t).df.toPandas()
+    want = pdf.describe()
+    assert len(out) == 16
+    for _i, r in out.iterrows():
+        assert abs(r.value - round(want.loc[r.stat, r["column"]], 4)) < 1e-9
