@@ -2760,6 +2760,25 @@ ORDER BY 1, 2
 """
 
 
+def q_crosstab(spark, sf):
+    """Contingency table: order counts per (priority, status) — native
+    pivot with map-side partials, capped collected spec."""
+    from siuba_spark import crosstab
+    return (
+        crosstab(_t(spark, sf, "orders"), _.o_orderpriority, _.o_orderstatus)
+        >> arrange(_.o_orderpriority)
+    ).df
+
+
+SQL_CROSSTAB = """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+  COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+  COUNT(*) FILTER (o_orderstatus = 'P') AS P
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_json_props(spark, sf):
     """JSON metadata parsing over the events stream (training-pipeline
     shape: extract typed fields from a props blob, aggregate)."""
@@ -2994,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "corr_matrix": q_corr_matrix,
         "describe_stats": q_describe_stats,
+        "crosstab": q_crosstab,
         "token_count_bpe": q_token_count_bpe,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3213,4 +3233,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": SQL_HASH_SPLIT,
         "corr_matrix": SQL_CORR_MATRIX,
         "describe_stats": SQL_DESCRIBE_STATS,
+        "crosstab": SQL_CROSSTAB,
     }

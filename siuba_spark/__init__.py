@@ -38,7 +38,7 @@ from .operators.joins import (
 )
 from .operators.reshape import (
     gather, spread, separate, unite, extract, nest, unnest, expand, complete,
-    pivot_longer, pivot_wider, bind_rows, one_hot,
+    pivot_longer, pivot_wider, bind_rows, one_hot, crosstab,
     build_longer_spec, pivot_longer_spec, build_wider_spec, pivot_wider_spec,
 )
 from .functions.vector import (
@@ -71,7 +71,7 @@ __all__ = [
     "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "call", "py_func",
     "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
-    "one_hot",
+    "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",

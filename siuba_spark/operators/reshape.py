@@ -26,7 +26,7 @@ from .tidyselect import resolve_names
 __all__ = [
     "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
-    "one_hot",
+    "one_hot", "crosstab",
 ]
 
 MAX_PIVOT_KEYS = 10_000  # driver-side spec guard
@@ -859,3 +859,25 @@ def bind_rows(tbl: SparkTbl, *others):
     for o in others:
         df = df.unionByName(wrap_table(o).df, allowMissingColumns=True)
     return SparkTbl(df)
+
+
+@verb
+def crosstab(tbl: SparkTbl, row, col, values=None, aggfunc: str = "count",
+             fill=0):
+    """Contingency table (pandas.crosstab): counts — or an aggregate of
+    ``values`` — per (row, col) cell, one wide row per row-key.
+
+    Spark's native ``groupBy().pivot()`` does map-side partial
+    aggregation; the column spec is collected once (capped), same
+    discipline as pivot_wider."""
+    rowc = _colname(row)
+    colc = _colname(col)
+    base = tbl.df.persist()
+    keys = [k for k in _distinct_keys(base, colc) if k is not None]
+    agg = _agg_fn(aggfunc)(F.col(_colname(values))) if values is not None \
+        else F.count(F.lit(1))
+    df = (base.groupBy(rowc).pivot(colc, keys).agg(agg))
+    out_names = [_key_str(k) for k in keys]
+    if fill is not None:
+        df = df.fillna(fill, subset=out_names)
+    return tbl.evolve(df=df, group_by=()).pin(base)

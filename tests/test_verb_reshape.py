@@ -434,3 +434,22 @@ def test_one_hot_matches_get_dummies(spark):
     # drop_first drops the first level, keep source with remove=False
     got2 = (t >> one_hot(_.c, drop_first=True, remove=False)).df.toPandas()
     assert "c" in got2.columns and "c_a" not in got2.columns and "c_b" in got2.columns
+
+
+def test_crosstab_matches_pandas(spark):
+    from siuba_spark import crosstab
+
+    pdf = pd.DataFrame({"a": ["x", "x", "y", "y", "y"],
+                        "b": ["p", "q", "p", "p", "q"],
+                        "v": [1.0, 2, 3, 4, 5]})
+    t = data_frame(spark, a=pdf.a.tolist(), b=pdf.b.tolist(), v=pdf.v.tolist())
+    got = (t >> crosstab(_.a, _.b)).df.toPandas() \
+        .sort_values("a").reset_index(drop=True)
+    want = pd.crosstab(pdf.a, pdf.b)
+    assert got.p.tolist() == want.p.tolist()
+    assert got.q.tolist() == want.q.tolist()
+    got2 = (t >> crosstab(_.a, _.b, values=_.v, aggfunc="sum")) \
+        .df.toPandas().sort_values("a")
+    want2 = pd.crosstab(pdf.a, pdf.b, values=pdf.v, aggfunc="sum").fillna(0)
+    assert got2.p.tolist() == want2.p.tolist()
+    assert got2.q.tolist() == want2.q.tolist()
