@@ -347,3 +347,35 @@ def test_tfidf_plan_shapes(spark):
     p = _plan(tf_idf(t, col="text", id_col="doc_id", k_per_doc=3).df)
     assert "CartesianProduct" not in p
     assert "doc_id" in p
+
+
+def test_one_hot_is_map_only(spark):
+    """one_hot's encode is a pure projection: beyond the capped spec scan,
+    the plan has no Exchange and no Join."""
+    from siuba_spark import one_hot, release_all_pins, tbl
+    t = tbl(spark, f"{SF}/customer.parquet")
+    p = _plan(one_hot(t, "c_mktsegment").df)
+    release_all_pins()
+    assert "Exchange" not in p, "one_hot must not shuffle"
+    assert "Join" not in p
+
+
+def test_hash_split_is_map_only(spark):
+    from siuba_spark import hash_split, tbl
+    t = tbl(spark, f"{SF}/documents.parquet")
+    from siuba_spark import _ as S
+    p = _plan(hash_split(t, S.doc_id).df)
+    assert "Exchange" not in p, "hash_split must not shuffle"
+    assert "Join" not in p
+
+
+def test_describe_single_agg_pass(spark):
+    """describe computes every (column, stat) cell in ONE aggregation:
+    exactly one shuffle in the plan (partial + final agg), then the
+    zero-shuffle melt."""
+    from siuba_spark import describe, tbl
+    t = tbl(spark, f"{SF}/lineitem.parquet")
+    from siuba_spark import _ as S
+    p = _plan(describe(t, S.l_quantity, S.l_discount).df)
+    assert p.count("Exchange hashpartitioning") == 0  # global agg: SinglePartition only
+    assert p.count("Exchange SinglePartition") <= 1, p
