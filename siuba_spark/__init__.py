@@ -24,7 +24,7 @@ from .plans.tbl import (
 from .plans.pipe import Pipe, Pipeable, pipe, verb
 from .operators.core import (
     select, rename, mutate, transmute, filter, arrange, distinct, head, top_n,
-    qcut,
+    qcut, slice_head, slice_tail, slice_min, slice_max, slice_sample,
 )
 from .operators.grouping import (
     group_by, ungroup, summarize, summarise, count, add_count,
@@ -37,7 +37,7 @@ from .operators.joins import (
     asof_join, interval_join, salted_join,
 )
 from .operators.reshape import (
-    gather, spread, separate, unite, extract, nest, unnest, expand, complete,
+    gather, spread, separate, separate_rows, unite, extract, nest, unnest, expand, complete,
     pivot_longer, pivot_wider, bind_rows, one_hot, crosstab,
     build_longer_spec, pivot_longer_spec, build_wider_spec, pivot_wider_spec,
 )
@@ -65,11 +65,12 @@ __all__ = [
     "repartition", "coalesce_partitions", "cache",
     "select", "rename", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n", "qcut",
+    "slice_head", "slice_tail", "slice_min", "slice_max", "slice_sample",
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
     "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
     "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "call", "py_func",
-    "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
+    "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",

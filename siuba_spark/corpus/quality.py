@@ -1,0 +1,234 @@
+"""Document-quality and scrubbing operators for training-data pipelines.
+
+Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+Models", table A1), C4-style PII/URL scrubbing, deterministic stratified
+sampling, and corpus-wide segment-level dedup (CCNet, Wenzek et al.
+2020).  No reference equivalent (machow/siuba has no corpus layer) —
+this is the task-brief's training-pipeline surface.
+
+Scale notes per op are in the docstrings; the shared principles:
+zero-shuffle projections wherever the signal is per-row (higher-order
+array functions, whole-stage codegen), and when a signal genuinely needs
+cross-row state (most-common n-gram, corpus-wide line dedup) the shuffle
+key is fine-grained ((doc_id, gram) or the segment hash), never a global
+or low-cardinality key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..plans.pipe import verb
+from ..plans.tbl import SparkTbl
+from .text import tokens_col
+
+__all__ = [
+    "quality_signals", "scrub_pii", "stratified_sample", "dedup_segments",
+    "PII_PATTERNS",
+]
+
+
+def _bigrams(toks):
+    """array<string> of space-joined word 2-grams (codegen, no UDF)."""
+    n = F.size(toks)
+    return F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+@verb
+def quality_signals(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition/quality signals per document:
+
+    - ``dup_word_frac``    — fraction of tokens that are repeats
+                              (1 - distinct/total)
+    - ``dup_2gram_frac``   — fraction of 2-gram occurrences that are repeats
+    - ``top_2gram_frac``   — fraction of document characters covered by
+                              occurrences of the MOST frequent 2-gram
+    - ``mean_word_len``    — mean token length
+    - ``symbol_word_ratio``— non-alphanumeric chars per token
+
+    The first two and the last two are pure projections (array_distinct /
+    length arithmetic inside whole-stage codegen — zero shuffle).  The
+    most-frequent-2-gram needs cross-row state per doc: explode the
+    bigram array, count by (id, gram), take the per-doc max.  Both
+    aggregations get map-side partial combine and shuffle on fine-grained
+    keys ((id, gram) then id), so the plan holds at 100 TB — no global
+    window, no skew funnel (grams are near-unique per doc).  The join
+    back to the projection side is an equi-join on ``id_col`` that AQE
+    plans as shuffled-hash; both sides are the same cardinality.
+    """
+    c = F.col(col)
+    toks = F.col("__toks")
+    grams = F.col("__grams")
+    n_tok = F.size(toks)
+    n_gram = F.size(grams)
+
+    base = (tbl.df
+            .withColumn("__toks", tokens_col(c))
+            .withColumn("__grams", _bigrams(toks)))
+
+    proj = (base
+            .withColumn(
+                "dup_word_frac",
+                F.when(n_tok > 0,
+                       F.round(1.0 - F.size(F.array_distinct(toks)) / n_tok, 6))
+                .otherwise(F.lit(0.0)))
+            .withColumn(
+                "dup_2gram_frac",
+                F.when(n_gram > 0,
+                       F.round(1.0 - F.size(F.array_distinct(grams)) / n_gram, 6))
+                .otherwise(F.lit(0.0)))
+            .withColumn(
+                "mean_word_len",
+                F.when(n_tok > 0, F.round(
+                    F.length(F.regexp_replace(F.trim(F.lower(c)), r"\s+", ""))
+                    / n_tok, 6)).otherwise(F.lit(0.0)))
+            .withColumn(
+                "symbol_word_ratio",
+                F.when(n_tok > 0, F.round(
+                    F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / n_tok,
+                    6)).otherwise(F.lit(0.0))))
+
+    # most-frequent 2-gram per doc: explode -> count(id, gram) -> per-doc
+    # max with a deterministic tie-break (highest count, then first gram
+    # lexicographically) via min(struct(-cnt, gram)).
+    ex = (base.select(F.col(id_col).alias("__id"),
+                      F.explode(grams).alias("__g")))
+    cnt = ex.groupBy("__id", "__g").agg(F.count("*").alias("__cnt"))
+    top = (cnt.groupBy("__id")
+           .agg(F.min(F.struct((-F.col("__cnt")).alias("neg"),
+                               F.col("__g").alias("g"))).alias("__t"))
+           .select(F.col("__id"),
+                   (-F.col("__t.neg")).alias("__top_cnt"),
+                   F.col("__t.g").alias("top_2gram")))
+
+    out = (proj.join(top, proj[id_col] == top["__id"], "left")
+           .withColumn(
+               "top_2gram_frac",
+               F.when(F.length(c) > 0, F.round(
+                   F.coalesce(F.col("__top_cnt"), F.lit(0))
+                   * F.length(F.coalesce(F.col("top_2gram"), F.lit("")))
+                   / F.length(c), 6)).otherwise(F.lit(0.0)))
+           .drop("__toks", "__grams", "__id", "__top_cnt"))
+    return tbl.evolve(df=out)
+
+
+# (pattern, replacement) pairs applied in order; regex syntax restricted to
+# the intersection of Java regex and RE2 so engine oracles agree.
+PII_PATTERNS = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+@verb
+def scrub_pii(tbl: SparkTbl, col: str = "text", out: str | None = None,
+              patterns=None, count: bool = True):
+    """Mask URLs / emails / IPv4s / phone numbers with typed placeholder
+    tokens — the standard C4/RefinedWeb scrub pass.
+
+    Pure projection: a chain of ``regexp_replace`` calls that stays in
+    whole-stage codegen, so throughput is scan-bound at any scale.  With
+    ``count=True`` also emits ``n_scrubbed`` (placeholder occurrences) so
+    a downstream filter can drop PII-dense docs without a second scan.
+    """
+    out = out or col
+    expr = F.col(col)
+    for pat, repl in (patterns or PII_PATTERNS):
+        expr = F.regexp_replace(expr, pat, repl)
+    df = tbl.df.withColumn(out, expr)
+    if count:
+        df = df.withColumn(
+            "n_scrubbed",
+            F.size(F.split(F.col(out), r"<(URL|EMAIL|IP|PHONE)>")) - 1)
+    return tbl.evolve(df=df)
+
+
+@verb
+def stratified_sample(tbl: SparkTbl, *strata, n: int | None = None,
+                      frac: float | None = None, id_col: str = "doc_id"):
+    """Deterministic stratified sampling — the reproducible-split pattern
+    (same family as ``hash_split``): membership depends only on md5 of a
+    stable id, never on partitioning, cluster size, or RNG state.
+
+    ``frac=``  keeps ~frac of each stratum via an md5-bucket threshold —
+    a pure FILTER, zero shuffle, and new rows land in stable samples.
+
+    ``n=``     keeps exactly n rows per stratum: rank by md5 inside each
+    stratum (one window shuffle on the strata key).  Strata are whatever
+    columns are passed (or the current group_by); per-stratum cardinality
+    is user-chosen, so skew is the caller's knob — the md5 sort key
+    itself is uniform.
+    """
+    keys = [str(s) for s in strata] or list(tbl.group_by)
+    if (n is None) == (frac is None):
+        raise ValueError("exactly one of n= or frac= is required")
+    h = F.md5(F.col(id_col).cast("string"))
+    if frac is not None:
+        bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10000
+        df = tbl.df.filter(bucket < int(round(frac * 10000)))
+        return tbl.evolve(df=df)
+    if not keys:
+        raise ValueError("n= sampling needs strata columns (or a grouped tbl)")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        h.asc(), F.col(id_col).asc())
+    df = (tbl.df.withColumn("__rn", F.row_number().over(w))
+          .filter(F.col("__rn") <= n).drop("__rn"))
+    return tbl.evolve(df=df)
+
+
+@verb
+def dedup_segments(tbl: SparkTbl, col: str = "text", sep: str = "\n",
+                   id_col: str = "doc_id", keep: str = "first"):
+    """Corpus-WIDE segment-level dedup (CCNet / RefinedWeb line dedup):
+    split every document on ``sep``, keep each distinct segment's first
+    occurrence across the whole corpus (ordered by (id, position)), and
+    reassemble documents from their surviving segments.
+
+    Scale shape: posexplode -> ONE shuffle keyed on the segment text for
+    the first-occurrence window (near-unique keys, so no skew funnel;
+    boilerplate segments that DO repeat millions of times are exactly the
+    ones a min-aggregate handles with map-side partial combine) -> one
+    shuffle on ``id_col`` to reassemble with ``concat_ws`` over
+    position-sorted ``collect_list``.  Never materializes a pair join;
+    cost is O(total segments), the same as the CCNet hash-shard design.
+
+    ``keep="first"`` keeps the earliest occurrence; ``keep="none"`` drops
+    every segment that occurs more than once (the aggressive CCNet mode).
+    Documents whose every segment is dropped vanish (their text would be
+    empty), matching CCNet's behavior.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    others = [c for c in tbl.df.columns if c != col]
+    seg = (tbl.df
+           .select(*others, F.posexplode(F.split(F.col(col), F.lit(sep), -1))
+                   .alias("__pos", "__seg"))
+           .filter(F.length(F.trim(F.col("__seg"))) > 0))
+
+    w = (Window.partitionBy(F.col("__seg"))
+         .orderBy(F.col(id_col).asc(), F.col("__pos").asc()))
+    if keep == "first":
+        ranked = seg.withColumn("__rn", F.row_number().over(w))
+        kept = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    else:
+        counted = seg.withColumn(
+            "__n", F.count("*").over(Window.partitionBy(F.col("__seg"))))
+        kept = counted.filter(F.col("__n") == 1).drop("__n")
+
+    out = (kept.groupBy(*[F.col(c) for c in others])
+           .agg(F.concat_ws(
+               sep,
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("__pos").alias("p"),
+                                F.col("__seg").alias("s")))),
+                   lambda st: st["s"])).alias(col))
+           .select(*[F.col(c) for c in tbl.df.columns]))
+    return tbl.evolve(df=out)

@@ -19,6 +19,7 @@ from .tidyselect import resolve_names, resolve_select
 __all__ = [
     "select", "rename", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n", "qcut",
+    "slice_head", "slice_tail", "slice_min", "slice_max", "slice_sample",
 ]
 
 
@@ -292,6 +293,117 @@ def top_n(tbl: SparkTbl, n: int, wt=None):
           .filter(F.col("__tn_rank") <= abs(n))
           .drop("__tn_rank"))
     return tbl.evolve(df=df)
+
+
+def _order_cols(tbl, order_by, fname, reverse=False):
+    """Window ORDER BY columns from explicit order_by= or sticky arrange
+    state; slicing without any order is nondeterministic on a distributed
+    engine, so it's an error (same posture as the no-order cumulative
+    warning, but hard: a silent arbitrary slice is a wrong answer)."""
+    if order_by is not None:
+        specs = [_parse_sort_arg(a) for a in
+                 (order_by if isinstance(order_by, (list, tuple)) else [order_by])]
+    elif tbl.order_by:
+        specs = list(tbl.order_by)
+    else:
+        raise TranslationError(
+            f"{fname} needs a defined row order: arrange() first or pass "
+            "order_by= (distributed tables have no implicit row order)")
+    cols = []
+    for node, asc in specs:
+        col, _ = lower(node, tbl.row_ctx())
+        if reverse:
+            asc = not asc
+        cols.append(col.asc_nulls_last() if asc else col.desc_nulls_last())
+    return cols
+
+
+def _slice_by_rank(tbl, rank_col, n):
+    df = (tbl.df.withColumn("__sl_rk", rank_col)
+          .filter(F.col("__sl_rk") <= n).drop("__sl_rk"))
+    return tbl.evolve(df=df)
+
+
+@verb
+def slice_head(tbl: SparkTbl, n: int = 5, order_by=None):
+    """First n rows per group in the current (or given) order — dplyr
+    slice_head. One window shuffle on the group keys; ungrouped it is a
+    rank-limit that AQE executes as a TopK, not a full sort.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 2.0)],
+    ...                               "g string, x double"))
+    >>> sorted((t >> group_by(_.g) >> slice_head(1, order_by=_.x)
+    ...         >> collect()).x.tolist())
+    [1.0, 2.0]
+    """
+    from pyspark.sql import Window
+
+    order = _order_cols(tbl, order_by, "slice_head")
+    w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]).orderBy(*order)
+    return _slice_by_rank(tbl, F.row_number().over(w), n)
+
+
+@verb
+def slice_tail(tbl: SparkTbl, n: int = 5, order_by=None):
+    """Last n rows per group — slice_head over the reversed order."""
+    from pyspark.sql import Window
+
+    order = _order_cols(tbl, order_by, "slice_tail", reverse=True)
+    w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]).orderBy(*order)
+    return _slice_by_rank(tbl, F.row_number().over(w), n)
+
+
+@verb
+def slice_min(tbl: SparkTbl, col, n: int = 1, with_ties: bool = True):
+    """n rows with the smallest ``col`` per group (dplyr slice_min).
+    ``with_ties=True`` keeps ties like top_n (rank() <= n may return more
+    than n rows); ``False`` breaks ties arbitrarily-but-deterministically
+    by the remaining columns (row_number over a struct tie-break).
+    """
+    return _slice_minmax(tbl, col, n, with_ties, asc=True)
+
+
+@verb
+def slice_max(tbl: SparkTbl, col, n: int = 1, with_ties: bool = True):
+    """n rows with the largest ``col`` per group (dplyr slice_max)."""
+    return _slice_minmax(tbl, col, n, with_ties, asc=False)
+
+
+def _slice_minmax(tbl, col, n, with_ties, asc):
+    from pyspark.sql import Window
+
+    node, flip = _parse_sort_arg(col)
+    if not flip:
+        asc = not asc
+    c, _ = lower(node, tbl.row_ctx())
+    order = [c.asc_nulls_last() if asc else c.desc_nulls_last()]
+    if not with_ties:
+        # deterministic tie-break on every other column
+        order += [F.col(x).asc_nulls_last() for x in tbl.columns]
+    w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]).orderBy(*order)
+    rank = F.rank() if with_ties else F.row_number()
+    return _slice_by_rank(tbl, rank.over(w), n)
+
+
+@verb
+def slice_sample(tbl: SparkTbl, n: int | None = None,
+                 prop: float | None = None, seed: int = 42):
+    """Random sample per group (dplyr slice_sample). ``n=`` takes exactly
+    n per group via seeded-random rank (one window); ``prop=`` is a pure
+    seeded-random filter — zero shuffle, but per-group counts are only
+    ~proportional.  For the reproducible-pipeline variant that survives
+    engine changes, use ``stratified_sample`` (md5-keyed)."""
+    from pyspark.sql import Window
+
+    if (n is None) == (prop is None):
+        raise TranslationError("slice_sample: exactly one of n= or prop=")
+    if prop is not None:
+        return tbl.evolve(df=tbl.df.filter(F.rand(seed) < float(prop)))
+    w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]) \
+        .orderBy(F.rand(seed))
+    return _slice_by_rank(tbl, F.row_number().over(w), n)
 
 
 @verb

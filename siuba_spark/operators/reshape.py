@@ -24,9 +24,9 @@ from ..plans.tbl import SparkTbl
 from .tidyselect import resolve_names
 
 __all__ = [
-    "gather", "spread", "separate", "unite", "extract", "nest", "unnest",
-    "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
-    "one_hot", "crosstab",
+    "gather", "spread", "separate", "separate_rows", "unite", "extract",
+    "nest", "unnest", "expand", "complete", "pivot_longer", "pivot_wider",
+    "bind_rows", "one_hot", "crosstab",
 ]
 
 MAX_PIVOT_KEYS = 10_000  # driver-side spec guard
@@ -151,6 +151,47 @@ def spread(tbl: SparkTbl, key, value, fill=None, sep: str | None = None,
     if fill is not None:
         df = df.fillna(fill, subset=out_names)
     return tbl.evolve(df=df).pin(base)
+
+
+@verb
+def separate_rows(tbl: SparkTbl, *cols, sep: str = r"[^a-zA-Z0-9.]+",
+                  convert=False):
+    """Split the value of one or more columns on a regex separator and
+    explode one row per piece (tidyr::separate_rows; dplyr-family verb the
+    reference skipped).  Multiple columns split in lockstep (piece i of
+    each column lands on the same output row, NULL when one column has
+    fewer pieces — tidyr semantics).
+
+    Zero shuffle: split + (arrays_zip +) explode is a pure flatMap-shaped
+    projection that stays in whole-stage codegen, so the op is scan-bound
+    at any scale.
+
+    ``convert=`` works like separate's: a dtype string is a lazy
+    try_cast; ``True`` is unsupported here (it would need an eager probe
+    per exploded column — pass the dtype).
+    """
+    names = [_colname(c) for c in cols]
+    if not names:
+        raise ValueError("separate_rows needs at least one column")
+    if convert is True:
+        raise TranslationError(
+            "separate_rows(convert=True) is eager; pass a dtype string "
+            "(e.g. convert='bigint') for a lazy cast")
+    df = tbl.df
+    others = [c for c in df.columns if c not in names]
+    if len(names) == 1:
+        nm = names[0]
+        df = df.select(*others,
+                       F.explode(F.split(F.col(nm), sep, -1)).alias(nm))
+    else:
+        zipped = F.arrays_zip(*[F.split(F.col(n), sep, -1).alias(n)
+                                for n in names])
+        df = (df.select(*others, F.explode(zipped).alias("__sr"))
+              .select(*others, *[F.col(f"__sr.{n}").alias(n) for n in names]))
+    if isinstance(convert, str):
+        for n in names:
+            df = df.withColumn(n, F.col(n).try_cast(convert))
+    return tbl.evolve(df=df)
 
 
 @verb

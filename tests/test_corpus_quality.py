@@ -1,0 +1,183 @@
+"""Tests for siuba_spark.corpus.quality (Gopher signals, PII scrub,
+stratified sampling, corpus-wide segment dedup)."""
+
+import pandas as pd
+import pytest
+
+from siuba_spark.corpus.quality import (
+    quality_signals, scrub_pii, stratified_sample, dedup_segments,
+)
+from .helpers import data_frame, assert_equal_query
+
+
+def test_quality_signals_basic(spark):
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3],
+        text=[
+            "the cat the cat the dog",   # "the cat" twice of 5 bigrams
+            "a b c d",                    # all distinct
+            "",                           # empty doc: all zeros
+        ],
+    )
+    out = quality_signals(t).df.orderBy("doc_id").toPandas()
+
+    r1 = out.iloc[0]
+    # 6 tokens: the,cat,the,cat,the,dog -> 3 distinct -> dup 0.5
+    assert r1.dup_word_frac == pytest.approx(0.5)
+    # bigrams: "the cat","cat the","the cat","cat the","the dog" ->
+    # 5 total, 3 distinct -> dup 0.4
+    assert r1.dup_2gram_frac == pytest.approx(0.4)
+    assert r1.top_2gram == "cat the" or r1.top_2gram == "the cat"
+    # top gram = "the cat" (count 2, ties broken lexicographically:
+    # "cat the" also has 2 -> "cat the" < "the cat")
+    assert r1.top_2gram == "cat the"
+    assert r1.top_2gram_frac == pytest.approx(2 * 7 / 23, abs=1e-6)
+    # mean word len: 18 non-space chars / 6 tokens
+    assert r1.mean_word_len == pytest.approx(3.0)
+    assert r1.symbol_word_ratio == pytest.approx(0.0)
+
+    r2 = out.iloc[1]
+    assert r2.dup_word_frac == 0.0
+    assert r2.dup_2gram_frac == 0.0
+    assert r2.top_2gram_frac == pytest.approx(3 / 7, abs=1e-6)
+
+    r3 = out.iloc[2]
+    assert r3.dup_word_frac == 0.0
+    assert r3.top_2gram_frac == 0.0
+
+
+def test_quality_signals_preserves_other_columns(spark):
+    t = data_frame(spark, doc_id=[1], text=["x y"], lang=["en"])
+    out = quality_signals(t).df.toPandas()
+    assert out.lang.tolist() == ["en"]
+    assert set(out.columns) >= {
+        "doc_id", "text", "lang", "dup_word_frac", "dup_2gram_frac",
+        "top_2gram", "top_2gram_frac", "mean_word_len", "symbol_word_ratio"}
+
+
+def test_scrub_pii(spark):
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3, 4],
+        text=[
+            "contact me at bob@example.com today",
+            "see https://spark.apache.org/docs for info",
+            "server at 10.0.42.1 is down, call 555-123-4567",
+            "nothing sensitive here",
+        ],
+    )
+    out = scrub_pii(t).df.orderBy("doc_id").toPandas()
+    assert out.text.tolist() == [
+        "contact me at <EMAIL> today",
+        "see <URL> for info",
+        "server at <IP> is down, call <PHONE>",
+        "nothing sensitive here",
+    ]
+    assert out.n_scrubbed.tolist() == [1, 1, 2, 0]
+
+
+def test_scrub_pii_separate_out_col(spark):
+    t = data_frame(spark, doc_id=[1], text=["mail a@b.io now"])
+    out = scrub_pii(t, out="clean", count=False).df.toPandas()
+    assert out.text.tolist() == ["mail a@b.io now"]
+    assert out.clean.tolist() == ["mail <EMAIL> now"]
+    assert "n_scrubbed" not in out.columns
+
+
+def test_stratified_sample_n_exact_per_stratum(spark):
+    t = data_frame(
+        spark,
+        doc_id=list(range(40)),
+        lang=["en", "fr"] * 20,
+    )
+    out = stratified_sample(t, "lang", n=5).df.toPandas()
+    assert out.groupby("lang").size().tolist() == [5, 5]
+    # deterministic: same call -> same rows
+    out2 = stratified_sample(t, "lang", n=5).df.toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_stratified_sample_frac_is_filter_and_stable(spark):
+    t = data_frame(spark, doc_id=list(range(200)), lang=["en"] * 200)
+    out = stratified_sample(t, "lang", frac=0.3).df
+    # zero-shuffle: no Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    n = out.count()
+    assert 30 <= n <= 90  # md5 buckets ~uniform
+    # subset stability: sampling a subset yields a subset of the sample
+    sub = stratified_sample(
+        data_frame(spark, doc_id=list(range(100)), lang=["en"] * 100),
+        "lang", frac=0.3).df.toPandas()
+    full = out.toPandas()
+    assert set(sub.doc_id) <= set(full.doc_id)
+
+
+def test_stratified_sample_arg_validation(spark):
+    t = data_frame(spark, doc_id=[1], lang=["en"])
+    with pytest.raises(ValueError):
+        stratified_sample(t, "lang")
+    with pytest.raises(ValueError):
+        stratified_sample(t, "lang", n=1, frac=0.5)
+    with pytest.raises(ValueError):
+        stratified_sample(t, n=3)  # no strata, ungrouped
+
+
+def test_dedup_segments_first(spark):
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3],
+        text=[
+            "alpha\nshared line\nbeta",
+            "shared line\ngamma",
+            "delta\nshared line",
+        ],
+    )
+    out = dedup_segments(t).df.orderBy("doc_id").toPandas()
+    assert out.text.tolist() == [
+        "alpha\nshared line\nbeta",  # first occurrence keeps it
+        "gamma",
+        "delta",
+    ]
+
+
+def test_dedup_segments_none_drops_all_copies(spark):
+    t = data_frame(
+        spark,
+        doc_id=[1, 2],
+        text=["a\nboiler\nb", "boiler\nc"],
+    )
+    out = dedup_segments(t, keep="none").df.orderBy("doc_id").toPandas()
+    assert out.text.tolist() == ["a\nb", "c"]
+
+
+def test_dedup_segments_all_dup_doc_vanishes(spark):
+    t = data_frame(spark, doc_id=[1, 2], text=["same", "same"])
+    out = dedup_segments(t, keep="none").df.toPandas()
+    assert len(out) == 0
+    out_first = dedup_segments(t, keep="first").df.toPandas()
+    assert out_first.doc_id.tolist() == [1]
+
+
+def test_dedup_segments_word_mode_matches_duckdb(spark):
+    """Graded-query twin: sep=' ' dedups tokens corpus-wide."""
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["x y z", "y q x", "z z w"],
+    })
+    t = data_frame(spark, **{c: df[c].tolist() for c in df.columns})
+    import duckdb
+    exp = duckdb.connect().execute("""
+        WITH seg AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM df
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) rn
+          FROM seg WHERE length(trim(seg)) > 0
+        )
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    assert_equal_query(dedup_segments(t, sep=" "), exp)
