@@ -30,6 +30,7 @@ from siuba_spark import (  # noqa: F401
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
     if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
     cumall, cumany, fct_lump, fct_reorder, fct_infreq,
+    slice_max, separate_rows,
 )
 from siuba_spark.corpus.text import (
     text_stats, lang_score, fingerprint, token_count_bpe, vocab_topk, tf_idf,
@@ -2959,6 +2960,236 @@ def q_ivf_topk(spark, sf):
     return ivf_topk(t, q, k=5, n_lists=8, n_probes=3).df
 
 
+def q_quality_signals(spark, sf):
+    """Gopher-style repetition/quality signals per document: duplicate
+    word/2-gram fractions, the most frequent 2-gram and its character
+    coverage, mean word length, symbol ratio.  Projections are
+    zero-shuffle; the top-2-gram needs one (doc_id, gram) count and one
+    per-doc max — both fine-grained-key shuffles with map-side combine."""
+    from siuba_spark.corpus.quality import quality_signals
+    return (quality_signals(_t(spark, sf, "documents"))
+            .df.select("doc_id", "dup_word_frac", "dup_2gram_frac",
+                       "top_2gram", "top_2gram_frac", "mean_word_len",
+                       "symbol_word_ratio"))
+
+
+SQL_QUALITY_SIGNALS = r"""
+WITH d AS (SELECT doc_id, text,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, text, toks,
+        CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS grams
+      FROM d),
+ex AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+cnt AS (SELECT doc_id, gm, count(*) AS c FROM ex GROUP BY 1, 2),
+top AS (SELECT doc_id, c AS top_cnt, gm AS top_2gram
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, gm ASC) rn FROM cnt)
+        WHERE rn = 1)
+SELECT g.doc_id,
+  CASE WHEN len(toks) > 0
+       THEN round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+       ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN len(grams) > 0
+       THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+       ELSE 0.0 END AS dup_2gram_frac,
+  top.top_2gram,
+  CASE WHEN length(text) > 0
+       THEN round(coalesce(top_cnt, 0)
+                  * length(coalesce(top.top_2gram, ''))::DOUBLE
+                  / length(text), 6)
+       ELSE 0.0 END AS top_2gram_frac,
+  CASE WHEN len(toks) > 0
+       THEN round(length(regexp_replace(trim(lower(text)), '\s+', '', 'g'))::DOUBLE
+                  / len(toks), 6)
+       ELSE 0.0 END AS mean_word_len,
+  CASE WHEN len(toks) > 0
+       THEN round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                  / len(toks), 6)
+       ELSE 0.0 END AS symbol_word_ratio
+FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+"""
+
+
+def q_scrub_pii(spark, sf):
+    """C4/RefinedWeb PII scrub: mask URLs/emails/IPs/phones with typed
+    placeholders + count replacements.  The synthetic corpus has no PII,
+    so the query injects a deterministic email+URL suffix per doc first —
+    the scrub itself is the operator under test.  Pure regexp_replace
+    chain, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import scrub_pii
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _t(spark, sf, "documents")
+    injected = SparkTbl(docs.df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mail u"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@ex.com and http://x.io/p page"))))
+    return scrub_pii(injected).df.select("doc_id", "text", "n_scrubbed")
+
+
+SQL_SCRUB_PII = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(
+    text || ' mail u' || doc_id || '@ex.com and http://x.io/p page',
+    'https?://[^\s]+', '<URL>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text,
+  2 AS n_scrubbed
+FROM documents
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling: exactly 20 docs per language by
+    md5(doc_id) rank — reproducible on any engine/cluster size (no RNG).
+    One window shuffle on the stratum key."""
+    from siuba_spark.corpus.quality import stratified_sample
+    return (stratified_sample(_t(spark, sf, "documents"), "lang", n=20)
+            .df.select("doc_id", "lang", "source"))
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) rn
+  FROM documents) WHERE rn <= 20
+"""
+
+
+def q_dedup_segments(spark, sf):
+    """Corpus-WIDE segment dedup (CCNet line dedup) in word mode: every
+    token keeps only its first corpus occurrence, documents reassemble
+    from survivors.  One shuffle keyed on the segment, one on doc_id —
+    never a pair join."""
+    from siuba_spark.corpus.quality import dedup_segments
+    return (dedup_segments(_t(spark, sf, "documents"), sep=" ")
+            .df.select("doc_id", "text"))
+
+
+SQL_DEDUP_SEGMENTS = """
+WITH seg AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) rn
+  FROM seg WHERE length(trim(seg)) > 0)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def q_slice_minmax(spark, sf):
+    """dplyr slice_max: top-3 orders by price per priority class, ties
+    kept (rank-based single window)."""
+    return (
+        _t(spark, sf, "orders")
+        >> group_by(_.o_orderpriority)
+        >> slice_max(_.o_totalprice, n=3)
+        >> ungroup()
+        >> select(_.o_orderpriority, _.o_orderkey, _.o_totalprice)
+    ).df
+
+
+SQL_SLICE_MINMAX = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC NULLS LAST) rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q_separate_rows(spark, sf):
+    """tidyr separate_rows: explode the priority code on '-' (one row per
+    piece, other columns replicated).  Zero-shuffle flatMap projection."""
+    return (
+        _t(spark, sf, "orders")
+        >> select(_.o_orderkey, _.o_orderpriority)
+        >> separate_rows(_.o_orderpriority, sep="-")
+    ).df
+
+
+SQL_SEPARATE_ROWS = """
+SELECT o_orderkey,
+       unnest(string_split(o_orderpriority, '-')) AS o_orderpriority
+FROM orders
+"""
+
+
+def q_ngram_contamination(spark, sf):
+    """Train/test decontamination: count each training doc's word 5-grams
+    that appear in a 'benchmark' set (here: every 50th doc, standing in
+    for an eval suite).  Benchmark n-gram set is broadcast — the corpus
+    side streams with zero shuffle of the big table."""
+    from siuba_spark.corpus.quality import ngram_contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs >> filter(_.doc_id % 50 == 0)
+    return (ngram_contamination(docs, bench, n=5)
+            .df.select("doc_id", "contaminated_ngrams", "contamination_frac"))
+
+
+SQL_NGRAM_CONTAMINATION = r"""
+WITH tok AS (SELECT doc_id,
+                    string_split_regex(trim(lower(text)), '\s+') AS toks
+             FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 5
+             THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4]))
+             ELSE [] END AS grams
+      FROM tok),
+bg AS (SELECT DISTINCT unnest(grams) AS bgm FROM g WHERE doc_id % 50 = 0),
+ex AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+hits AS (SELECT doc_id, count(*) AS c
+         FROM ex JOIN bg ON gm = bgm GROUP BY 1)
+SELECT g.doc_id,
+  coalesce(c, 0) AS contaminated_ngrams,
+  CASE WHEN len(grams) > 0
+       THEN round(coalesce(c, 0)::DOUBLE / len(grams), 6)
+       ELSE 0.0 END AS contamination_frac
+FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+"""
+
+
+def q_unigram_logprob(spark, sf):
+    """CCNet-style LM quality score, unigram edition: mean token
+    log-probability under the corpus' own unigram distribution.  Token
+    counts shuffle once on the token key (Zipf skew absorbed by map-side
+    combine); counts broadcast back; per-doc mean shuffles on doc_id."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import unigram_logprob
+
+    out = unigram_logprob(_t(spark, sf, "documents"))
+    return out.df.select("doc_id", F.round("avg_logprob", 4)
+                         .alias("avg_logprob"))
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH ex AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+            FROM documents),
+ex2 AS (SELECT * FROM ex WHERE length(t) > 0),
+cnt AS (SELECT t, count(*) AS c FROM ex2 GROUP BY 1),
+tot AS (SELECT sum(c) AS s FROM cnt),
+-- round(round(x,6),4) mirrors the verb's internal 6-digit rounding
+-- followed by the query's 4-digit display rounding
+per_doc AS (SELECT doc_id, round(round(avg(ln(c / s)), 6), 4) AS avg_logprob
+            FROM ex2 JOIN cnt USING (t) CROSS JOIN tot GROUP BY doc_id)
+SELECT d.doc_id, per_doc.avg_logprob
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -2994,7 +3225,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # previously-graded remainder stays registered below the window and is
     # still covered by tools/oracle_sweep.py (CORRECTNESS_local.json).
     raw = {
-        # --- not yet driver-graded (41) ---
+        # --- new this session: training-pipeline quality layer + slice
+        # family (6) ---
+        "quality_signals": q_quality_signals,
+        "scrub_pii": q_scrub_pii,
+        "stratified_sample": q_stratified_sample,
+        "dedup_segments": q_dedup_segments,
+        "slice_minmax": q_slice_minmax,
+        "separate_rows": q_separate_rows,
+        "ngram_contamination": q_ngram_contamination,
+        "unigram_logprob": q_unigram_logprob,
+        # --- not yet driver-graded ---
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
@@ -3014,15 +3255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "describe_stats": q_describe_stats,
         "crosstab": q_crosstab,
-        "token_count_bpe": q_token_count_bpe,
-        "dedup_exact": q_dedup_exact,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ann_topk": q_ann_topk,
-        "knn_label_vote": q_knn_label_vote,
-        "gather_long": q_gather_long,
-        "extract_regex": q_extract_regex,
-        "offsets_family": q_offsets_family,
-        "ffill_gaps": q_ffill_gaps,
         "rank_average": q_rank_average,
         "elwise_family": q_elwise_family,
         "cumall_cumany": q_cumall_cumany,
@@ -3040,15 +3272,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible: xxhash64 / LSH internals / UDF
         # stub / k-means IVF)
         "minhash_near_dups": q_minhash_near_dups,
+        "multimodal_headers": q_multimodal_headers,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        # --- sentinels kept in-window: flagship + this round's rewrite ---
+        "tpch_q1": q_tpch_q1,
+        "fct_lump": q_fct_lump,
+        # --- never-graded corpus/decode ops pulled into the window ---
+        "vocab_topk": q_vocab_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "audio_meta": q_audio_meta,
+        "tpch_q17": q_tpch_q17,
+        # --- below the 50-window from here on (graded r01/r02 or local) ---
+        # rows-only LSH/IVF internals (weak check either way; unit+recall
+        # tests cover them)
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
-        "multimodal_headers": q_multimodal_headers,
         "ivf_topk": q_ivf_topk,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        # --- sentinels: green in r02 but behavior touched this round (9) ---
-        "tpch_q1": q_tpch_q1,
         "corpus_prep": q_corpus_prep,
-        "fct_lump": q_fct_lump,
         "fct_lump_prop": q_fct_lump_prop,
         "spread_wide": q_spread_wide,
         "pivot_wider": q_pivot_wider,
@@ -3067,14 +3307,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
-        "vocab_topk": q_vocab_topk,
-        "tfidf_topk": q_tfidf_topk,
         # --- graded green in r02, unchanged (outside the 50-window) ---
+        # (r01-graded; rotated out to make window room)
+        "token_count_bpe": q_token_count_bpe,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "knn_label_vote": q_knn_label_vote,
+        "gather_long": q_gather_long,
+        "extract_regex": q_extract_regex,
+        "offsets_family": q_offsets_family,
+        "ffill_gaps": q_ffill_gaps,
         "select_rename": q_select_rename,
         "mutate_arith": q_mutate_arith,
         "filter_compound": q_filter_compound,
@@ -3117,13 +3364,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_score": q_lang_score,
         "fingerprint": q_fingerprint,
         "multimodal_decode": q_multimodal_decode,
-        "audio_meta": q_audio_meta,
     }
     return {k: _managed(v) for k, v in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_signals": SQL_QUALITY_SIGNALS,
+        "scrub_pii": SQL_SCRUB_PII,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "dedup_segments": SQL_DEDUP_SEGMENTS,
+        "slice_minmax": SQL_SLICE_MINMAX,
+        "separate_rows": SQL_SEPARATE_ROWS,
+        "ngram_contamination": SQL_NGRAM_CONTAMINATION,
+        "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "tpch_q1": SQL_TPCH_Q1,
         "select_rename": SQL_SELECT_RENAME,
         "mutate_arith": SQL_MUTATE_ARITH,

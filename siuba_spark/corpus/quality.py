@@ -25,7 +25,7 @@ from .text import tokens_col
 
 __all__ = [
     "quality_signals", "scrub_pii", "stratified_sample", "dedup_segments",
-    "PII_PATTERNS",
+    "ngram_contamination", "unigram_logprob", "PII_PATTERNS",
 ]
 
 
@@ -181,6 +181,108 @@ def stratified_sample(tbl: SparkTbl, *strata, n: int | None = None,
     df = (tbl.df.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") <= n).drop("__rn"))
     return tbl.evolve(df=df)
+
+
+def _ngrams(toks, n: int):
+    """array<string> of space-joined word n-grams via zip_with chains."""
+    if n == 1:
+        return toks
+    size = F.size(toks)
+    out = F.slice(toks, 1, size - (n - 1))
+    for i in range(1, n):
+        out = F.zip_with(out, F.slice(toks, 1 + i, size - (n - 1)),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(size >= n, out).otherwise(F.array().cast("array<string>"))
+
+
+@verb
+def ngram_contamination(tbl: SparkTbl, benchmark, n: int = 8,
+                        col: str = "text", id_col: str = "doc_id",
+                        bench_col: str = "text"):
+    """Train/test decontamination check (GPT-3 appendix C / PaLM style):
+    for each training document, count its word n-grams that also appear
+    anywhere in ``benchmark`` and emit ``contaminated_ngrams`` +
+    ``contamination_frac``.  Downstream: filter or flag docs above a
+    threshold before training.
+
+    Scale shape: the benchmark side (eval sets — thousands of rows, not
+    TBs) collapses to a DISTINCT n-gram set that is explicitly
+    ``broadcast()``; the corpus side streams through a map-side hash
+    LEFT JOIN with zero shuffle of the 100 TB table.  Per-doc distinct
+    grams (``array_distinct``) keep the join input bounded by doc length.
+    """
+    from pyspark.sql.functions import broadcast
+
+    bench = wrap_tbl(benchmark)
+    bgrams = (bench.df
+              .select(F.explode(_ngrams(tokens_col(F.col(bench_col)), n))
+                      .alias("__bg"))
+              .distinct())
+
+    docs = (tbl.df
+            .withColumn("__grams",
+                        F.array_distinct(_ngrams(tokens_col(F.col(col)), n))))
+    ex = docs.select(F.col(id_col).alias("__id"),
+                     F.explode(F.col("__grams")).alias("__g"))
+    hits = (ex.join(broadcast(bgrams), ex["__g"] == bgrams["__bg"], "inner")
+            .groupBy("__id").agg(F.count("*").alias("__hits")))
+
+    out = (docs.join(hits, docs[id_col] == hits["__id"], "left")
+           .withColumn("contaminated_ngrams",
+                       F.coalesce(F.col("__hits"), F.lit(0)))
+           .withColumn(
+               "contamination_frac",
+               F.when(F.size("__grams") > 0, F.round(
+                   F.col("contaminated_ngrams") / F.size("__grams"), 6))
+               .otherwise(F.lit(0.0)))
+           .drop("__grams", "__id", "__hits"))
+    return tbl.evolve(df=out)
+
+
+@verb
+def unigram_logprob(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
+                    out: str = "avg_logprob", vocab=None):
+    """CCNet-style language-model quality score, unigram edition: the mean
+    log-probability of a document's tokens under the corpus' own unigram
+    distribution (or an explicit ``vocab`` table of (token, cnt)).
+    Low scores = rare-token gibberish; high = stopword soup — both tails
+    get filtered in real pipelines.
+
+    Two aggregations: token counts (shuffle on the token key — Zipf skew
+    is absorbed by map-side partial combine, the reduce side sees one row
+    per distinct token), then explode + broadcast-join the counts table
+    (vocab ≪ corpus; cap it upstream with vocab_topk for web-scale
+    tokenless tails) and a per-doc mean.  The per-doc agg shuffles on
+    ``id_col``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = tokens_col(F.col(col))
+    ex = (tbl.df
+          .select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+          .filter(F.length("__t") > 0))
+    if vocab is None:
+        counts = ex.groupBy("__t").agg(F.count("*").alias("__cnt"))
+    else:
+        v = wrap_tbl(vocab).df
+        tok_c, cnt_c = v.columns[0], v.columns[1]
+        counts = v.select(F.col(tok_c).alias("__t"),
+                          F.col(cnt_c).cast("long").alias("__cnt"))
+    total = counts.agg(F.sum("__cnt").alias("__tot"))
+
+    scored = (ex.join(broadcast(counts), "__t", "left")
+              .crossJoin(broadcast(total))
+              .withColumn("__lp", F.log(F.coalesce(F.col("__cnt"), F.lit(1))
+                                        / F.col("__tot"))))
+    per_doc = (scored.groupBy("__id")
+               .agg(F.round(F.avg("__lp"), 6).alias(out)))
+    joined = (tbl.df.join(per_doc, tbl.df[id_col] == per_doc["__id"], "left")
+              .drop("__id"))
+    return tbl.evolve(df=joined)
+
+
+def wrap_tbl(x):
+    return x if isinstance(x, SparkTbl) else SparkTbl(x)
 
 
 @verb

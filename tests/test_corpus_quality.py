@@ -181,3 +181,58 @@ def test_dedup_segments_word_mode_matches_duckdb(spark):
         FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
     """).df()
     assert_equal_query(dedup_segments(t, sep=" "), exp)
+
+
+def test_ngram_contamination(spark):
+    from siuba_spark.corpus.quality import ngram_contamination
+    train = data_frame(
+        spark,
+        doc_id=[1, 2, 3],
+        text=["a b c d e", "x y z w v", "a b c q r"],
+    )
+    bench = data_frame(spark, text=["the a b c d suffix"])
+    out = (ngram_contamination(train, bench, n=3)
+           .df.orderBy("doc_id").toPandas())
+    # doc1 trigrams: "a b c","b c d","c d e"; bench has "a b c","b c d" -> 2/3
+    assert out.contaminated_ngrams.tolist() == [2, 0, 1]
+    assert out.contamination_frac.tolist() == pytest.approx(
+        [2 / 3, 0.0, 1 / 3], abs=1e-6)
+
+
+def test_ngram_contamination_short_doc(spark):
+    from siuba_spark.corpus.quality import ngram_contamination
+    train = data_frame(spark, doc_id=[1], text=["a b"])  # shorter than n
+    bench = data_frame(spark, text=["a b c"])
+    out = ngram_contamination(train, bench, n=3).df.toPandas()
+    assert out.contaminated_ngrams.tolist() == [0]
+    assert out.contamination_frac.tolist() == [0.0]
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    from siuba_spark.corpus.quality import ngram_contamination
+    train = data_frame(spark, doc_id=[1], text=["a b c"])
+    bench = data_frame(spark, text=["a b c"])
+    plan = (ngram_contamination(train, bench, n=2).df
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_logprob(spark):
+    import math
+    from siuba_spark.corpus.quality import unigram_logprob
+    t = data_frame(spark, doc_id=[1, 2], text=["a a b", "b"])
+    out = unigram_logprob(t).df.orderBy("doc_id").toPandas()
+    # corpus counts: a=2, b=2, total=4 -> p(a)=p(b)=0.5
+    lp = round(math.log(0.5), 6)
+    assert out.avg_logprob.tolist() == pytest.approx([lp, lp], abs=1e-6)
+
+
+def test_unigram_logprob_explicit_vocab_and_smoothing(spark):
+    import math
+    from siuba_spark.corpus.quality import unigram_logprob
+    t = data_frame(spark, doc_id=[1], text=["a oov"])
+    vocab = data_frame(spark, token=["a", "b"], cnt=[3, 1])
+    out = unigram_logprob(t, vocab=vocab).df.toPandas()
+    # p(a)=3/4; oov -> count 1 -> p=1/4
+    want = (math.log(3 / 4) + math.log(1 / 4)) / 2
+    assert out.avg_logprob.tolist() == pytest.approx([round(want, 6)], abs=1e-5)
