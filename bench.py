@@ -52,6 +52,8 @@ def main():
         "asof_last_purchase", "interval_join_events", "rolling_window",
         "rolling_time_window", "vocab_topk", "tfidf_topk", "one_hot",
         "hash_split", "cut_qcut_bands", "audio_meta",
+        "quality_signals", "scrub_pii", "dedup_segments",
+        "ngram_contamination", "unigram_logprob", "stratified_sample",
     ]
     queries = entry.queries()
 

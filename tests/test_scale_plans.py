@@ -379,3 +379,62 @@ def test_describe_single_agg_pass(spark):
     p = _plan(describe(t, S.l_quantity, S.l_discount).df)
     assert p.count("Exchange hashpartitioning") == 0  # global agg: SinglePartition only
     assert p.count("Exchange SinglePartition") <= 1, p
+
+
+def test_scrub_and_separate_rows_are_map_only(spark):
+    """PII scrub and separate_rows are pure projections — scan-bound at
+    any scale (no Exchange, no Join)."""
+    from siuba_spark import separate_rows, tbl
+    from siuba_spark.corpus.quality import scrub_pii
+    t = tbl(spark, f"{SF}/documents.parquet")
+    assert "Exchange" not in _plan(scrub_pii(t).df)
+    p = _plan((t >> select(_.doc_id, _.text) >> separate_rows(_.text)).df)
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_stratified_sample_frac_is_filter(spark):
+    from siuba_spark.corpus.quality import stratified_sample
+    t = tbl(spark, f"{SF}/documents.parquet")
+    p = _plan(stratified_sample(t, "lang", frac=0.1).df)
+    assert "Exchange" not in p and "Window" not in p
+
+
+def test_stratified_sample_n_single_stratum_shuffle(spark):
+    from siuba_spark.corpus.quality import stratified_sample
+    t = tbl(spark, f"{SF}/documents.parquet")
+    p = _plan(stratified_sample(t, "lang", n=5).df)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p, "no global funnel"
+
+
+def test_ngram_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram set must broadcast; the corpus side must not
+    sort-merge against it (that would shuffle 100 TB)."""
+    from siuba_spark import filter as f_
+    from siuba_spark.corpus.quality import ngram_contamination
+    t = tbl(spark, f"{SF}/documents.parquet")
+    bench = t >> f_(_.doc_id % 50 == 0)
+    p = _plan(ngram_contamination(t, bench, n=5).df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_quality_and_dedup_segments_no_global_funnel(spark):
+    """quality_signals / dedup_segments / unigram_logprob shuffle only on
+    fine-grained keys — no unpartitioned Window, no cartesian product.
+    (unigram_logprob's 1-row total uses a deliberate scalar broadcast, so
+    a SinglePartition agg of ONE row is allowed there.)"""
+    from siuba_spark.corpus.quality import (
+        dedup_segments, quality_signals, unigram_logprob,
+    )
+    t = tbl(spark, f"{SF}/documents.parquet")
+    for df in (quality_signals(t).df, dedup_segments(t, sep=" ").df):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        # a global window funnels through Exchange SinglePartition — the
+        # physical symptom the fct_lump rewrite removed; none allowed here
+        assert "Exchange SinglePartition" not in p
+    p = _plan(unigram_logprob(t).df)
+    assert "CartesianProduct" not in p
+    # the only SinglePartition is the deliberate 1-row corpus-total agg
+    assert p.count("Exchange SinglePartition") <= 1
