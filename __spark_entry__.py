@@ -51,6 +51,17 @@ def _t(spark, sf_dir, name):
     return tbl(spark, f"{sf_dir}/{name}.parquet")
 
 
+
+def _td(spark, sf_dir):
+    """documents with the scan fanned out: the testdata file is a single
+    parquet row group (one split), and these queries do CPU-heavy per-row
+    array work (n-gram construction, minhash) where a 1-task first stage
+    leaves 31 cores idle.  At real scale inputs have >> cores splits and
+    tbl() skips the repartition (min_partitions is a floor, not a map)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    n = spark.sparkContext.defaultParallelism
+    return tbl(spark, f"{sf_dir}/documents.parquet", min_partitions=n)
+
 def _events(spark, sf_dir):
     """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     rejects; read nanos as long and floor to microseconds — the same
@@ -1218,7 +1229,7 @@ SELECT doc_id, n_dups FROM d WHERE rn = 1
 
 
 def q_jaccard_pairs(spark, sf):
-    sh = add_shingles(_t(spark, sf, "documents"), col="text", k=3)
+    sh = add_shingles(_td(spark, sf), col="text", k=3)
     return jaccard_pairs(sh, id_col="doc_id", set_col="shingles",
                          block_col="source", threshold=0.1).df
 
@@ -1296,12 +1307,12 @@ FROM t WHERE vr = 1 GROUP BY query_id
 
 
 def q_minhash_near_dups(spark, sf):
-    return minhash_near_dups(_t(spark, sf, "documents"), col="text",
+    return minhash_near_dups(_td(spark, sf), col="text",
                              id_col="doc_id", threshold=0.3).df
 
 
 def q_simhash(spark, sf):
-    return add_simhash(_t(spark, sf, "documents"), col="text", bits=16,
+    return add_simhash(_td(spark, sf), col="text", bits=16,
                        id_col="doc_id").df
 
 
@@ -2535,7 +2546,7 @@ GROUP BY 1 ORDER BY count DESC, token LIMIT 50
 def q_tfidf_topk(spark, sf):
     """Per-document top-3 TF-IDF terms (training-pipeline surface; the
     corpus-size scalar rides along as a 1-row broadcast)."""
-    return tf_idf(_t(spark, sf, "documents"), col="text", id_col="doc_id",
+    return tf_idf(_td(spark, sf), col="text", id_col="doc_id",
                   k_per_doc=3).df
 
 
@@ -2967,7 +2978,7 @@ def q_quality_signals(spark, sf):
     zero-shuffle; the top-2-gram needs one (doc_id, gram) count and one
     per-doc max — both fine-grained-key shuffles with map-side combine."""
     from siuba_spark.corpus.quality import quality_signals
-    return (quality_signals(_t(spark, sf, "documents"))
+    return (quality_signals(_td(spark, sf))
             .df.select("doc_id", "dup_word_frac", "dup_2gram_frac",
                        "top_2gram", "top_2gram_frac", "mean_word_len",
                        "symbol_word_ratio"))
@@ -3130,7 +3141,7 @@ def q_ngram_contamination(spark, sf):
     side streams with zero shuffle of the big table."""
     from siuba_spark.corpus.quality import ngram_contamination
 
-    docs = _t(spark, sf, "documents")
+    docs = _td(spark, sf)
     bench = docs >> filter(_.doc_id % 50 == 0)
     return (ngram_contamination(docs, bench, n=5)
             .df.select("doc_id", "contaminated_ngrams", "contamination_frac"))

@@ -233,8 +233,9 @@ def asof_join(left, right, on: str, by=(), direction: str = "backward",
               suffix: str = "_r", tolerance=None):
     """As-of join: for each left row, the single right row with the latest
     ``on`` value <= left's (``direction="backward"``; ``"forward"`` takes
-    the earliest >=).  No reference equivalent (time-series staple; the
-    task-level operator list names it).
+    the earliest >=; ``"nearest"`` the closest in absolute distance, ties
+    backward — full pandas.merge_asof direction set).  No reference
+    equivalent (time-series staple; the task-level operator list names it).
 
     Scale shape — the union+window trick, NOT a pair join: left and right
     are unioned, one window per ``by`` key ordered by (ts, side) carries
@@ -248,8 +249,8 @@ def asof_join(left, right, on: str, by=(), direction: str = "backward",
     left = wrap_table(left)
     right = wrap_table(right)
     by = [by] if isinstance(by, str) else list(by)
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
 
     from pyspark.sql import Window
 
@@ -272,21 +273,52 @@ def asof_join(left, right, on: str, by=(), direction: str = "backward",
 
     u = lhs.unionByName(rhs)
     ts = F.col(on)
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal ts (asof match includes ==)
-        w = (Window.partitionBy(*[F.col(b) for b in by])
-             .orderBy(ts.asc_nulls_last(), F.col("__side").asc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    else:
-        w = (Window.partitionBy(*[F.col(b) for b in by])
+    # right rows sort BEFORE left rows at equal ts (asof match includes ==)
+    w_back = (Window.partitionBy(*[F.col(b) for b in by])
+              .orderBy(ts.asc_nulls_last(), F.col("__side").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(*[F.col(b) for b in by])
              .orderBy(ts.desc_nulls_last(), F.col("__side").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     carried = u
-    for c in payload:
-        carried = carried.withColumn(f"__c_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
-    match_ts = F.last(F.when(F.col("__side") == 0, ts), ignorenulls=True).over(w)
-    carried = carried.withColumn("__match_ts", match_ts)
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        for c in payload:
+            carried = carried.withColumn(
+                f"__c_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w))
+        match_ts = F.last(F.when(F.col("__side") == 0, ts),
+                          ignorenulls=True).over(w)
+        carried = carried.withColumn("__match_ts", match_ts)
+    else:
+        # nearest: carry both directions over the SAME shuffle (two Sort
+        # nodes inside one Exchange — both windows share the partition
+        # keys), then pick the closer match per row; ties go backward
+        # (pandas merge_asof tie-break).
+        for c in payload:
+            carried = (carried
+                       .withColumn(f"__cb_{c}",
+                                   F.last(f"__p_{c}", ignorenulls=True).over(w_back))
+                       .withColumn(f"__cf_{c}",
+                                   F.last(f"__p_{c}", ignorenulls=True).over(w_fwd)))
+        r_ts = F.when(F.col("__side") == 0, ts)
+        carried = (carried
+                   .withColumn("__bts", F.last(r_ts, ignorenulls=True).over(w_back))
+                   .withColumn("__fts", F.last(r_ts, ignorenulls=True).over(w_fwd)))
+        bgap = F.abs(_epoch(ts) - _epoch(F.col("__bts")))
+        fgap = F.abs(_epoch(ts) - _epoch(F.col("__fts")))
+        use_back = F.col("__fts").isNull() | \
+            (F.col("__bts").isNotNull() & (bgap <= fgap))
+        for c in payload:
+            carried = carried.withColumn(
+                f"__c_{c}", F.when(use_back, F.col(f"__cb_{c}"))
+                .otherwise(F.col(f"__cf_{c}")))
+        carried = (carried
+                   .withColumn("__match_ts",
+                               F.when(use_back, F.col("__bts"))
+                               .otherwise(F.col("__fts")))
+                   .drop(*[f"__cb_{c}" for c in payload],
+                         *[f"__cf_{c}" for c in payload], "__bts", "__fts"))
 
     out = carried.filter(F.col("__side") == 1)
     if tolerance is not None:

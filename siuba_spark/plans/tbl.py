@@ -147,17 +147,31 @@ _READERS = {
 }
 
 
-def tbl(source, name_or_path: str | None = None, format: str | None = None, **kwargs):
+def tbl(source, name_or_path: str | None = None, format: str | None = None,
+        min_partitions: int | None = None, **kwargs):
     """Create a SparkTbl from a SparkSession + table/path, or from a DataFrame.
 
     - ``tbl(df)`` wraps an existing DataFrame
     - ``tbl(spark, "catalog_table")`` resolves through the catalog
     - ``tbl(spark, "/path/data.parquet")`` infers the reader from the suffix
+
+    ``min_partitions=``: fan the scan out to at least this many partitions
+    when the source yields fewer (single-row-group small files — parquet's
+    minimum split is a row group, so neither maxPartitionBytes nor AQE can
+    parallelize below that).  Use for CPU-heavy per-row work (n-gram
+    construction, decode UDFs) on compact inputs; do NOT use for cheap
+    columnar scans — the round-robin shuffle costs more than it saves, and
+    at real scale the input has more splits than cores anyway.
     """
     if isinstance(source, SparkTbl):
         return source
     if isinstance(source, DataFrame):
         return SparkTbl(source)
+    if min_partitions is not None and isinstance(source, SparkSession):
+        t = tbl(source, name_or_path, format, **kwargs)
+        if t.df.rdd.getNumPartitions() < min_partitions:
+            return t.evolve(df=t.df.repartition(min_partitions))
+        return t
     if isinstance(source, SparkSession):
         if name_or_path is None:
             raise ValueError("tbl(spark, ...) requires a table name or path")

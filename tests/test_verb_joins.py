@@ -227,3 +227,67 @@ def test_join_by_keyword_alias(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="not both"):
         inner_join(l, r, on="k", by="k")
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    """direction='nearest' replays pandas.merge_asof semantics: closest
+    |gap| wins, ties go backward, tolerance is absolute."""
+    import numpy as np
+    import pandas as pd
+
+    from siuba_spark import asof_join
+    from siuba_spark.plans.tbl import SparkTbl
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 40),
+        "t": np.sort(rng.randint(0, 200, 40)).astype("int64"),
+    }).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 25),
+        "t": np.sort(rng.randint(0, 200, 25)).astype("int64"),
+        "y": np.arange(25).astype("int64"),
+    }).sort_values("t").reset_index(drop=True)
+    # pandas merge_asof needs unique (k,t) on the right for a clean compare
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+
+    lt = SparkTbl(spark.createDataFrame(left))
+    rt = SparkTbl(spark.createDataFrame(right))
+
+    for tol in (None, 10):
+        want = pd.merge_asof(left, right, on="t", by="k",
+                             direction="nearest",
+                             tolerance=tol).sort_values(["k", "t"])
+        got = (asof_join(lt, rt, on="t", by="k", direction="nearest",
+                         tolerance=tol)
+               .df.toPandas().sort_values(["k", "t"]))
+        assert got.y.fillna(-1).tolist() == want.y.fillna(-1).tolist(), \
+            f"tolerance={tol}"
+
+
+def test_asof_join_nearest_tie_goes_backward(spark):
+    from siuba_spark import asof_join
+    from siuba_spark.plans.tbl import SparkTbl
+
+    lt = SparkTbl(spark.createDataFrame([(10,)], "t long"))
+    rt = SparkTbl(spark.createDataFrame([(8, "back"), (12, "fwd")],
+                                        "t long, y string"))
+    got = asof_join(lt, rt, on="t", direction="nearest").df.toPandas()
+    assert got.y.tolist() == ["back"]
+
+
+def test_asof_join_nearest_single_shuffle(spark):
+    """nearest carries both directions over ONE exchange (two sorts, same
+    partition keys) — not two shuffles."""
+    from siuba_spark import asof_join, tbl
+
+    lt = tbl(spark, "/root/testdata/sf0.001/orders.parquet")
+    rt = tbl(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    out = asof_join(
+        lt.evolve(df=lt.df.selectExpr("o_custkey AS k", "o_orderdate AS t")),
+        rt.evolve(df=rt.df.selectExpr("l_suppkey AS k", "l_shipdate AS t",
+                                      "l_quantity AS q")),
+        on="t", by="k", direction="nearest")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # union sides pre-shuffle
+    assert "Exchange SinglePartition" not in plan
