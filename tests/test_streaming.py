@@ -224,3 +224,42 @@ def test_stream_tumble_approx_distinct(spark, event_dir):
     got = {(r.w_start, r.u)
            for r in spark.sql("select * from approx_nd_test").collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stateless_quality_ops_run_on_streams(spark):
+    """scrub_pii / text_stats / hash_split are stateless projections, so
+    the SAME verb applies unchanged to a readStream DataFrame (one code
+    path, batch or stream) — the scrub-and-score half of a streaming
+    ingest pipeline."""
+    import shutil
+    import tempfile
+
+    from siuba_spark import hash_split
+    from siuba_spark import _ as S
+    from siuba_spark.corpus.quality import scrub_pii
+    from siuba_spark.corpus.text import text_stats
+
+    tmp = tempfile.mkdtemp(prefix="docs_stream_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.repartition(2).write.mode("overwrite").parquet(tmp)
+        schema = docs.schema
+
+        stream = SparkTbl(spark.readStream.schema(schema).parquet(tmp))
+        piped = hash_split(text_stats(scrub_pii(stream)), S.doc_id)
+        assert piped.df.isStreaming
+        q = (piped.df.writeStream.format("memory").queryName("quality_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = spark.sql("SELECT * FROM quality_stream").toPandas()
+
+        want = (docs.count(), )
+        assert len(got) == want[0]
+        batch = hash_split(text_stats(scrub_pii(SparkTbl(docs))),
+                           S.doc_id).df.toPandas()
+        bs = batch.sort_values("doc_id").reset_index(drop=True)
+        gs = got.sort_values("doc_id").reset_index(drop=True)[bs.columns.tolist()]
+        import pandas as pd
+        pd.testing.assert_frame_equal(gs, bs, check_dtype=False)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
