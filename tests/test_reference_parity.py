@@ -769,6 +769,10 @@ _STAGES = {
                  lambda C: ours.unite("gk", C.g)),
     "count_g": (lambda C: ref.count(C.g),
                 lambda C: ours.count(C.g)),
+    # cross-implementation equivalence: reference top_n(2) == slice_max(n=2)
+    # (both keep ties via min-rank semantics)
+    "top2_vs_slice_max": (lambda C: ref.top_n(2, C.x),
+                          lambda C: ours.slice_max(C.x, n=2)),
 }
 _TERMINAL = {"grouped_sum", "distinct_g", "select_gx", "arrange_head",
              "gather_xy", "unite_gk", "count_g"}
