@@ -159,6 +159,11 @@ def stratified_sample(tbl: SparkTbl, *strata, n: int | None = None,
 
     ``frac=``  keeps ~frac of each stratum via an md5-bucket threshold —
     a pure FILTER, zero shuffle, and new rows land in stable samples.
+    Pass a dict ``{stratum_value: frac}`` for per-stratum rates (data
+    mixture weighting: upsample rare sources, downsample boilerplate) —
+    still a single zero-shuffle filter via a CASE chain; strata missing
+    from the dict are dropped (rate 0).  The dict form needs exactly one
+    stratum column.
 
     ``n=``     keeps exactly n rows per stratum: rank by md5 inside each
     stratum (one window shuffle on the strata key).  Strata are whatever
@@ -172,7 +177,17 @@ def stratified_sample(tbl: SparkTbl, *strata, n: int | None = None,
     h = F.md5(F.col(id_col).cast("string"))
     if frac is not None:
         bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10000
-        df = tbl.df.filter(bucket < int(round(frac * 10000)))
+        if isinstance(frac, dict):
+            if len(keys) != 1:
+                raise ValueError(
+                    "frac= as a dict needs exactly one stratum column")
+            thresh = F.lit(0)
+            for val, f in frac.items():
+                thresh = F.when(F.col(keys[0]) == val,
+                                F.lit(int(round(f * 10000)))).otherwise(thresh)
+            df = tbl.df.filter(bucket < thresh)
+        else:
+            df = tbl.df.filter(bucket < int(round(frac * 10000)))
         return tbl.evolve(df=df)
     if not keys:
         raise ValueError("n= sampling needs strata columns (or a grouped tbl)")

@@ -247,6 +247,31 @@ def write_csv(tbl: SparkTbl, path: str, mode: str = "overwrite", header: bool = 
     return tbl.release()
 
 
+@verb
+def write_shards(tbl: SparkTbl, path: str, n_shards: int,
+                 shuffle_by: str | None = None, mode: str = "overwrite",
+                 format: str = "parquet"):
+    """Training-output sink: write exactly ``n_shards`` files, optionally
+    with a DETERMINISTIC global shuffle of row order (md5 of a stable id
+    — reproducible on any cluster size, unlike rand()-keyed shuffles).
+
+    Trainers stream shards round-robin, so shard count controls reader
+    parallelism and the md5 order de-clusters documents that were
+    adjacent in the source (same crawl, same domain).  Cost: one
+    repartition exchange; the sort is per-shard (sortWithinPartitions —
+    no global range exchange)."""
+    from pyspark.sql import functions as F
+
+    df = tbl.df
+    if shuffle_by is not None:
+        key = F.md5(F.col(shuffle_by).cast("string"))
+        df = df.repartition(n_shards, key).sortWithinPartitions(key)
+    else:
+        df = df.repartition(n_shards)
+    df.write.mode(mode).format(format).save(path)
+    return tbl.release()
+
+
 # --------------------------------------------------------------------------
 # scale utilities (partitioning is the unit of parallelism at 100 TB)
 # --------------------------------------------------------------------------

@@ -236,3 +236,47 @@ def test_unigram_logprob_explicit_vocab_and_smoothing(spark):
     # p(a)=3/4; oov -> count 1 -> p=1/4
     want = (math.log(3 / 4) + math.log(1 / 4)) / 2
     assert out.avg_logprob.tolist() == pytest.approx([round(want, 6)], abs=1e-5)
+
+
+def test_stratified_sample_frac_dict_mixture(spark):
+    t = data_frame(spark, doc_id=list(range(300)),
+                   lang=(["en"] * 100 + ["fr"] * 100 + ["de"] * 100))
+    out = stratified_sample(t, "lang", frac={"en": 0.5, "fr": 0.1}).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # still a pure filter
+    got = out.toPandas()
+    sizes = got.groupby("lang").size()
+    assert "de" not in sizes.index          # rate 0 -> dropped
+    assert 30 <= sizes.get("en", 0) <= 70   # ~50 of 100
+    assert 2 <= sizes.get("fr", 0) <= 25    # ~10 of 100
+    # per-stratum membership identical to scalar-frac runs (same md5 keys)
+    en_only = stratified_sample(t, "lang", frac=0.5).df.toPandas()
+    assert set(got[got.lang == "en"].doc_id) == \
+        set(en_only[en_only.lang == "en"].doc_id)
+    with pytest.raises(ValueError):
+        stratified_sample(t, "lang", "doc_id", frac={"en": 0.5})
+
+
+def test_write_shards(spark, tmp_path):
+    import glob
+    from siuba_spark import write_shards
+    t = data_frame(spark, doc_id=list(range(100)),
+                   text=[f"doc {i}" for i in range(100)])
+    p = str(tmp_path / "shards")
+    write_shards(t, p, n_shards=4, shuffle_by="doc_id")
+    files = glob.glob(f"{p}/part-*.parquet")
+    assert len(files) == 4
+    back = spark.read.parquet(p).toPandas()
+    assert sorted(back.doc_id) == list(range(100))
+    # determinism: same input -> identical shard contents
+    p2 = str(tmp_path / "shards2")
+    write_shards(t, p2, n_shards=4, shuffle_by="doc_id")
+    import pandas as pd
+    for f1, f2 in zip(sorted(files),
+                      sorted(glob.glob(f"{p2}/part-*.parquet"))):
+        a = pd.read_parquet(f1).doc_id.tolist()
+        b = pd.read_parquet(f2).doc_id.tolist()
+        assert a == b
+    # md5 order de-clusters: first shard is not simply 0..24
+    first = pd.read_parquet(sorted(files)[0]).doc_id.tolist()
+    assert first != sorted(first) or first != list(range(len(first)))
