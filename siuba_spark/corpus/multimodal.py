@@ -23,9 +23,10 @@ from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
 __all__ = ["attach_binary_meta", "decode_images", "decode_audio",
-           "sample_frames", "resize_images", "extract_features",
-           "parse_image_header", "parse_audio_header",
-           "IMAGE_META_SCHEMA", "AUDIO_META_SCHEMA"]
+           "decode_video", "sample_frames", "resize_images",
+           "extract_features", "parse_image_header", "parse_audio_header",
+           "parse_video_header",
+           "IMAGE_META_SCHEMA", "AUDIO_META_SCHEMA", "VIDEO_META_SCHEMA"]
 
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
@@ -216,6 +217,118 @@ def decode_audio(tbl: SparkTbl, col: str = "audio", decoder: str = "headers",
                               "bits_per_sample": bits, "n_samples": n,
                               "duration_s": dur, "n_bytes": len(b),
                               "format": fmt})
+            pdf[out] = metas
+            yield pdf
+
+    return tbl.evolve(df=tbl.df.mapInPandas(batches, out_schema))
+
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    b[start:end] (size==1 → 64-bit largesize; size==0 → to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos:pos + 4], "big")
+        btype = b[pos + 4:pos + 8]
+        head = 8
+        if size == 1 and pos + 16 <= end:
+            size = int.from_bytes(b[pos + 8:pos + 16], "big")
+            head = 16
+        elif size == 0:
+            size = end - pos
+        if size < head:
+            return
+        yield btype, pos + head, min(pos + size, end)
+        pos += size
+
+
+def parse_video_header(b: bytes):
+    """(width, height, duration_s, n_tracks, format) from an MP4/MOV
+    (ISO base media file format) box walk — pure Python per ISO/IEC
+    14496-12: ftyp sniff, then moov/mvhd for timescale+duration and each
+    trak/tkhd for the 16.16-fixed width/height (video tracks are the ones
+    with nonzero dimensions).  Returns Nones + 'unknown' otherwise."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None, None, None, None, "unknown"
+    width = height = None
+    duration_s = None
+    n_tracks = 0
+    for btype, s, e in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                ver = b[cs]
+                if ver == 1 and ce - cs >= 32:
+                    timescale = int.from_bytes(b[cs + 20:cs + 24], "big")
+                    dur = int.from_bytes(b[cs + 24:cs + 32], "big")
+                else:
+                    timescale = int.from_bytes(b[cs + 12:cs + 16], "big")
+                    dur = int.from_bytes(b[cs + 16:cs + 20], "big")
+                if timescale:
+                    duration_s = dur / timescale
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, ts, te in _mp4_boxes(b, cs, ce):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = b[ts]
+                    off = ts + (96 if ver == 1 else 84) - 8
+                    if off + 8 <= te:
+                        w = int.from_bytes(b[off:off + 4], "big") >> 16
+                        h = int.from_bytes(b[off + 4:off + 8], "big") >> 16
+                        if w and h:
+                            width, height = w, h
+    return width, height, duration_s, (n_tracks or None), "mp4"
+
+
+@verb
+def decode_video(tbl: SparkTbl, col: str = "video", decoder: str = "headers",
+                 out: str = "decoded"):
+    """Video metadata via Arrow-batched ``mapInPandas`` — the video twin
+    of ``decode_images``/``decode_audio``.
+
+    ``decoder='headers'`` is REAL: an MP4/MOV box walk (mvhd duration,
+    tkhd dimensions) in pure Python over the Arrow batches.
+    ``decoder='fake'`` derives deterministic metadata from a content hash;
+    ``decoder='real'`` (frame decode) needs ffmpeg, not in this
+    container."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "frame decoding requires ffmpeg, not available here; use "
+            "decoder='headers' for real container metadata")
+    if decoder not in ("fake", "headers"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    in_schema = tbl.df.schema
+    out_schema = T.StructType(list(in_schema.fields)
+                              + [T.StructField(out, VIDEO_META_SCHEMA)])
+
+    def batches(it):
+        for pdf in it:
+            metas = []
+            for payload in pdf[col]:
+                b = bytes(payload) if payload is not None else b""
+                if decoder == "headers":
+                    w, h, dur, n_tracks, fmt = parse_video_header(b)
+                else:
+                    hh = hashlib.sha256(b).digest()
+                    w = [320, 640, 1280, 1920][hh[0] % 4]
+                    h = [240, 480, 720, 1080][hh[0] % 4]
+                    dur = (hh[1] % 300) + 1.0
+                    n_tracks, fmt = 2, "fake"
+                metas.append({"width": w, "height": h, "duration_s": dur,
+                              "n_tracks": n_tracks, "format": fmt,
+                              "n_bytes": len(b)})
             pdf[out] = metas
             yield pdf
 

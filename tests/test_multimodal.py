@@ -168,3 +168,66 @@ def test_decode_audio_fake_is_deterministic(spark):
          decode_audio(t, col="audio", decoder="fake").df.collect()}
     assert a == b
     assert a[1].format == "fake" and a[1].sample_rate in (8000, 16000, 22050, 44100)
+
+
+def _mp4_bytes(w=1280, h=720, timescale=600, dur=3000, extra_track=False,
+               v1=False):
+    def box(btype, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+    if v1:
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + (0).to_bytes(8, "big") * 2
+                   + timescale.to_bytes(4, "big") + dur.to_bytes(8, "big")
+                   + b"\x00" * 80)
+        tkhd = box(b"tkhd", bytes([1, 0, 0, 0]) + b"\x00" * 32
+                   + b"\x00" * 16 + b"\x00" * 36
+                   + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"))
+    else:
+        mvhd = box(b"mvhd", bytes([0, 0, 0, 0]) + (0).to_bytes(4, "big") * 2
+                   + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                   + b"\x00" * 80)
+        tkhd = box(b"tkhd", bytes([0, 0, 0, 0]) + b"\x00" * 20
+                   + b"\x00" * 16 + b"\x00" * 36
+                   + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"))
+    audio_tkhd = box(b"tkhd", bytes([0, 0, 0, 0]) + b"\x00" * 20
+                     + b"\x00" * 16 + b"\x00" * 36 + b"\x00" * 8)
+    traks = box(b"trak", tkhd)
+    if extra_track:
+        traks = box(b"trak", audio_tkhd) + traks
+    return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + box(b"moov", mvhd + traks))
+
+
+def test_parse_video_header_v0_v1_and_audio_track():
+    from siuba_spark.corpus.multimodal import parse_video_header
+    assert parse_video_header(_mp4_bytes()) == (1280, 720, 5.0, 1, "mp4")
+    assert parse_video_header(_mp4_bytes(v1=True, dur=12345, timescale=1000)) \
+        == (1280, 720, 12.345, 1, "mp4")
+    # zero-dim (audio) track skipped; both tracks counted
+    assert parse_video_header(_mp4_bytes(extra_track=True)) \
+        == (1280, 720, 5.0, 2, "mp4")
+    assert parse_video_header(b"garbage") == \
+        (None, None, None, None, "unknown")
+
+
+def test_decode_video_headers_roundtrip(spark):
+    from siuba_spark.corpus.multimodal import decode_video
+    rows = [(1, _mp4_bytes(w=640, h=480, dur=600)),
+            (2, _mp4_bytes(w=1920, h=1080, dur=1200, v1=True)),
+            (3, b"not a video"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "id long, video binary")
+    out = decode_video(SparkTbl(df), col="video").df \
+        .selectExpr("id", "decoded.*").orderBy("id").toPandas()
+    assert out.width.tolist()[:2] == [640, 1920]
+    assert out.duration_s.tolist()[:2] == [1.0, 2.0]
+    assert out.format.tolist() == ["mp4", "mp4", "unknown", "unknown"]
+    assert out.n_bytes.tolist()[3] == 0
+
+
+def test_decode_video_real_raises(spark):
+    import pytest
+
+    from siuba_spark.corpus.multimodal import decode_video
+    df = spark.createDataFrame([(1, b"x")], "id long, video binary")
+    with pytest.raises(NotImplementedError):
+        decode_video(SparkTbl(df), col="video", decoder="real")
