@@ -25,7 +25,7 @@ from .text import tokens_col
 
 __all__ = [
     "quality_signals", "scrub_pii", "stratified_sample", "dedup_segments",
-    "ngram_contamination", "unigram_logprob", "PII_PATTERNS",
+    "ngram_contamination", "unigram_logprob", "chunk_tokens", "PII_PATTERNS",
 ]
 
 
@@ -195,6 +195,48 @@ def stratified_sample(tbl: SparkTbl, *strata, n: int | None = None,
         h.asc(), F.col(id_col).asc())
     df = (tbl.df.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") <= n).drop("__rn"))
+    return tbl.evolve(df=df)
+
+
+@verb
+def chunk_tokens(tbl: SparkTbl, max_tokens: int, stride: int | None = None,
+                 col: str = "text", out: str = "chunk",
+                 drop_last_below: int = 1):
+    """Split each document into fixed-size token windows — the
+    context-window packing prep every LLM training pipeline runs before
+    tokenizer-level packing.  Emits one row per chunk with ``out`` (the
+    chunk text), ``{out}_id`` (0-based index within the doc) and
+    ``{out}_n_tokens``.
+
+    ``stride`` defaults to ``max_tokens`` (disjoint chunks); a smaller
+    stride produces overlapping windows (e.g. 2048/1536 for 25% overlap).
+    ``drop_last_below`` drops trailing fragments shorter than that many
+    tokens (default keeps everything non-empty).
+
+    Zero shuffle: sequence → transform(slice) → posexplode is a pure
+    flatMap projection in whole-stage codegen; output row count is
+    ~n_tokens/stride per doc, data-proportional like any scan.
+    """
+    stride = stride or max_tokens
+    if max_tokens < 1 or stride < 1:
+        raise ValueError("max_tokens and stride must be >= 1")
+    toks = tokens_col(F.col(col))
+    n = F.size(toks)
+    # start offsets: 0, stride, 2*stride, ... while start < n
+    n_starts = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / stride).cast("int") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens))
+    others = list(tbl.df.columns)
+    df = (tbl.df
+          .withColumn("__chunks", chunks)
+          .select(*others,
+                  F.posexplode_outer("__chunks").alias(f"{out}_id", "__c"))
+          .withColumn(out, F.array_join(F.col("__c"), " "))
+          .withColumn(f"{out}_n_tokens", F.size("__c"))
+          .filter(F.col(f"{out}_n_tokens") >= drop_last_below)
+          .drop("__c"))
     return tbl.evolve(df=df)
 
 

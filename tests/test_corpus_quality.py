@@ -280,3 +280,51 @@ def test_write_shards(spark, tmp_path):
     # md5 order de-clusters: first shard is not simply 0..24
     first = pd.read_parquet(sorted(files)[0]).doc_id.tolist()
     assert first != sorted(first) or first != list(range(len(first)))
+
+
+def test_chunk_tokens_disjoint(spark):
+    from siuba_spark.corpus.quality import chunk_tokens
+    t = data_frame(spark, doc_id=[1, 2],
+                   text=["a b c d e f g", "x y"])
+    out = chunk_tokens(t, max_tokens=3).df \
+        .orderBy("doc_id", "chunk_id").toPandas()
+    assert out[out.doc_id == 1].chunk.tolist() == ["a b c", "d e f", "g"]
+    assert out[out.doc_id == 1].chunk_n_tokens.tolist() == [3, 3, 1]
+    assert out[out.doc_id == 2].chunk.tolist() == ["x y"]
+    assert out.chunk_id.tolist() == [0, 1, 2, 0]
+
+
+def test_chunk_tokens_overlap_and_drop(spark):
+    from siuba_spark.corpus.quality import chunk_tokens
+    t = data_frame(spark, doc_id=[1], text=["a b c d e"])
+    out = chunk_tokens(t, max_tokens=3, stride=2).df \
+        .orderBy("chunk_id").toPandas()
+    assert out.chunk.tolist() == ["a b c", "c d e", "e"]
+    out2 = chunk_tokens(t, max_tokens=3, stride=2, drop_last_below=2).df \
+        .orderBy("chunk_id").toPandas()
+    assert out2.chunk.tolist() == ["a b c", "c d e"]
+
+
+def test_chunk_tokens_zero_shuffle(spark):
+    from siuba_spark.corpus.quality import chunk_tokens
+    t = data_frame(spark, doc_id=[1], text=["a b"])
+    plan = chunk_tokens(t, max_tokens=2).df \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_tokens_matches_duckdb(spark):
+    import duckdb
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e", "q r"]})
+    t = data_frame(spark, **{c: df[c].tolist() for c in df.columns})
+    from siuba_spark.corpus.quality import chunk_tokens
+    got = chunk_tokens(t, max_tokens=2).df.toPandas()
+    exp = duckdb.connect().execute(r"""
+        WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM df),
+        starts AS (SELECT doc_id, t, unnest(range(0, ((len(t)-1)//2)+1)) AS i FROM tok)
+        SELECT doc_id, text, i::INT AS chunk_id,
+               array_to_string(t[i*2+1 : i*2+2], ' ') AS chunk,
+               len(t[i*2+1 : i*2+2])::INT AS chunk_n_tokens
+        FROM starts JOIN df USING (doc_id)
+    """).df()
+    assert_equal_query(chunk_tokens(t, max_tokens=2), exp)
