@@ -37,6 +37,10 @@ class Pipe:
 def as_pipe(x):
     if isinstance(x, Pipe):
         return x
+    if callable(x):
+        # plain callables pipe too: data >> (lambda t: ...) — the escape
+        # hatch for ad-hoc stages (reference: siu pipes accept callables)
+        return Pipe(x, getattr(x, "__name__", "fn"))
     raise TypeError(f"cannot use {type(x).__name__} in a pipe")
 
 

@@ -58,6 +58,13 @@ class SparkTbl:
             _ACTIVE_PINS.setdefault(id(p), p)
 
     # -- state helpers -----------------------------------------------------
+    def __rshift__(self, other):
+        """``tbl >> pipe`` normally resolves via Pipe.__rrshift__; this
+        covers plain callables (``tbl >> (lambda t: ...)``) which have no
+        __rrshift__ of their own."""
+        from .pipe import as_pipe
+        return as_pipe(other).fn(self)
+
     def evolve(self, df=None, group_by=None, order_by=None, pins=None) -> "SparkTbl":
         return SparkTbl(
             df if df is not None else self.df,
