@@ -2971,6 +2971,33 @@ def q_ivf_topk(spark, sf):
     return ivf_topk(t, q, k=5, n_lists=8, n_probes=3).df
 
 
+def q_fuzzy_pairs(spark, sf):
+    """Edit-distance near-dup pairs (record-linkage shape): 24-char
+    title keys compared within 8-char-prefix blocks — JVM levenshtein,
+    one block-key shuffle, no global pair join."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import fuzzy_pairs
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _t(spark, sf, "documents")
+    titled = SparkTbl(docs.df.select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("title"),
+        F.substring("text", 1, 8).alias("blk")))
+    return fuzzy_pairs(titled, "title", block_by="blk", max_dist=5).df
+
+
+SQL_FUZZY_PAIRS = """
+WITH t AS (SELECT doc_id, substr(text, 1, 24) AS title,
+                  substr(text, 1, 8) AS blk FROM documents)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       levenshtein(trim(lower(l.title)), trim(lower(r.title))) AS dist
+FROM t l JOIN t r ON l.blk = r.blk AND l.doc_id < r.doc_id
+WHERE levenshtein(trim(lower(l.title)), trim(lower(r.title))) <= 5
+"""
+
+
 def q_chunk_tokens(spark, sf):
     """Context-window packing prep: split every document into 32-token
     windows with stride 24 (25% overlap).  Zero-shuffle flatMap
@@ -3326,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "video_meta": q_video_meta,
         "chunk_tokens": q_chunk_tokens,
+        "fuzzy_pairs": q_fuzzy_pairs,
         # --- not yet driver-graded ---
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -3367,7 +3395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         # --- sentinels kept in-window: flagship + this round's rewrite ---
         # --- never-graded corpus/decode ops pulled into the window ---
-        "vocab_topk": q_vocab_topk,
         "tfidf_topk": q_tfidf_topk,
         "audio_meta": q_audio_meta,
         "tpch_q17": q_tpch_q17,
@@ -3380,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "corpus_prep": q_corpus_prep,
         "fct_lump": q_fct_lump,
+        "vocab_topk": q_vocab_topk,
         "fct_lump_prop": q_fct_lump_prop,
         "spread_wide": q_spread_wide,
         "pivot_wider": q_pivot_wider,
@@ -3471,6 +3499,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "video_meta": SQL_VIDEO_META,
         "chunk_tokens": SQL_CHUNK_TOKENS,
+        "fuzzy_pairs": SQL_FUZZY_PAIRS,
         "tpch_q1": SQL_TPCH_Q1,
         "select_rename": SQL_SELECT_RENAME,
         "mutate_arith": SQL_MUTATE_ARITH,

@@ -20,7 +20,7 @@ from .text import tokens_col
 
 __all__ = [
     "exact_dedup", "add_shingles", "add_minhash", "lsh_candidate_pairs",
-    "jaccard_pairs", "minhash_near_dups", "add_simhash",
+    "jaccard_pairs", "minhash_near_dups", "add_simhash", "fuzzy_pairs",
 ]
 
 
@@ -158,6 +158,42 @@ def jaccard_pairs(tbl: SparkTbl, other=None, id_col: str = "doc_id",
            .withColumn("jaccard", F.round(inter / union, 4))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
+    return SparkTbl(out)
+
+
+@verb
+def fuzzy_pairs(tbl: SparkTbl, col: str, block_by, id_col: str = "doc_id",
+                max_dist: int = 2, normalize: bool = True):
+    """Edit-distance near-dup pairs for SHORT strings (titles, URLs,
+    product names): pairs within a blocking key whose Levenshtein
+    distance is <= ``max_dist``.  The classic record-linkage shape.
+
+    Scale: the self-join runs ONLY within blocks (one shuffle on the
+    block key; cost sum-of-block² — the caller picks blocks that bound
+    it: first-k chars, length bucket, phonetic key, an LSH bucket).
+    There is no unblocked path: ``block_by`` is required, because a
+    global all-pairs Levenshtein at 100 TB is never the right plan.
+    Levenshtein runs as the JVM built-in (no Python).
+
+    ``normalize=True`` lowercases/trims before comparing (but reports
+    original ids).
+    """
+    blocks = [block_by] if isinstance(block_by, str) else list(block_by)
+    if not blocks:
+        raise ValueError("fuzzy_pairs requires block_by columns")
+    c = F.col(col)
+    key = F.trim(F.lower(c)) if normalize else c
+    side = tbl.df.select(F.col(id_col), key.alias("__s"),
+                         *[F.col(b) for b in blocks])
+    l = side.select(F.col(id_col).alias("id_a"), F.col("__s").alias("s_a"),
+                    *[F.col(b) for b in blocks])
+    r = side.select(F.col(id_col).alias("id_b"), F.col("__s").alias("s_b"),
+                    *[F.col(b) for b in blocks])
+    out = (l.join(r, blocks)
+           .filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("dist", F.levenshtein("s_a", "s_b"))
+           .filter(F.col("dist") <= max_dist)
+           .select("id_a", "id_b", "dist"))
     return SparkTbl(out)
 
 

@@ -328,3 +328,43 @@ def test_chunk_tokens_matches_duckdb(spark):
         FROM starts JOIN df USING (doc_id)
     """).df()
     assert_equal_query(chunk_tokens(t, max_tokens=2), exp)
+
+
+def test_fuzzy_pairs(spark):
+    from siuba_spark.corpus.dedup import fuzzy_pairs
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3, 4, 5],
+        title=["Spark Guide", "spark guide", "Spark Guides", "Flink Guide",
+               "Totally Different"],
+        blk=["s", "s", "s", "f", "t"],
+    )
+    out = fuzzy_pairs(t, "title", block_by="blk", max_dist=1).df \
+        .orderBy("id_a", "id_b").toPandas()
+    # within block s: (1,2) dist 0 after normalize, (1,3)/(2,3) dist 1
+    assert list(map(tuple, out[["id_a", "id_b", "dist"]].values)) == [
+        (1, 2, 0), (1, 3, 1), (2, 3, 1)]
+    # no cross-block pairs, no unblocked path
+    import pytest
+    with pytest.raises(ValueError):
+        fuzzy_pairs(t, "title", block_by=[])
+
+
+def test_fuzzy_pairs_matches_duckdb(spark):
+    import duckdb
+    from siuba_spark.corpus.dedup import fuzzy_pairs
+    df = pd.DataFrame({
+        "doc_id": range(8),
+        "title": ["alpha", "alpho", "alpht", "beta", "betta", "beta",
+                  "gamma", "gamm"],
+        "blk": ["a", "a", "a", "b", "b", "b", "g", "g"],
+    })
+    t = data_frame(spark, **{c: df[c].tolist() for c in df.columns})
+    got = fuzzy_pairs(t, "title", block_by="blk", max_dist=2).df
+    exp = duckdb.connect().execute("""
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               levenshtein(trim(lower(l.title)), trim(lower(r.title))) AS dist
+        FROM df l JOIN df r ON l.blk = r.blk AND l.doc_id < r.doc_id
+        WHERE levenshtein(trim(lower(l.title)), trim(lower(r.title))) <= 2
+    """).df()
+    assert_equal_query(got, exp)
