@@ -29,6 +29,10 @@ __all__ = [
 ]
 
 
+def wrap_tbl(x):
+    return x if isinstance(x, SparkTbl) else SparkTbl(x)
+
+
 def _bigrams(toks):
     """array<string> of space-joined word 2-grams (codegen, no UDF)."""
     n = F.size(toks)
@@ -336,10 +340,6 @@ def unigram_logprob(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     joined = (tbl.df.join(per_doc, tbl.df[id_col] == per_doc["__id"], "left")
               .drop("__id"))
     return tbl.evolve(df=joined)
-
-
-def wrap_tbl(x):
-    return x if isinstance(x, SparkTbl) else SparkTbl(x)
 
 
 @verb
