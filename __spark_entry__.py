@@ -2998,6 +2998,43 @@ WHERE levenshtein(trim(lower(l.title)), trim(lower(r.title))) <= 5
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clustering: connected components (min-label propagation
+    with pointer jumping, lineage checkpointed per round) over the
+    fuzzy_pairs edge list -> (id, cluster).  The canonical-selection step
+    of a production dedup pipeline."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import dedup_clusters, fuzzy_pairs
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _t(spark, sf, "documents")
+    titled = SparkTbl(docs.df.select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("title"),
+        F.substring("text", 1, 8).alias("blk")))
+    pairs = fuzzy_pairs(titled, "title", block_by="blk", max_dist=5)
+    return dedup_clusters(pairs).df
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH t AS (SELECT doc_id, substr(text, 1, 24) AS title,
+                  substr(text, 1, 8) AS blk FROM documents),
+e AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM t l JOIN t r ON l.blk = r.blk AND l.doc_id < r.doc_id
+      WHERE levenshtein(trim(lower(l.title)), trim(lower(r.title))) <= 5),
+und AS (SELECT id_a AS a, id_b AS b FROM e
+        UNION SELECT id_b, id_a FROM e)
+SELECT a AS id, least(a, min(b)) AS cluster
+FROM (WITH RECURSIVE reach(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+      SELECT * FROM reach)
+GROUP BY a
+"""
+
+
 def q_chunk_tokens(spark, sf):
     """Context-window packing prep: split every document into 32-token
     windows with stride 24 (25% overlap).  Zero-shuffle flatMap
@@ -3354,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": q_video_meta,
         "chunk_tokens": q_chunk_tokens,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "dedup_clusters": q_dedup_clusters,
         # --- not yet driver-graded ---
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -3395,7 +3433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         # --- sentinels kept in-window: flagship + this round's rewrite ---
         # --- never-graded corpus/decode ops pulled into the window ---
-        "tfidf_topk": q_tfidf_topk,
         "audio_meta": q_audio_meta,
         "tpch_q17": q_tpch_q17,
         "tpch_q1": q_tpch_q1,
@@ -3408,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "fct_lump": q_fct_lump,
         "vocab_topk": q_vocab_topk,
+        "tfidf_topk": q_tfidf_topk,
         "fct_lump_prop": q_fct_lump_prop,
         "spread_wide": q_spread_wide,
         "pivot_wider": q_pivot_wider,
@@ -3500,6 +3538,7 @@ def oracle_sql() -> dict[str, str]:
         "video_meta": SQL_VIDEO_META,
         "chunk_tokens": SQL_CHUNK_TOKENS,
         "fuzzy_pairs": SQL_FUZZY_PAIRS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "tpch_q1": SQL_TPCH_Q1,
         "select_rename": SQL_SELECT_RENAME,
         "mutate_arith": SQL_MUTATE_ARITH,

@@ -21,6 +21,7 @@ from .text import tokens_col
 __all__ = [
     "exact_dedup", "add_shingles", "add_minhash", "lsh_candidate_pairs",
     "jaccard_pairs", "minhash_near_dups", "add_simhash", "fuzzy_pairs",
+    "dedup_clusters",
 ]
 
 
@@ -195,6 +196,73 @@ def fuzzy_pairs(tbl: SparkTbl, col: str, block_by, id_col: str = "doc_id",
            .filter(F.col("dist") <= max_dist)
            .select("id_a", "id_b", "dist"))
     return SparkTbl(out)
+
+
+@verb
+def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20):
+    """Connected components over a near-dup pair table -> (id, cluster)
+    where cluster is the component's smallest id — the step between pair
+    generation (LSH / fuzzy / jaccard) and canonical-document selection
+    in every production dedup pipeline ("keep cluster minimum, drop the
+    rest").
+
+    Spark-first iterative min-label propagation (the standard
+    no-graph-library formulation, e.g. Hash-to-Min, Rastogi et al. 2013):
+    every node starts labeled with itself; each round, each node takes
+    the min label over itself and its neighbors; converged when no label
+    changes.  Rounds = O(component diameter) — near-dup components are
+    shallow (dozens of docs, diameter ~2-4), so 3-5 rounds in practice;
+    ``max_iter`` bounds pathological chains.  Each round is one shuffle
+    on the node id (map-side combine on the min-agg) plus a convergence
+    count; labels table stays (n_nodes x 2) — never materializes paths.
+    """
+    from ..plans.pipe import wrap_table
+
+    pdf = wrap_table(pairs).df
+    a, b = F.col(id_a), F.col(id_b)
+    # undirected edge list, both directions
+    edges = (pdf.select(a.alias("src"), b.alias("dst"))
+             .unionByName(pdf.select(b.alias("src"), a.alias("dst")))
+             .distinct())
+    # each round references the previous labels table several times, so
+    # lineage must be TRUNCATED (localCheckpoint, eager), not just cached:
+    # a persist()-only loop nests the plan every round and the driver OOMs
+    # on plan analysis after ~8 iterations.  On a real cluster with a
+    # checkpoint dir configured, swap for .checkpoint() for fault
+    # tolerance; the algorithm is identical.
+    edges = edges.localCheckpoint()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lbl", F.col("id"))
+              .localCheckpoint())
+
+    for _i in range(max_iter):
+        neigh = (edges.join(labels.withColumnRenamed("id", "dst")
+                            .withColumnRenamed("lbl", "n_lbl"), "dst")
+                 .groupBy("src").agg(F.min("n_lbl").alias("n_min")))
+        # pointer jumping: also adopt the label OF my label — turns
+        # O(diameter) convergence into O(log n) on chain-shaped components
+        via = (labels.alias("x")
+               .join(labels.select(F.col("id").alias("__pid"),
+                                   F.col("lbl").alias("p_lbl")),
+                     F.col("x.lbl") == F.col("__pid"), "left")
+               .select(F.col("x.id").alias("id"),
+                       F.col("x.lbl").alias("lbl"),
+                       F.coalesce(F.col("p_lbl"), F.col("x.lbl"))
+                       .alias("jump_lbl")))
+        new_labels = (via.join(neigh, via["id"] == neigh["src"], "left")
+                      .select(F.col("id"),
+                              F.least(F.col("lbl"), F.col("jump_lbl"),
+                                      F.coalesce(F.col("n_min"),
+                                                 F.col("lbl"))).alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return SparkTbl(labels.select(F.col("id"), F.col("lbl").alias("cluster")))
 
 
 @verb

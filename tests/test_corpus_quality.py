@@ -368,3 +368,67 @@ def test_fuzzy_pairs_matches_duckdb(spark):
         WHERE levenshtein(trim(lower(l.title)), trim(lower(r.title))) <= 2
     """).df()
     assert_equal_query(got, exp)
+
+
+def test_dedup_clusters_components(spark):
+    from siuba_spark.corpus.dedup import dedup_clusters
+    pairs = data_frame(
+        spark,
+        id_a=[1, 2, 10, 20, 30],
+        id_b=[2, 3, 11, 21, 31],
+    )
+    # components: {1,2,3}, {10,11}, {20,21}, {30,31}
+    out = dedup_clusters(pairs).df.toPandas().sort_values("id")
+    got = dict(zip(out.id, out.cluster))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_dedup_clusters_chain_converges(spark):
+    from siuba_spark.corpus.dedup import dedup_clusters
+    # path graph 0-1-2-...-9: single component, diameter 9
+    pairs = data_frame(spark, id_a=list(range(9)), id_b=list(range(1, 10)))
+    out = dedup_clusters(pairs).df.toPandas()
+    assert set(out.cluster) == {0}
+    assert len(out) == 10
+
+
+def test_dedup_clusters_matches_duckdb_recursive(spark):
+    import duckdb
+    from siuba_spark.corpus.dedup import dedup_clusters
+    df = pd.DataFrame({"id_a": [1, 2, 5, 7, 7], "id_b": [2, 3, 6, 8, 9]})
+    t = data_frame(spark, **{c: df[c].tolist() for c in df.columns})
+    got = dedup_clusters(t).df
+    exp = duckdb.connect().execute("""
+        WITH RECURSIVE und AS (
+          SELECT id_a AS a, id_b AS b FROM df
+          UNION SELECT id_b, id_a FROM df
+        ), reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        )
+        SELECT a AS id, least(a, min(b)) AS cluster
+        FROM reach GROUP BY a
+    """).df()
+    assert_equal_query(got, exp)
+
+
+def test_dedup_clusters_end_to_end_canonical_keep(spark):
+    """pairs -> clusters -> keep the cluster minimum: the full near-dup
+    removal composition."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import dedup_clusters, fuzzy_pairs
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3, 4],
+        title=["hello world", "hello worlds", "hello worldz", "unrelated"],
+        blk=["h", "h", "h", "u"],
+    )
+    pairs = fuzzy_pairs(t, "title", block_by="blk", max_dist=2)
+    clusters = dedup_clusters(pairs)
+    keep = (t.df.join(clusters.df, t.df.doc_id == clusters.df.id, "left")
+            .filter(F.col("cluster").isNull() |
+                    (F.col("doc_id") == F.col("cluster"))))
+    assert sorted(keep.toPandas().doc_id) == [1, 4]
