@@ -21,7 +21,7 @@ from .text import tokens_col
 __all__ = [
     "exact_dedup", "add_shingles", "add_minhash", "lsh_candidate_pairs",
     "jaccard_pairs", "minhash_near_dups", "add_simhash", "fuzzy_pairs",
-    "dedup_clusters",
+    "dedup_clusters", "simhash_pairs", "drop_near_dups",
 ]
 
 
@@ -196,6 +196,76 @@ def fuzzy_pairs(tbl: SparkTbl, col: str, block_by, id_col: str = "doc_id",
            .filter(F.col("dist") <= max_dist)
            .select("id_a", "id_b", "dist"))
     return SparkTbl(out)
+
+
+@verb
+def simhash_pairs(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
+                  bits: int = 32, max_hamming: int = 3):
+    """SimHash near-dup pairs with an EXACT-recall banded index (the
+    Google news-dedup design, Manku et al. 2007): any two signatures
+    within Hamming distance k must agree exactly on at least one of k+1
+    disjoint bit-bands (pigeonhole), so bucketing on each band finds
+    every qualifying pair; ``bit_count(a XOR b) <= k`` then verifies
+    candidates exactly.
+
+    Scale: one shuffle on (band, band-bits) — never all-pairs; recall is
+    1.0 by construction (unlike MinHash LSH, which trades recall), so
+    this is the right tool when "hamming <= k" IS the dup definition.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    if band_bits < 1:
+        raise ValueError("bits must be >= max_hamming + 1")
+    sig = add_simhash(tbl, col=col, bits=bits, id_col=id_col).df
+    mask = (1 << band_bits) - 1
+    band_entries = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * band_bits)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(n_bands)
+    ])
+    buckets = (sig.select(F.col(id_col), F.col("simhash"),
+                          F.explode(band_entries).alias("be"))
+               .select(id_col, "simhash", "be.band", "be.key"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    pairs = (l.join(r, [F.col("l.band") == F.col("r.band"),
+                        F.col("l.key") == F.col("r.key"),
+                        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.bit_count(F.col("l.simhash")
+                                 .bitwiseXOR(F.col("r.simhash")))
+                     .alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .distinct())
+    return SparkTbl(pairs)
+
+
+@verb
+def drop_near_dups(tbl: SparkTbl, pairs, id_col: str = "doc_id",
+                   keep: str = "min"):
+    """Remove near-duplicates given a pair table: cluster the pairs
+    (connected components) and keep one canonical row per cluster (the
+    min or max id).  The composition every dedup pipeline ends with —
+    pairs from minhash_near_dups / simhash_pairs / fuzzy_pairs /
+    jaccard_pairs all plug in.
+
+    Cost: the clustering rounds plus ONE broadcast-able join of the
+    (tiny: only ids that appear in pairs) cluster table against the
+    corpus."""
+    if keep not in ("min", "max"):
+        raise ValueError("keep must be 'min' or 'max'")
+    clusters = dedup_clusters(pairs).df
+    agg = F.min if keep == "min" else F.max
+    canon = (clusters.groupBy("cluster")
+             .agg(agg("id").alias("__keep")))
+    drop = (clusters.join(canon, "cluster")
+            .filter(F.col("id") != F.col("__keep"))
+            .select(F.col("id").alias("__drop_id")))
+    from pyspark.sql.functions import broadcast
+    out = (tbl.df.join(broadcast(drop),
+                       tbl.df[id_col] == drop["__drop_id"], "left_anti"))
+    return tbl.evolve(df=out)
 
 
 @verb

@@ -432,3 +432,40 @@ def test_dedup_clusters_end_to_end_canonical_keep(spark):
             .filter(F.col("cluster").isNull() |
                     (F.col("doc_id") == F.col("cluster"))))
     assert sorted(keep.toPandas().doc_id) == [1, 4]
+
+
+def test_simhash_pairs_exact_recall_vs_brute_force(spark):
+    """Pigeonhole banding must find EVERY pair within max_hamming —
+    compare against brute-force bit_count over all pairs."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import add_simhash, simhash_pairs
+    docs = data_frame(
+        spark,
+        doc_id=list(range(12)),
+        text=[f"alpha beta gamma delta {i % 3} {i % 4} epsilon zeta"
+              for i in range(12)],
+    )
+    got = simhash_pairs(docs, bits=32, max_hamming=3).df.toPandas()
+    sig = add_simhash(docs, bits=32, id_col="doc_id").df
+    l = sig.selectExpr("doc_id AS id_a", "simhash AS sa")
+    r = sig.selectExpr("doc_id AS id_b", "simhash AS sb")
+    brute = (l.crossJoin(r).filter("id_a < id_b")
+             .withColumn("hamming",
+                         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+             .filter("hamming <= 3").select("id_a", "id_b", "hamming")
+             .toPandas())
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "hamming"]].values))
+    assert key(got) == key(brute)
+    assert len(got) > 0  # the fixture must actually produce near-dups
+
+
+def test_drop_near_dups_keeps_canonical(spark):
+    from siuba_spark.corpus.dedup import drop_near_dups
+    t = data_frame(spark, doc_id=[1, 2, 3, 4, 5],
+                   text=["a", "b", "c", "d", "e"])
+    pairs = data_frame(spark, id_a=[1, 2, 4], id_b=[2, 3, 5])
+    out = drop_near_dups(t, pairs).df.toPandas()
+    assert sorted(out.doc_id) == [1, 4]  # cluster {1,2,3} -> 1; {4,5} -> 4
+    out_max = drop_near_dups(t, pairs, keep="max").df.toPandas()
+    assert sorted(out_max.doc_id) == [3, 5]
