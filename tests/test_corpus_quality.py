@@ -469,3 +469,48 @@ def test_drop_near_dups_keeps_canonical(spark):
     assert sorted(out.doc_id) == [1, 4]  # cluster {1,2,3} -> 1; {4,5} -> 4
     out_max = drop_near_dups(t, pairs, keep="max").df.toPandas()
     assert sorted(out_max.doc_id) == [3, 5]
+
+
+def test_chunk_tokens_reassembly_invariant(spark):
+    """Disjoint chunks (stride == max_tokens) concatenate back to the
+    normalized token stream — no token lost or duplicated, any params."""
+    import random
+    rng = random.Random(7)
+    words = ["alpha", "b", "gamma9", "Zz", "e'e"]
+    texts = [" ".join(rng.choice(words) for _ in range(rng.randint(0, 23)))
+             for _ in range(20)]
+    t = data_frame(spark, doc_id=list(range(20)), text=texts)
+    from siuba_spark.corpus.quality import chunk_tokens
+    for mt in (1, 3, 7):
+        out = (chunk_tokens(t, max_tokens=mt).df
+               .orderBy("doc_id", "chunk_id").toPandas())
+        got = out.groupby("doc_id").chunk.apply(" ".join).to_dict()
+        for i, txt in enumerate(texts):
+            want = " ".join(txt.strip().lower().split())
+            assert got.get(i, "") == want, (mt, i)
+
+
+def test_chunk_tokens_runs_on_streams(spark):
+    """chunk_tokens is stateless (flatMap) — applies unchanged to a
+    readStream input."""
+    import shutil
+    import tempfile
+
+    from siuba_spark.corpus.quality import chunk_tokens
+    from siuba_spark.plans.tbl import SparkTbl
+
+    tmp = tempfile.mkdtemp(prefix="docs_chunk_stream_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.write.mode("overwrite").parquet(tmp)
+        stream = SparkTbl(spark.readStream.schema(docs.schema).parquet(tmp))
+        out = chunk_tokens(stream, max_tokens=16)
+        assert out.df.isStreaming
+        q = (out.df.writeStream.format("memory").queryName("chunk_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = spark.sql("SELECT count(*) AS n FROM chunk_stream").collect()[0].n
+        want = chunk_tokens(SparkTbl(docs), max_tokens=16).df.count()
+        assert got == want and got > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
