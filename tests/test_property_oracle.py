@@ -183,3 +183,59 @@ def test_dt_round_matches_pandas_property(spark, secs, unit):
         .sort_values("i")["r"].tolist()
     want = ts.dt.round("h" if unit == "H" else "D").tolist()
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+             min_size=0, max_size=12),
+    min_size=1, max_size=10))
+def test_quality_signals_matches_graded_oracle_property(spark, docs):
+    """quality_signals agrees with the EXACT graded-query DuckDB oracle on
+    random corpora — repetition-heavy by construction (5-word alphabet),
+    so most-frequent-2-gram tie-breaks get exercised hard."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from siuba_spark.corpus.quality import quality_signals
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)),
+                        "text": [" ".join(d) for d in docs]})
+    t = SparkTbl(spark.createDataFrame(pdf))
+    got = (quality_signals(t).df
+           .select("doc_id", "dup_word_frac", "dup_2gram_frac", "top_2gram",
+                   "top_2gram_frac", "mean_word_len", "symbol_word_ratio")
+           .toPandas())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(entry.SQL_QUALITY_SIGNALS).df()
+    a = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    b = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["x", "yy", "z"]), min_size=0, max_size=8),
+    min_size=1, max_size=8))
+def test_unigram_logprob_matches_graded_oracle_property(spark, docs):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from siuba_spark.corpus.quality import unigram_logprob
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)),
+                        "text": [" ".join(d) for d in docs]})
+    t = SparkTbl(spark.createDataFrame(pdf))
+    got = (unigram_logprob(t).df
+           .select("doc_id", F.round("avg_logprob", 4).alias("avg_logprob"))
+           .toPandas())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(entry.SQL_UNIGRAM_LOGPROB).df()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
