@@ -31,7 +31,7 @@ from .operators.grouping import (
     sample_frac, sample_n, hash_split, corr_matrix, describe,
 )
 from .operators.across import across, Fx, Across
-from .functions.udf import call, py_func
+from .functions.udf import call, py_func, group_apply
 from .operators.joins import (
     join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
     asof_join, interval_join, salted_join,
@@ -69,7 +69,7 @@ __all__ = [
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
     "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
-    "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "call", "py_func",
+    "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "call", "py_func", "group_apply",
     "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from ..siu.calls import RawCallable, Symbolic, _node
 
-__all__ = ["call", "py_func"]
+__all__ = ["call", "py_func", "group_apply"]
 
 
 def call(func, *args, **kwargs):
@@ -53,3 +53,37 @@ def py_func(fn, returns: str = "double"):
 
     column_fn.__name__ = getattr(fn, "__name__", "py_func")
     return column_fn
+
+
+def group_apply(tbl, fn=None, schema: str = None):
+    """Grouped-map escape hatch: run a pandas ``DataFrame -> DataFrame``
+    function once per group of the sticky grouping — the reference's
+    groupby-apply slow path (siuba/dply/verbs.py:267) as Spark's
+    Arrow-batched ``applyInPandas``.
+
+    ``schema`` is the OUTPUT schema as a DDL string ("g string, x double")
+    — grouped-map results need a declared shape, exactly like the
+    reference's SQL engine refusing untyped UDFs.
+
+    At scale: one shuffle on the group keys; each group must fit in one
+    executor's memory as a pandas frame (the documented applyInPandas
+    contract) — keep groups bounded or pre-aggregate.  This is the LAST
+    resort after ``call``/``py_func``; nothing inside it is visible to
+    Catalyst.
+    """
+    from ..plans.pipe import Pipe
+    from ..plans.tbl import SparkTbl
+
+    if not isinstance(tbl, SparkTbl):
+        # called without data (pipe stage): args shift left one slot —
+        # group_apply(fn, schema)
+        shifted_fn, shifted_schema = tbl, fn
+        return Pipe(lambda t: group_apply(t, shifted_fn, shifted_schema),
+                    "group_apply")
+    if not tbl.group_by:
+        raise ValueError("group_apply needs a grouped table (group_by first)")
+    if fn is None or schema is None:
+        raise ValueError("group_apply requires fn and an output schema")
+    out = tbl.df.groupBy(*[tbl.df[g] for g in tbl.group_by]) \
+        .applyInPandas(fn, schema=schema)
+    return SparkTbl(out)

@@ -250,3 +250,24 @@ def test_describe_matches_pandas(spark):
     assert len(out) == 16
     for _i, r in out.iterrows():
         assert abs(r.value - round(want.loc[r.stat, r["column"]], 4)) < 1e-9
+
+
+def test_group_apply_demean(spark):
+    """applyInPandas escape hatch: pandas fn per group, declared schema."""
+    import pytest
+
+    from siuba_spark import _, group_apply, group_by
+    from .helpers import data_frame
+
+    t = data_frame(spark, g=["a", "a", "b"], x=[1.0, 3.0, 10.0])
+
+    def demean(pdf):
+        pdf["x"] = pdf["x"] - pdf["x"].mean()
+        return pdf
+
+    out = (t >> group_by(_.g) >> group_apply(demean, "g string, x double")) \
+        .df.toPandas()
+    got = sorted(zip(out.g, out.x))
+    assert got == [("a", -1.0), ("a", 1.0), ("b", 0.0)]
+    with pytest.raises(ValueError):
+        t >> group_apply(demean, "g string, x double")  # ungrouped
