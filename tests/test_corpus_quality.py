@@ -514,3 +514,12 @@ def test_chunk_tokens_runs_on_streams(spark):
         assert got == want and got > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from siuba_spark.corpus.dedup import dedup_clusters, drop_near_dups
+    t = data_frame(spark, doc_id=[1, 2], text=["a", "b"])
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).df.count() == 0
+    kept = drop_near_dups(t, empty).df.toPandas()
+    assert sorted(kept.doc_id) == [1, 2]
