@@ -20,6 +20,7 @@ from .functions.lowering import TranslationError
 from .plans.tbl import (
     SparkTbl, tbl, collect, show_query, write_parquet, write_csv,
     write_shards, repartition, coalesce_partitions, cache, release_all_pins,
+    lint_plan,
 )
 from .plans.pipe import Pipe, Pipeable, pipe, verb
 from .operators.core import (
@@ -61,7 +62,7 @@ __version__ = "0.1.0"
 __all__ = [
     "_", "Symbolic", "SparkTbl", "tbl", "collect", "show_query",
     "release_all_pins",
-    "write_parquet", "write_csv", "write_shards", "Pipe", "Pipeable", "pipe", "verb", "TranslationError",
+    "write_parquet", "write_csv", "write_shards", "lint_plan", "Pipe", "Pipeable", "pipe", "verb", "TranslationError",
     "repartition", "coalesce_partitions", "cache",
     "select", "rename", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n", "qcut",

@@ -308,3 +308,54 @@ def cache(tbl: SparkTbl):
     """Mark for storage-level caching (reuse across several downstream
     actions; unpersists with the session)."""
     return tbl.evolve(df=tbl.df.cache())
+
+
+@verb
+def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
+    """Scale-health lint of the physical plan: counts the node types that
+    matter at 100 TB and flags the red ones — run it on any pipeline
+    BEFORE submitting to a big cluster (`show_query` tells you what the
+    plan is; `lint_plan` tells you whether you should be worried).
+
+    Returns ``{"counts": {node: n}, "flags": [human-readable warnings]}``.
+    Flags: any CartesianProduct; a row-at-a-time Python eval
+    (BatchEvalPython — use py_func/built-ins instead); an unpartitioned
+    global Window (Exchange SinglePartition feeding a Window).  With
+    ``raise_on_flags=True`` raises ValueError listing them (CI gate).
+    """
+    import re as _re
+
+    plan = tbl.df._jdf.queryExecution().executedPlan().toString()
+    nodes = {
+        "exchanges": r"Exchange hashpartitioning",
+        "single_partition_exchanges": r"Exchange SinglePartition",
+        "broadcast_hash_joins": r"BroadcastHashJoin",
+        "sort_merge_joins": r"SortMergeJoin",
+        "shuffled_hash_joins": r"ShuffledHashJoin",
+        "broadcast_nested_loop_joins": r"BroadcastNestedLoopJoin",
+        "cartesian_products": r"CartesianProduct",
+        "windows": r"\bWindow\b",
+        "python_row_evals": r"BatchEvalPython",
+        "arrow_evals": r"ArrowEvalPython|MapInPandas",
+        "scans": r"Scan parquet|FileScan",
+    }
+    counts = {k: len(_re.findall(p, plan)) for k, p in nodes.items()}
+    flags = []
+    if counts["cartesian_products"]:
+        flags.append("CartesianProduct: O(n^2) pair join — add join keys, "
+                     "blocking, or broadcast() the small side")
+    if counts["broadcast_nested_loop_joins"]:
+        flags.append("BroadcastNestedLoopJoin: every probe row scans the "
+                     "whole build side — fine ONLY if the build side is "
+                     "tiny (a scalar/1-row subquery); otherwise add equi "
+                     "keys")
+    if counts["python_row_evals"]:
+        flags.append("BatchEvalPython: row-at-a-time Python UDF in the plan "
+                     "— use built-ins or the Arrow py_func path")
+    if counts["single_partition_exchanges"] and counts["windows"]:
+        flags.append("Exchange SinglePartition + Window: possible "
+                     "unpartitioned window funneling all rows through one "
+                     "reducer — partition the window or pre-aggregate")
+    if raise_on_flags and flags:
+        raise ValueError("plan lint failed:\n- " + "\n- ".join(flags))
+    return {"counts": counts, "flags": flags}

@@ -438,3 +438,39 @@ def test_quality_and_dedup_segments_no_global_funnel(spark):
     assert "CartesianProduct" not in p
     # the only SinglePartition is the deliberate 1-row corpus-total agg
     assert p.count("Exchange SinglePartition") <= 1
+
+
+def test_lint_plan_clean_and_flagging(spark):
+    from pyspark.sql import functions as F
+
+    from siuba_spark import group_by, lint_plan, summarize, tbl
+    from siuba_spark import _ as S
+    t = (tbl(spark, f"{SF}/orders.parquet")
+         >> group_by(S.o_orderpriority) >> summarize(n_rows=S.o_orderkey.count()))
+    r = lint_plan(t)
+    assert r["flags"] == [] and r["counts"]["exchanges"] >= 1
+
+    # cartesian gets flagged and raises under the CI gate
+    a = tbl(spark, f"{SF}/nation.parquet")
+    bad = a.evolve(df=a.df.crossJoin(a.df.select(F.col("n_name").alias("n2"))))
+    # a tiny-side crossJoin plans as BNLJ (Spark broadcasts the small
+    # side) — the advisory flag fires; forcing no-broadcast yields the
+    # CartesianProduct flag
+    r2 = lint_plan(bad)
+    assert any("BroadcastNestedLoopJoin" in f for f in r2["flags"])
+    import pytest
+    with pytest.raises(ValueError):
+        lint_plan(bad, raise_on_flags=True)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bad2 = a.evolve(df=a.df.crossJoin(
+            a.df.select(F.col("n_name").alias("n3"))))
+        assert any("CartesianProduct" in f for f in lint_plan(bad2)["flags"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # row-at-a-time Python UDF gets flagged
+    from pyspark.sql.functions import udf
+    slow = a.evolve(df=a.df.withColumn("u", udf(lambda s: s)("n_name")))
+    assert any("BatchEvalPython" in f for f in lint_plan(slow)["flags"])
