@@ -804,6 +804,16 @@ def test_fuzz_pipelines_match_reference(spark, rows, ops):
         got = got >> _STAGES[o][1](S)
     got = got.df.toPandas()
 
+    if len(want) == 0:
+        # pandas-engine quirk: grouped mutate on an EMPTY frame does not
+        # create the new column (groupby-apply on empty input), while the
+        # SQL engines (and this engine) produce a typed empty column.
+        # The reference's own SQL tests sidestep empty-group cases; here
+        # assert emptiness + that our columns are a superset.
+        assert len(got) == 0, (ops,)
+        assert set(want.columns) <= set(got.columns), (ops,)
+        return
+
     assert sorted(got.columns) == sorted(want.columns), (ops,)
     a, b = _norm(got), _norm(want)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
