@@ -54,6 +54,7 @@ def main():
         "hash_split", "cut_qcut_bands", "audio_meta",
         "quality_signals", "scrub_pii", "dedup_segments",
         "ngram_contamination", "unigram_logprob", "stratified_sample",
+        "chunk_tokens", "fuzzy_pairs", "video_meta",
     ]
     queries = entry.queries()
 

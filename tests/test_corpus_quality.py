@@ -523,3 +523,30 @@ def test_dedup_clusters_empty_pairs(spark):
     assert dedup_clusters(empty).df.count() == 0
     kept = drop_near_dups(t, empty).df.toPandas()
     assert sorted(kept.doc_id) == [1, 2]
+
+
+def test_quality_signals_unicode_cross_engine(spark):
+    """Unicode text (accents, CJK, emoji, tabs) produces IDENTICAL
+    signals on Spark (Java regex) and DuckDB (RE2) — the \\s and
+    [A-Za-z0-9] classes agree across engines."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from siuba_spark.plans.tbl import SparkTbl
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["héllo wörld héllo", "日本語 テキスト 日本語",
+                 "emoji 🙂 test 🙂 emoji", "tab\tand nbsp words"],
+    })
+    t = SparkTbl(spark.createDataFrame(pdf))
+    got = (quality_signals(t).df
+           .select("doc_id", "dup_word_frac", "dup_2gram_frac", "top_2gram",
+                   "top_2gram_frac", "mean_word_len", "symbol_word_ratio")
+           .toPandas())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(entry.SQL_QUALITY_SIGNALS).df()
+    a = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    b = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
