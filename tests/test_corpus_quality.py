@@ -3,6 +3,7 @@ stratified sampling, corpus-wide segment dedup)."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from siuba_spark.corpus.quality import (
     quality_signals, scrub_pii, stratified_sample, dedup_segments,
@@ -550,3 +551,73 @@ def test_quality_signals_unicode_cross_engine(spark):
     a = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
     b = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hash64_md5_variant_matches_duckdb(spark):
+    """hash64_col(..., "md5_64") is the SQL-portable hash: DuckDB's
+    ('0x'||substr(md5,1,15))::BIGINT computes the identical value, which
+    is what makes md5_64-keyed dedup pipelines cross-engine checkable."""
+    import duckdb
+
+    from siuba_spark.corpus.dedup import MD5_64_SQL, hash64_col
+
+    t = data_frame(spark, s=["hello", "the quick brown fox", "", "日本語"])
+    got = {r["s"]: r["h"] for r in
+           t.df.select("s", hash64_col(F.col("s"), "md5_64").alias("h")).collect()}
+    con = duckdb.connect()
+    for s, h in got.items():
+        want = con.execute(
+            "SELECT " + MD5_64_SQL.format(expr="?"), [s]).fetchone()[0]
+        assert h == want, s
+
+
+def test_jaccard_pairs_requires_blocking(spark):
+    """No unblocked path exists: an all-pairs Jaccard join is never the
+    right plan at scale, so block_col= or pairs= is mandatory (same
+    contract as fuzzy_pairs)."""
+    from siuba_spark.corpus.dedup import add_shingles, jaccard_pairs
+
+    t = add_shingles(data_frame(spark, doc_id=[1, 2], source=["a", "a"],
+                                text=["x y z w", "x y z q"]))
+    with pytest.raises(ValueError, match="block_col"):
+        jaccard_pairs(t)
+    with pytest.raises(ValueError, match="block_col"):
+        jaccard_pairs(t, pairs=t.df.select(F.lit(1).alias("id_a"),
+                                           F.lit(2).alias("id_b")),
+                      block_col="source")
+
+
+def test_jaccard_pairs_candidate_table_matches_blocked(spark):
+    """pairs= (pre-generated candidates) scores identically to the
+    blocked self-join when the candidate set covers the block pairs."""
+    from siuba_spark.corpus.dedup import add_shingles, jaccard_pairs
+
+    t = add_shingles(data_frame(
+        spark,
+        doc_id=[1, 2, 3, 4],
+        source=["a", "a", "a", "b"],
+        text=["w x y z", "w x y q", "unrelated words here now", "w x y z"]))
+    blocked = (jaccard_pairs(t, block_col="source", threshold=0.2)
+               .df.orderBy("id_a", "id_b").toPandas())
+    cands = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a: long, id_b: long")
+    via_pairs = (jaccard_pairs(t, pairs=cands, threshold=0.2)
+                 .df.orderBy("id_a", "id_b").toPandas())
+    pd.testing.assert_frame_equal(blocked, via_pairs, check_dtype=False)
+
+
+def test_minhash_md5_key_mode_precision(spark):
+    """The SQL-checkable (md5_64 hash + string band keys) pipeline keeps
+    the verify-stage guarantee: every emitted pair really is above the
+    Jaccard threshold, and the near-identical pair is found."""
+    from siuba_spark.corpus.dedup import minhash_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    t = data_frame(
+        spark,
+        doc_id=list(range(1, 7)),
+        text=[base * 3, (base * 3) + "tail", "totally different content one",
+              "another unrelated document two", base * 2, "words words words x"])
+    out = minhash_near_dups(t, threshold=0.5, hash="md5_64", bucket="key") \
+        .df.toPandas()
+    assert ((out.jaccard >= 0.5).all())
+    assert {(1, 2)} <= set(zip(out.id_a, out.id_b))

@@ -474,3 +474,41 @@ def test_lint_plan_clean_and_flagging(spark):
     from pyspark.sql.functions import udf
     slow = a.evolve(df=a.df.withColumn("u", udf(lambda s: s)("n_name")))
     assert any("BatchEvalPython" in f for f in lint_plan(slow)["flags"])
+
+
+def test_hyperplane_bucket_packed_matches_inline(spark):
+    """The packed (broadcast plane table) and inline (literal) bucket
+    plans are bit-identical — same left-fold float order."""
+    from siuba_spark.corpus.similarity import add_hyperplane_bucket
+    from siuba_spark.plans.tbl import tbl
+
+    emb = tbl(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    inline = add_hyperplane_bucket(emb, n_planes=6, dim=64, packed=False) \
+        .df.select("vec_id", "bucket")
+    packed = add_hyperplane_bucket(emb, n_planes=6, dim=64, packed=True) \
+        .df.select("vec_id", "bucket")
+    assert inline.exceptAll(packed).count() == 0
+    assert packed.exceptAll(inline).count() == 0
+
+
+def test_lsh_topk_plan_bounded_at_real_embedding_dims(spark):
+    """At production dims (768) × 8 planes × 4 tables, inlining the
+    hyperplanes would build a ~100k-node Column tree and stall Catalyst
+    analysis driver-side.  The packed path keeps the tree O(n_planes)
+    per table: analysis must stay fast and the analyzed plan small."""
+    import time
+
+    from siuba_spark.corpus.similarity import lsh_topk
+    from siuba_spark.plans.tbl import SparkTbl
+
+    dim, n = 768, 6
+    rows = [(i, [((i * 31 + j * 7) % 2000 - 1000) / 1000.0 for j in range(dim)])
+            for i in range(n)]
+    big = SparkTbl(spark.createDataFrame(rows, "vec_id: int, embedding: array<double>"))
+    t0 = time.time()
+    out = lsh_topk(big, big.df.limit(2), k=3, n_planes=8, n_tables=4, dim=dim)
+    plan = out.df._jdf.queryExecution().analyzed().toString()
+    elapsed = time.time() - t0
+    assert elapsed < 20, f"analysis took {elapsed:.1f}s"
+    assert len(plan) < 200_000, f"analyzed plan is {len(plan)} chars"
+    out.df.count()  # executes end-to-end
