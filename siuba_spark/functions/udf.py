@@ -75,9 +75,9 @@ def group_apply(tbl, fn=None, schema: str = None):
     from ..plans.tbl import SparkTbl
 
     if not isinstance(tbl, SparkTbl):
-        # called without data (pipe stage): args shift left one slot —
-        # group_apply(fn, schema)
-        shifted_fn, shifted_schema = tbl, fn
+        # called without data (pipe stage): positional args shift left one
+        # slot — group_apply(fn, schema) or group_apply(fn, schema="...")
+        shifted_fn, shifted_schema = tbl, (fn if fn is not None else schema)
         return Pipe(lambda t: group_apply(t, shifted_fn, shifted_schema),
                     "group_apply")
     if not tbl.group_by:

@@ -160,7 +160,9 @@ def separate_rows(tbl: SparkTbl, *cols, sep: str = r"[^a-zA-Z0-9.]+",
     explode one row per piece (tidyr::separate_rows; dplyr-family verb the
     reference skipped).  Multiple columns split in lockstep (piece i of
     each column lands on the same output row, NULL when one column has
-    fewer pieces — tidyr semantics).
+    fewer pieces — tidyr semantics).  A NULL input survives as one row
+    with a NULL piece (tidyr keeps the NA row; a plain ``explode`` would
+    silently drop it).
 
     Zero shuffle: split + (arrays_zip +) explode is a pure flatMap-shaped
     projection that stays in whole-stage codegen, so the op is scan-bound
@@ -179,14 +181,20 @@ def separate_rows(tbl: SparkTbl, *cols, sep: str = r"[^a-zA-Z0-9.]+",
             "(e.g. convert='bigint') for a lazy cast")
     df = tbl.df
     others = [c for c in df.columns if c not in names]
+    # NULL handling: split(NULL) is NULL; explode_outer keeps the row
+    # with a NULL piece.  In the multi-column case arrays_zip is NULL if
+    # ANY input is NULL, so each NULL split is coalesced to [NULL] first
+    # (tidyr's per-column "NA splits to one NA piece" lockstep).
+    null_piece = F.array(F.lit(None).cast("string"))
     if len(names) == 1:
         nm = names[0]
         df = df.select(*others,
-                       F.explode(F.split(F.col(nm), sep, -1)).alias(nm))
+                       F.explode_outer(F.split(F.col(nm), sep, -1)).alias(nm))
     else:
-        zipped = F.arrays_zip(*[F.split(F.col(n), sep, -1).alias(n)
-                                for n in names])
-        df = (df.select(*others, F.explode(zipped).alias("__sr"))
+        zipped = F.arrays_zip(*[
+            F.coalesce(F.split(F.col(n), sep, -1), null_piece).alias(n)
+            for n in names])
+        df = (df.select(*others, F.explode_outer(zipped).alias("__sr"))
               .select(*others, *[F.col(f"__sr.{n}").alias(n) for n in names]))
     if isinstance(convert, str):
         for n in names:

@@ -61,7 +61,15 @@ class SparkTbl:
     def __rshift__(self, other):
         """``tbl >> pipe`` normally resolves via Pipe.__rrshift__; this
         covers plain callables (``tbl >> (lambda t: ...)``) which have no
-        __rrshift__ of their own."""
+        __rrshift__ of their own.
+
+        A Symbolic (``tbl >> _.foo`` — a typo'd pipe stage) is NOT a
+        stage: defer to Symbolic.__rrshift__ so the user gets its
+        explicit TypeError instead of a silently wrong Symbolic value
+        (Symbolic is callable, so as_pipe would happily wrap it)."""
+        from ..siu.calls import Symbolic
+        if isinstance(other, Symbolic):
+            return NotImplemented
         from .pipe import as_pipe
         return as_pipe(other).fn(self)
 
@@ -258,9 +266,18 @@ def write_csv(tbl: SparkTbl, path: str, mode: str = "overwrite", header: bool = 
 def write_shards(tbl: SparkTbl, path: str, n_shards: int,
                  shuffle_by: str | None = None, mode: str = "overwrite",
                  format: str = "parquet"):
-    """Training-output sink: write exactly ``n_shards`` files, optionally
-    with a DETERMINISTIC global shuffle of row order (md5 of a stable id
-    — reproducible on any cluster size, unlike rand()-keyed shuffles).
+    """Training-output sink: write ``n_shards`` files, optionally with a
+    DETERMINISTIC global shuffle of row order (md5 of a stable id —
+    reproducible on any cluster size, unlike rand()-keyed shuffles).
+
+    Shard-count guarantee: without ``shuffle_by`` the round-robin
+    repartition fills every partition, so exactly ``n_shards`` files are
+    written (provided rows >= n_shards).  With ``shuffle_by`` the rows
+    hash-partition on md5(key), and a hash partition that happens to be
+    empty writes no file — so the keyed path guarantees AT MOST
+    ``n_shards`` (in practice all of them for any non-toy row count);
+    trainers that require an exact stripe count should use the unkeyed
+    path or verify the file count after writing.
 
     Trainers stream shards round-robin, so shard count controls reader
     parallelism and the md5 order de-clusters documents that were

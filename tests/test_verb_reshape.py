@@ -453,3 +453,29 @@ def test_crosstab_matches_pandas(spark):
     want2 = pd.crosstab(pdf.a, pdf.b, values=pdf.v, aggfunc="sum").fillna(0)
     assert got2.p.tolist() == want2.p.tolist()
     assert got2.q.tolist() == want2.q.tolist()
+
+
+def test_separate_rows_keeps_null_rows(spark):
+    """tidyr::separate_rows keeps a row whose split column is NA (one
+    output row with a NULL piece) — explode would silently drop it."""
+    from siuba_spark.operators.reshape import separate_rows
+
+    t = data_frame(spark, id=[1, 2], v=["a-b", None])
+    out = (t >> separate_rows(_.v, sep="-")).df.orderBy("id", "v").collect()
+    assert [(r.id, r.v) for r in out] == [(1, "a"), (1, "b"), (2, None)]
+
+    # multi-column lockstep: a NULL column contributes one NULL piece
+    t2 = data_frame(spark, id=[1], a=["x-y"], b=[None])
+    out2 = (t2 >> separate_rows(_.a, _.b, sep="-")).df.orderBy("a").collect()
+    assert [(r.a, r.b) for r in out2] == [("x", None), ("y", None)]
+
+
+def test_symbolic_pipe_stage_raises(spark):
+    """tbl >> _.foo is a typo'd pipe stage (Symbolic, not a verb): it must
+    raise Symbolic.__rrshift__'s TypeError, not silently return a
+    Symbolic."""
+    import pytest
+
+    t = data_frame(spark, x=[1])
+    with pytest.raises(TypeError, match="bare symbolic"):
+        t >> _.x
