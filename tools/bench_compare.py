@@ -1,32 +1,63 @@
-"""Diff two bench JSON lines: per-query ratios, regressions, new queries.
+"""Regression gate between two bench.py artifacts.
 
-    python tools/bench_compare.py BENCH_r02.json BENCH_r03.json
+    python tools/bench_compare.py BENCH_r03.json BENCH_new.json [ratio]
+
+Compares the per-query timings on the SHARED query set and exits non-zero
+when any shared query regressed by more than ``ratio`` (default 1.3x) AND
+by more than an absolute floor of 0.15 s (sub-150 ms queries are pure
+single-JVM scheduling noise — a 40 ms -> 70 ms swing is not a plan
+regression).  Prints a sorted delta table either way, so a neutral run
+doubles as the round-over-round accounting for SCALE.md.
 """
+
+from __future__ import annotations
 
 import json
 import sys
 
+ABS_FLOOR_SEC = 0.15
+
 
 def load(path):
-    d = json.load(open(path))
-    return (d.get("parsed") or d) if "parsed" in d or "queries" in d else d
+    with open(path) as fh:
+        data = json.load(fh)
+    # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    return {k: v for k, v in data.get("queries", {}).items() if v is not None}
 
 
 def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
     old, new = load(sys.argv[1]), load(sys.argv[2])
-    oq, nq = old["queries"], new["queries"]
-    shared = sorted(set(oq) & set(nq))
-    print(f"old total {old['value']}s/{len(oq)}q  new total "
-          f"{new['value']}s/{len(nq)}q  shared {len(shared)}")
-    print(f"shared-set sums: old {round(sum(oq[k] for k in shared), 2)}s  "
-          f"new {round(sum(nq[k] for k in shared), 2)}s")
-    regs = [(k, oq[k], nq[k]) for k in shared
-            if nq[k] > oq[k] * 1.3 and nq[k] - oq[k] > 0.1]
-    for k, a, b in sorted(regs, key=lambda r: r[1] - r[2]):
-        print(f"  REG {k}: {a} -> {b}")
-    adds = sorted(set(nq) - set(oq))
-    if adds:
-        print("new queries:", {k: nq[k] for k in adds})
+    ratio_gate = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    shared = sorted(set(old) & set(new))
+    if not shared:
+        print("no shared queries between artifacts")
+        sys.exit(2)
+    rows, failures = [], []
+    for q in shared:
+        o, n = old[q], new[q]
+        ratio = (n / o) if o else float("inf")
+        rows.append((ratio, q, o, n))
+        if ratio > ratio_gate and (n - o) > ABS_FLOOR_SEC:
+            failures.append(q)
+    rows.sort(reverse=True)
+    print(f"{'query':28s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+    for ratio, q, o, n in rows:
+        flag = "  <-- REGRESSION" if q in failures else ""
+        print(f"{q:28s} {o:8.3f} {n:8.3f} {ratio:7.2f}{flag}")
+    tot_o = sum(old[q] for q in shared)
+    tot_n = sum(new[q] for q in shared)
+    print(f"\nshared set: {len(shared)} queries, total "
+          f"{tot_o:.2f}s -> {tot_n:.2f}s ({tot_n / tot_o:.2f}x)")
+    if failures:
+        print(f"FAIL: {len(failures)} quer{'y' if len(failures) == 1 else 'ies'} "
+              f"regressed past {ratio_gate}x: {', '.join(failures)}")
+        sys.exit(1)
+    print("OK: no shared query regressed past the gate")
 
 
 if __name__ == "__main__":
