@@ -1,0 +1,118 @@
+"""Order-of-magnitude scale spot-run for the corpus layer.
+
+    python tools/scale_spot.py [mult] [sf_dir]
+
+Synthesizes a ``mult``x (default 10x — sf1-equivalent) copy of
+``documents.parquet`` by unioning id-shifted copies (text perturbed per
+copy so near-dup structure grows realistically instead of exploding into
+exact clones), writes it to /tmp as a multi-file parquet, then times the
+headline corpus operators at 1x and at ``mult``x.  Near-linear ratios
+(≈ mult, modulo fixed per-stage latency at the small end) are the
+evidence that the plans are shuffle-bounded, not pair-bounded; anything
+super-linear is a scale bug.
+
+Writes the measured table to stdout; SCALE.md records the latest run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+# runnable from anywhere: the repo root (one level up) holds siuba_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = base.count()
+    big_path = f"/tmp/siuba_spark_scale_docs_x{mult}"
+    if not os.path.exists(big_path):
+        copies = []
+        for i in range(mult):
+            c = (base
+                 .withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                 # perturb all but copy 0 so copies are near-dups, not
+                 # exact dups: prepend a copy-tag word
+                 .withColumn("text",
+                             F.when(F.lit(i == 0), F.col("text"))
+                             .otherwise(F.concat(F.lit(f"c{i} "), F.col("text")))))
+            copies.append(c)
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.repartition(64).write.mode("overwrite").parquet(big_path)
+
+    from siuba_spark.corpus.dedup import exact_dedup, minhash_near_dups, add_simhash
+    from siuba_spark.corpus.quality import (
+        dedup_segments, ngram_contamination, quality_signals, unigram_logprob,
+    )
+    from siuba_spark.corpus.text import fingerprint, text_stats
+    from siuba_spark.plans.tbl import SparkTbl, tbl
+
+    def load_small():
+        n = spark.sparkContext.defaultParallelism
+        return tbl(spark, f"{sf_dir}/documents.parquet", min_partitions=n)
+
+    def load_big():
+        return tbl(spark, big_path)
+
+    def bench_docs(docs):
+        bench = SparkTbl(docs.df.filter(F.col("doc_id") % 50 == 0))
+        return bench
+
+    OPS = {
+        "exact_dedup": lambda d: exact_dedup(d, cols=("text",)).df,
+        "minhash_near_dups": lambda d: minhash_near_dups(d, threshold=0.7).df,
+        "simhash": lambda d: add_simhash(d, bits=16, id_col="doc_id").df,
+        "quality_signals": lambda d: quality_signals(d).df,
+        "dedup_segments": lambda d: dedup_segments(d, sep=" ").df,
+        "ngram_contamination": lambda d: ngram_contamination(
+            d, bench_docs(d), n=5).df,
+        "unigram_logprob": lambda d: unigram_logprob(d).df,
+        "text_stats": lambda d: text_stats(d).df,
+        "fingerprint": lambda d: fingerprint(d).df,
+    }
+
+    def run(loader, op):
+        from siuba_spark import release_all_pins
+        t0 = time.perf_counter()
+        OPS[op](loader()).write.format("noop").mode("overwrite").save()
+        release_all_pins()
+        return time.perf_counter() - t0
+
+    # warmup pass at 1x absorbs codegen JIT
+    for op in OPS:
+        try:
+            run(load_small, op)
+        except Exception as exc:
+            print(f"warmup error {op}: {exc}", file=sys.stderr)
+
+    print(f"{'op':22s} {'1x sec':>8s} {f'{mult}x sec':>9s} {'ratio':>7s}  "
+          f"(rows {n_base} -> {n_base * mult})")
+    for op in OPS:
+        t1 = min(run(load_small, op) for _ in range(2))
+        tm = min(run(load_big, op) for _ in range(2))
+        print(f"{op:22s} {t1:8.2f} {tm:9.2f} {tm / t1:7.2f}")
+
+    shutil.rmtree(big_path, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
