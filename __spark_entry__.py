@@ -1454,6 +1454,12 @@ SQL_LSH_ANN = _lsh_ann_oracle_sql()
 
 
 def q_multimodal_decode(spark, sf):
+    """Arrow-batched mapInPandas decode plumbing over a binary column.
+    The 'fake' decoder derives metadata from sha256 of the payload —
+    deterministic, so the DuckDB oracle recomputes the identical
+    width/height/n_bytes from the same UTF-8 bytes (sha256 + octet_length
+    are common to both engines), grading the whole mapInPandas round trip
+    value-exactly."""
     from siuba_spark.corpus.multimodal import decode_images
     from pyspark.sql import functions as F
     docs = _t(spark, sf, "documents")
@@ -1464,6 +1470,15 @@ def q_multimodal_decode(spark, sf):
                   n_bytes=_.decoded.n_bytes)
         >> select(_.doc_id, _.width, _.height, _.n_bytes)
     ).df
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       ('0x' || substr(sha256(text), 1, 4))::INT % 2048 + 1 AS width,
+       ('0x' || substr(sha256(text), 5, 4))::INT % 2048 + 1 AS height,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
 
 
 def q_audio_meta(spark, sf):
@@ -3104,13 +3119,59 @@ SQL_EMBEDDING_NEAR_DUPS_LSH = _embedding_lsh_oracle_sql()
 
 
 def q_ivf_topk(spark, sf):
-    """IVF ANN (k-means cells + probe scan) — approximate by construction,
-    no SQL oracle; the driver's rows-only check applies.  Exactness of the
-    underlying scoring is covered by ann_topk's oracle."""
+    """IVF ANN with deterministic sample centroids (the n_lists smallest-
+    id corpus vectors): centroid pick, argmin cell assignment, probe
+    ranking and in-cell scoring are all replicable in vanilla SQL, so the
+    full pipeline grades value-exactly.  The k-means-trained variant
+    (better cell balance, not SQL-expressible) stays registered as the
+    rows-only ivf_topk_kmeans twin."""
+    from siuba_spark.corpus.similarity import ivf_topk
+    t = _t(spark, sf, "embeddings")
+    q = t.df.orderBy("vec_id").limit(8)
+    return ivf_topk(t, q, k=5, n_lists=8, n_probes=3, centroids="sample").df
+
+
+def q_ivf_topk_kmeans(spark, sf):
+    """Production IVF (MLlib k-means|| coarse quantizer) — approximate by
+    construction, rows-only; scoring exactness is covered by ann_topk and
+    the sample-centroid twin's oracle."""
     from siuba_spark.corpus.similarity import ivf_topk
     t = _t(spark, sf, "embeddings")
     q = t.df.orderBy("vec_id").limit(8)
     return ivf_topk(t, q, k=5, n_lists=8, n_probes=3).df
+
+
+SQL_IVF_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 8)),
+-- squared euclidean distance, same left-fold order as Spark's aggregate
+d AS (SELECT e.vec_id, e.v, cents.cell,
+        list_reduce(list_transform(range(1, len(e.v) + 1),
+          j -> (e.v[j] - cents.c[j]) * (e.v[j] - cents.c[j])),
+          (a, b) -> a + b) AS d2
+      FROM e CROSS JOIN cents),
+asg AS (SELECT vec_id, v, cell FROM
+        (SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS rn FROM d)
+        WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM
+           (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, cell ASC) AS pr
+            FROM d WHERE vec_id IN
+              (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT 8))
+           WHERE pr <= 3),
+s AS (SELECT p.query_id, a.vec_id AS nbr_id,
+        ROUND(list_cosine_similarity(eq.v, a.v), 4) AS score
+      FROM probes p JOIN asg a ON a.cell = p.cell
+      JOIN e eq ON eq.vec_id = p.query_id
+      WHERE p.query_id <> a.vec_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, nbr_id ASC) AS INT) AS rk FROM s)
+SELECT query_id, nbr_id, score, rk FROM r WHERE rk <= 5
+"""
 
 
 def q_fuzzy_pairs(spark, sf):
@@ -3582,6 +3643,45 @@ SELECT source, doc_id, n_chars, rk, grp_mean FROM r WHERE rk <= 2
 """
 
 
+def q_pack_sequences(spark, sf):
+    """Trainer sequence packing: chunk every doc into 32-token windows,
+    then concat-and-chop per language into 256-token training sequences
+    (seq id + offset metadata).  One zero-shuffle flatMap + one window
+    shuffle on the pack key."""
+    from siuba_spark.corpus.quality import chunk_tokens, pack_sequences
+
+    chunks = chunk_tokens(_t(spark, sf, "documents"),
+                          max_tokens=32, stride=32)
+    packed = pack_sequences(chunks, tokens_col="chunk_n_tokens",
+                            capacity=256, by="lang",
+                            order_by=("doc_id", "chunk_id"))
+    return packed.df.select("doc_id", "chunk_id", "lang",
+                            "chunk_n_tokens", "seq_id", "seq_id_offset")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH tok AS (SELECT doc_id, lang,
+                    string_split_regex(trim(lower(text)), '\s+') AS t
+             FROM documents),
+starts AS (SELECT doc_id, lang, t,
+                  unnest(range(0, ((len(t)-1)//32)+1)) AS i
+           FROM tok WHERE len(t) > 0),
+ch AS (SELECT doc_id, i::INT AS chunk_id, lang,
+              len(t[i*32+1 : i*32+32])::INT AS chunk_n_tokens
+       FROM starts),
+run AS (SELECT *,
+          SUM(chunk_n_tokens) OVER (PARTITION BY lang
+            ORDER BY doc_id ASC, chunk_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - chunk_n_tokens AS start_tok
+        FROM ch)
+SELECT doc_id, chunk_id, lang, chunk_n_tokens,
+       (start_tok // 256)::INT AS seq_id,
+       (start_tok % 256)::INT AS seq_id_offset
+FROM run
+"""
+
+
 def q_drop_near_dups(spark, sf):
     """The composition every dedup pipeline ends with: fuzzy title pairs
     → connected components → keep the cluster-min doc.  Oracle replays
@@ -3677,7 +3777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "minhash_near_dups": q_minhash_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        # still rows-only by design: k-means cells / decode stub
+        # ivf now grades via deterministic sample centroids; the decode
+        # stub grades via its sha256-derived fake metadata
         "ivf_topk": q_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
         # --- (c) new round-4 coverage: prep/sink/UDF surface ---
@@ -3685,6 +3786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_mixture": q_stratified_mixture,
         "group_apply": q_group_apply,
         "drop_near_dups": q_drop_near_dups,
+        "pack_sequences": q_pack_sequences,
         # --- (d) contract-change sentinels + flagship ---
         "jaccard_pairs": q_jaccard_pairs,
         "separate_rows": q_separate_rows,
@@ -3719,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # names (see BENCH_ALIASES)
         "minhash_near_dups_prod": q_minhash_near_dups_prod,
         "simhash_prod": q_simhash_prod,
+        "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "slice_minmax": q_slice_minmax,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -3939,4 +4042,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_mixture": SQL_STRATIFIED_MIXTURE,
         "group_apply": SQL_GROUP_APPLY,
         "drop_near_dups": SQL_DROP_NEAR_DUPS,
+        "ivf_topk": SQL_IVF_TOPK,
+        "multimodal_decode": SQL_MULTIMODAL_DECODE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
     }

@@ -54,7 +54,7 @@ def main():
         "hash_split", "cut_qcut_bands", "audio_meta",
         "quality_signals", "scrub_pii", "dedup_segments",
         "ngram_contamination", "unigram_logprob", "stratified_sample",
-        "chunk_tokens", "fuzzy_pairs", "video_meta",
+        "chunk_tokens", "fuzzy_pairs", "video_meta", "pack_sequences",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

@@ -25,7 +25,8 @@ from .text import tokens_col
 
 __all__ = [
     "quality_signals", "scrub_pii", "stratified_sample", "dedup_segments",
-    "ngram_contamination", "unigram_logprob", "chunk_tokens", "PII_PATTERNS",
+    "ngram_contamination", "unigram_logprob", "chunk_tokens",
+    "pack_sequences", "PII_PATTERNS",
 ]
 
 
@@ -241,6 +242,45 @@ def chunk_tokens(tbl: SparkTbl, max_tokens: int, stride: int | None = None,
           .withColumn(f"{out}_n_tokens", F.size("__c"))
           .filter(F.col(f"{out}_n_tokens") >= drop_last_below)
           .drop("__c"))
+    return tbl.evolve(df=df)
+
+
+@verb
+def pack_sequences(tbl: SparkTbl, tokens_col: str, capacity: int, by,
+                   order_by=("doc_id",), out: str = "seq_id"):
+    """Concat-and-chop training-sequence assignment: lay the chunks of
+    each ``by`` partition end-to-end in ``order_by`` order and record, for
+    every chunk, which ``capacity``-token training sequence its FIRST
+    token lands in (``out``) and at what offset (``{out}_offset``) — the
+    GPT-style "concatenate everything, chop every ``capacity`` tokens"
+    packing, as metadata instead of materialized sequences so the
+    downstream writer can group-by ``(by, seq_id)``.
+
+    ``by`` is REQUIRED (a column or list): packing runs independently
+    inside each partition — one window shuffle on the ``by`` key.  A
+    global pack would funnel 100 TB through a single unbounded window
+    partition, and distributed trainers pack per shard/stream anyway, so
+    the global variant is deliberately not offered (same contract
+    rationale as ``fuzzy_pairs``).
+
+    Deterministic: integer running sums over a total order — the same
+    assignment on any cluster size, replicable in vanilla SQL.
+    """
+    if by is None or (isinstance(by, (list, tuple)) and not by):
+        raise ValueError(
+            "pack_sequences requires by= partition column(s); a single "
+            "global packing window cannot scale — pack per shard/source")
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    w = (Window.partitionBy(*[F.col(k) for k in keys])
+         .orderBy(*[F.col(o).asc() for o in order])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col))
+    df = (tbl.df
+          .withColumn(out, F.floor(start / capacity).cast("int"))
+          .withColumn(f"{out}_offset", (start % capacity).cast("int")))
     return tbl.evolve(df=df)
 
 

@@ -234,31 +234,71 @@ def cosine_near_dups(tbl: SparkTbl, threshold: float = 0.9,
 @verb
 def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", n_lists: int = 16, n_probes: int = 4,
-             seed: int = 42, round_to: int = 4):
-    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
+             seed: int = 42, round_to: int = 4, centroids: str = "kmeans"):
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
     into ``n_lists`` cells; each query probes its ``n_probes`` nearest
     centroids and scans only those cells with exact cosine.
 
-    Scale shape: training samples the corpus (k-means|| on MLlib), the
-    centroid table is tiny and broadcast, and the candidate join shuffles
-    on the cell id — per-query work is |corpus| * n_probes / n_lists
-    instead of |corpus|."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    ``centroids=`` picks how the cell centroids are chosen:
 
-    feats = array_to_vector(_to_double(F.col(vec_col)))
-    corpus_f = tbl.df.withColumn("__feat", feats)
-    model = KMeans(k=n_lists, seed=seed, featuresCol="__feat") \
-        .fit(corpus_f.select("__feat"))
-    assigned = (model.transform(corpus_f)
-                .select(F.col(id_col).alias("nbr_id"),
-                        F.col(vec_col).alias("nbr_vec"),
-                        _norm_sq(F.col(vec_col)).alias("__nn"),
-                        F.col("prediction").alias("__cell")))
+    - ``"kmeans"`` (default) — MLlib k-means|| on the corpus: tightest
+      cells, best recall-per-probe; the iterative training is not
+      SQL-expressible, so results can only be recall-floor-checked.
+    - ``"sample"`` — the ``n_lists`` corpus vectors with the smallest ids
+      (IVF practice routinely builds coarse quantizers from a sample;
+      skipping Lloyd iterations costs some cell balance).  Every stage —
+      centroid pick, argmin assignment, probe ranking — is deterministic
+      and replicable in vanilla SQL, so an independent engine can verify
+      the full pipeline value-exactly.
+
+    Scale shape (both modes): the centroid table is tiny and broadcast,
+    and the candidate join shuffles on the cell id — per-query work is
+    |corpus| * n_probes / n_lists instead of |corpus|."""
+    spark = tbl.df.sparkSession
+    if centroids == "sample":
+        # bounded eager probe: n_lists rows collected (same class of
+        # collected-spec job as pivot's key discovery)
+        rows = (tbl.df.orderBy(F.col(id_col).asc()).limit(n_lists)
+                .select(_to_double(F.col(vec_col)).alias("__c")).collect())
+        cents = [[float(x) for x in r["__c"]] for r in rows]
+        centers = list(enumerate(cents))
+        # assignment: ONE pass per corpus row over a broadcast 1-row
+        # centroid table (the packed-planes pattern) — argmin of the
+        # squared euclidean distances, first index wins ties; no explode,
+        # no extra shuffle
+        cpk = (spark.createDataFrame([(cents,)], "__cents: array<array<double>>")
+               .withColumn("__jk", F.lit(1)))
+        vd = _to_double(F.col(vec_col))
+        d2 = F.transform(F.col("__cents"), lambda c: F.aggregate(
+            F.zip_with(vd, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        cell = (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+        assigned = (tbl.df.withColumn("__jk", F.lit(1))
+                    .join(F.broadcast(cpk), "__jk")
+                    .select(F.col(id_col).alias("nbr_id"),
+                            F.col(vec_col).alias("nbr_vec"),
+                            _norm_sq(F.col(vec_col)).alias("__nn"),
+                            cell.alias("__cell")))
+    elif centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+
+        from pyspark.ml.functions import array_to_vector
+
+        feats = array_to_vector(_to_double(F.col(vec_col)))
+        corpus_f = tbl.df.withColumn("__feat", feats)
+        model = KMeans(k=n_lists, seed=seed, featuresCol="__feat") \
+            .fit(corpus_f.select("__feat"))
+        assigned = (model.transform(corpus_f)
+                    .select(F.col(id_col).alias("nbr_id"),
+                            F.col(vec_col).alias("nbr_vec"),
+                            _norm_sq(F.col(vec_col)).alias("__nn"),
+                            F.col("prediction").alias("__cell")))
+        centers = [(i, [float(x) for x in c])
+                   for i, c in enumerate(model.clusterCenters())]
+    else:
+        raise ValueError(f"unknown centroids mode: {centroids!r}")
 
     # tiny (n_lists × dim) centroid table → broadcast against the queries
-    spark = tbl.df.sparkSession
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cdf = spark.createDataFrame(centers, ["__cell", "__center"])
 
     qdf = queries.df if isinstance(queries, SparkTbl) else queries

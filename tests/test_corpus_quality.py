@@ -621,3 +621,32 @@ def test_minhash_md5_key_mode_precision(spark):
         .df.toPandas()
     assert ((out.jaccard >= 0.5).all())
     assert {(1, 2)} <= set(zip(out.id_a, out.id_b))
+
+
+def test_pack_sequences_semantics(spark):
+    """Concat-and-chop: seq_id/offset follow the running token count in
+    (by, order) order; capacity boundaries land where the math says."""
+    from siuba_spark.corpus.quality import pack_sequences
+
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3, 4, 5],
+        grp=["a", "a", "a", "b", "b"],
+        n_tok=[6, 3, 4, 9, 2])
+    out = (pack_sequences(t, tokens_col="n_tok", capacity=8, by="grp",
+                          order_by="doc_id")
+           .df.orderBy("doc_id").collect())
+    # grp a: starts 0, 6, 9 -> seqs 0,0,1; offsets 0,6,1
+    # grp b: starts 0, 9   -> seqs 0,1; offsets 0,1
+    assert [(r.seq_id, r.seq_id_offset) for r in out] == \
+        [(0, 0), (0, 6), (1, 1), (0, 0), (1, 1)]
+
+
+def test_pack_sequences_requires_partitioning(spark):
+    from siuba_spark.corpus.quality import pack_sequences
+
+    t = data_frame(spark, doc_id=[1], n_tok=[3])
+    with pytest.raises(ValueError, match="by="):
+        pack_sequences(t, tokens_col="n_tok", capacity=8, by=None)
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(t, tokens_col="n_tok", capacity=0, by="doc_id")
