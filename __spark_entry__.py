@@ -3682,6 +3682,63 @@ FROM run
 """
 
 
+def q_gopher_filter(spark, sf):
+    """Composite Gopher-rule quality gate: quality_signals + threshold
+    envelope (loosened to fit the synthetic corpus's signal ranges so the
+    filter is exercised on both sides)."""
+    from siuba_spark.corpus.quality import gopher_filter
+
+    return (gopher_filter(_t(spark, sf, "documents"),
+                          min_tokens=20, min_mean_word_len=3.5,
+                          max_mean_word_len=8.0, max_symbol_word_ratio=0.05,
+                          max_dup_word_frac=0.8, max_dup_2gram_frac=0.6,
+                          max_top_2gram_frac=0.2)
+            .df.select("doc_id", "lang", "source"))
+
+
+_SQL_GOPHER_FILTER_TPL = r"""
+WITH sig AS ({signals})
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN sig ON sig.doc_id = d.doc_id
+WHERE len(string_split_regex(trim(lower(d.text)), '\s+')) BETWEEN 20 AND 100000
+  AND sig.mean_word_len BETWEEN 3.5 AND 8.0
+  AND sig.symbol_word_ratio <= 0.05
+  AND sig.dup_word_frac <= 0.8
+  AND sig.dup_2gram_frac <= 0.6
+  AND sig.top_2gram_frac <= 0.2
+"""
+
+# reuse the graded quality_signals oracle as the signal subquery (a CTE
+# body may carry its own WITH in DuckDB)
+SQL_GOPHER_FILTER = _SQL_GOPHER_FILTER_TPL.format(signals=SQL_QUALITY_SIGNALS)
+
+
+def q_token_budget_sample(spark, sf):
+    """Per-language token-budget mixture sample: docs accumulate in
+    md5(doc_id) order until each language holds ~2000 tokens (kept while
+    the running total before the doc is under budget)."""
+    from siuba_spark.corpus.quality import token_budget_sample
+
+    return (token_budget_sample(_t(spark, sf, "documents"), "lang",
+                                budget=2000)
+            .df.select("doc_id", "lang", "source"))
+
+
+SQL_TOKEN_BUDGET_SAMPLE = r"""
+WITH t AS (SELECT doc_id, lang, source,
+                  len(string_split_regex(trim(lower(text)), '\s+')) AS ntok
+           FROM documents),
+run AS (SELECT *,
+          SUM(ntok) OVER (PARTITION BY lang
+            ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok
+          AS before_tok
+        FROM t)
+SELECT doc_id, lang, source FROM run WHERE before_tok < 2000
+"""
+
+
 def q_drop_near_dups(spark, sf):
     """The composition every dedup pipeline ends with: fuzzy title pairs
     → connected components → keep the cluster-min doc.  Oracle replays
@@ -3787,6 +3844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_apply": q_group_apply,
         "drop_near_dups": q_drop_near_dups,
         "pack_sequences": q_pack_sequences,
+        "gopher_filter": q_gopher_filter,
+        "token_budget_sample": q_token_budget_sample,
         # --- (d) contract-change sentinels + flagship ---
         "jaccard_pairs": q_jaccard_pairs,
         "separate_rows": q_separate_rows,
@@ -4045,4 +4104,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": SQL_IVF_TOPK,
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "gopher_filter": SQL_GOPHER_FILTER,
+        "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     }

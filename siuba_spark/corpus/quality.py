@@ -26,7 +26,8 @@ from .text import tokens_col
 __all__ = [
     "quality_signals", "scrub_pii", "stratified_sample", "dedup_segments",
     "ngram_contamination", "unigram_logprob", "chunk_tokens",
-    "pack_sequences", "PII_PATTERNS",
+    "pack_sequences", "gopher_filter", "token_budget_sample",
+    "GOPHER_DEFAULTS", "PII_PATTERNS",
 ]
 
 
@@ -242,6 +243,91 @@ def chunk_tokens(tbl: SparkTbl, max_tokens: int, stride: int | None = None,
           .withColumn(f"{out}_n_tokens", F.size("__c"))
           .filter(F.col(f"{out}_n_tokens") >= drop_last_below)
           .drop("__c"))
+    return tbl.evolve(df=df)
+
+
+#: Gopher-style document filter thresholds (Rae et al. 2021 §A1.1 rules
+#: mapped onto this module's signals; every knob overridable per call)
+GOPHER_DEFAULTS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_dup_word_frac": 0.3,
+    "max_dup_2gram_frac": 0.2,
+    "max_top_2gram_frac": 0.2,
+}
+
+
+@verb
+def gopher_filter(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
+                  keep_signals: bool = False, **thresholds):
+    """Composite Gopher-rule quality filter: compute ``quality_signals``
+    and keep only documents inside the published threshold envelope
+    (token-count bounds, mean-word-length band, symbol ratio, repetition
+    caps).  Every threshold is a keyword override of
+    ``GOPHER_DEFAULTS``.
+
+    Same scale shape as quality_signals (two fine-key shuffles with
+    map-side combine); the filter itself is a projection.  With
+    ``keep_signals=True`` the signal columns survive for auditing;
+    default drops them so the output schema matches the input.
+    """
+    unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher_filter thresholds: {sorted(unknown)}")
+    p = {**GOPHER_DEFAULTS, **thresholds}
+    in_cols = list(tbl.df.columns)
+    sig = quality_signals(tbl, col=col, id_col=id_col)
+    ntok = F.size(tokens_col(F.col(col)))
+    cond = (
+        (ntok >= p["min_tokens"]) & (ntok <= p["max_tokens"])
+        & (F.col("mean_word_len") >= p["min_mean_word_len"])
+        & (F.col("mean_word_len") <= p["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= p["max_symbol_word_ratio"])
+        & (F.col("dup_word_frac") <= p["max_dup_word_frac"])
+        & (F.col("dup_2gram_frac") <= p["max_dup_2gram_frac"])
+        & (F.col("top_2gram_frac") <= p["max_top_2gram_frac"])
+    )
+    df = sig.df.filter(cond)
+    if not keep_signals:
+        df = df.select(*in_cols)
+    return tbl.evolve(df=df)
+
+
+@verb
+def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
+                        n_tokens_col: str | None = None, col: str = "text",
+                        id_col: str = "doc_id"):
+    """Deterministic per-stratum TOKEN budget sampling — the mixture
+    question trainers actually ask ("~N tokens of each source"), vs
+    stratified_sample's row counts.  Docs accumulate in md5(id) order
+    until the stratum's running token total reaches ``budget``; a doc is
+    kept while the total BEFORE it is under budget, so each stratum
+    overshoots by at most one document.  No RNG: membership depends only
+    on ids + token counts, reproducible on any engine or cluster size.
+
+    ``n_tokens_col=`` uses a precomputed count; otherwise tokens are
+    counted from ``col``.  One window shuffle on the strata key.
+    """
+    keys = [str(s) for s in strata] or list(tbl.group_by)
+    if not keys:
+        raise ValueError("token_budget_sample needs strata columns "
+                         "(or a grouped tbl)")
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    ntok = (F.col(n_tokens_col) if n_tokens_col
+            else F.size(tokens_col(F.col(col))))
+    h = F.md5(F.col(id_col).cast("string"))
+    w = (Window.partitionBy(*[F.col(k) for k in keys])
+         .orderBy(h.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before = F.sum(ntok).over(w) - ntok
+    df = (tbl.df
+          .withColumn("__before", before)
+          .filter(F.col("__before") < budget)
+          .drop("__before"))
     return tbl.evolve(df=df)
 
 

@@ -650,3 +650,44 @@ def test_pack_sequences_requires_partitioning(spark):
         pack_sequences(t, tokens_col="n_tok", capacity=8, by=None)
     with pytest.raises(ValueError, match="capacity"):
         pack_sequences(t, tokens_col="n_tok", capacity=0, by="doc_id")
+
+
+def test_gopher_filter_thresholds(spark):
+    from siuba_spark.corpus.quality import gopher_filter
+
+    good = " ".join(f"word{i:02d}" for i in range(60))  # 60 distinct tokens
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3, 4],
+        text=[
+            good,                        # passes
+            "short doc",                 # < min_tokens
+            "spam spam spam " * 30,      # dup_word_frac ~1
+            good + " !!!! #### $$$$" * 40,  # symbol ratio blown
+        ])
+    out = gopher_filter(t).df.toPandas()
+    assert out.doc_id.tolist() == [1]
+    # signals kept on request; schema preserved otherwise
+    sig = gopher_filter(t, keep_signals=True).df
+    assert "dup_word_frac" in sig.columns
+    assert "dup_word_frac" not in gopher_filter(t).df.columns
+    with pytest.raises(ValueError, match="unknown"):
+        gopher_filter(t, nope=1)
+
+
+def test_token_budget_sample_budget_bound(spark):
+    from siuba_spark.corpus.quality import token_budget_sample
+
+    t = data_frame(
+        spark,
+        doc_id=list(range(30)),
+        lang=["en", "fr"] * 15,
+        text=["w1 w2 w3 w4 w5"] * 30)  # 5 tokens per doc
+    out = token_budget_sample(t, "lang", budget=12).df.toPandas()
+    # kept while tokens-before < 12 -> 3 docs per stratum (0,5,10 before)
+    assert out.groupby("lang").size().tolist() == [3, 3]
+    # deterministic + subset-stable under re-run
+    out2 = token_budget_sample(t, "lang", budget=12).df.toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    with pytest.raises(ValueError, match="strata"):
+        token_budget_sample(t, budget=10)
