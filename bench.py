@@ -66,8 +66,9 @@ def main():
         "simhash": "simhash_prod",
     }
     # single-JVM noise movers get extra repetitions (r2->r3 showed ±40%
-    # swings on these at min-of-3 with unchanged plans)
-    EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups"}
+    # swings on these at min-of-3 with unchanged plans; tpch_q3 showed a
+    # 0.57 vs 0.74 A/A swing on identical code in r4)
+    EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3"}
     queries = entry.queries()
 
     def run(name):
