@@ -44,9 +44,12 @@ def _str_slice(col, start=None, stop=None):
         if stop is None:
             return F.substring(col, start, 2147483647)
         if stop >= 0:
-            raise NotImplementedError(
-                "str.slice with negative start and non-negative stop "
-                "depends on each string's length; use two slices instead")
+            # mixed signs depend on each string's length: pandas
+            # s[start:stop] = s[max(len+start, 0):stop] — substring with
+            # per-row position/length columns (still codegen'd)
+            eff = F.greatest(F.length(col) + start, F.lit(0))
+            ln = F.greatest(F.lit(stop) - eff, F.lit(0))
+            return F.substring(col, eff + 1, ln)
         if stop <= start:
             return F.lit("")
         return F.substring(col, start, stop - start)

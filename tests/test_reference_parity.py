@@ -655,6 +655,8 @@ def test_parity_str_dt_accessor_sweep(spark):
         "ct": lambda c: c.s.str.contains("[ae]"),
         "sl": lambda c: c.s.str.slice(1, 4),
         "sn": lambda c: c.s.str.slice(-3),
+        "sm": lambda c: c.s.str.slice(-5, 6),
+        "sm2": lambda c: c.s.str.slice(-20, 3),
         "zf": lambda c: c.s.str.zfill(12),
         "yr": lambda c: c.t.dt.year,
         "mo": lambda c: c.t.dt.month,
