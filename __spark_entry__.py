@@ -2995,6 +2995,26 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark, sf):
+    """Explicit ANSI GROUPING SETS (only the requested combinations, one
+    Expand pass — vs cube's full power set)."""
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag, _.l_linestatus)
+        >> summarize(sum_qty=_.l_quantity.sum(), n_rows=n(_),
+                     _sets=[["l_returnflag", "l_linestatus"],
+                            ["l_linestatus"], []])
+    ).df
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
 def q_rollup_agg(spark, sf):
     return (
         _t(spark, sf, "orders")
@@ -3846,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "gopher_filter": q_gopher_filter,
         "token_budget_sample": q_token_budget_sample,
+        "grouping_sets": q_grouping_sets,
         # --- (d) contract-change sentinels + flagship ---
         "jaccard_pairs": q_jaccard_pairs,
         "separate_rows": q_separate_rows,
@@ -4106,4 +4127,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "gopher_filter": SQL_GOPHER_FILTER,
         "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+        "grouping_sets": SQL_GROUPING_SETS,
     }

@@ -114,14 +114,18 @@ def ungroup(tbl: SparkTbl):
 
 
 @verb
-def summarize(tbl: SparkTbl, *args, _sets: str | None = None, **kwargs):
+def summarize(tbl: SparkTbl, *args, _sets=None, **kwargs):
     """One row per group (reference: siuba/sql/verbs/summarize.py:11-132).
     Grouping columns come out first; the result is ungrouped.
     Positional args must be across() expansions.
 
     ``_sets="cube"`` / ``"rollup"`` aggregate over all prefix/power-set
     grouping combinations (absent from the reference — SURVEY §2.4 marks
-    it free Spark upside; super-aggregate rows carry NULL keys).
+    it free Spark upside; super-aggregate rows carry NULL keys).  An
+    explicit list of column-name lists is ANSI GROUPING SETS — only the
+    requested combinations, one Expand pass (e.g.
+    ``_sets=[["a", "b"], ["a"], []]``); each set must draw from the
+    current group_by keys.
 
     Plan note: kwargs that are purely distinct aggregates (nunique /
     n_distinct) are computed in a SEPARATE aggregation joined back on the
@@ -167,6 +171,17 @@ def summarize(tbl: SparkTbl, *args, _sets: str | None = None, **kwargs):
         grouped = tbl.df.cube(*keys)
     elif _sets == "rollup":
         grouped = tbl.df.rollup(*keys)
+    elif isinstance(_sets, (list, tuple)):
+        sets = []
+        for s in _sets:
+            names = [s] if isinstance(s, str) else list(s)
+            bad = set(names) - set(tbl.group_by)
+            if bad:
+                raise TranslationError(
+                    f"summarize: grouping set columns {sorted(bad)} are not "
+                    f"in the current group_by {list(tbl.group_by)}")
+            sets.append([F.col(c) for c in names])
+        grouped = tbl.df.groupingSets(sets, *keys)
     elif _sets is None:
         grouped = tbl.df.groupBy(*keys)
     else:

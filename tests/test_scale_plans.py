@@ -512,3 +512,44 @@ def test_lsh_topk_plan_bounded_at_real_embedding_dims(spark):
     assert elapsed < 20, f"analysis took {elapsed:.1f}s"
     assert len(plan) < 200_000, f"analyzed plan is {len(plan)} chars"
     out.df.count()  # executes end-to-end
+
+
+def test_determinism_is_partition_invariant(spark):
+    """The reproducibility-critical ops must give IDENTICAL results no
+    matter how the input is partitioned — on a real cluster the split
+    layout is an accident of file sizes and executor count, so any
+    partition-sensitive assignment would be silently irreproducible."""
+    from siuba_spark.corpus.dedup import minhash_near_dups
+    from siuba_spark.corpus.quality import (
+        pack_sequences, stratified_sample, token_budget_sample,
+    )
+    from siuba_spark.operators.grouping import hash_split
+    from siuba_spark.plans.tbl import SparkTbl, tbl
+
+    base = tbl(spark, "/root/testdata/sf0.001/documents.parquet")
+    variants = [base,
+                SparkTbl(base.df.repartition(17)),
+                SparkTbl(base.df.repartition(1)),
+                SparkTbl(base.df.repartition(8, "lang"))]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    ops = {
+        "hash_split": lambda t: hash_split(t, "doc_id")
+            .df.select("doc_id", "split"),
+        "stratified_n": lambda t: stratified_sample(t, "lang", n=7)
+            .df.select("doc_id"),
+        "token_budget": lambda t: token_budget_sample(t, "lang", budget=500)
+            .df.select("doc_id"),
+        "pack_sequences": lambda t: pack_sequences(
+            t, tokens_col="n_chars", capacity=4000, by="lang")
+            .df.select("doc_id", "seq_id", "seq_id_offset"),
+        "minhash": lambda t: minhash_near_dups(t, threshold=0.3)
+            .df.select("id_a", "id_b"),
+    }
+    for name, op in ops.items():
+        want = rows(op(variants[0]))
+        for i, v in enumerate(variants[1:], 1):
+            got = rows(op(v))
+            assert got == want, f"{name} differs under partitioning #{i}"

@@ -271,3 +271,23 @@ def test_group_apply_demean(spark):
     assert got == [("a", -1.0), ("a", 1.0), ("b", 0.0)]
     with pytest.raises(ValueError):
         t >> group_apply(demean, "g string, x double")  # ungrouped
+
+
+def test_summarize_grouping_sets(spark):
+    """Explicit _sets=[...] computes only the requested combinations."""
+    import pytest
+
+    from siuba_spark import TranslationError
+
+    t = data_frame(spark, g=["a", "a", "b"], h=["x", "y", "y"],
+                   v=[1, 2, 4])
+    out = (t >> group_by(_.g, _.h)
+           >> summarize(s=_.v.sum(), _sets=[["g", "h"], ["g"], []])
+           ).df.toPandas()
+    rows = {(r.g, r.h): r.s for r in out.itertuples()}
+    assert rows[("a", "x")] == 1 and rows[("a", "y")] == 2
+    assert rows[("a", None)] == 3 and rows[("b", None)] == 4
+    assert rows[(None, None)] == 7
+    assert len(rows) == 6  # 3 leaf + 2 per-g + 1 grand total
+    with pytest.raises(TranslationError, match="not"):
+        t >> group_by(_.g) >> summarize(s=_.v.sum(), _sets=[["nope"]])
