@@ -18,7 +18,8 @@ from .lowering import AGG, AGGED, SCALAR, LowerCtx, TranslationError, lower, reg
 
 __all__ = [
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
-    "ntile", "lead", "lag", "n", "n_distinct", "nth", "first", "last",
+    "ntile", "lead", "lag", "n", "n_distinct", "approx_n_distinct",
+    "approx_quantile", "nth", "first", "last",
     "coalesce", "na_if", "between", "if_else", "case_when", "desc", "cut",
     "str_c", "floor_date", "ceil_date", "cumall", "cumany", "cummean",
     "json_extract", "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
@@ -160,6 +161,37 @@ def _n_distinct(ctx, args, kwargs):
     else:
         packed = cols[0]
     return F.size(F.collect_set(packed).over(ctx.w_agg())), SCALAR
+
+
+@register_fn("approx_n_distinct")
+def _approx_n_distinct(ctx, args, kwargs):
+    """HyperLogLog++ distinct count (``rsd=`` relative error, default
+    0.05): sketch-sized state instead of a hash set — at 100 TB an exact
+    count_distinct shuffles every distinct key, the sketch shuffles a few
+    KB per group.  Deterministic for a given dataset (HLL has no RNG),
+    but approximate — so no cross-engine oracle; bounds are unit-tested."""
+    rsd = _lit(kwargs.get("rsd", 0.05))
+    cols = [_low(a, ctx) for a in args if not isinstance(a, MetaArg)]
+    agg = F.approx_count_distinct(cols[0] if len(cols) == 1
+                                  else F.struct(*cols), rsd=rsd)
+    if ctx.mode == AGG:
+        return agg, AGGED
+    return agg.over(ctx.w_agg()), SCALAR
+
+
+@register_fn("approx_quantile")
+def _approx_quantile(ctx, args, kwargs):
+    """Greenwald-Khanna approximate percentile (``accuracy=`` knob,
+    default 10000 ≈ 1/accuracy relative rank error): bounded sketch state
+    vs exact percentile's full per-group sort buffer — the difference
+    between a mergeable agg and a spill machine at scale."""
+    accuracy = int(_lit(kwargs.get("accuracy", 10000)))
+    col = _low(args[0], ctx)
+    qv = _lit(args[1])
+    agg = F.percentile_approx(col, qv, accuracy)
+    if ctx.mode == AGG:
+        return agg, AGGED
+    return agg.over(ctx.w_agg()), SCALAR
 
 
 # -- positional -------------------------------------------------------------
@@ -447,6 +479,8 @@ lead = _fn("lead")
 lag = _fn("lag")
 n = _fn("n")
 n_distinct = _fn("n_distinct")
+approx_n_distinct = _fn("approx_n_distinct")
+approx_quantile = _fn("approx_quantile")
 nth = _fn("nth")
 first = _fn("first")
 last = _fn("last")

@@ -483,3 +483,26 @@ def test_dt_to_period_matches_pandas(spark):
            ).df.toPandas()
     for f, c in [("M", "m"), ("Q", "q"), ("Y", "y"), ("D", "d")]:
         assert out[c].tolist() == pdf.ts.dt.to_period(f).astype(str).tolist(), f
+
+
+def test_approx_aggregates_bounds(spark):
+    """approx_n_distinct (HLL++) and approx_quantile (Greenwald-Khanna)
+    — the sketch-state scale path next to exact nunique/quantile; error
+    bounds asserted, plus the grouped-window broadcast context."""
+    from siuba_spark import (
+        _, approx_n_distinct, approx_quantile, group_by, mutate, summarize,
+    )
+    from .helpers import data_frame
+
+    vals = [float(i % 97) for i in range(2000)]
+    t = data_frame(spark, g=["a", "b"] * 1000, v=vals)
+    out = (t >> summarize(nd=approx_n_distinct(_.v),
+                          q50=approx_quantile(_.v, 0.5))
+           ).df.collect()[0]
+    assert abs(out.nd - 97) <= 97 * 0.15
+    assert abs(out.q50 - 48.0) <= 2.0
+    # method-style spellings and grouped window broadcast
+    g = (t >> group_by(_.g)
+         >> mutate(nd=approx_n_distinct(_.v, rsd=0.02))
+         ).df.select("g", "nd").distinct().collect()
+    assert all(abs(r.nd - 97) <= 97 * 0.1 for r in g)
