@@ -1342,11 +1342,12 @@ def _minhash_oracle_sql(num_hashes=32, bands=8, rows=4, threshold=0.3):
         f"SELECT doc_id, {b} AS band, "
         f"array_to_string((sig)[{b*rows+1}:{b*rows+rows}], ',') AS key FROM sigs"
         for b in range(bands))
-    return f"""
-WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+    return r"""
+WITH t AS (SELECT doc_id,
+        string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(
         generate_series(1, greatest(len(toks) - 2, 1)),
-        i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM t),
+        i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM t),""" + f"""
 ex AS (SELECT doc_id, {h} AS h
        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
 sigw AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
@@ -1392,7 +1393,9 @@ def _simhash_oracle_sql(bits=16):
         f"(CASE WHEN c{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
     return f"""
 WITH ex AS (SELECT doc_id, {h} AS h FROM
-  (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS s FROM documents)),
+  (SELECT doc_id,
+     unnest(string_split_regex(trim(lower(text)), '\\s+')) AS s
+   FROM documents)),
 c AS (SELECT doc_id, {cj} FROM ex GROUP BY doc_id)
 SELECT doc_id, CAST({sigexpr} AS BIGINT) AS simhash FROM c
 """
@@ -1473,10 +1476,12 @@ def q_multimodal_decode(spark, sf):
 
 
 SQL_MULTIMODAL_DECODE = """
+-- coalesce to '': the fake decoder maps a NULL payload to b'' (metadata
+-- of the empty hash, n_bytes=0), not to NULLs
 SELECT doc_id,
-       ('0x' || substr(sha256(text), 1, 4))::INT % 2048 + 1 AS width,
-       ('0x' || substr(sha256(text), 5, 4))::INT % 2048 + 1 AS height,
-       octet_length(encode(text)) AS n_bytes
+       ('0x' || substr(sha256(coalesce(text, '')), 1, 4))::INT % 2048 + 1 AS width,
+       ('0x' || substr(sha256(coalesce(text, '')), 5, 4))::INT % 2048 + 1 AS height,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes
 FROM documents
 """
 
@@ -3590,7 +3595,12 @@ def q_write_shards_roundtrip(spark, sf):
 
     from siuba_spark.plans.tbl import write_shards
 
-    out_path = os.path.join(tempfile.gettempdir(), "siuba_spark_shards_grade")
+    # pid-suffixed path: concurrent graders (driver window run + a local
+    # oracle sweep) must not overwrite each other's shards mid-read; the
+    # per-process path is reused (overwrite) across runs so /tmp holds at
+    # most one small artifact per grader process
+    out_path = os.path.join(tempfile.gettempdir(),
+                            f"siuba_spark_shards_grade_{os.getpid()}")
     write_shards(_t(spark, sf, "documents"), out_path, n_shards=7,
                  shuffle_by="doc_id")
     back = spark.read.parquet(out_path)
@@ -3890,12 +3900,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": q_video_meta,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
+        # --- below the 50-window from here on (graded in r01-r03; still
+        # swept by tools/oracle_sweep.py) ---
         "asof_last_purchase": q_asof_last_purchase,
         "interval_join_events": q_interval_join_events,
         "rolling_window": q_rolling_window,
         "rolling_time_window": q_rolling_time_window,
-        # --- below the 50-window from here on (graded in r01-r03; still
-        # swept by tools/oracle_sweep.py) ---
         # xxhash64 production twins of the graded md5_64 dedup entries:
         # rows-only perf twins, timed by bench.py under the historical
         # names (see BENCH_ALIASES)

@@ -53,6 +53,11 @@ def _session():
             .appName("siuba_spark-data").getOrCreate())
 
 
+#: (name, session) -> SparkTbl — repeated module-attribute access (the
+#: reference caches its pandas objects) must not re-run reader setup
+_CACHE: dict = {}
+
+
 def load(name: str, spark=None):
     """Load a bundled dataset as a SparkTbl (explicit-session form)."""
     from ..plans.tbl import SparkTbl
@@ -61,10 +66,14 @@ def load(name: str, spark=None):
     path = os.path.join(_DIR, f"{base}.parquet")
     if name not in __all__ or not os.path.exists(path):
         raise AttributeError(f"No dataset named: {name}")
-    df = (spark or _session()).read.parquet(path)
-    if name in ("cars", "cars_sql"):
-        df = df.select("cyl", "mpg", "hp")
-    return SparkTbl(df)
+    spark = spark or _session()
+    key = (name, id(spark))
+    if key not in _CACHE:
+        df = spark.read.parquet(path)
+        if name in ("cars", "cars_sql"):
+            df = df.select("cyl", "mpg", "hp")
+        _CACHE[key] = SparkTbl(df)
+    return _CACHE[key]
 
 
 def __getattr__(name):

@@ -185,6 +185,10 @@ def _approx_quantile(ctx, args, kwargs):
     default 10000 ≈ 1/accuracy relative rank error): bounded sketch state
     vs exact percentile's full per-group sort buffer — the difference
     between a mergeable agg and a spill machine at scale."""
+    if len(args) < 2:
+        raise TranslationError(
+            "approx_quantile(col, q) needs the quantile, e.g. "
+            "approx_quantile(_.price, 0.5)")
     accuracy = int(_lit(kwargs.get("accuracy", 10000)))
     col = _low(args[0], ctx)
     qv = _lit(args[1])

@@ -105,13 +105,23 @@ def main():
 
     print(f"{'op':22s} {'1x sec':>8s} {f'{mult}x sec':>9s} {'ratio':>7s}  "
           f"(rows {n_base} -> {n_base * mult})")
-    for op in OPS:
-        t1 = min(run(load_small, op) for _ in range(2))
-        tm = min(run(load_big, op) for _ in range(2))
-        print(f"{op:22s} {t1:8.2f} {tm:9.2f} {tm / t1:7.2f}")
-
-    shutil.rmtree(big_path, ignore_errors=True)
-    spark.stop()
+    failed = []
+    try:
+        for op in OPS:
+            # an op failing at mult-x is exactly the finding this tool
+            # exists for — report it and keep measuring the rest
+            try:
+                t1 = min(run(load_small, op) for _ in range(2))
+                tm = min(run(load_big, op) for _ in range(2))
+                print(f"{op:22s} {t1:8.2f} {tm:9.2f} {tm / t1:7.2f}")
+            except Exception as exc:
+                failed.append(op)
+                print(f"{op:22s}  FAILED at scale: {str(exc)[:120]}")
+    finally:
+        shutil.rmtree(big_path, ignore_errors=True)
+        spark.stop()
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
