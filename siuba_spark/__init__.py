@@ -28,7 +28,7 @@ from .operators.core import (
     qcut, slice_head, slice_tail, slice_min, slice_max, slice_sample,
 )
 from .operators.grouping import (
-    group_by, ungroup, summarize, summarise, count, add_count,
+    group_by, ungroup, summarize, summarise, count, add_count, tally, add_tally,
     sample_frac, sample_n, hash_split, corr_matrix, describe,
 )
 from .operators.across import across, Fx, Across
@@ -69,6 +69,7 @@ __all__ = [
     "distinct", "head", "top_n", "qcut",
     "slice_head", "slice_tail", "slice_min", "slice_max", "slice_sample",
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
+    "tally", "add_tally",
     "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
     "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "call", "py_func", "group_apply",

@@ -20,6 +20,7 @@ from .core import arrange, mutate
 from ..functions.vector import desc as _desc_fn
 
 __all__ = ["group_by", "ungroup", "summarize", "summarise", "count", "add_count",
+           "tally", "add_tally",
            "hash_split", "corr_matrix", "describe",
            "sample_frac", "sample_n"]
 
@@ -269,6 +270,23 @@ def add_count(tbl: SparkTbl, *args, wt=None, sort: bool = False,
     w = Window.partitionBy(*[F.col(c) for c in names])
     df = work.df.withColumn(out_name, agg.over(w))
     return work.evolve(df=df)
+
+
+@verb
+def tally(tbl: SparkTbl, wt=None, sort: bool = False, name: str | None = None):
+    """dplyr ``tally``: group sizes over the CURRENT grouping only —
+    ``count()`` without introducing new grouping columns (a TODO the
+    reference never shipped, siuba/dply/verbs.py:48).  Same wt=/sort=/
+    name-collision semantics as count; same single partial-agg shuffle."""
+    return count(tbl, wt=wt, sort=sort, name=name)
+
+
+@verb
+def add_tally(tbl: SparkTbl, wt=None, sort: bool = False,
+              name: str | None = None):
+    """dplyr ``add_tally``: the current group's size joined back as a
+    column (window aggregate — no join-back, like add_count)."""
+    return add_count(tbl, wt=wt, sort=sort, name=name)
 
 
 @verb

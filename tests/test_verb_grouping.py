@@ -291,3 +291,19 @@ def test_summarize_grouping_sets(spark):
     assert len(rows) == 6  # 3 leaf + 2 per-g + 1 grand total
     with pytest.raises(TranslationError, match="not"):
         t >> group_by(_.g) >> summarize(s=_.v.sum(), _sets=[["nope"]])
+
+
+def test_tally_and_add_tally(spark):
+    """dplyr tally/add_tally (a reference TODO, siuba/dply/verbs.py:48):
+    sizes over the CURRENT grouping only."""
+    from siuba_spark import add_tally, tally
+
+    t = data_frame(spark, g=["a", "a", "b"], w=[1, 2, 5])
+    out = (t >> group_by(_.g) >> tally()).df.orderBy("g").collect()
+    assert [(r.g, r.n) for r in out] == [("a", 2), ("b", 1)]
+    wt = (t >> group_by(_.g) >> tally(wt=_.w, sort=True)).df.collect()
+    assert [(r.g, r.n) for r in wt] == [("a", 3), ("b", 5)] or \
+        [(r.g, r.n) for r in wt] == [("b", 5), ("a", 3)]
+    assert wt[0].n == 5  # sort=True: heaviest first
+    at = (t >> group_by(_.g) >> add_tally()).df.orderBy("g", "w").collect()
+    assert [r.n for r in at] == [2, 2, 1]
