@@ -31,7 +31,7 @@ from .operators.grouping import (
     group_by, ungroup, summarize, summarise, count, add_count, tally, add_tally,
     sample_frac, sample_n, hash_split, corr_matrix, describe,
 )
-from .operators.across import across, Fx, Across
+from .operators.across import across, Fx, Across, if_any, if_all
 from .functions.udf import call, py_func, group_apply
 from .operators.joins import (
     join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
@@ -72,7 +72,7 @@ __all__ = [
     "tally", "add_tally",
     "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
-    "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "call", "py_func", "group_apply",
+    "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "if_any", "if_all", "call", "py_func", "group_apply",
     "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",

@@ -15,7 +15,7 @@ from ..siu.calls import (
 )
 from .tidyselect import _match_one
 
-__all__ = ["across", "Fx", "Across"]
+__all__ = ["across", "Fx", "Across", "if_any", "if_all", "IfAnyAll"]
 
 
 class FxArg(Call):
@@ -85,4 +85,40 @@ def expand_across(acr: Across, columns) -> dict:
         for fn_name, call in fns.items():
             label = template.format(col=col, fn=fn_name)
             out[label] = _replace_fx(call, col)
+    return out
+
+
+class IfAnyAll:
+    """Deferred if_any()/if_all(): a tidyselection + Fx predicate that
+    expands to one OR- / AND-chained condition (dplyr's across-predicate
+    helpers; absent from the reference)."""
+
+    def __init__(self, cols, fn, op: str):
+        self.cols = cols
+        self.fn = fn
+        self.op = op
+
+
+def if_any(cols, fn):
+    """True where the Fx predicate holds for ANY selected column:
+    ``filter(if_any(_.startswith("l_"), Fx.isna()))``."""
+    return IfAnyAll(cols, fn, "__or__")
+
+
+def if_all(cols, fn):
+    """True where the Fx predicate holds for EVERY selected column."""
+    return IfAnyAll(cols, fn, "__and__")
+
+
+def expand_if_any_all(obj: IfAnyAll, columns):
+    """→ one Call: the predicate instantiated per column, op-chained."""
+    names, neg = _match_one(obj.cols, list(columns))
+    if neg:
+        names = [c for c in columns if c not in names]
+    if not names:
+        raise ValueError("if_any/if_all selection matched no columns")
+    calls = [_replace_fx(strip_symbolic(obj.fn), c) for c in names]
+    out = calls[0]
+    for c in calls[1:]:
+        out = BinaryOp(obj.op, out, c)
     return out

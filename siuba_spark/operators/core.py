@@ -112,6 +112,9 @@ def mutate(tbl: SparkTbl, *args, **kwargs):
     kwargs = _merge_across(tbl, args, kwargs)
     df = tbl.df
     for name, expr in kwargs.items():
+        from .across import IfAnyAll, expand_if_any_all
+        if isinstance(expr, IfAnyAll):
+            expr = expand_if_any_all(expr, tbl.columns)
         ctx = tbl.row_ctx()
         # fct_lump lowers to an agg→rank→broadcast-join plan, not a global
         # window — rewrite the expression tree first (no-op otherwise)
@@ -152,13 +155,16 @@ def filter(tbl: SparkTbl, *conds, **kwargs):
     >>> (t >> group_by(_.g) >> filter(_.x > _.x.mean()) >> collect()).x.tolist()
     [3.0]
     """
-    from .across import Across, expand_across
+    from .across import Across, IfAnyAll, expand_across, expand_if_any_all
 
     expanded = []
     for cond in conds:
         if isinstance(cond, Across):
-            # dplyr if_all(): every per-column condition must hold
+            # a bare across() in filter behaves like if_all(): every
+            # per-column condition must hold
             expanded.extend(expand_across(cond, tbl.columns).values())
+        elif isinstance(cond, IfAnyAll):
+            expanded.append(expand_if_any_all(cond, tbl.columns))
         else:
             expanded.append(cond)
 

@@ -230,3 +230,18 @@ def test_filter_across_if_all(spark):
     t = data_frame(spark, x=[1.0, -1.0, 2.0], y=[5.0, 6.0, -7.0])
     out = t >> sfilter(across(_[_.x, _.y], Fx > 0))
     assert [(r.x, r.y) for r in out.df.collect()] == [(1.0, 5.0)]
+
+
+def test_if_any_if_all(spark):
+    """dplyr if_any/if_all: an Fx predicate over a tidyselection,
+    OR/AND-chained into one condition (filter and mutate contexts)."""
+    from siuba_spark import Fx, if_all, if_any
+
+    t = data_frame(spark, a=[1.0, None, 3.0], b=[None, None, 6.0],
+                   g=["x", "y", "z"])
+    any_na = (t >> filter(if_any(_[_.a, _.b], Fx.isna()))).df
+    assert sorted(r.g for r in any_na.collect()) == ["x", "y"]
+    all_na = (t >> filter(if_all(_[_.a, _.b], Fx.isna()))).df
+    assert [r.g for r in all_na.collect()] == ["y"]
+    flagged = (t >> mutate(ok=if_all(_[_.a, _.b], Fx.notna()))).df
+    assert [r.ok for r in flagged.orderBy("g").collect()] == [False, False, True]
