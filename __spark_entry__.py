@@ -3769,6 +3769,27 @@ SELECT doc_id, lang, source FROM run WHERE before_tok < 2000
 """
 
 
+def q_tally_if_any(spark, sf):
+    """tally(wt=) over the current grouping + an if_any predicate filter
+    (the round-4 dplyr helpers in one query)."""
+    from siuba_spark import Fx, if_any, tally
+
+    return (
+        _t(spark, sf, "lineitem")
+        >> filter(if_any(_[_.l_discount, _.l_tax], Fx > 0.05))
+        >> group_by(_.l_returnflag)
+        >> tally(wt=_.l_quantity, sort=True)
+    ).df
+
+
+SQL_TALLY_IF_ANY = """
+SELECT l_returnflag, SUM(l_quantity) AS n
+FROM lineitem
+WHERE l_discount > 0.05 OR l_tax > 0.05
+GROUP BY l_returnflag ORDER BY n DESC
+"""
+
+
 def q_drop_near_dups(spark, sf):
     """The composition every dedup pipeline ends with: fuzzy title pairs
     → connected components → keep the cluster-min doc.  Oracle replays
@@ -3912,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups_prod": q_minhash_near_dups_prod,
         "simhash_prod": q_simhash_prod,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
+        "tally_if_any": q_tally_if_any,
         "slice_minmax": q_slice_minmax,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
@@ -4138,4 +4160,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": SQL_GOPHER_FILTER,
         "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
         "grouping_sets": SQL_GROUPING_SETS,
+        "tally_if_any": SQL_TALLY_IF_ANY,
     }
