@@ -24,7 +24,7 @@ from .plans.tbl import (
 )
 from .plans.pipe import Pipe, Pipeable, pipe, verb
 from .operators.core import (
-    select, rename, mutate, transmute, filter, arrange, distinct, head, top_n,
+    select, rename, rename_with, relocate, mutate, transmute, filter, arrange, distinct, head, top_n,
     qcut, slice_head, slice_tail, slice_min, slice_max, slice_sample,
 )
 from .operators.grouping import (
@@ -65,7 +65,7 @@ __all__ = [
     "release_all_pins",
     "write_parquet", "write_csv", "write_shards", "lint_plan", "Pipe", "Pipeable", "pipe", "verb", "TranslationError",
     "repartition", "coalesce_partitions", "cache",
-    "select", "rename", "mutate", "transmute", "filter", "arrange",
+    "select", "rename", "rename_with", "relocate", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n", "qcut",
     "slice_head", "slice_tail", "slice_min", "slice_max", "slice_sample",
     "group_by", "ungroup", "summarize", "summarise", "count", "add_count",

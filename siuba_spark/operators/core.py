@@ -17,7 +17,7 @@ from ..plans.tbl import SparkTbl
 from .tidyselect import resolve_names, resolve_select
 
 __all__ = [
-    "select", "rename", "mutate", "transmute", "filter", "arrange",
+    "select", "rename", "rename_with", "relocate", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n", "qcut",
     "slice_head", "slice_tail", "slice_min", "slice_max", "slice_sample",
 ]
@@ -83,6 +83,57 @@ def rename(tbl: SparkTbl, **kwargs):
     df = tbl.df.withColumnsRenamed(mapping)
     group_by = tuple(mapping.get(g, g) for g in tbl.group_by)
     return tbl.evolve(df=df, group_by=group_by)
+
+
+@verb
+def rename_with(tbl: SparkTbl, fn, *cols):
+    """dplyr ``rename_with``: rename via a string function over a
+    tidyselection (default: every column).  ``fn`` is a plain Python
+    ``str -> str`` — names are driver-side metadata, so no UDF is
+    involved; the plan is a zero-cost projection alias."""
+    names = resolve_names(cols, tbl.columns) if cols else list(tbl.columns)
+    mapping = {}
+    for old in names:
+        new = fn(old)
+        if not isinstance(new, str) or not new:
+            raise TranslationError(
+                f"rename_with function returned {new!r} for column {old!r}")
+        if new != old:
+            mapping[old] = new
+    clashes = (set(mapping.values())
+               & (set(tbl.columns) - set(mapping)))
+    if clashes or len(set(mapping.values())) != len(mapping):
+        raise TranslationError(
+            f"rename_with produces duplicate column names: "
+            f"{sorted(clashes or set(mapping.values()))}")
+    df = tbl.df.withColumnsRenamed(mapping)
+    group_by = tuple(mapping.get(g, g) for g in tbl.group_by)
+    return tbl.evolve(df=df, group_by=group_by)
+
+
+@verb
+def relocate(tbl: SparkTbl, *cols, _before: str | None = None,
+             _after: str | None = None):
+    """dplyr ``relocate``: move a tidyselection before/after an anchor
+    column (default: to the front).  Pure projection reorder — free in
+    the plan."""
+    if _before is not None and _after is not None:
+        raise TranslationError("relocate: pass only one of _before/_after")
+    moved = resolve_names(cols, tbl.columns)
+    rest = [c for c in tbl.columns if c not in moved]
+    anchor = _before if _before is not None else _after
+    if anchor is None:
+        order = moved + rest
+    else:
+        anchor = strip_symbolic(anchor)
+        if isinstance(anchor, GetAttr) and isinstance(anchor.obj, MetaArg):
+            anchor = anchor.name
+        if anchor not in rest:
+            raise TranslationError(
+                f"relocate anchor {anchor!r} is not a (non-moved) column")
+        i = rest.index(anchor) + (0 if _before is not None else 1)
+        order = rest[:i] + moved + rest[i:]
+    return tbl.evolve(df=tbl.df.select(*order))
 
 
 @verb

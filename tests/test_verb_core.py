@@ -245,3 +245,31 @@ def test_if_any_if_all(spark):
     assert [r.g for r in all_na.collect()] == ["y"]
     flagged = (t >> mutate(ok=if_all(_[_.a, _.b], Fx.notna()))).df
     assert [r.ok for r in flagged.orderBy("g").collect()] == [False, False, True]
+
+
+def test_rename_with_and_relocate(spark):
+    """dplyr rename_with/relocate (absent from reference): metadata-only
+    projection changes."""
+    import pytest
+
+    from siuba_spark import TranslationError, relocate, rename_with
+
+    t = data_frame(spark, ab=[1], cd=[2], ef=[3])
+    up = (t >> rename_with(str.upper)).df
+    assert up.columns == ["AB", "CD", "EF"]
+    part = (t >> rename_with(lambda c: c + "_x", _.startswith("a"))).df
+    assert part.columns == ["ab_x", "cd", "ef"]
+    with pytest.raises(TranslationError, match="duplicate"):
+        t >> rename_with(lambda c: "same")
+
+    front = (t >> relocate(_.ef)).df
+    assert front.columns == ["ef", "ab", "cd"]
+    before = (t >> relocate(_.ef, _before=_.cd)).df
+    assert before.columns == ["ab", "ef", "cd"]
+    after = (t >> relocate(_.ab, _after=_.cd)).df
+    assert after.columns == ["cd", "ab", "ef"]
+    with pytest.raises(TranslationError, match="only one"):
+        t >> relocate(_.ab, _before=_.cd, _after=_.cd)
+    # grouping keys follow renames
+    g = (t >> group_by(_.ab) >> rename_with(str.upper))
+    assert g.group_by == ("AB",)
