@@ -39,6 +39,7 @@ from .operators.joins import (
 )
 from .operators.reshape import (
     gather, spread, separate, separate_rows, unite, extract, nest, unnest, expand, complete,
+    fill_na_directional as fill,
     pivot_longer, pivot_wider, bind_rows, one_hot, crosstab,
     build_longer_spec, pivot_longer_spec, build_wider_spec, pivot_wider_spec,
 )
@@ -73,7 +74,7 @@ __all__ = [
     "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
     "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "if_any", "if_all", "call", "py_func", "group_apply",
-    "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest",
+    "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest", "fill",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",

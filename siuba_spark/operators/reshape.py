@@ -24,6 +24,7 @@ from ..plans.tbl import SparkTbl
 from .tidyselect import resolve_names
 
 __all__ = [
+    "fill_na_directional",
     "gather", "spread", "separate", "separate_rows", "unite", "extract",
     "nest", "unnest", "expand", "complete", "pivot_longer", "pivot_wider",
     "bind_rows", "one_hot", "crosstab",
@@ -151,6 +152,37 @@ def spread(tbl: SparkTbl, key, value, fill=None, sep: str | None = None,
     if fill is not None:
         df = df.fillna(fill, subset=out_names)
     return tbl.evolve(df=df).pin(base)
+
+
+@verb
+def fill_na_directional(tbl: SparkTbl, *cols, direction: str = "down"):
+    """tidyr ``fill``: carry the last/next non-NULL value through NULLs in
+    the selected columns, within the current grouping and ordering
+    (``arrange`` first; the cumulative-window no-order warning applies
+    otherwise).  ``direction`` is ``"down"``, ``"up"``, ``"downup"`` or
+    ``"updown"`` — the two-pass forms are two window projections Catalyst
+    collapses into one stage.
+
+    Exported as ``fill`` (the tidyr name); implemented by delegating to
+    the ffill/bfill expression machinery so group/order state and
+    warnings stay in one place."""
+    from ..siu.calls import MetaArg, Symbolic
+
+    from .core import mutate
+
+    if direction not in ("down", "up", "downup", "updown"):
+        raise TranslationError(
+            "fill direction must be down/up/downup/updown")
+    names = resolve_names(cols, tbl.columns) if cols else [
+        c for c in tbl.columns if c not in tbl.group_by]
+    sym = Symbolic(MetaArg())
+    out = tbl
+    passes = {"down": ["ffill"], "up": ["bfill"],
+              "downup": ["ffill", "bfill"], "updown": ["bfill", "ffill"]}
+    for method in passes[direction]:
+        out = mutate(out, **{
+            c: getattr(getattr(sym, c), method)() for c in names})
+    return out
 
 
 @verb

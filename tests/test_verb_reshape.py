@@ -479,3 +479,25 @@ def test_symbolic_pipe_stage_raises(spark):
     t = data_frame(spark, x=[1])
     with pytest.raises(TypeError, match="bare symbolic"):
         t >> _.x
+
+
+def test_fill_directions(spark):
+    """tidyr fill: carry non-NULLs through NULLs per direction, within
+    grouping + ordering."""
+    from siuba_spark import fill, group_by, ungroup
+
+    t = data_frame(
+        spark,
+        g=["a", "a", "a", "b", "b"],
+        i=[1, 2, 3, 1, 2],
+        v=[10.0, None, 30.0, None, 5.0])
+    down = (t >> group_by(_.g) >> arrange(_.i) >> fill(_.v) >> ungroup()
+            ).df.orderBy("g", "i").collect()
+    assert [r.v for r in down] == [10.0, 10.0, 30.0, None, 5.0]
+    up = (t >> group_by(_.g) >> arrange(_.i) >> fill(_.v, direction="up")
+          >> ungroup()).df.orderBy("g", "i").collect()
+    assert [r.v for r in up] == [10.0, 30.0, 30.0, 5.0, 5.0]
+    downup = (t >> group_by(_.g) >> arrange(_.i)
+              >> fill(_.v, direction="downup") >> ungroup()
+              ).df.orderBy("g", "i").collect()
+    assert [r.v for r in downup] == [10.0, 10.0, 30.0, 5.0, 5.0]
