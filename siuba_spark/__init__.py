@@ -20,7 +20,7 @@ from .functions.lowering import TranslationError
 from .plans.tbl import (
     SparkTbl, tbl, collect, show_query, write_parquet, write_csv,
     write_shards, repartition, coalesce_partitions, cache, release_all_pins,
-    lint_plan,
+    lint_plan, pull, glimpse,
 )
 from .plans.pipe import Pipe, Pipeable, pipe, verb
 from .operators.core import (
@@ -39,7 +39,7 @@ from .operators.joins import (
 )
 from .operators.reshape import (
     gather, spread, separate, separate_rows, unite, extract, nest, unnest, expand, complete,
-    fill_na_directional as fill,
+    fill_na_directional as fill, drop_na, replace_na,
     pivot_longer, pivot_wider, bind_rows, one_hot, crosstab,
     build_longer_spec, pivot_longer_spec, build_wider_spec, pivot_wider_spec,
 )
@@ -62,7 +62,7 @@ _ = Symbolic()
 __version__ = "0.1.0"
 
 __all__ = [
-    "_", "Symbolic", "SparkTbl", "tbl", "collect", "show_query",
+    "_", "Symbolic", "SparkTbl", "tbl", "collect", "pull", "glimpse", "show_query",
     "release_all_pins",
     "write_parquet", "write_csv", "write_shards", "lint_plan", "Pipe", "Pipeable", "pipe", "verb", "TranslationError",
     "repartition", "coalesce_partitions", "cache",
@@ -74,7 +74,7 @@ __all__ = [
     "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
     "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "if_any", "if_all", "call", "py_func", "group_apply",
-    "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest", "fill",
+    "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest", "fill", "drop_na", "replace_na",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",

@@ -24,7 +24,7 @@ from ..plans.tbl import SparkTbl
 from .tidyselect import resolve_names
 
 __all__ = [
-    "fill_na_directional",
+    "fill_na_directional", "drop_na", "replace_na",
     "gather", "spread", "separate", "separate_rows", "unite", "extract",
     "nest", "unnest", "expand", "complete", "pivot_longer", "pivot_wider",
     "bind_rows", "one_hot", "crosstab",
@@ -183,6 +183,27 @@ def fill_na_directional(tbl: SparkTbl, *cols, direction: str = "down"):
         out = mutate(out, **{
             c: getattr(getattr(sym, c), method)() for c in names})
     return out
+
+
+@verb
+def drop_na(tbl: SparkTbl, *cols):
+    """tidyr ``drop_na``: drop rows with a NULL in ANY selected column
+    (all columns when none given).  A plain conjunctive filter — pushes
+    to the scan like any predicate."""
+    names = resolve_names(cols, tbl.columns) if cols else list(tbl.columns)
+    cond = None
+    for c in names:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    return tbl.evolve(df=tbl.df.filter(cond))
+
+
+@verb
+def replace_na(tbl: SparkTbl, replace):
+    """tidyr ``replace_na``: fill NULLs per column from a
+    ``{column: value}`` dict (scalar form fills every compatible column
+    — Spark's native ``fillna`` semantics)."""
+    return tbl.evolve(df=tbl.df.fillna(replace))
 
 
 @verb

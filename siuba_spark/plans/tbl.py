@@ -221,6 +221,43 @@ def collect(tbl: SparkTbl):
 
 
 @verb
+def pull(tbl: SparkTbl, col=None):
+    """dplyr ``pull``: execute and return ONE column as a pandas Series
+    (default: the last column).  Driver-side by definition — same
+    contract as ``collect``, pin release included."""
+    from ..siu.calls import GetAttr, MetaArg, strip_symbolic
+
+    name = tbl.columns[-1]
+    if col is not None:
+        node = strip_symbolic(col)
+        if isinstance(node, GetAttr) and isinstance(node.obj, MetaArg):
+            name = node.name
+        elif isinstance(node, str):
+            name = node
+        else:
+            raise TypeError("pull expects a column name or _.col reference")
+    try:
+        return tbl.df.select(name).toPandas()[name]
+    finally:
+        tbl.release()
+
+
+@verb
+def glimpse(tbl: SparkTbl, n: int = 5):
+    """dplyr ``glimpse``: print dtype + first values per column (one
+    bounded ``take(n)`` job), return the table unchanged for further
+    piping."""
+    rows = tbl.df.take(n)
+    types = dict(tbl.df.dtypes)
+    width = max((len(c) for c in tbl.columns), default=0)
+    print(f"Columns: {len(tbl.columns)}; groups: {list(tbl.group_by) or '—'}")
+    for c in tbl.columns:
+        vals = ", ".join(repr(r[c]) for r in rows)
+        print(f"$ {c:<{width}s} <{types[c]}> {vals}")
+    return tbl
+
+
+@verb
 def show_query(tbl: SparkTbl, simplify: bool = False):
     """Print the analyzed logical plan — the Spark analogue of the compiled
     SQL the reference shows (siuba/sql/verbs/explain.py:16-38) — followed

@@ -501,3 +501,27 @@ def test_fill_directions(spark):
               >> fill(_.v, direction="downup") >> ungroup()
               ).df.orderBy("g", "i").collect()
     assert [r.v for r in downup] == [10.0, 10.0, 30.0, 5.0, 5.0]
+
+
+def test_drop_na_replace_na(spark):
+    from siuba_spark import drop_na, replace_na
+
+    t = data_frame(spark, a=[1.0, None, 3.0], b=["x", "y", None])
+    assert (t >> drop_na()).df.count() == 1
+    assert (t >> drop_na(_.a)).df.count() == 2
+    rep = (t >> replace_na({"a": 0.0, "b": "?"})).df.orderBy("a").collect()
+    assert [r.a for r in rep] == [0.0, 1.0, 3.0]
+    assert sorted(r.b for r in rep) == ["?", "x", "y"]
+
+
+def test_pull_and_glimpse(spark, capsys):
+    from siuba_spark import glimpse, pull
+
+    t = data_frame(spark, g=["a", "b"], x=[1, 2])
+    s = t >> pull(_.x)
+    assert sorted(s.tolist()) == [1, 2]
+    assert sorted((t >> pull()).tolist()) == [1, 2]  # default: last column
+    back = t >> glimpse()
+    out = capsys.readouterr().out
+    assert "$ g" in out and "bigint" in out
+    assert back.df.count() == 2  # pipeable passthrough
