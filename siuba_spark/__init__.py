@@ -50,6 +50,7 @@ from .functions.vector import (
     if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
     near, cut,
     rolling_mean, rolling_sum, rolling_min, rolling_max,
+    rolling_std, rolling_var, rolling_median, rolling_count,
     cumall, cumany, cummean,
 )
 from .functions.forcats import (
@@ -84,6 +85,7 @@ __all__ = [
     "coalesce", "na_if", "between", "near", "if_else", "case_when", "desc", "str_c", "cut",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
     "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
+    "rolling_std", "rolling_var", "rolling_median", "rolling_count",
     "fct_lump", "fct_recode", "fct_collapse", "fct_rev", "fct_infreq",
     "fct_inorder", "fct_reorder",
 ]

@@ -509,9 +509,9 @@ def case_when(mapping):
     return Symbolic(FnCall("case_when", (mapping,), {}))
 
 
-def _register_rolling(name, agg):
+def _register_rolling(name, agg, post=None):
     @register_fn(name)
-    def impl(ctx, args, kwargs, _agg=agg, _name=name):
+    def impl(ctx, args, kwargs, _agg=agg, _post=post, _name=name):
         """rolling_*(col, n, min_periods=None): trailing n-row frame over
         the arrange order (beyond the reference — pandas .rolling has no
         siuba SQL translation; Spark frames give it for free).
@@ -537,7 +537,12 @@ def _register_rolling(name, agg):
             n = int(nval)
             w = ctx.w_ordered().rowsBetween(-(n - 1), Window.currentRow)
             minp = int(_lit(minp)) if minp is not None else n
+        # only the aggregate itself may carry .over(w); any post-processing
+        # (e.g. median's sorted-frame pick) wraps the WINDOWED column —
+        # wrapping before .over would make Spark extract a plain Aggregate
         out = _agg(col).over(w)
+        if _post is not None:
+            out = _post(out)
         if minp > 1:
             cnt = F.count(col).over(w)
             out = F.when(cnt >= minp, out)
@@ -548,8 +553,31 @@ _register_rolling("rolling_mean", F.avg)
 _register_rolling("rolling_sum", F.sum)
 _register_rolling("rolling_min", F.min)
 _register_rolling("rolling_max", F.max)
+_register_rolling("rolling_std", F.stddev_samp)
+_register_rolling("rolling_var", F.var_samp)
+_register_rolling("rolling_count", lambda c: F.count(c))
+
+
+def _median_of_frame_list(windowed_list):
+    """Exact median from the frame's windowed collect_list: Spark's
+    median()/percentile() aggregates reject frame specs, so sort the list
+    and take the middle (avg of the two middles for even counts) —
+    bounded by the frame length, codegen'd array ops."""
+    xs = F.array_sort(windowed_list)
+    m = F.size(xs)
+    lo = F.element_at(xs, ((m + 1) / 2).cast("int"))
+    hi = F.element_at(xs, (m / 2 + 1).cast("int"))
+    return F.when(m > 0, (lo + hi) / 2.0)
+
+
+# collect_list skips NULLs, matching pandas .rolling().median()
+_register_rolling("rolling_median", F.collect_list, post=_median_of_frame_list)
 
 rolling_mean = _fn("rolling_mean")
+rolling_std = _fn("rolling_std")
+rolling_var = _fn("rolling_var")
+rolling_median = _fn("rolling_median")
+rolling_count = _fn("rolling_count")
 rolling_sum = _fn("rolling_sum")
 rolling_min = _fn("rolling_min")
 rolling_max = _fn("rolling_max")

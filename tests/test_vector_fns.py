@@ -506,3 +506,34 @@ def test_approx_aggregates_bounds(spark):
          >> mutate(nd=approx_n_distinct(_.v, rsd=0.02))
          ).df.select("g", "nd").distinct().collect()
     assert all(abs(r.nd - 97) <= 97 * 0.1 for r in g)
+
+
+def test_rolling_std_var_median_count(spark):
+    """Rolling spread/median/count over the trailing n-row frame, vs
+    pandas .rolling."""
+    import pandas as pd
+
+    from siuba_spark import (
+        _, arrange, group_by, mutate, rolling_count, rolling_median,
+        rolling_std, rolling_var, ungroup,
+    )
+    from .helpers import data_frame
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 4,
+        "i": list(range(5)) + list(range(4)),
+        "v": [1.0, 4.0, 2.0, 8.0, 5.0, 10.0, 3.0, None, 7.0]})
+    t = data_frame(spark, **{c: pdf[c].tolist() for c in pdf.columns})
+    got = (t >> group_by(_.g) >> arrange(_.i)
+           >> mutate(s=rolling_std(_.v, 3, min_periods=2),
+                     va=rolling_var(_.v, 3, min_periods=2),
+                     md=rolling_median(_.v, 3, min_periods=1),
+                     ct=rolling_count(_.v, 3, min_periods=1))
+           >> ungroup()).df.orderBy("g", "i").toPandas()
+    grp = pdf.groupby("g", group_keys=False)
+    want_s = grp.apply(lambda d: d.sort_values("i").v.rolling(3, min_periods=2).std())
+    want_md = grp.apply(lambda d: d.sort_values("i").v.rolling(3, min_periods=1).median())
+    want_ct = grp.apply(lambda d: d.sort_values("i").v.rolling(3, min_periods=1).count())
+    assert got.s.round(6).fillna(-1).tolist() == want_s.round(6).fillna(-1).tolist()
+    assert got.md.fillna(-1).tolist() == want_md.fillna(-1).tolist()
+    assert got.ct.tolist() == want_ct.astype("int64").tolist()
