@@ -23,6 +23,35 @@ __all__ = [
 ]
 
 
+def _temp_by(tbl, _by, verb_name):
+    """dplyr 1.1 ``.by=`` (spelled ``_by=``): per-operation grouping.
+    Returns the regrouped working table; the caller restores the original
+    grouping afterwards.  Combining with an existing group_by is an error
+    — the same rule dplyr enforces."""
+    if _by is None:
+        return tbl
+    if tbl.group_by:
+        raise TranslationError(
+            f"{verb_name}: _by= cannot be combined with an existing "
+            "group_by (ungroup first) — dplyr's .by has the same rule")
+    names = [_by] if isinstance(_by, str) else [
+        _colref_name(b) for b in _by] if isinstance(_by, (list, tuple)) else \
+        [_colref_name(_by)]
+    for nm in names:
+        if nm not in tbl.columns:
+            raise TranslationError(f"{verb_name}: _by column '{nm}' not found")
+    return tbl.evolve(group_by=tuple(names))
+
+
+def _colref_name(x):
+    node = strip_symbolic(x)
+    if isinstance(node, str):
+        return node
+    if isinstance(node, GetAttr) and isinstance(node.obj, MetaArg):
+        return node.name
+    raise TranslationError(f"expected a column reference, got {node!r}")
+
+
 def _merge_across(tbl, args, kwargs):
     """Expand positional across() objects into named expressions."""
     if not args:
@@ -137,9 +166,12 @@ def relocate(tbl: SparkTbl, *cols, _before: str | None = None,
 
 
 @verb
-def mutate(tbl: SparkTbl, *args, **kwargs):
+def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
     """Add/overwrite columns; later kwargs see earlier ones; aggregates
     broadcast over the group window (reference: siuba/sql/verbs/mutate.py:20-118).
+    ``_by=`` applies dplyr-1.1 per-operation grouping: aggregates window
+    over those keys for THIS call only, and the result keeps the table's
+    (un)grouped state.
     Chained ``withColumn`` projections are collapsed by Catalyst
     (CollapseProject), so no subquery-avoidance logic is needed (SURVEY §4).
     Positional args must be across() expansions (siuba/dply/across.py).
@@ -160,13 +192,15 @@ def mutate(tbl: SparkTbl, *args, **kwargs):
     """
     from ..functions.forcats import rewrite_fct_lump
 
-    kwargs = _merge_across(tbl, args, kwargs)
-    df = tbl.df
+    orig_groups = tbl.group_by
+    work = _temp_by(tbl, _by, "mutate")
+    kwargs = _merge_across(work, args, kwargs)
+    df = work.df
     for name, expr in kwargs.items():
         from .across import IfAnyAll, expand_if_any_all
         if isinstance(expr, IfAnyAll):
-            expr = expand_if_any_all(expr, tbl.columns)
-        ctx = tbl.row_ctx()
+            expr = expand_if_any_all(expr, work.columns)
+        ctx = work.row_ctx()
         # fct_lump lowers to an agg→rank→broadcast-join plan, not a global
         # window — rewrite the expression tree first (no-op otherwise)
         df, node, tmps = rewrite_fct_lump(strip_symbolic(expr), ctx, df)
@@ -174,7 +208,7 @@ def mutate(tbl: SparkTbl, *args, **kwargs):
         df = df.withColumn(name, col)
         if tmps:
             df = df.drop(*tmps)
-    return tbl.evolve(df=df)
+    return work.evolve(df=df, group_by=orig_groups)
 
 
 @verb
@@ -188,11 +222,12 @@ def transmute(tbl: SparkTbl, *args, **kwargs):
 
 
 @verb
-def filter(tbl: SparkTbl, *conds, **kwargs):
+def filter(tbl: SparkTbl, *conds, _by=None, **kwargs):
     """Keep rows where all conditions hold.  Window/aggregate conditions are
     hoisted into computed columns first — Spark forbids windows in WHERE,
     the same constraint the reference solves with a CTE
-    (siuba/sql/verbs/filter.py:13-64).
+    (siuba/sql/verbs/filter.py:13-64).  ``_by=`` applies dplyr-1.1
+    per-operation grouping to aggregate conditions.
 
     Examples
     --------
@@ -208,6 +243,8 @@ def filter(tbl: SparkTbl, *conds, **kwargs):
     """
     from .across import Across, IfAnyAll, expand_across, expand_if_any_all
 
+    orig_groups = tbl.group_by
+    tbl = _temp_by(tbl, _by, "filter")
     expanded = []
     for cond in conds:
         if isinstance(cond, Across):
@@ -240,7 +277,7 @@ def filter(tbl: SparkTbl, *conds, **kwargs):
         for c in plain:
             cond_all = c if cond_all is None else (cond_all & c)
         df = df.filter(cond_all)
-    return tbl.evolve(df=df)
+    return tbl.evolve(df=df, group_by=orig_groups)
 
 
 def _parse_sort_arg(arg):

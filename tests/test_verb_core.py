@@ -273,3 +273,24 @@ def test_rename_with_and_relocate(spark):
     # grouping keys follow renames
     g = (t >> group_by(_.ab) >> rename_with(str.upper))
     assert g.group_by == ("AB",)
+
+
+def test_by_per_operation_grouping(spark):
+    """dplyr 1.1 .by= (spelled _by=): temporary grouping for one verb;
+    result keeps the table's grouped state; combining with group_by
+    raises (dplyr's rule)."""
+    import pytest
+
+    from siuba_spark import TranslationError, summarize
+
+    t = data_frame(spark, g=["a", "a", "b"], x=[1.0, 3.0, 2.0])
+    m = (t >> mutate(dev=_.x - _.x.mean(), _by="g")).df.orderBy("g", "x").collect()
+    assert [r.dev for r in m] == [-1.0, 1.0, 0.0]
+    s = (t >> summarize(m=_.x.mean(), _by=_.g)).df.orderBy("g").collect()
+    assert [(r.g, r.m) for r in s] == [("a", 2.0), ("b", 2.0)]
+    f = (t >> filter(_.x > _.x.mean(), _by="g")).df.collect()
+    assert [r.x for r in f] == [3.0]
+    # result of _by= mutate is ungrouped (original state)
+    assert (t >> mutate(dev=_.x - _.x.mean(), _by="g")).group_by == ()
+    with pytest.raises(TranslationError, match="_by"):
+        t >> group_by(_.g) >> mutate(d=_.x, _by="g")
