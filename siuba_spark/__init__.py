@@ -36,6 +36,7 @@ from .functions.udf import call, py_func, group_apply
 from .operators.joins import (
     join, inner_join, left_join, right_join, full_join, semi_join, anti_join,
     asof_join, interval_join, salted_join,
+    union, union_all, intersect, setdiff, cross_join, nest_join,
 )
 from .operators.reshape import (
     gather, spread, separate, separate_rows, unite, extract, nest, unnest, expand, complete,
@@ -74,7 +75,8 @@ __all__ = [
     "tally", "add_tally",
     "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
-    "semi_join", "anti_join", "asof_join", "interval_join", "salted_join", "across", "Fx", "if_any", "if_all", "call", "py_func", "group_apply",
+    "semi_join", "anti_join", "asof_join", "interval_join", "salted_join",
+    "union", "union_all", "intersect", "setdiff", "cross_join", "nest_join", "across", "Fx", "if_any", "if_all", "call", "py_func", "group_apply",
     "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest", "fill", "drop_na", "replace_na",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",

@@ -23,6 +23,7 @@ from ..plans.tbl import SparkTbl
 __all__ = [
     "join", "inner_join", "left_join", "right_join", "full_join",
     "semi_join", "anti_join", "asof_join", "interval_join",
+    "union", "union_all", "intersect", "setdiff", "cross_join", "nest_join",
 ]
 
 
@@ -376,3 +377,85 @@ def interval_join(left, right, left_on: str, right_on: str,
     if how == "inner":
         return SparkTbl(out)
     raise ValueError("interval_join supports how='inner' (aggregate after for counts)")
+
+
+# --------------------------------------------------------------------------
+# set operations & remaining dplyr two-table verbs (absent from reference)
+# --------------------------------------------------------------------------
+
+
+def _aligned(left, right, op_name):
+    l, r = wrap_table(left), wrap_table(right)
+    if set(l.df.columns) != set(r.df.columns):
+        raise ValueError(
+            f"{op_name}: both tables need the same column set; got "
+            f"{l.df.columns} vs {r.df.columns}")
+    return l, r.df.select(*l.df.columns)
+
+
+@join_verb
+def union(left, right):
+    """dplyr ``union``: distinct rows present in either table — unionByName
+    + one distinct shuffle (set semantics; use ``union_all``/``bind_rows``
+    to keep duplicates)."""
+    l, rdf = _aligned(left, right, "union")
+    return SparkTbl(l.df.unionByName(rdf).distinct())
+
+
+@join_verb
+def union_all(left, right):
+    """dplyr ``union_all``: rows of both tables, duplicates kept — a pure
+    metadata concat, zero shuffle."""
+    l, rdf = _aligned(left, right, "union_all")
+    return SparkTbl(l.df.unionByName(rdf))
+
+
+@join_verb
+def intersect(left, right):
+    """dplyr ``intersect``: distinct rows present in BOTH tables (SQL
+    INTERSECT — one hash shuffle per side on the full row)."""
+    l, rdf = _aligned(left, right, "intersect")
+    return SparkTbl(l.df.intersect(rdf))
+
+
+@join_verb
+def setdiff(left, right):
+    """dplyr ``setdiff``: distinct rows of the left table absent from the
+    right (SQL EXCEPT)."""
+    l, rdf = _aligned(left, right, "setdiff")
+    return SparkTbl(l.df.exceptAll(rdf.distinct()).distinct())
+
+
+@join_verb
+def cross_join(left, right):
+    """dplyr 1.1 ``cross_join``: the EXPLICIT cartesian product.  The only
+    sanctioned cross join in the engine — every implicit path (jaccard,
+    fuzzy) requires blocking instead; spelling it out is the user's
+    declaration that |left| x |right| is intended and bounded."""
+    l, r = wrap_table(left), wrap_table(right)
+    dup = set(l.df.columns) & set(r.df.columns)
+    rdf = r.df
+    for c in dup:
+        rdf = rdf.withColumnRenamed(c, f"{c}_y")
+    return SparkTbl(l.df.crossJoin(rdf))
+
+
+@join_verb
+def nest_join(left, right, on, name: str | None = None):
+    """dplyr ``nest_join``: left join where each left row carries its
+    matches as ONE nested array-of-structs column (no row multiplication).
+    Spark-first: aggregate the right side per key (collect_list(struct)) —
+    one shuffle on the key — then a plain left join; rows with no match
+    get an empty array (dplyr's zero-row nested frame)."""
+    l, r = wrap_table(left), wrap_table(right)
+    keys = [on] if isinstance(on, str) else list(on)
+    name = name or "data"
+    payload = [c for c in r.df.columns if c not in keys]
+    packed = (r.df.groupBy(*keys)
+              .agg(F.collect_list(F.struct(*payload)).alias(name)))
+    fields = ",".join(f"{f.name}:{f.dataType.simpleString()}"
+                      for f in r.df.select(*payload).schema.fields)
+    empty = F.array().cast(f"array<struct<{fields}>>")
+    out = (l.df.join(packed, keys, "left")
+           .withColumn(name, F.coalesce(F.col(name), empty)))
+    return SparkTbl(out)

@@ -291,3 +291,33 @@ def test_asof_join_nearest_single_shuffle(spark):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2  # union sides pre-shuffle
     assert "Exchange SinglePartition" not in plan
+
+
+def test_set_operations(spark):
+    """dplyr union/union_all/intersect/setdiff (SQL set semantics)."""
+    from siuba_spark import intersect, setdiff, union, union_all
+
+    a = data_frame(spark, g=["x", "x", "y"], v=[1, 1, 2])
+    b = data_frame(spark, v=[1, 3], g=["x", "z"])  # different column order
+    assert (a >> union(b)).df.count() == 3          # distinct: x1, y2, z3
+    assert (a >> union_all(b)).df.count() == 5
+    assert [(r.g, r.v) for r in (a >> intersect(b)).df.collect()] == [("x", 1)]
+    sd = sorted((r.g, r.v) for r in (a >> setdiff(b)).df.collect())
+    assert sd == [("y", 2)]
+    import pytest
+    with pytest.raises(ValueError, match="same column"):
+        a >> union(data_frame(spark, q=[1]))
+
+
+def test_cross_and_nest_join(spark):
+    from siuba_spark import cross_join, nest_join
+
+    l = data_frame(spark, k=["a", "b", "c"], lv=[1, 2, 3])
+    r = data_frame(spark, k=["a", "a", "b"], rv=[10, 20, 30])
+    cj = (l >> cross_join(r)).df
+    assert cj.count() == 9 and "k_y" in cj.columns
+
+    nj = (l >> nest_join(r, on="k", name="matches")).df.orderBy("k").collect()
+    sizes = [len(row.matches) for row in nj]
+    assert sizes == [2, 1, 0]  # a->2 matches, b->1, c->empty array
+    assert sorted(m.rv for m in nj[0].matches) == [10, 20]
