@@ -109,9 +109,7 @@ def rename(tbl: SparkTbl, **kwargs):
         if not isinstance(old, str):
             raise TranslationError(f"rename target for {new!r} must be a column")
         mapping[old] = new
-    df = tbl.df.withColumnsRenamed(mapping)
-    group_by = tuple(mapping.get(g, g) for g in tbl.group_by)
-    return tbl.evolve(df=df, group_by=group_by)
+    return _apply_rename(tbl, mapping, "rename")
 
 
 @verb
@@ -129,13 +127,20 @@ def rename_with(tbl: SparkTbl, fn, *cols):
                 f"rename_with function returned {new!r} for column {old!r}")
         if new != old:
             mapping[old] = new
-    clashes = (set(mapping.values())
-               & (set(tbl.columns) - set(mapping)))
-    if clashes or len(set(mapping.values())) != len(mapping):
+    return _apply_rename(tbl, mapping, "rename_with")
+
+
+def _apply_rename(tbl: SparkTbl, mapping: dict, verb_name: str):
+    """Rename SIMULTANEOUSLY like dplyr (one aliased projection), so chained
+    maps such as ``a->b, b->c`` are legal and swaps work; a final column
+    list with duplicates is the only error condition."""
+    final = [mapping.get(c, c) for c in tbl.columns]
+    dupes = sorted({c for c in final if final.count(c) > 1})
+    if dupes:
         raise TranslationError(
-            f"rename_with produces duplicate column names: "
-            f"{sorted(clashes or set(mapping.values()))}")
-    df = tbl.df.withColumnsRenamed(mapping)
+            f"{verb_name} produces duplicate column names: {dupes}")
+    df = tbl.df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in tbl.columns])
     group_by = tuple(mapping.get(g, g) for g in tbl.group_by)
     return tbl.evolve(df=df, group_by=group_by)
 

@@ -423,7 +423,7 @@ def setdiff(left, right):
     """dplyr ``setdiff``: distinct rows of the left table absent from the
     right (SQL EXCEPT)."""
     l, rdf = _aligned(left, right, "setdiff")
-    return SparkTbl(l.df.exceptAll(rdf.distinct()).distinct())
+    return SparkTbl(l.df.subtract(rdf))
 
 
 @join_verb
@@ -450,7 +450,14 @@ def nest_join(left, right, on, name: str | None = None):
     l, r = wrap_table(left), wrap_table(right)
     keys = [on] if isinstance(on, str) else list(on)
     name = name or "data"
+    if name in l.df.columns:
+        raise ValueError(
+            f"nest_join: nested column name {name!r} collides with a left "
+            f"column; pass name= to pick another")
     payload = [c for c in r.df.columns if c not in keys]
+    if not payload:
+        raise ValueError(
+            "nest_join: right table has no non-key columns to nest")
     packed = (r.df.groupBy(*keys)
               .agg(F.collect_list(F.struct(*payload)).alias(name)))
     fields = ",".join(f"{f.name}:{f.dataType.simpleString()}"

@@ -273,6 +273,16 @@ def test_rename_with_and_relocate(spark):
     # grouping keys follow renames
     g = (t >> group_by(_.ab) >> rename_with(str.upper))
     assert g.group_by == ("AB",)
+    # dplyr renames SIMULTANEOUSLY: chained maps (ab->cd, cd->ef0) are
+    # legal — they must not cascade into duplicate columns
+    chain = (t >> rename_with(
+        lambda c: {"ab": "cd", "cd": "ef0"}.get(c, c))).df
+    assert chain.columns == ["cd", "ef0", "ef"]
+    # swap via rename() is legal too
+    from siuba_spark import rename
+    swapped = (t >> rename(cd=_.ab, ab=_.cd)).df
+    assert swapped.columns == ["cd", "ab", "ef"]
+    assert swapped.collect()[0].cd == 1  # old ab value travels with alias
 
 
 def test_by_per_operation_grouping(spark):

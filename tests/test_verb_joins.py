@@ -321,3 +321,16 @@ def test_cross_and_nest_join(spark):
     sizes = [len(row.matches) for row in nj]
     assert sizes == [2, 1, 0]  # a->2 matches, b->1, c->empty array
     assert sorted(m.rv for m in nj[0].matches) == [10, 20]
+
+    import pytest
+    with pytest.raises(ValueError, match="collides"):
+        l >> nest_join(r, on="k", name="lv")  # nested col clashes with left
+    with pytest.raises(ValueError, match="no non-key"):
+        l >> nest_join(r.df.select("k"), on="k")  # right has no payload
+
+    # setdiff with duplicated left rows: pure set semantics (SQL EXCEPT)
+    from siuba_spark import setdiff
+    dup_l = data_frame(spark, x=["x", "x", "y"], n=[1, 1, 2])
+    dup_r = data_frame(spark, x=["x", "z"], n=[1, 3])
+    assert [(r.x, r.n) for r in (dup_l >> setdiff(dup_r)).df.collect()] \
+        == [("y", 2)]
