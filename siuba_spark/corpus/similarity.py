@@ -234,7 +234,8 @@ def cosine_near_dups(tbl: SparkTbl, threshold: float = 0.9,
 @verb
 def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", n_lists: int = 16, n_probes: int = 4,
-             seed: int = 42, round_to: int = 4, centroids: str = "kmeans"):
+             seed: int = 42, round_to: int = 4, centroids: str = "kmeans",
+             n_iters: int = 2):
     """IVF (inverted-file) approximate top-k: the corpus is partitioned
     into ``n_lists`` cells; each query probes its ``n_probes`` nearest
     centroids and scans only those cells with exact cosine.
@@ -250,35 +251,66 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
       centroid pick, argmin assignment, probe ranking — is deterministic
       and replicable in vanilla SQL, so an independent engine can verify
       the full pipeline value-exactly.
+    - ``"lloyd"`` — ``n_iters`` fixed Lloyd iterations refining the
+      sample seeds, with DECIMAL(38,12) element-wise sums so the centroid
+      update is summation-order-independent: a TRAINED coarse quantizer
+      whose every iteration an independent SQL engine replays bit-exactly
+      (the kmeans mode's quality, the sample mode's verifiability).
+      Each iteration is one map-side-combined aggregate to n_lists×dim
+      cells plus a bounded n_lists-row collect — at 100 TB that is
+      n_iters extra corpus passes, no extra shuffle width.
 
     Scale shape (both modes): the centroid table is tiny and broadcast,
     and the candidate join shuffles on the cell id — per-query work is
     |corpus| * n_probes / n_lists instead of |corpus|."""
     spark = tbl.df.sparkSession
-    if centroids == "sample":
-        # bounded eager probe: n_lists rows collected (same class of
-        # collected-spec job as pivot's key discovery)
-        rows = (tbl.df.orderBy(F.col(id_col).asc()).limit(n_lists)
-                .select(_to_double(F.col(vec_col)).alias("__c")).collect())
-        cents = [[float(x) for x in r["__c"]] for r in rows]
-        centers = list(enumerate(cents))
-        # assignment: ONE pass per corpus row over a broadcast 1-row
-        # centroid table (the packed-planes pattern) — argmin of the
-        # squared euclidean distances, first index wins ties; no explode,
-        # no extra shuffle
-        cpk = (spark.createDataFrame([(cents,)], "__cents: array<array<double>>")
+
+    def _argmin_cell(cents):
+        """Assignment plan against literal centroids: ONE pass per corpus
+        row over a broadcast 1-row centroid table (the packed-planes
+        pattern) — argmin of the squared euclidean distances, first index
+        wins ties; no explode, no extra shuffle."""
+        cpk = (spark.createDataFrame([(cents,)],
+                                     "__cents: array<array<double>>")
                .withColumn("__jk", F.lit(1)))
         vd = _to_double(F.col(vec_col))
         d2 = F.transform(F.col("__cents"), lambda c: F.aggregate(
             F.zip_with(vd, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x))
         cell = (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
-        assigned = (tbl.df.withColumn("__jk", F.lit(1))
-                    .join(F.broadcast(cpk), "__jk")
-                    .select(F.col(id_col).alias("nbr_id"),
-                            F.col(vec_col).alias("nbr_vec"),
-                            _norm_sq(F.col(vec_col)).alias("__nn"),
-                            cell.alias("__cell")))
+        return tbl.df.withColumn("__jk", F.lit(1)) \
+                     .join(F.broadcast(cpk), "__jk"), cell
+
+    if centroids in ("sample", "lloyd"):
+        # bounded eager probe: n_lists rows collected (same class of
+        # collected-spec job as pivot's key discovery)
+        rows = (tbl.df.orderBy(F.col(id_col).asc()).limit(n_lists)
+                .select(_to_double(F.col(vec_col)).alias("__c")).collect())
+        cents = [[float(x) for x in r["__c"]] for r in rows]
+        if centroids == "lloyd":
+            dim = len(cents[0])
+            vd = _to_double(F.col(vec_col))
+            for _i in range(n_iters):
+                base, cell = _argmin_cell(cents)
+                # decimal element-wise sums: exact, order-independent, so
+                # float(sum)/n is the SAME double in any engine
+                sums = (base.select(cell.alias("__cell"), vd.alias("__v"))
+                        .groupBy("__cell")
+                        .agg(F.count(F.lit(1)).alias("__n"),
+                             *[F.sum(F.element_at("__v", j + 1)
+                                     .cast("decimal(38,12)")).alias(f"s{j}")
+                               for j in range(dim)])
+                        .collect())
+                upd = {r["__cell"]: [float(r[f"s{j}"]) / r["__n"]
+                                     for j in range(dim)] for r in sums}
+                # empty cells keep their previous centroid
+                cents = [upd.get(i, cents[i]) for i in range(n_lists)]
+        centers = list(enumerate(cents))
+        base, cell = _argmin_cell(cents)
+        assigned = base.select(F.col(id_col).alias("nbr_id"),
+                               F.col(vec_col).alias("nbr_vec"),
+                               _norm_sq(F.col(vec_col)).alias("__nn"),
+                               cell.alias("__cell"))
     elif centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
 

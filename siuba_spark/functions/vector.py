@@ -509,9 +509,10 @@ def case_when(mapping):
     return Symbolic(FnCall("case_when", (mapping,), {}))
 
 
-def _register_rolling(name, agg, post=None):
+def _register_rolling(name, agg, post=None, frame_fn=None):
     @register_fn(name)
-    def impl(ctx, args, kwargs, _agg=agg, _post=post, _name=name):
+    def impl(ctx, args, kwargs, _agg=agg, _post=post, _name=name,
+             _frame_fn=frame_fn):
         """rolling_*(col, n, min_periods=None): trailing n-row frame over
         the arrange order (beyond the reference — pandas .rolling has no
         siuba SQL translation; Spark frames give it for free).
@@ -540,7 +541,10 @@ def _register_rolling(name, agg, post=None):
         # only the aggregate itself may carry .over(w); any post-processing
         # (e.g. median's sorted-frame pick) wraps the WINDOWED column —
         # wrapping before .over would make Spark extract a plain Aggregate
-        out = _agg(col).over(w)
+        if _frame_fn is not None:
+            out = _frame_fn(col, w)
+        else:
+            out = _agg(col).over(w)
         if _post is not None:
             out = _post(out)
         if minp > 1:
@@ -553,8 +557,38 @@ _register_rolling("rolling_mean", F.avg)
 _register_rolling("rolling_sum", F.sum)
 _register_rolling("rolling_min", F.min)
 _register_rolling("rolling_max", F.max)
-_register_rolling("rolling_std", F.stddev_samp)
-_register_rolling("rolling_var", F.var_samp)
+
+
+def _exact_frame_var(col, w):
+    """Sample variance from DECIMAL(18,6)-exact frame sums: (Σx² − (Σx)²/n)
+    / (n−1) with both sums exact decimals, final ops in double.  Unlike the
+    built-in var_samp (streaming float — engines disagree in the last few
+    ulps), this is bit-reproducible: any engine replaying the decimal sums
+    produces the identical double.  The 1e-6 input quantization is far
+    below data noise, and frames are short so cancellation stays benign."""
+    x = col.cast("decimal(18,6)")
+    n = F.count(col).over(w)
+    sx = F.sum(x).over(w).cast("double")
+    sx2 = F.sum(x * x).over(w).cast("double")
+    return n, (sx2 - sx * sx / n) / (n - 1)
+
+
+def _var_gated(col, w):
+    n, v = _exact_frame_var(col, w)
+    return F.when(n > 1, v)
+
+
+def _std_gated(col, w):
+    # clamp the cancellation-negative corner before sqrt (same clamp an
+    # oracle applies, so bit-exactness survives); the n>1 gate wraps
+    # OUTSIDE the clamp — greatest() ignores NULLs, so clamping a NULL
+    # variance would silently fabricate 0.0
+    n, v = _exact_frame_var(col, w)
+    return F.when(n > 1, F.sqrt(F.greatest(F.lit(0.0), v)))
+
+
+_register_rolling("rolling_std", None, frame_fn=_std_gated)
+_register_rolling("rolling_var", None, frame_fn=_var_gated)
 _register_rolling("rolling_count", lambda c: F.count(c))
 
 
