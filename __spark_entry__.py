@@ -4114,6 +4114,128 @@ SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= """ + str(threshold)
 SQL_MINHASH_NEAR_DUPS_PROD = _minhash_prod_oracle_sql()
 
 
+def q_rows_family(spark, sf):
+    """dplyr rows_update → rows_insert → rows_delete chained on nation
+    (operators/rows.py — beyond the reference, new in round 5).  Exercises
+    the default error-checking contracts too: the update keys all exist,
+    the insert keys are all new, the delete keys all exist — so the
+    bounded y-side count checks pass without raising."""
+    from siuba_spark import rows_delete, rows_insert, rows_update
+    nat = _t(spark, sf, "nation")
+    upd = (nat >> filter(_.n_nationkey < 5)
+           >> mutate(n_name=_.n_name.str.lower())
+           >> select(_.n_nationkey, _.n_name))
+    ins = (nat >> filter(_.n_nationkey < 3)
+           >> mutate(n_nationkey=_.n_nationkey + 100))
+    dele = nat >> filter(_.n_regionkey == 0) >> select(_.n_nationkey)
+    return (
+        nat
+        >> rows_update(upd, by="n_nationkey")
+        >> rows_insert(ins, by="n_nationkey")
+        >> rows_delete(dele, by="n_nationkey")
+        >> arrange(_.n_nationkey)
+    ).df
+
+
+SQL_ROWS_FAMILY = """
+WITH upd AS (SELECT n_nationkey, lower(n_name) AS n_name
+             FROM nation WHERE n_nationkey < 5),
+x1 AS (SELECT n.n_nationkey,
+              CASE WHEN u.n_nationkey IS NOT NULL THEN u.n_name
+                   ELSE n.n_name END AS n_name,
+              n.n_regionkey
+       FROM nation n LEFT JOIN upd u USING (n_nationkey)),
+ins AS (SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+        FROM nation WHERE n_nationkey < 3),
+x2 AS (SELECT * FROM x1 UNION ALL SELECT * FROM ins),
+del AS (SELECT DISTINCT n_nationkey FROM nation WHERE n_regionkey = 0)
+SELECT n_nationkey, n_name, n_regionkey FROM x2
+WHERE n_nationkey NOT IN (SELECT n_nationkey FROM del)
+ORDER BY n_nationkey
+"""
+
+
+def q_nest_join_sizes(spark, sf):
+    """nest_join (array-of-structs per left row, no row multiplication)
+    summarized to per-region match counts + total nested balance so the
+    nested payload is value-checked without hashing nested types."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import nest_join
+    reg = _t(spark, sf, "region")
+    cust = (_t(spark, sf, "customer")
+            >> transmute(r_regionkey=_.c_nationkey % 5, bal=_.c_acctbal))
+    nested = reg >> nest_join(cust, on="r_regionkey", name="members")
+    return (nested.df
+            .select("r_regionkey",
+                    F.size("members").alias("n_members"),
+                    F.round(F.aggregate(
+                        "members", F.lit(0.0).cast("decimal(30,6)"),
+                        lambda acc, m: (acc + m["bal"].cast("decimal(30,6)"))
+                        .cast("decimal(30,6)"))
+                        .cast("double"), 4).alias("total_bal"))
+            .orderBy("r_regionkey"))
+
+
+SQL_NEST_JOIN_SIZES = """
+SELECT r.r_regionkey,
+       COUNT(c.c_acctbal) AS n_members,
+       ROUND(CAST(COALESCE(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))), 0)
+             AS DOUBLE), 4) AS total_bal
+FROM region r LEFT JOIN customer c ON c.c_nationkey % 5 = r.r_regionkey
+GROUP BY r.r_regionkey ORDER BY r.r_regionkey
+"""
+
+
+def q_cat_codes_static(spark, sf):
+    """`.cat` accessor with declared levels (functions/cat.py, new in
+    round 5 — reference ops_cat, generics.py:323-335): set_categories
+    nulls non-members, codes = level position (-1 for NULL), and arrange
+    sorts by LEVEL ORDER via the table factor ledger.  All literal
+    array/when chains — pure codegen, zero extra shuffle."""
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+    return (
+        _t(spark, sf, "customer")
+        >> mutate(seg=_.c_mktsegment.cat.set_categories(segs))
+        >> mutate(code=_.seg.cat.codes)
+        >> count(_.seg, _.code)
+        >> arrange(_.seg)
+    ).df
+
+
+SQL_CAT_CODES_STATIC = """
+WITH f AS (
+  SELECT CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+              THEN c_mktsegment END AS seg,
+         CASE c_mktsegment WHEN 'BUILDING' THEN 0 WHEN 'AUTOMOBILE' THEN 1
+              WHEN 'MACHINERY' THEN 2 ELSE -1 END AS code
+  FROM customer)
+SELECT seg, code, COUNT(*) AS n FROM f GROUP BY seg, code
+ORDER BY CASE WHEN code >= 0 THEN code END NULLS LAST
+"""
+
+
+def q_cat_codes_dynamic(spark, sf):
+    """`.cat.codes` with NO declared levels — the pandas
+    astype('category') rule (levels = sorted uniques).  Lowers to a
+    distinct→row_number-over-bounded-level-set→broadcast-join plan
+    (functions/cat.py rewrite_cat_dynamic), never a global window over
+    the data."""
+    return (
+        _t(spark, sf, "part")
+        >> mutate(code=_.p_brand.cat.codes)
+        >> count(_.p_brand, _.code)
+        >> arrange(_.code)
+    ).df
+
+
+SQL_CAT_CODES_DYNAMIC = """
+SELECT p_brand, DENSE_RANK() OVER (ORDER BY p_brand) - 1 AS code,
+       COUNT(*) AS n
+FROM part GROUP BY p_brand ORDER BY code
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -4156,6 +4278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_lloyd": q_ivf_topk_lloyd,
         "minhash_near_dups_prod": q_minhash_near_dups_prod,
         "tally_if_any": q_tally_if_any,
+        "rows_family": q_rows_family,
+        "nest_join_sizes": q_nest_join_sizes,
+        "cat_codes_static": q_cat_codes_static,
+        "cat_codes_dynamic": q_cat_codes_dynamic,
         # --- (b) stable filler: the r4 window, all green there ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -4465,4 +4591,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_aggs": SQL_APPROX_AGGS,
         "ivf_topk_lloyd": SQL_IVF_TOPK_LLOYD,
         "minhash_near_dups_prod": SQL_MINHASH_NEAR_DUPS_PROD,
+        "rows_family": SQL_ROWS_FAMILY,
+        "nest_join_sizes": SQL_NEST_JOIN_SIZES,
+        "cat_codes_static": SQL_CAT_CODES_STATIC,
+        "cat_codes_dynamic": SQL_CAT_CODES_DYNAMIC,
     }

@@ -38,6 +38,10 @@ from .operators.joins import (
     asof_join, interval_join, salted_join,
     union, union_all, intersect, setdiff, cross_join, nest_join,
 )
+from .operators.rows import (
+    rows_insert, rows_append, rows_update, rows_patch, rows_upsert,
+    rows_delete,
+)
 from .operators.reshape import (
     gather, spread, separate, separate_rows, unite, extract, nest, unnest, expand, complete,
     fill_na_directional as fill, drop_na, replace_na,
@@ -77,6 +81,7 @@ __all__ = [
     "join", "inner_join", "left_join", "right_join", "full_join",
     "semi_join", "anti_join", "asof_join", "interval_join", "salted_join",
     "union", "union_all", "intersect", "setdiff", "cross_join", "nest_join", "across", "Fx", "if_any", "if_all", "call", "py_func", "group_apply",
+    "rows_insert", "rows_append", "rows_update", "rows_patch", "rows_upsert", "rows_delete",
     "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest", "fill", "drop_na", "replace_na",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",

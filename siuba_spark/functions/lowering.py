@@ -45,6 +45,12 @@ class LowerCtx:
     order_by: tuple = ()  # tuple of (Call, ascending: bool)
     mode: str = ROW
     used_window: bool = field(default=False)
+    # factor-level ledger (column name -> CatMeta) fed from SparkTbl, and
+    # per-node metadata produced by `.cat.*` method calls during this
+    # lowering pass (id(node) -> CatMeta) so chains and the assigning verb
+    # can read the resulting levels (functions/cat.py)
+    factors: dict = field(default_factory=dict)
+    cat_results: dict = field(default_factory=dict)
 
     # -- window spec builders (AggOver / RankOver / CumlOver analogues) ----
     def w_agg(self):
@@ -101,13 +107,15 @@ class LowerCtx:
 
 
 class _Accessor:
-    """Internal marker for `.str` / `.dt` accessor chains."""
+    """Internal marker for `.str` / `.dt` / `.cat` accessor chains.
+    ``meta`` carries factor level metadata for `.cat` (functions/cat.py)."""
 
-    __slots__ = ("col", "which")
+    __slots__ = ("col", "which", "meta")
 
-    def __init__(self, col, which):
+    def __init__(self, col, which, meta=None):
         self.col = col
         self.which = which
+        self.meta = meta
 
 
 # --------------------------------------------------------------------------
@@ -449,10 +457,16 @@ for _name, (_op, _swap) in _INFIX_METHOD_ALIASES.items():
 
 
 def _lower_getattr(node, ctx):
-    # accessor entry: _.x.str / _.x.dt
+    # accessor entry: _.x.str / _.x.dt / _.x.cat
     if node.name in ("str", "dt", "cat"):
         col, kind = lower(node.obj, ctx)
-        return _Accessor(col, node.name), kind
+        meta = None
+        if node.name == "cat":
+            if isinstance(node.obj, GetAttr) and isinstance(node.obj.obj, MetaArg):
+                meta = ctx.factors.get(node.obj.name)
+            else:
+                meta = ctx.cat_results.get(id(node.obj))
+        return _Accessor(col, node.name, meta), kind
 
     # column reference off the table: _.colname
     if isinstance(node.obj, MetaArg):
@@ -463,8 +477,17 @@ def _lower_getattr(node, ctx):
     if isinstance(obj, _Accessor):
         if obj.which == "dt" and node.name in DT_PROPERTIES:
             return DT_PROPERTIES[node.name](obj.col), kind
+        if obj.which == "cat":
+            from .cat import CAT_PROPERTIES, cat_categories, cat_codes, cat_ordered
+            if node.name in CAT_PROPERTIES:
+                if node.name == "codes":
+                    return cat_codes(obj.col, obj.meta), kind
+                if node.name == "ordered":
+                    return cat_ordered(obj.col, obj.meta), kind
+                col, override = cat_categories(obj.col, obj.meta, ctx)
+                return col, (override if override is not None else kind)
         # leave method resolution to MethodCall; re-wrap
-        return _Accessor(obj.col, obj.which), kind
+        return _Accessor(obj.col, obj.which, obj.meta), kind
     # struct field access
     return obj.getField(node.name), kind
 
@@ -517,6 +540,16 @@ def _lower_method(node, ctx):
         # column-valued args (e.g. str.cat(_.other)) get lowered
         raw_args = [lower(a, ctx)[0] if isinstance(a, Call) else a for a in raw_args]
         raw_kw = {k: lower(v, ctx)[0] if isinstance(v, Call) else v for k, v in raw_kw.items()}
+        if obj.which == "cat":
+            from .cat import CAT_METHODS
+            impl = CAT_METHODS.get(node.name)
+            if impl is None:
+                raise TranslationError(
+                    f"no translation for .cat.{node.name}() "
+                    f"(reference SQL dialects raise the same way)")
+            col, meta = impl(obj.col, obj.meta, *raw_args, **raw_kw)
+            ctx.cat_results[id(node)] = meta
+            return col, obj_kind
         table = {"str": STR_METHODS, "dt": DT_METHODS}.get(obj.which, {})
         impl = table.get(node.name)
         if impl is None:

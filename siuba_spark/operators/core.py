@@ -95,7 +95,9 @@ def select(tbl: SparkTbl, *args, **kwargs):
     cols = [F.col(old).alias(new) for old, new in pairs]
     renames = {old: new for old, new in pairs if old != new}
     group_by = tuple(renames.get(g, g) for g in tbl.group_by)
-    return tbl.evolve(df=tbl.df.select(*cols), group_by=group_by)
+    factors = {renames.get(k, k): v for k, v in tbl.factors.items()}
+    return tbl.evolve(df=tbl.df.select(*cols), group_by=group_by,
+                      factors=factors)
 
 
 @verb
@@ -142,7 +144,8 @@ def _apply_rename(tbl: SparkTbl, mapping: dict, verb_name: str):
     df = tbl.df.select(
         *[F.col(c).alias(mapping.get(c, c)) for c in tbl.columns])
     group_by = tuple(mapping.get(g, g) for g in tbl.group_by)
-    return tbl.evolve(df=df, group_by=group_by)
+    factors = {mapping.get(k, k): v for k, v in tbl.factors.items()}
+    return tbl.evolve(df=df, group_by=group_by, factors=factors)
 
 
 @verb
@@ -195,25 +198,38 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
     >>> sorted(out.dev.tolist())
     [-1.0, 0.0, 1.0]
     """
+    from ..functions.cat import rewrite_cat_dynamic
     from ..functions.forcats import rewrite_fct_lump
 
     orig_groups = tbl.group_by
     work = _temp_by(tbl, _by, "mutate")
     kwargs = _merge_across(work, args, kwargs)
     df = work.df
+    factors = dict(work.factors)
     for name, expr in kwargs.items():
         from .across import IfAnyAll, expand_if_any_all
         if isinstance(expr, IfAnyAll):
             expr = expand_if_any_all(expr, work.columns)
         ctx = work.row_ctx()
-        # fct_lump lowers to an agg→rank→broadcast-join plan, not a global
-        # window — rewrite the expression tree first (no-op otherwise)
+        ctx.factors = dict(factors)
+        # fct_lump lowers to an agg→rank→broadcast-join plan, and dynamic
+        # .cat.codes to a distinct→broadcast-join plan — not global
+        # windows; rewrite the expression tree first (no-op otherwise)
         df, node, tmps = rewrite_fct_lump(strip_symbolic(expr), ctx, df)
+        df, node, tmps2 = rewrite_cat_dynamic(node, ctx, df)
         col, _ = lower(node, ctx)
         df = df.withColumn(name, col)
-        if tmps:
-            df = df.drop(*tmps)
-    return work.evolve(df=df, group_by=orig_groups)
+        if tmps or tmps2:
+            df = df.drop(*tmps, *tmps2)
+        # a `.cat.*` chain at the top of the expression carries factor
+        # levels onto the assigned column; any other assignment clears a
+        # stale entry for that name
+        meta = ctx.cat_results.get(id(node))
+        if meta is not None and meta.levels is not None:
+            factors[name] = meta
+        else:
+            factors.pop(name, None)
+    return work.evolve(df=df, group_by=orig_groups, factors=factors)
 
 
 @verb
@@ -323,6 +339,18 @@ def arrange(tbl: SparkTbl, *args):
     df = tbl.df
     for i, (node, asc) in enumerate(order_state):
         ctx = tbl.row_ctx()
+        # a plain column with declared factor levels sorts by LEVEL ORDER
+        # (pandas ordered-categorical sort; literal array lookup, codegen).
+        # Values outside the levels and NULLs both sort last.
+        if (isinstance(node, GetAttr) and isinstance(node.obj, MetaArg)
+                and node.name in tbl.factors):
+            levels = tbl.factors[node.name].levels
+            pos = F.array_position(
+                F.array(*[F.lit(v) for v in levels]), F.col(node.name))
+            key = F.when(pos > 0, pos)
+            sort_cols.append(key.asc_nulls_last() if asc
+                             else key.desc_nulls_last())
+            continue
         plan = fct_sort_plan(node, asc, ctx, df, i)
         if plan is not None:
             df, cols, tmps = plan

@@ -46,14 +46,19 @@ class SparkTbl:
     memory for the session's lifetime (a real hazard in a long-lived
     100 TB pipeline)."""
 
-    __slots__ = ("df", "group_by", "order_by", "pins")
+    __slots__ = ("df", "group_by", "order_by", "pins", "factors")
 
     def __init__(self, df: DataFrame, group_by: tuple = (), order_by: tuple = (),
-                 pins: tuple = ()):
+                 pins: tuple = (), factors: dict | None = None):
         self.df = df
         self.group_by = tuple(group_by)
         self.order_by = tuple(order_by)
         self.pins = tuple(pins)
+        # factor-level ledger: column name -> CatMeta (functions/cat.py).
+        # Entries for columns no longer in df are pruned here, so stale
+        # metadata can't outlive a select()/drop.
+        cols = set(df.columns)
+        self.factors = {k: v for k, v in (factors or {}).items() if k in cols}
         for p in self.pins:
             _ACTIVE_PINS.setdefault(id(p), p)
 
@@ -73,12 +78,14 @@ class SparkTbl:
         from .pipe import as_pipe
         return as_pipe(other).fn(self)
 
-    def evolve(self, df=None, group_by=None, order_by=None, pins=None) -> "SparkTbl":
+    def evolve(self, df=None, group_by=None, order_by=None, pins=None,
+               factors=None) -> "SparkTbl":
         return SparkTbl(
             df if df is not None else self.df,
             self.group_by if group_by is None else group_by,
             self.order_by if order_by is None else order_by,
             self.pins if pins is None else pins,
+            self.factors if factors is None else factors,
         )
 
     def pin(self, *dfs) -> "SparkTbl":
@@ -97,10 +104,12 @@ class SparkTbl:
         return self.evolve(pins=())
 
     def row_ctx(self) -> LowerCtx:
-        return LowerCtx(self.group_by, self.order_by, ROW)
+        return LowerCtx(self.group_by, self.order_by, ROW,
+                        factors=dict(self.factors))
 
     def agg_ctx(self) -> LowerCtx:
-        return LowerCtx(self.group_by, self.order_by, AGG)
+        return LowerCtx(self.group_by, self.order_by, AGG,
+                        factors=dict(self.factors))
 
     @property
     def columns(self):

@@ -1,0 +1,105 @@
+"""``.cat`` accessor + table-level factor ledger (functions/cat.py;
+reference ops registry: siuba/ops/generics.py:323-335 ``ops_cat`` —
+pandas-backend-only there, first-class here)."""
+
+import pytest
+
+from siuba_spark import (
+    _, arrange, collect, filter, mutate, rename, select, summarize, tbl,
+)
+from siuba_spark.functions.lowering import TranslationError
+from tests.helpers import data_frame
+
+
+@pytest.fixture()
+def t(spark):
+    return data_frame(spark, s=["lo", "hi", "mid", "hi", None, "zz"],
+                      i=[1, 2, 3, 4, 5, 6])
+
+
+def test_set_categories_and_codes(t):
+    out = (t >> mutate(f=_.s.cat.set_categories(["lo", "mid", "hi"]))
+             >> mutate(code=_.f.cat.codes) >> collect())
+    by_s = dict(zip(out.s, zip(out.f, out.code)))
+    assert by_s["lo"] == ("lo", 0)
+    assert by_s["mid"] == ("mid", 1)
+    assert by_s["hi"] == ("hi", 2)
+    # non-member values -> NULL value, -1 code (pandas: NaN / -1)
+    assert by_s["zz"][0] is None and by_s["zz"][1] == -1
+
+
+def test_codes_chained_inline(t):
+    out = (t >> mutate(c=_.s.cat.set_categories(["hi", "lo"]).cat.codes)
+             >> collect())
+    assert dict(zip(out.s, out.c))["hi"] == 0
+    assert dict(zip(out.s, out.c))["lo"] == 1
+    assert dict(zip(out.s, out.c))["mid"] == -1
+
+
+def test_dynamic_codes_sorted_uniques(t):
+    # no declared levels: pandas astype('category') rule — sorted uniques
+    out = t >> mutate(dc=_.s.cat.codes) >> collect()
+    got = dict(zip(out.s, out.dc))
+    assert got == {"hi": 0, "lo": 1, "mid": 2, "zz": 3, None: -1}
+    # usable inside a larger expression too
+    out2 = t >> mutate(dc1=_.s.cat.codes + 10) >> collect()
+    assert dict(zip(out2.s, out2.dc1))["hi"] == 10
+
+
+def test_arrange_by_level_order(t):
+    out = (t >> mutate(f=_.s.cat.set_categories(["mid", "hi", "lo"]))
+             >> arrange(_.f) >> collect())
+    assert [v for v in out.f if v is not None] == ["mid", "hi", "hi", "lo"]
+    # NULLs (incl. ex-'zz') last in both directions
+    assert list(out.f[-2:]) == [None, None]
+    out_d = (t >> mutate(f=_.s.cat.set_categories(["mid", "hi", "lo"]))
+               >> arrange(-_.f) >> collect())
+    assert [v for v in out_d.f if v is not None] == ["lo", "hi", "hi", "mid"]
+
+
+def test_categories_and_ordered(t):
+    out = (t >> mutate(f=_.s.cat.set_categories(["lo", "hi"], ordered=True))
+             >> mutate(cats=_.f.cat.categories, o=_.f.cat.ordered)
+             >> collect())
+    assert list(out.cats[0]) == ["lo", "hi"] and bool(out.o[0])
+    # dynamic categories: sorted distinct aggregate
+    agg = t >> summarize(cats=_.s.cat.categories) >> collect()
+    assert list(agg.cats[0]) == ["hi", "lo", "mid", "zz"]
+
+
+def test_rename_reorder_add_remove(t):
+    base = t >> mutate(f=_.s.cat.set_categories(["lo", "mid", "hi"]))
+    ren = base >> mutate(f=_.f.cat.rename_categories({"lo": "L"}))
+    assert ren.factors["f"].levels == ("L", "mid", "hi")
+    assert "L" in set((ren >> collect()).f)
+    reo = base >> mutate(f=_.f.cat.reorder_categories(["hi", "mid", "lo"]))
+    assert reo.factors["f"].levels == ("hi", "mid", "lo")
+    with pytest.raises(TranslationError, match="exactly the current"):
+        base >> mutate(f=_.f.cat.reorder_categories(["hi", "mid"]))
+    add = base >> mutate(f=_.f.cat.add_categories(["xx"]))
+    assert add.factors["f"].levels[-1] == "xx"
+    rem = base >> mutate(f=_.f.cat.remove_categories(["mid"]))
+    assert rem.factors["f"].levels == ("lo", "hi")
+    assert None in set((rem >> filter(_.s == "mid") >> collect()).f)
+
+
+def test_ledger_propagation(t):
+    base = t >> mutate(f=_.s.cat.set_categories(["lo", "hi"]))
+    assert base.factors["f"].levels == ("lo", "hi")
+    # rename verb and select-rename carry the entry under the new name
+    assert (base >> rename(g=_.f)).factors["g"].levels == ("lo", "hi")
+    assert (base >> select(_.i, g=_.f)).factors["g"].levels == ("lo", "hi")
+    # dropping the column prunes the entry
+    assert (base >> select(_.i)).factors == {}
+    # overwriting with a non-factor expression clears it
+    assert (base >> mutate(f=_.s)).factors == {}
+    # as_ordered flips the flag, keeps levels
+    o = base >> mutate(f=_.f.cat.as_ordered())
+    assert o.factors["f"].ordered is True
+
+
+def test_errors(t):
+    with pytest.raises(TranslationError, match="set_categories"):
+        t >> mutate(x=_.s.cat.add_categories(["q"]))
+    with pytest.raises(TranslationError, match="no translation"):
+        t >> mutate(x=_.s.cat.nope())
