@@ -4236,6 +4236,64 @@ FROM part GROUP BY p_brand ORDER BY code
 """
 
 
+def q_pq_topk(spark, sf):
+    """Product-Quantization ADC top-k (corpus/similarity.py pq_topk, new
+    in round 5 — Jégou et al. 2011): deterministic sample codebooks
+    (first n_codes rows per subspace), argmin encoding, per-query
+    distance tables, O(n_subspaces) per-pair lookups.  The oracle replays
+    training + encoding + ADC with the same left-fold float order
+    (list_transform/list_reduce), so the match is value-exact."""
+    from siuba_spark.corpus.similarity import pq_topk
+    emb = _t(spark, sf, "embeddings")
+    queries = emb >> filter(_.vec_id < 5)
+    return pq_topk(emb, queries, k=10).df
+
+
+SQL_PQ_TOPK = """
+WITH a AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ms AS (SELECT unnest(range(4)) AS m),
+dists AS (
+  SELECT x.vec_id, ms.m, a.code,
+         list_reduce(list_transform(range(ms.m*16+1, ms.m*16+17),
+             i -> (x.v[i]-a.v[i])*(x.v[i]-a.v[i])), (u,w) -> u+w) AS d2
+  FROM x CROSS JOIN a CROSS JOIN ms),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM dists) WHERE rn = 1),
+encw AS (
+  SELECT vec_id,
+         MAX(CASE WHEN m=0 THEN code END) AS c0,
+         MAX(CASE WHEN m=1 THEN code END) AS c1,
+         MAX(CASE WHEN m=2 THEN code END) AS c2,
+         MAX(CASE WHEN m=3 THEN code END) AS c3
+  FROM enc GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+pair AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+    list_reduce(list_transform(range(1,17),  i -> (q.qv[i]-a0.v[i])*(q.qv[i]-a0.v[i])), (u,w)->u+w)
+  + list_reduce(list_transform(range(17,33), i -> (q.qv[i]-a1.v[i])*(q.qv[i]-a1.v[i])), (u,w)->u+w)
+  + list_reduce(list_transform(range(33,49), i -> (q.qv[i]-a2.v[i])*(q.qv[i]-a2.v[i])), (u,w)->u+w)
+  + list_reduce(list_transform(range(49,65), i -> (q.qv[i]-a3.v[i])*(q.qv[i]-a3.v[i])), (u,w)->u+w) AS fdist
+  FROM q CROSS JOIN encw e
+  JOIN a a0 ON a0.code = e.c0 JOIN a a1 ON a1.code = e.c1
+  JOIN a a2 ON a2.code = e.c2 JOIN a a3 ON a3.code = e.c3
+  WHERE q.query_id <> e.vec_id),
+r AS (SELECT query_id, nbr_id, ROUND(fdist, 4) AS adist,
+      CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY ROUND(fdist,4) ASC, nbr_id ASC) AS INT) AS rk
+      FROM pair)
+SELECT query_id, nbr_id, adist, rk FROM r WHERE rk <= 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -4282,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nest_join_sizes": q_nest_join_sizes,
         "cat_codes_static": q_cat_codes_static,
         "cat_codes_dynamic": q_cat_codes_dynamic,
+        "pq_topk": q_pq_topk,
         # --- (b) stable filler: the r4 window, all green there ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -4595,4 +4654,5 @@ def oracle_sql() -> dict[str, str]:
         "nest_join_sizes": SQL_NEST_JOIN_SIZES,
         "cat_codes_static": SQL_CAT_CODES_STATIC,
         "cat_codes_dynamic": SQL_CAT_CODES_DYNAMIC,
+        "pq_topk": SQL_PQ_TOPK,
     }

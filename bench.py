@@ -56,7 +56,7 @@ def main():
         "ngram_contamination", "unigram_logprob", "stratified_sample",
         "chunk_tokens", "fuzzy_pairs", "video_meta", "pack_sequences",
         # round-5 additions
-        "rolling_stats", "set_ops", "ivf_topk_lloyd",
+        "rolling_stats", "set_ops", "ivf_topk_lloyd", "pq_topk",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

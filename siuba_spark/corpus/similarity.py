@@ -19,7 +19,7 @@ from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
 __all__ = ["cosine_sim_col", "brute_force_topk", "lsh_topk", "add_hyperplane_bucket",
-           "cosine_near_dups", "ivf_topk"]
+           "cosine_near_dups", "ivf_topk", "pq_topk"]
 
 
 def _dot(a, b):
@@ -355,4 +355,100 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
     out = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)
            .select("query_id", "nbr_id", "score", "rk"))
+    return SparkTbl(out)
+
+
+def _sub_d2(a_slice, anchor):
+    """Squared euclidean distance of a subspace slice against a literal
+    anchor sub-vector: ordered left fold, so an independent SQL engine
+    (DuckDB list_transform + list_reduce) reproduces the exact double."""
+    return F.aggregate(F.zip_with(a_slice, anchor, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+@verb
+def pq_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
+            vec_col: str = "embedding", n_subspaces: int = 4,
+            n_codes: int = 8, round_to: int = 4):
+    """Product-Quantization approximate top-k (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``n_subspaces`` slices, quantize every slice to its
+    nearest of ``n_codes`` codebook anchors, and score query↔corpus
+    pairs by Asymmetric Distance Computation — the sum over subspaces of
+    the query-to-anchor distance picked by the corpus row's code.
+
+    Codebooks use the deterministic sample rule (the ``ivf_topk
+    centroids="sample"`` pattern): anchors are the ``n_codes`` corpus
+    vectors with the smallest ids, so every stage — training, encoding,
+    ADC — is replayable value-exactly by an independent SQL engine.
+
+    Scale shape (100 TB): encoding is ONE map-only corpus pass against a
+    broadcast 1-row codebook table (no shuffle, O(n_codes·dim) per row);
+    each query then precomputes its n_subspaces×n_codes distance TABLE
+    once, so the per-pair ADC cost is **O(n_subspaces) table lookups
+    instead of O(dim)** — the whole point of PQ.  Candidate generation is
+    still all-pairs against the broadcast query set; compose with
+    ``add_hyperplane_bucket``/``ivf_topk`` cells for candidate pruning
+    (IVF-PQ) when the query side is large.
+
+    Returns (query_id, nbr_id, adist, rk): rank 1 = SMALLEST approximate
+    squared distance, ties broken by nbr_id.
+    """
+    spark = tbl.df.sparkSession
+
+    # bounded eager probe: n_codes anchor rows (collected-spec class)
+    rows = (tbl.df.orderBy(F.col(id_col).asc()).limit(n_codes)
+            .select(_to_double(F.col(vec_col)).alias("__c")).collect())
+    if len(rows) < n_codes:
+        raise ValueError(f"pq_topk: corpus has fewer than {n_codes} rows")
+    dim = len(rows[0]["__c"])
+    if dim % n_subspaces:
+        raise ValueError(
+            f"pq_topk: dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d = dim // n_subspaces
+    # books[m][c] = anchor c's slice for subspace m  (n_subspaces × n_codes × d)
+    books = [[[float(x) for x in r["__c"][m * d:(m + 1) * d]]
+              for r in rows] for m in range(n_subspaces)]
+    bpk = (spark.createDataFrame([(books,)],
+                                 "__books: array<array<array<double>>>")
+           .withColumn("__jk", F.lit(1)))
+
+    # -- encode the corpus: one map pass, argmin per subspace ---------------
+    vd = _to_double(F.col(vec_col))
+
+    def _codes(col):
+        return F.transform(
+            F.col("__books"),
+            lambda bk, m: (lambda d2s: (F.array_position(
+                d2s, F.array_min(d2s)) - 1).cast("int"))(
+                F.transform(bk, lambda anc: _sub_d2(
+                    F.slice(col, m * F.lit(d) + 1, F.lit(d)), anc))))
+
+    corpus = (tbl.df.withColumn("__jk", F.lit(1)).join(F.broadcast(bpk), "__jk")
+              .select(F.col(id_col).alias("nbr_id"),
+                      _codes(vd).alias("__codes")))
+
+    # -- per-query distance TABLE (n_subspaces × n_codes), computed once ----
+    qdf = queries.df if isinstance(queries, SparkTbl) else queries
+    qd = _to_double(F.col(vec_col))
+    qtab = F.transform(
+        F.col("__books"),
+        lambda bk, m: F.transform(bk, lambda anc: _sub_d2(
+            F.slice(qd, m * F.lit(d) + 1, F.lit(d)), anc)))
+    qenc = (qdf.withColumn("__jk", F.lit(1)).join(F.broadcast(bpk), "__jk")
+            .select(F.col(id_col).alias("query_id"), qtab.alias("__qtab")))
+
+    # -- ADC: O(n_subspaces) lookups per pair, ordered fold -----------------
+    adist = F.round(F.aggregate(
+        F.zip_with(F.col("__qtab"), F.col("__codes"),
+                   lambda trow, code: F.element_at(trow, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x), round_to)
+    scored = (corpus.join(F.broadcast(qenc),
+                          F.col("query_id") != F.col("nbr_id"))
+              .withColumn("adist", adist))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("nbr_id").asc())
+    out = (scored.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= k)
+           .select("query_id", "nbr_id", "adist", "rk"))
     return SparkTbl(out)

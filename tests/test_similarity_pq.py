@@ -1,0 +1,58 @@
+"""Product-Quantization top-k (corpus/similarity.py pq_topk).
+
+Value-exactness vs the SQL replay is covered by the graded `pq_topk`
+registry entry; here: output invariants, contract errors, and the plan
+shape (no CartesianProduct — the all-pairs step must broadcast)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siuba_spark import filter, tbl, _
+from siuba_spark.corpus.similarity import brute_force_topk, pq_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def emb(spark):
+    return tbl(spark, f"{SF}/embeddings.parquet")
+
+
+def test_pq_topk_invariants(emb):
+    q = emb >> filter(_.vec_id < 3)
+    out = pq_topk(emb, q, k=5).df.toPandas()
+    assert set(out.columns) == {"query_id", "nbr_id", "adist", "rk"}
+    for qid, grp in out.groupby("query_id"):
+        g = grp.sort_values("rk")
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        # smaller approximate distance ranks first
+        assert g.adist.is_monotonic_increasing
+        assert (g.nbr_id != qid).all()
+    assert (out.adist >= 0).all()
+
+
+def test_pq_beats_random_on_true_neighbors(emb):
+    """The #1 exact cosine neighbor should usually land in PQ's top-10:
+    recall@10 over 10 queries well above random (10/499)."""
+    q = emb >> filter(_.vec_id < 10)
+    exact = brute_force_topk(emb, q, k=1).df.toPandas()
+    approx = pq_topk(emb, q, k=10).df.toPandas()
+    hits = 0
+    for _i, row in exact.iterrows():
+        got = set(approx[approx.query_id == row.query_id].nbr_id)
+        hits += row.nbr_id in got
+    assert hits >= 3, f"recall@10 of top-1 = {hits}/10 — PQ is not ranking"
+
+
+def test_pq_topk_contract_errors(emb, spark):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_topk(emb, emb >> filter(_.vec_id < 2), n_subspaces=7)
+    tiny = emb >> filter(_.vec_id < 3)
+    with pytest.raises(ValueError, match="fewer"):
+        pq_topk(tiny, tiny, n_codes=8)
+
+
+def test_pq_topk_plan_has_no_cartesian(emb):
+    q = emb >> filter(_.vec_id < 3)
+    plan = pq_topk(emb, q, k=5).df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
