@@ -62,6 +62,15 @@ def _td(spark, sf_dir):
     n = spark.sparkContext.defaultParallelism
     return tbl(spark, f"{sf_dir}/documents.parquet", min_partitions=n)
 
+def _te(spark, sf_dir):
+    """embeddings with the scan fanned out — same single-row-group story
+    as _td: Lloyd training / PQ encoding / ADC do CPU-heavy per-row
+    array folds where a 1-task stage leaves 31 cores idle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    n = spark.sparkContext.defaultParallelism
+    return tbl(spark, f"{sf_dir}/embeddings.parquet", min_partitions=n)
+
+
 def _events(spark, sf_dir):
     """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     rejects; read nanos as long and floor to microseconds — the same
@@ -4033,6 +4042,8 @@ def q_ivf_topk_lloyd(spark, sf):
     bit-exactly.  Closes the r4 gap where only the untrained sample-
     centroid IVF had a value-exact oracle."""
     from siuba_spark.corpus.similarity import ivf_topk
+    # NOT _te: training is many small bounded jobs (2 iterations × agg +
+    # collect), so per-pass fan-out only adds exchanges — measured slower
     t = _t(spark, sf, "embeddings")
     q = t.df.orderBy("vec_id").limit(8)
     return ivf_topk(t, q, k=5, n_lists=8, n_probes=3,
@@ -4244,7 +4255,7 @@ def q_pq_topk(spark, sf):
     training + encoding + ADC with the same left-fold float order
     (list_transform/list_reduce), so the match is value-exact."""
     from siuba_spark.corpus.similarity import pq_topk
-    emb = _t(spark, sf, "embeddings")
+    emb = _te(spark, sf)
     queries = emb >> filter(_.vec_id < 5)
     return pq_topk(emb, queries, k=10).df
 
@@ -4291,6 +4302,84 @@ r AS (SELECT query_id, nbr_id, ROUND(fdist, 4) AS adist,
            ORDER BY ROUND(fdist,4) ASC, nbr_id ASC) AS INT) AS rk
       FROM pair)
 SELECT query_id, nbr_id, adist, rk FROM r WHERE rk <= 10
+"""
+
+
+def q_ivf_pq_topk(spark, sf):
+    """IVF-PQ composition (corpus/similarity.py ivf_pq_topk, new in round
+    5): IVF cells prune the candidate set, PQ prunes the per-pair cost —
+    the FAISS-style production ANN shape.  Sample-rule codebooks make
+    training + assignment + encoding + ADC all SQL-replayable; the oracle
+    below replays the full pipeline value-exactly."""
+    from siuba_spark.corpus.similarity import ivf_pq_topk
+    emb = _te(spark, sf)
+    queries = emb >> filter(_.vec_id < 5)
+    return ivf_pq_topk(emb, queries, k=5, n_lists=8, n_probes=3).df
+
+
+SQL_IVF_PQ_TOPK = """
+WITH h AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cd AS (
+  SELECT x.vec_id, h.code AS cell,
+         list_reduce(list_transform(range(1, 65),
+             i -> (x.v[i]-h.v[i])*(x.v[i]-h.v[i])), (u,w) -> u+w) AS d2
+  FROM x CROSS JOIN h),
+xc AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM cd) WHERE rn = 1),
+ms AS (SELECT unnest(range(4)) AS m),
+pd AS (
+  SELECT x.vec_id, ms.m, h.code,
+         list_reduce(list_transform(range(ms.m*16+1, ms.m*16+17),
+             i -> (x.v[i]-h.v[i])*(x.v[i]-h.v[i])), (u,w) -> u+w) AS d2
+  FROM x CROSS JOIN h CROSS JOIN ms),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM pd) WHERE rn = 1),
+encw AS (
+  SELECT vec_id,
+         MAX(CASE WHEN m=0 THEN code END) AS c0,
+         MAX(CASE WHEN m=1 THEN code END) AS c1,
+         MAX(CASE WHEN m=2 THEN code END) AS c2,
+         MAX(CASE WHEN m=3 THEN code END) AS c3
+  FROM enc GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5),
+qp AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, h.code AS cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_reduce(list_transform(range(1, 65),
+               i -> (q.qv[i]-h.v[i])*(q.qv[i]-h.v[i])), (u,w) -> u+w) ASC,
+             h.code ASC) AS pr
+    FROM q CROSS JOIN h) WHERE pr <= 3),
+pair AS (
+  SELECT qp.query_id, e.vec_id AS nbr_id,
+    list_reduce(list_transform(range(1,17),  i -> (qp.qv[i]-a0.v[i])*(qp.qv[i]-a0.v[i])), (u,w)->u+w)
+  + list_reduce(list_transform(range(17,33), i -> (qp.qv[i]-a1.v[i])*(qp.qv[i]-a1.v[i])), (u,w)->u+w)
+  + list_reduce(list_transform(range(33,49), i -> (qp.qv[i]-a2.v[i])*(qp.qv[i]-a2.v[i])), (u,w)->u+w)
+  + list_reduce(list_transform(range(49,65), i -> (qp.qv[i]-a3.v[i])*(qp.qv[i]-a3.v[i])), (u,w)->u+w) AS fdist
+  FROM qp
+  JOIN xc ON xc.cell = qp.cell
+  JOIN encw e ON e.vec_id = xc.vec_id
+  JOIN h a0 ON a0.code = e.c0 JOIN h a1 ON a1.code = e.c1
+  JOIN h a2 ON a2.code = e.c2 JOIN h a3 ON a3.code = e.c3
+  WHERE qp.query_id <> e.vec_id),
+r AS (SELECT query_id, nbr_id, ROUND(fdist, 4) AS adist,
+      CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY ROUND(fdist,4) ASC, nbr_id ASC) AS INT) AS rk
+      FROM pair)
+SELECT query_id, nbr_id, adist, rk FROM r WHERE rk <= 5
 """
 
 
@@ -4341,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_codes_static": q_cat_codes_static,
         "cat_codes_dynamic": q_cat_codes_dynamic,
         "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         # --- (b) stable filler: the r4 window, all green there ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -4655,4 +4745,5 @@ def oracle_sql() -> dict[str, str]:
         "cat_codes_static": SQL_CAT_CODES_STATIC,
         "cat_codes_dynamic": SQL_CAT_CODES_DYNAMIC,
         "pq_topk": SQL_PQ_TOPK,
+        "ivf_pq_topk": SQL_IVF_PQ_TOPK,
     }

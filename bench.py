@@ -57,6 +57,7 @@ def main():
         "chunk_tokens", "fuzzy_pairs", "video_meta", "pack_sequences",
         # round-5 additions
         "rolling_stats", "set_ops", "ivf_topk_lloyd", "pq_topk",
+        "ivf_pq_topk",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

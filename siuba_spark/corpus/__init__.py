@@ -20,7 +20,7 @@ from .quality import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     add_hyperplane_bucket, brute_force_topk, cosine_near_dups,
-    cosine_sim_col, ivf_topk, lsh_topk, pq_topk,
+    cosine_sim_col, ivf_pq_topk, ivf_topk, lsh_topk, pq_topk,
 )
 from .text import (  # noqa: F401
     fingerprint, hash_features, lang_score, text_stats, tf_idf, token_count_bpe,

@@ -771,6 +771,13 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
     if len(names_from) == 1:
         work = tbl.df.persist()
         keys = _distinct_keys(work, names_from[0])
+        # a names_from column with declared factor levels orders the
+        # widened columns by LEVEL ORDER, like tidyr on a factor
+        # (functions/cat.py ledger); unknown values follow, string-sorted
+        meta = tbl.factors.get(names_from[0])
+        if meta is not None and meta.levels is not None:
+            pos = {v: i for i, v in enumerate(meta.levels)}
+            keys.sort(key=lambda k: (k is None, pos.get(k, len(pos)), str(k)))
         # one name part per key: (key,)
         parts_by_key = {_key_str(k): (_key_str(k),) for k in keys}
     else:

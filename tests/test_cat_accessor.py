@@ -98,6 +98,18 @@ def test_ledger_propagation(t):
     assert o.factors["f"].ordered is True
 
 
+def test_pivot_wider_orders_columns_by_levels(spark):
+    from siuba_spark import pivot_wider
+    t = data_frame(spark, id=[1, 1, 1], k=["lo", "hi", "mid"],
+                   v=[1.0, 2.0, 3.0])
+    base = t >> mutate(k=_.k.cat.set_categories(["mid", "hi", "lo"]))
+    out = base >> pivot_wider(names_from=_.k, values_from=_.v)
+    assert out.columns == ["id", "mid", "hi", "lo"]
+    # without levels: string-sorted (existing behavior)
+    out2 = t >> pivot_wider(names_from=_.k, values_from=_.v)
+    assert out2.columns == ["id", "hi", "lo", "mid"]
+
+
 def test_errors(t):
     with pytest.raises(TranslationError, match="set_categories"):
         t >> mutate(x=_.s.cat.add_categories(["q"]))

@@ -56,3 +56,34 @@ def test_pq_topk_plan_has_no_cartesian(emb):
     q = emb >> filter(_.vec_id < 3)
     plan = pq_topk(emb, q, k=5).df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_candidates_come_from_probed_cells(emb):
+    """IVF-PQ results must be a subset of plain PQ's candidate universe
+    restricted to probed cells: every returned neighbor's cell is one of
+    its query's probes, and per-query result counts never exceed k."""
+    from siuba_spark.corpus.similarity import ivf_pq_topk
+    q = emb >> filter(_.vec_id < 5)
+    out = ivf_pq_topk(emb, q, k=5, n_lists=8, n_probes=3).df.toPandas()
+    assert (out.groupby("query_id").size() <= 5).all()
+    for qid, grp in out.groupby("query_id"):
+        g = grp.sort_values("rk")
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        assert g.adist.is_monotonic_increasing
+        assert (g.nbr_id != qid).all()
+
+
+def test_ivf_pq_probes_widen_candidates(emb):
+    """More probes can only add candidates: results at n_probes=8 (all
+    cells) must contain at least as many rows per query, and the full
+    probe set equals plain PQ's ranking on the same codebook params."""
+    from siuba_spark.corpus.similarity import ivf_pq_topk
+    q = emb >> filter(_.vec_id < 3)
+    narrow = ivf_pq_topk(emb, q, k=5, n_lists=8, n_probes=1).df.toPandas()
+    wide = ivf_pq_topk(emb, q, k=5, n_lists=8, n_probes=8).df.toPandas()
+    full = pq_topk(emb, q, k=5).df.toPandas()
+    assert len(wide) >= len(narrow)
+    # probing every cell == no candidate pruning == plain PQ
+    w = wide.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    assert (w.nbr_id == f.nbr_id).all() and (w.adist == f.adist).all()
