@@ -4383,6 +4383,74 @@ SELECT query_id, nbr_id, adist, rk FROM r WHERE rk <= 5
 """
 
 
+def q_separate_wider(spark, sf):
+    """tidyr 1.3 separate_wider_delim + _regex + _position chained on
+    customer (operators/reshape.py, new in round 5 — beyond the
+    reference, which predates tidyr 1.3).  The default too_few/too_many
+    ="error" contracts run their bounded count checks and pass (TPC-H
+    phones are always cc-xxx-xxx-xxxx; names always Customer#nnn)."""
+    from siuba_spark import (separate_wider_delim, separate_wider_position,
+                             separate_wider_regex)
+    return (
+        _t(spark, sf, "orders")
+        >> separate_wider_delim(_.o_orderpriority, "-", ["pri", "label"],
+                                cols_remove=False)
+        >> separate_wider_regex(_.o_orderpriority,
+                                {"num": r"\d", "_d": "-",
+                                 "word": r"[A-Z ]+"}, cols_remove=False)
+        >> separate_wider_position(_.o_orderpriority,
+                                   {"lvl": 1, "_d": 1, "ltr": 2})
+        >> group_by(_.label)
+        >> summarize(n=_.pri.count(), pri_min=_.pri.min(),
+                     num_max=_.num.max(), lvl_max=_.lvl.max(),
+                     ltr_min=_.ltr.min())
+        >> arrange(_.label)
+    ).df
+
+
+SQL_SEPARATE_WIDER = """
+WITH s AS (
+  SELECT split_part(o_orderpriority, '-', 1) AS pri,
+         split_part(o_orderpriority, '-', 2) AS label,
+         regexp_extract(o_orderpriority, '^(\\d)(?:-)([A-Z ]+)$', 1) AS num,
+         substr(o_orderpriority, 1, 1) AS lvl,
+         substr(o_orderpriority, 3, 2) AS ltr
+  FROM orders)
+SELECT label, COUNT(pri) AS n, MIN(pri) AS pri_min, MAX(num) AS num_max,
+       MAX(lvl) AS lvl_max, MIN(ltr) AS ltr_min
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+def q_reframe_quantiles(spark, sf):
+    """dplyr 1.1 reframe (operators/grouping.py, new in round 5 — beyond
+    the reference): array-valued aggregates explode to N rows per group.
+    Exact interpolated quantiles (Spark percentile == DuckDB
+    quantile_cont, both linear interpolation on doubles)."""
+    from siuba_spark import reframe
+    return (
+        _t(spark, sf, "lineitem")
+        >> group_by(_.l_returnflag)
+        >> reframe(p=_.l_quantity.astype("double")
+                   .quantile([0.1, 0.25, 0.5, 0.75, 0.9]),
+                   n=_.l_quantity.count())
+        >> mutate(p=_.p.round(4))
+        >> arrange(_.l_returnflag, _.p)
+    ).df
+
+
+SQL_REFRAME_QUANTILES = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_quantity AS DOUBLE),
+                       [0.1, 0.25, 0.5, 0.75, 0.9]) AS ps,
+         COUNT(l_quantity) AS n
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, ROUND(UNNEST(ps), 4) AS p, n
+FROM q ORDER BY l_returnflag, p
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -4431,6 +4499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_codes_dynamic": q_cat_codes_dynamic,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "separate_wider": q_separate_wider,
+        "reframe_quantiles": q_reframe_quantiles,
         # --- (b) stable filler: the r4 window, all green there ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -4746,4 +4816,6 @@ def oracle_sql() -> dict[str, str]:
         "cat_codes_dynamic": SQL_CAT_CODES_DYNAMIC,
         "pq_topk": SQL_PQ_TOPK,
         "ivf_pq_topk": SQL_IVF_PQ_TOPK,
+        "separate_wider": SQL_SEPARATE_WIDER,
+        "reframe_quantiles": SQL_REFRAME_QUANTILES,
     }

@@ -28,7 +28,8 @@ from .operators.core import (
     qcut, slice_head, slice_tail, slice_min, slice_max, slice_sample,
 )
 from .operators.grouping import (
-    group_by, ungroup, summarize, summarise, count, add_count, tally, add_tally,
+    group_by, ungroup, summarize, summarise, reframe, count, add_count,
+    tally, add_tally,
     sample_frac, sample_n, hash_split, corr_matrix, describe,
 )
 from .operators.across import across, Fx, Across, if_any, if_all
@@ -44,6 +45,7 @@ from .operators.rows import (
 )
 from .operators.reshape import (
     gather, spread, separate, separate_rows, unite, extract, nest, unnest, expand, complete,
+    separate_wider_delim, separate_wider_position, separate_wider_regex,
     fill_na_directional as fill, drop_na, replace_na,
     pivot_longer, pivot_wider, bind_rows, one_hot, crosstab,
     build_longer_spec, pivot_longer_spec, build_wider_spec, pivot_wider_spec,
@@ -75,7 +77,7 @@ __all__ = [
     "select", "rename", "rename_with", "relocate", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n", "qcut",
     "slice_head", "slice_tail", "slice_min", "slice_max", "slice_sample",
-    "group_by", "ungroup", "summarize", "summarise", "count", "add_count",
+    "group_by", "ungroup", "summarize", "summarise", "reframe", "count", "add_count",
     "tally", "add_tally",
     "sample_frac", "sample_n", "hash_split", "corr_matrix", "describe",
     "join", "inner_join", "left_join", "right_join", "full_join",
@@ -83,6 +85,7 @@ __all__ = [
     "union", "union_all", "intersect", "setdiff", "cross_join", "nest_join", "across", "Fx", "if_any", "if_all", "call", "py_func", "group_apply",
     "rows_insert", "rows_append", "rows_update", "rows_patch", "rows_upsert", "rows_delete",
     "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest", "fill", "drop_na", "replace_na",
+    "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",

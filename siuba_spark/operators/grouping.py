@@ -19,7 +19,8 @@ from ..plans.tbl import SparkTbl
 from .core import arrange, mutate
 from ..functions.vector import desc as _desc_fn
 
-__all__ = ["group_by", "ungroup", "summarize", "summarise", "count", "add_count",
+__all__ = ["group_by", "ungroup", "summarize", "summarise", "reframe",
+           "count", "add_count",
            "tally", "add_tally",
            "hash_split", "corr_matrix", "describe",
            "sample_frac", "sample_n"]
@@ -224,6 +225,38 @@ def _fresh_name(base, existing):
     while name in existing:
         name += base
     return name
+
+
+@verb
+def reframe(tbl: SparkTbl, *args, _by=None, **kwargs):
+    """dplyr 1.1 ``reframe``: like summarize, but each group may return
+    ANY number of rows — aggregate expressions producing ARRAYS explode
+    in lockstep (one output row per array element), scalar results repeat
+    across them.  The canonical use is multi-quantile summaries:
+    ``reframe(p=_.x.quantile([.25, .5, .75]))`` yields three rows per
+    group.  Like dplyr, the result is always ungrouped.
+
+    Lockstep contract: all array results in one call must have equal
+    lengths per group (dplyr recycles length-1 only — scalars here stay
+    plain columns, which covers that); unequal lengths NULL-pad like
+    ``arrays_zip``, documented divergence from dplyr's error.
+
+    Plan shape: exactly summarize's partial-agg + one shuffle, then a
+    zero-shuffle explode projection — nothing extra moves."""
+    out = summarize(tbl, *args, _by=_by, **kwargs)
+    df = out.df
+    group_cols = set(tbl.group_by if _by is None else
+                     ([_by] if isinstance(_by, str) else list(_by)))
+    arrs = [c for c, t in df.dtypes
+            if t.startswith("array") and c not in group_cols and c in kwargs]
+    if not arrs:
+        return out
+    others = [c for c in df.columns if c not in arrs]
+    zipped = F.arrays_zip(*[F.col(c).alias(c) for c in arrs])
+    df = (df.withColumn("__rf", F.explode_outer(zipped))
+          .select(*others, *[F.col(f"__rf.{c}").alias(c) for c in arrs])
+          .select(*out.df.columns))
+    return out.evolve(df=df)
 
 
 @verb

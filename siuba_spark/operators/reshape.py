@@ -28,6 +28,7 @@ __all__ = [
     "gather", "spread", "separate", "separate_rows", "unite", "extract",
     "nest", "unnest", "expand", "complete", "pivot_longer", "pivot_wider",
     "bind_rows", "one_hot", "crosstab",
+    "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
 ]
 
 MAX_PIVOT_KEYS = 10_000  # driver-side spec guard
@@ -990,3 +991,117 @@ def crosstab(tbl: SparkTbl, row, col, values=None, aggfunc: str = "count",
     if fill is not None:
         df = df.fillna(fill, subset=out_names)
     return tbl.evolve(df=df, group_by=()).pin(base)
+
+
+# --------------------------------------------------------------------------
+# tidyr 1.3 separate_wider_* family (modern replacements for separate/
+# extract; beyond the reference, which predates tidyr 1.3)
+# --------------------------------------------------------------------------
+
+def _swider_check(df, bad_cond, verb_name, what):
+    """tidyr's default too_few/too_many="error": ONE bounded count of
+    offending rows (same contract style as the rows_* verbs)."""
+    n = df.filter(bad_cond).count()
+    if n:
+        raise ValueError(
+            f"{verb_name}: {n} rows {what} (pass the non-'error' option "
+            f"to handle them lazily)")
+
+
+@verb
+def separate_wider_delim(tbl: SparkTbl, col, delim: str, names,
+                         too_few: str = "error", too_many: str = "error",
+                         cols_remove: bool = True):
+    """tidyr 1.3 ``separate_wider_delim``: split on a LITERAL delimiter
+    into named columns.  ``names`` entries of None drop that piece.
+    ``too_few``: "error" (default, one bounded count job) or
+    "align_start" (missing pieces become NULL, lazy).  ``too_many``:
+    "error", "drop" (discard extras) or "merge" (last column keeps the
+    remainder).  Zero shuffle — a split + projection, codegen'd."""
+    import re as _re
+    name = _colname(col)
+    pat = _re.escape(delim)
+    if too_few not in ("error", "align_start"):
+        raise ValueError("too_few must be 'error' or 'align_start'")
+    if too_many not in ("error", "drop", "merge"):
+        raise ValueError("too_many must be 'error', 'drop', or 'merge'")
+    limit = len(names) if too_many == "merge" else -1
+    parts = F.split(F.col(name), pat, limit)
+    df = tbl.df
+    if too_few == "error":
+        _swider_check(df.select(F.size(parts).alias("__n")),
+                      F.col("__n").between(0, len(names) - 1),
+                      "separate_wider_delim", f"have fewer than {len(names)} pieces")
+    if too_many == "error":
+        _swider_check(df.select(F.size(parts).alias("__n")),
+                      F.col("__n") > len(names),
+                      "separate_wider_delim", f"have more than {len(names)} pieces")
+    keep = [c for c in df.columns if c != name or not cols_remove]
+    # try_element_at: under too_few="align_start" short rows legitimately
+    # lack trailing pieces (NULL), and ANSI element_at would throw
+    new = [F.try_element_at(parts, F.lit(i + 1)).alias(nm)
+           for i, nm in enumerate(names) if nm is not None]
+    return tbl.evolve(df=df.select(*keep, *new))
+
+
+@verb
+def separate_wider_position(tbl: SparkTbl, col, widths: dict,
+                            too_few: str = "error",
+                            cols_remove: bool = True):
+    """tidyr 1.3 ``separate_wider_position``: fixed-width split.
+    ``widths`` maps new column name -> character width, in order; a key
+    of the form ``"_"``-prefix (e.g. ``"_1"``) skips that many chars.
+    ``too_few``: "error" (bounded count of too-short rows) or
+    "align_start" (short rows yield NULL/truncated pieces, lazy)."""
+    name = _colname(col)
+    if too_few not in ("error", "align_start"):
+        raise ValueError("too_few must be 'error' or 'align_start'")
+    total = sum(widths.values())
+    df = tbl.df
+    if too_few == "error":
+        _swider_check(df.select(F.length(F.col(name)).alias("__l")),
+                      F.coalesce(F.col("__l"), F.lit(0)) < total,
+                      "separate_wider_position",
+                      f"are shorter than {total} characters")
+    keep = [c for c in df.columns if c != name or not cols_remove]
+    new, off = [], 1
+    for nm, w in widths.items():
+        if not nm.startswith("_"):
+            piece = F.substring(F.col(name), off, w)
+            # align_start: a fully-missing piece is NULL, not ""
+            piece = F.when(piece == "", None).otherwise(piece)
+            new.append(piece.alias(nm))
+        off += w
+    return tbl.evolve(df=df.select(*keep, *new))
+
+
+@verb
+def separate_wider_regex(tbl: SparkTbl, col, patterns: dict,
+                         too_few: str = "error", cols_remove: bool = True):
+    """tidyr 1.3 ``separate_wider_regex``: a sequence of regex pieces
+    matched left-to-right; ``patterns`` maps new column name -> piece
+    regex (a key starting with ``"_"`` matches without capturing).  The
+    pieces are concatenated into one anchored regex, so the whole value
+    must match.  ``too_few``: "error" (bounded count of non-matching
+    rows) or "align_start" (non-matching rows get NULLs, lazy)."""
+    name = _colname(col)
+    if too_few not in ("error", "align_start"):
+        raise ValueError("too_few must be 'error' or 'align_start'")
+    full = "^"
+    out_names = []
+    for nm, piece in patterns.items():
+        if nm.startswith("_"):
+            full += f"(?:{piece})"
+        else:
+            full += f"({piece})"
+            out_names.append(nm)
+    full += "$"
+    df = tbl.df
+    if too_few == "error":
+        _swider_check(df, ~F.coalesce(F.col(name).rlike(full), F.lit(False)),
+                      "separate_wider_regex", "do not match the pattern")
+    keep = [c for c in df.columns if c != name or not cols_remove]
+    new = [F.when(F.regexp_extract(F.col(name), full, i + 1) == "", None)
+           .otherwise(F.regexp_extract(F.col(name), full, i + 1)).alias(nm)
+           for i, nm in enumerate(out_names)]
+    return tbl.evolve(df=df.select(*keep, *new))

@@ -1,0 +1,77 @@
+"""tidyr 1.3 separate_wider_delim / _position / _regex
+(operators/reshape.py — beyond the reference, which predates tidyr 1.3)."""
+
+import pytest
+
+from siuba_spark import (
+    _, collect, separate_wider_delim, separate_wider_position,
+    separate_wider_regex,
+)
+from tests.helpers import data_frame
+
+
+@pytest.fixture()
+def t(spark):
+    return data_frame(spark, x=["a-1-x", "b-2-y", "c-3-z"], keep=[1, 2, 3])
+
+
+def test_delim_basic(t):
+    out = (t >> separate_wider_delim(_.x, "-", ["l", "n", "r"]) >> collect())
+    assert list(out.columns) == ["keep", "l", "n", "r"]
+    assert out.l.tolist() == ["a", "b", "c"]
+    assert out.r.tolist() == ["x", "y", "z"]
+
+
+def test_delim_none_drops_piece_and_keep_source(t):
+    out = (t >> separate_wider_delim(_.x, "-", ["l", None, "r"],
+                                     cols_remove=False) >> collect())
+    assert "x" in out.columns and "n" not in out.columns
+
+
+def test_delim_too_many(spark):
+    t = data_frame(spark, x=["a-b-c-d"])
+    with pytest.raises(ValueError, match="more than"):
+        t >> separate_wider_delim(_.x, "-", ["p", "q"])
+    merged = (t >> separate_wider_delim(_.x, "-", ["p", "q"],
+                                        too_many="merge") >> collect())
+    assert merged.q.tolist() == ["b-c-d"]
+    dropped = (t >> separate_wider_delim(_.x, "-", ["p", "q"],
+                                         too_many="drop") >> collect())
+    assert dropped.q.tolist() == ["b"]
+
+
+def test_delim_too_few(spark):
+    t = data_frame(spark, x=["a-b", "c"])
+    with pytest.raises(ValueError, match="fewer than"):
+        t >> separate_wider_delim(_.x, "-", ["p", "q"])
+    out = (t >> separate_wider_delim(_.x, "-", ["p", "q"],
+                                     too_few="align_start") >> collect())
+    assert out.q.tolist()[1] is None
+
+
+def test_position(spark):
+    t = data_frame(spark, code=["AB123X", "CD456Y"])
+    out = (t >> separate_wider_position(
+        _.code, {"cc": 2, "_skip": 3, "tag": 1}) >> collect())
+    assert out.cc.tolist() == ["AB", "CD"]
+    assert out.tag.tolist() == ["X", "Y"]
+    assert "_skip" not in out.columns
+    short = data_frame(spark, code=["AB1"])
+    with pytest.raises(ValueError, match="shorter"):
+        short >> separate_wider_position(_.code, {"cc": 2, "tag": 4})
+
+
+def test_regex(spark):
+    t = data_frame(spark, s=["x12-ab", "y34-cd"])
+    out = (t >> separate_wider_regex(
+        _.s, {"alpha": r"[a-z]", "num": r"\d+", "_sep": "-",
+              "suffix": r"[a-z]+"}) >> collect())
+    assert out.alpha.tolist() == ["x", "y"]
+    assert out.num.tolist() == ["12", "34"]
+    assert out.suffix.tolist() == ["ab", "cd"]
+    bad = data_frame(spark, s=["nope!"])
+    with pytest.raises(ValueError, match="match"):
+        bad >> separate_wider_regex(_.s, {"alpha": r"[a-z]+"})
+    lax = (bad >> separate_wider_regex(_.s, {"alpha": r"[a-z]+"},
+                                       too_few="align_start") >> collect())
+    assert lax.alpha.tolist() == [None]

@@ -6,7 +6,7 @@ import pytest
 
 from siuba_spark import (
     _, group_by, ungroup, summarize, count, add_count, mutate, n,
-    n_distinct, TranslationError, lag,
+    n_distinct, TranslationError, lag, arrange, collect,
 )
 from .helpers import data_frame, assert_equal_query
 
@@ -307,3 +307,20 @@ def test_tally_and_add_tally(spark):
     assert wt[0].n == 5  # sort=True: heaviest first
     at = (t >> group_by(_.g) >> add_tally()).df.orderBy("g", "w").collect()
     assert [r.n for r in at] == [2, 2, 1]
+
+
+def test_reframe_multi_quantile(spark):
+    """dplyr 1.1 reframe: array-valued aggregates explode to multiple
+    rows per group, scalar results repeat (operators/grouping.py)."""
+    from siuba_spark import reframe
+    t = data_frame(spark, g=["a", "a", "a", "a", "b", "b"],
+                   x=[1.0, 2.0, 3.0, 4.0, 10.0, 20.0])
+    out = (t >> group_by(_.g)
+             >> reframe(p=_.x.quantile([0.25, 0.5, 0.75]), n=_.x.count())
+             >> arrange(_.g, _.p) >> collect())
+    assert out.p.tolist() == [1.75, 2.5, 3.25, 12.5, 15.0, 17.5]
+    assert out.n.tolist() == [4, 4, 4, 2, 2, 2]
+    # no arrays -> behaves exactly like summarize
+    plain = (t >> group_by(_.g) >> reframe(m=_.x.mean())
+               >> arrange(_.g) >> collect())
+    assert plain.m.tolist() == [2.5, 15.0]
