@@ -194,7 +194,9 @@ def summarize(tbl: SparkTbl, *args, _sets=None, _by=None, **kwargs):
         raise TranslationError(f"summarize: unknown _sets={_sets!r}")
 
     if not distinct_names:
-        return SparkTbl(grouped.agg(*build(kwargs.items())))
+        # carry the factor ledger through (ctor prunes to surviving cols)
+        return SparkTbl(grouped.agg(*build(kwargs.items())),
+                        factors=dict(tbl.factors))
 
     main_items = [(k, v) for k, v in kwargs.items() if k not in distinct_names]
     dist_items = [(k, v) for k, v in kwargs.items() if k in distinct_names]
@@ -212,7 +214,8 @@ def summarize(tbl: SparkTbl, *args, _sets=None, _by=None, **kwargs):
             *[F.col(f"__sd.{k}") for k, _ in dist_items])
     else:
         joined = main.crossJoin(dist)
-    return SparkTbl(joined.select(*tbl.group_by, *kwargs.keys()))
+    return SparkTbl(joined.select(*tbl.group_by, *kwargs.keys()),
+                    factors=dict(tbl.factors))
 
 
 summarise = summarize
@@ -245,10 +248,9 @@ def reframe(tbl: SparkTbl, *args, _by=None, **kwargs):
     zero-shuffle explode projection — nothing extra moves."""
     out = summarize(tbl, *args, _by=_by, **kwargs)
     df = out.df
-    group_cols = set(tbl.group_by if _by is None else
-                     ([_by] if isinstance(_by, str) else list(_by)))
-    arrs = [c for c, t in df.dtypes
-            if t.startswith("array") and c not in group_cols and c in kwargs]
+    # group keys never appear in kwargs, so `c in kwargs` alone excludes
+    # them — no re-parsing of _by (which may be a str, list, or Symbolic)
+    arrs = [c for c, t in df.dtypes if t.startswith("array") and c in kwargs]
     if not arrs:
         return out
     others = [c for c in df.columns if c not in arrs]
@@ -284,7 +286,7 @@ def count(tbl: SparkTbl, *args, wt=None, sort: bool = False, name: str | None = 
     df = work.df.groupBy(*[F.col(c) for c in names]).agg(agg.alias(out_name))
     if sort:
         df = df.orderBy(F.col(out_name).desc_nulls_last())
-    return SparkTbl(df)
+    return SparkTbl(df, factors=dict(work.factors))
 
 
 @verb

@@ -1101,7 +1101,12 @@ def separate_wider_regex(tbl: SparkTbl, col, patterns: dict,
         _swider_check(df, ~F.coalesce(F.col(name).rlike(full), F.lit(False)),
                       "separate_wider_regex", "do not match the pattern")
     keep = [c for c in df.columns if c != name or not cols_remove]
-    new = [F.when(F.regexp_extract(F.col(name), full, i + 1) == "", None)
-           .otherwise(F.regexp_extract(F.col(name), full, i + 1)).alias(nm)
+    # NULL only when the whole value fails to match (regexp_extract on a
+    # non-match also returns "", which would conflate a legitimately
+    # empty capture like '\\d*' with no-match — ADVICE r5); a matching
+    # row keeps its empty capture as "" exactly like tidyr
+    matched = F.coalesce(F.col(name).rlike(full), F.lit(False))
+    new = [F.when(matched, F.regexp_extract(F.col(name), full, i + 1))
+           .alias(nm)
            for i, nm in enumerate(out_names)]
     return tbl.evolve(df=df.select(*keep, *new))

@@ -20,6 +20,12 @@ Spark-first shapes — every verb is one equi-join on the key:
 bounded count action against y (never a scan of x beyond the semi-join);
 pass "ignore" to stay fully lazy.  Keys default to y's first column,
 matching dplyr.
+
+Key matching is NULL-safe (``<=>``): a NULL key value in y matches a NULL
+key value in x — dplyr's NA-matches-NA semantics.  Spark plans ``<=>`` as
+an ordinary hash equi-join key, so the shapes are unchanged.  All working
+column names are generated fresh against both schemas (no reserved
+``__m``/``count`` collisions — ADVICE r5).
 """
 
 from __future__ import annotations
@@ -31,6 +37,27 @@ from ..plans.tbl import SparkTbl
 
 __all__ = ["rows_insert", "rows_append", "rows_update", "rows_patch",
            "rows_upsert", "rows_delete"]
+
+
+def _fresh(base, taken):
+    name = base
+    while name in taken:
+        name = "_" + name
+    return name
+
+
+def _key_filter(df, other, keys, how):
+    """Semi/anti join ``df`` against ``other``'s key set, NULL-safe on
+    every key (NA matches NA).  ``other``'s keys are renamed fresh, so
+    the condition is unambiguous and the output keeps df's schema."""
+    taken = set(df.columns) | set(other.columns)
+    kn = {k: _fresh(f"__k_{k}", taken) for k in keys}
+    ok = other.select(*[F.col(k).alias(kn[k]) for k in keys]).distinct()
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(ok[kn[k]])
+        cond = c if cond is None else cond & c
+    return df.join(ok, cond, how)
 
 
 def _prep(left, right, by, op):
@@ -70,11 +97,11 @@ def rows_insert(left, right, by=None, conflict: str = "error"):
     l, r, keys = _prep(left, right, by, "rows_insert")
     lkeys = l.df.select(*keys)
     if conflict == "error":
-        _check_empty(r.df.join(lkeys, keys, "left_semi"),
+        _check_empty(_key_filter(r.df, lkeys, keys, "left_semi"),
                      "rows_insert", "y rows conflict with existing keys")
         rdf = r.df
     elif conflict == "ignore":
-        rdf = r.df.join(lkeys, keys, "left_anti")
+        rdf = _key_filter(r.df, lkeys, keys, "left_anti")
     else:
         raise ValueError("conflict must be 'error' or 'ignore'")
     return SparkTbl(_aligned_insert(l.df, rdf))
@@ -90,8 +117,11 @@ def rows_append(left, right):
 
 def _check_unique_keys(rdf, keys, op):
     """dplyr contract: y's keys must be unique, else matched x rows would
-    silently multiply through the left join.  One bounded y-side agg."""
-    dup = (rdf.groupBy(*keys).count().filter(F.col("count") > 1).count())
+    silently multiply through the left join.  One bounded y-side agg.
+    (Named agg alias — a key literally named 'count' is fine.)"""
+    n = _fresh("__n", set(rdf.columns))
+    dup = (rdf.groupBy(*keys).agg(F.count(F.lit(1)).alias(n))
+           .filter(F.col(n) > 1).count())
     if dup:
         raise ValueError(f"{op}: y key values must be unique "
                          f"({dup} duplicated keys)")
@@ -100,21 +130,30 @@ def _check_unique_keys(rdf, keys, op):
 def _merge(l, r, keys, op, unmatched, patch_only):
     _check_unique_keys(r.df, keys, op)
     if unmatched == "error":
-        _check_empty(r.df.join(l.df.select(*keys), keys, "left_anti"),
+        _check_empty(_key_filter(r.df, l.df.select(*keys), keys, "left_anti"),
                      op, "y rows have keys not in x")
     elif unmatched != "ignore":
         raise ValueError("unmatched must be 'error' or 'ignore'")
     payload = [c for c in r.df.columns if c not in keys]
-    rdf = r.df.select(*keys, F.lit(True).alias("__m"),
-                      *[F.col(c).alias(f"__y_{c}") for c in payload])
-    out = l.df.join(rdf, keys, "left")
+    taken = set(l.df.columns) | set(r.df.columns)
+    m = _fresh("__m", taken)
+    kn = {k: _fresh(f"__k_{k}", taken) for k in keys}
+    yn = {c: _fresh(f"__y_{c}", taken) for c in payload}
+    rdf = r.df.select(*[F.col(k).alias(kn[k]) for k in keys],
+                      F.lit(True).alias(m),
+                      *[F.col(c).alias(yn[c]) for c in payload])
+    cond = None
+    for k in keys:
+        c = l.df[k].eqNullSafe(rdf[kn[k]])
+        cond = c if cond is None else cond & c
+    out = l.df.join(rdf, cond, "left")
     for c in payload:
-        y = F.col(f"__y_{c}")
+        y = F.col(yn[c])
         if patch_only:
-            new = F.when(F.col("__m").isNotNull() & F.col(c).isNull(), y) \
+            new = F.when(F.col(m).isNotNull() & F.col(c).isNull(), y) \
                 .otherwise(F.col(c))
         else:
-            new = F.when(F.col("__m").isNotNull(), y).otherwise(F.col(c))
+            new = F.when(F.col(m).isNotNull(), y).otherwise(F.col(c))
         out = out.withColumn(c, new)
     return out.select(*l.df.columns)
 
@@ -141,7 +180,7 @@ def rows_upsert(left, right, by=None):
     y row lands somewhere)."""
     l, r, keys = _prep(left, right, by, "rows_upsert")
     updated = _merge(l, r, keys, "rows_upsert", "ignore", False)
-    inserts = r.df.join(l.df.select(*keys), keys, "left_anti")
+    inserts = _key_filter(r.df, l.df.select(*keys), keys, "left_anti")
     return SparkTbl(_aligned_insert(updated, inserts))
 
 
@@ -151,9 +190,8 @@ def rows_delete(left, right, by=None, unmatched: str = "error"):
     ignored, as in dplyr)."""
     l, r, keys = _prep(left, right, by, "rows_delete")
     if unmatched == "error":
-        _check_empty(r.df.join(l.df.select(*keys), keys, "left_anti"),
+        _check_empty(_key_filter(r.df, l.df.select(*keys), keys, "left_anti"),
                      "rows_delete", "y rows have keys not in x")
     elif unmatched != "ignore":
         raise ValueError("unmatched must be 'error' or 'ignore'")
-    return SparkTbl(l.df.join(r.df.select(*keys).distinct(),
-                              keys, "left_anti"))
+    return SparkTbl(_key_filter(l.df, r.df.select(*keys), keys, "left_anti"))

@@ -98,6 +98,31 @@ def test_ledger_propagation(t):
     assert o.factors["f"].ordered is True
 
 
+def test_ledger_survives_count_and_summarize(t):
+    """ADVICE r5: count/summarize must carry the factor ledger so a
+    following arrange still sorts by level order (order-sensitive)."""
+    from siuba_spark import count, group_by
+    base = t >> filter(_.s.notna() & (_.s != "zz")) \
+             >> mutate(f=_.s.cat.set_categories(["mid", "hi", "lo"]))
+    cnt = base >> count(_.f)
+    assert cnt.factors["f"].levels == ("mid", "hi", "lo")
+    out = cnt >> arrange(_.f) >> collect()
+    assert list(out.f) == ["mid", "hi", "lo"]  # level order, not lexicographic
+    summ = base >> group_by(_.f) >> summarize(n2=_.i.count())
+    assert summ.factors["f"].levels == ("mid", "hi", "lo")
+    out2 = summ >> arrange(_.f) >> collect()
+    assert list(out2.f) == ["mid", "hi", "lo"]
+
+
+def test_reframe_by_symbolic(spark):
+    """ADVICE r5: _by=_.g (Symbolic) must work in reframe, like summarize."""
+    from siuba_spark import reframe
+    t = data_frame(spark, g=["a", "a", "b", "b"], x=[1.0, 3.0, 5.0, 9.0])
+    out = t >> reframe(q=_.x.quantile([0.0, 1.0]), _by=_.g) >> collect()
+    got = sorted(map(tuple, out[["g", "q"]].values.tolist()))
+    assert got == [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 9.0)]
+
+
 def test_pivot_wider_orders_columns_by_levels(spark):
     from siuba_spark import pivot_wider
     t = data_frame(spark, id=[1, 1, 1], k=["lo", "hi", "mid"],

@@ -780,6 +780,9 @@ _TERMINAL = {"grouped_sum", "distinct_g", "select_gx", "arrange_head",
              "gather_xy", "unite_gk", "count_g"}
 
 
+from hypothesis import example
+
+
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
@@ -789,6 +792,18 @@ _TERMINAL = {"grouped_sum", "distinct_g", "select_gx", "arrange_head",
         min_size=1, max_size=15),
     ops=hst.lists(hst.sampled_from(sorted(_STAGES)), min_size=1, max_size=3),
 )
+# pinned reference-pandas-engine quirks (found by this fuzz in round 5):
+# 1. if_else after filter: ref if_else builds its result Series on a
+#    RangeIndex and pandas re-aligns it against the filtered frame's
+#    surviving index (/root/reference/siuba/dply/verbs.py:1083-1086 class
+#    of bug) -> NaN for rows whose positional index changed.  The SQL
+#    semantics (and this engine) have no row index; we neutralize the
+#    quirk by resetting the pandas index between stages.
+@example(rows=[("a", 0, 0), ("a", 1, 0)], ops=["filter_pos", "if_else_band"])
+# 2. grouped summarize on an EMPTY frame: pandas groupby-apply never calls
+#    the agg fn, so the ref returns the ORIGINAL columns (g, x, y); the
+#    SQL engines produce the declared empty agg schema (g, s, n_rows).
+@example(rows=[("a", 0, 0)], ops=["filter_pos", "grouped_sum"])
 def test_fuzz_pipelines_match_reference(spark, rows, ops):
     """Random verb pipelines produce identical results in both engines."""
     # terminal stages change the column set; keep them last only
@@ -801,6 +816,11 @@ def test_fuzz_pipelines_match_reference(spark, rows, ops):
     want = pdf
     for o in ops:
         want = want >> _STAGES[o][0](R)
+        # neutralize pandas index-alignment quirks (pinned example 1):
+        # downstream vector ops in the ref engine mis-align on a
+        # post-filter non-contiguous index; SQL rows carry no index.
+        if isinstance(want, pd.DataFrame):
+            want = want.reset_index(drop=True)
     got = t
     for o in ops:
         got = got >> _STAGES[o][1](S)
@@ -813,6 +833,11 @@ def test_fuzz_pipelines_match_reference(spark, rows, ops):
         # The reference's own SQL tests sidestep empty-group cases; here
         # assert emptiness + that our columns are a superset.
         assert len(got) == 0, (ops,)
+        if ops[-1] in ("grouped_sum", "count_g") \
+                and list(want.columns) == ["g", "x", "y"]:
+            # pinned example 2: ref groupby-apply on empty input returned
+            # the untouched input frame; its column set is meaningless.
+            return
         assert set(want.columns) <= set(got.columns), (ops,)
         return
 

@@ -75,3 +75,14 @@ def test_regex(spark):
     lax = (bad >> separate_wider_regex(_.s, {"alpha": r"[a-z]+"},
                                        too_few="align_start") >> collect())
     assert lax.alpha.tolist() == [None]
+
+
+def test_regex_empty_capture_vs_no_match(spark):
+    """ADVICE r5: a legitimately empty capture on a MATCHING row stays ""
+    (tidyr behavior); only a non-matching row yields NULL."""
+    t = data_frame(spark, s=["ab12", "cd", "!!"])
+    out = (t >> separate_wider_regex(
+        _.s, {"alpha": r"[a-z]+", "num": r"\d*"},
+        too_few="align_start") >> collect())
+    assert out.alpha.tolist() == ["ab", "cd", None]
+    assert out.num.tolist() == ["12", "", None]

@@ -537,3 +537,21 @@ def test_rolling_std_var_median_count(spark):
     assert got.s.round(6).fillna(-1).tolist() == want_s.round(6).fillna(-1).tolist()
     assert got.md.fillna(-1).tolist() == want_md.fillna(-1).tolist()
     assert got.ct.tolist() == want_ct.astype("int64").tolist()
+
+
+def test_rolling_std_large_magnitude(spark):
+    """ADVICE r5: |x| ≥ 1e12 must not overflow the decimal(18,6) exact
+    path — the magnitude gate falls back to double var_samp (no ANSI
+    error, no silent NULLs)."""
+    from siuba_spark import _, arrange, collect, mutate, rolling_std, rolling_var, tbl
+    vals = [1e13, 2e13, 3e13, 4.0, 5.0, 6.0]
+    t = tbl(spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"))
+    out = (t >> arrange(_.i)
+           >> mutate(s=rolling_std(_.x, 3), v=rolling_var(_.x, 3))
+           >> collect())
+    import math
+    assert math.isclose(out.s[2], 1e13)          # frame [1e13,2e13,3e13]
+    assert math.isclose(out.v[4], 3.0e26)        # frame [3e13,4,5]
+    assert math.isclose(out.s[5], 1.0)           # frame [4,5,6] — exact path
+    assert out.s[:2].isna().all()

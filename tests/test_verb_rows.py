@@ -87,3 +87,30 @@ def test_rows_delete(spark, x):
     noisy = data_frame(spark, k=[2], a=["whatever"])
     assert _rows(x >> rows_delete(noisy, by="k")) == [
         (1, "x1", 10.0), (3, "x3", None)]
+
+
+def test_rows_update_reserved_names(spark):
+    """ADVICE r5: x columns named __m / __y_* / count must not collide
+    with the merge's working columns."""
+    x = data_frame(spark, count=[1, 2], __m=["a", "b"], __y___m=[1.0, 2.0])
+    y = data_frame(spark, count=[2], __m=["B"])
+    out = (x >> rows_update(y, by="count")).df.orderBy("count").collect()
+    assert [(r["count"], r["__m"], r["__y___m"]) for r in out] == [
+        (1, "a", 1.0), (2, "B", 2.0)]
+
+
+def test_rows_null_keys_match(spark):
+    """dplyr NA-matches-NA: a NULL key in y updates the NULL-key x row."""
+    from siuba_spark import tbl
+    x = tbl(spark.createDataFrame([(1, "x1"), (None, "xN")], "k int, a string"))
+    y = tbl(spark.createDataFrame([(None, "upN")], "k int, a string"))
+    out = sorted(((r.k is None, r.a) for r in
+                  (x >> rows_update(y, by="k")).df.collect()))
+    assert out == [(False, "x1"), (True, "upN")]
+    # delete via NULL key
+    gone = (x >> rows_delete(y, by="k")).df.collect()
+    assert [(r.k, r.a) for r in gone] == [(1, "x1")]
+    # upsert: the NULL-key y row matches, so the insert half adds nothing
+    up = sorted(((r.k is None, r.a) for r in
+                 (x >> rows_upsert(y, by="k")).df.collect()))
+    assert up == [(False, "x1"), (True, "upN")]
