@@ -4040,17 +4040,20 @@ def q_ivf_topk_lloyd(spark, sf):
     (similarity.py lloyd mode) — the oracle below replays both training
     iterations, the final assignment, probe ranking and scoring
     bit-exactly.  Closes the r4 gap where only the untrained sample-
-    centroid IVF had a value-exact oracle."""
+    centroid IVF had a value-exact oracle.  Training aggregates over the
+    train_limit=512 smallest-id slice only (r5 punch item: per-iteration
+    cost independent of corpus size)."""
     from siuba_spark.corpus.similarity import ivf_topk
     # NOT _te: training is many small bounded jobs (2 iterations × agg +
     # collect), so per-pass fan-out only adds exchanges — measured slower
     t = _t(spark, sf, "embeddings")
     q = t.df.orderBy("vec_id").limit(8)
     return ivf_topk(t, q, k=5, n_lists=8, n_probes=3,
-                    centroids="lloyd", n_iters=2).df
+                    centroids="lloyd", n_iters=2, train_limit=512).df
 
 
-def _ivf_lloyd_oracle_sql(n_lists=8, n_probes=3, k=5, dim=64, n_iters=2):
+def _ivf_lloyd_oracle_sql(n_lists=8, n_probes=3, k=5, dim=64, n_iters=2,
+                          train_limit=512):
     """DuckDB replica of q_ivf_topk_lloyd: per iteration — argmin
     assignment (same left-fold d2, same ASC tie-break), DECIMAL(38,12)
     element-wise sums cast to DOUBLE then divided by the cell count (the
@@ -4064,10 +4067,12 @@ def _ivf_lloyd_oracle_sql(n_lists=8, n_probes=3, k=5, dim=64, n_iters=2):
     parts = [f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
-       FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT {n_lists}))"""]
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT {n_lists})),
+tr AS (SELECT * FROM e WHERE vec_id <= (SELECT MAX(vec_id) FROM
+        (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT {train_limit})))"""]
     for i in range(n_iters):
         parts.append(f""",
-d{i} AS (SELECT e.vec_id, e.v, c.cell, {d2} AS d2 FROM e CROSS JOIN c{i} c),
+d{i} AS (SELECT e.vec_id, e.v, c.cell, {d2} AS d2 FROM tr e CROSS JOIN c{i} c),
 a{i} AS (SELECT vec_id, v, cell FROM
          (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id
             ORDER BY d2 ASC, cell ASC) AS rn FROM d{i}) WHERE rn = 1),
