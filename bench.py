@@ -76,6 +76,10 @@ def main():
     EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3",
                   "tpch_q4"}
     queries = entry.queries()
+    # the xxhash64 simhash twin left the graded registry in round 6 (its
+    # driver signal is now the constant-oracle simhash_prod_gate); bench
+    # still times the raw production query under the historical name
+    queries["simhash_prod"] = entry.q_simhash_prod
 
     def run(name):
         df = queries[BENCH_ALIASES.get(name, name)](spark, sf_dir)

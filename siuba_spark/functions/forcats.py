@@ -334,6 +334,73 @@ def fct_sort_plan(node, asc, ctx, df, idx):
     return df, [direc(F.col(knm), eff_asc), direc(f_col, asc)], [knm]
 
 
+def fct_levels_collect(node, ctx, df, max_levels=10000):
+    """Resolve the LEVEL ORDER a top-level ``fct_rev``/``fct_inorder``/
+    ``fct_infreq``/``fct_reorder`` call implies, for recording into the
+    table's factor ledger (``SparkTbl.factors``) — so ``.cat.codes`` /
+    ``.cat.categories``, ``arrange`` and ``pivot_wider`` column order all
+    agree with pandas after e.g. ``mutate(f=fct_infreq(_.s))`` (VERDICT
+    r5 punch item; closes the last §2.8 divergence).
+
+    Returns a level tuple, or None when ``node`` is not a level-order fct
+    call.  ``fct_rev`` over a column with ledger levels is free (reversed
+    ledger); every other case runs ONE bounded distinct/agg collect over
+    the level set — the same eager bounded-job class as pivot_wider's key
+    discovery and fct_lump's threshold, capped at ``max_levels``.
+
+    Orders (reference: siuba/dply/forcats.py:28,101,159):
+    - fct_rev: reversed categories (reversed sorted uniques if dynamic)
+    - fct_inorder: first observed — min monotonically-increasing id per
+      level (file/partition order; deterministic for a deterministic scan)
+    - fct_infreq: frequency desc, value asc on ties
+    - fct_reorder: fn(x) per level (asc, or desc=True), value asc on ties
+    """
+    from ..siu.calls import GetAttr, MetaArg
+    from .lowering import TranslationError
+
+    if not isinstance(node, FnCall) or node.name not in FCT_ORDER_FNS:
+        return None
+
+    if node.name == "fct_rev":
+        inner = node.args[0]
+        if isinstance(inner, GetAttr) and isinstance(inner.obj, MetaArg) \
+                and ctx.factors.get(inner.name) is not None \
+                and ctx.factors[inner.name].levels is not None:
+            return tuple(reversed(ctx.factors[inner.name].levels))
+
+    f_col = _low(node.args[0], ctx)
+    base = df.select(f_col.alias("__fct_f")).where(F.col("__fct_f").isNotNull())
+    if node.name == "fct_rev":
+        lv = (base.distinct()
+              .orderBy(F.col("__fct_f").desc()))
+    elif node.name == "fct_inorder":
+        lv = (df.select(f_col.alias("__fct_f"),
+                        F.monotonically_increasing_id().alias("__fct_mid"))
+              .where(F.col("__fct_f").isNotNull())
+              .groupBy("__fct_f").agg(F.min("__fct_mid").alias("__k"))
+              .orderBy(F.col("__k").asc(), F.col("__fct_f").asc()))
+    elif node.name == "fct_infreq":
+        lv = (base.groupBy("__fct_f").agg(F.count(F.lit(1)).alias("__k"))
+              .orderBy(F.col("__k").desc(), F.col("__fct_f").asc()))
+    else:  # fct_reorder
+        x_col = _low(node.args[1], ctx)
+        func = _lit_val(node.kwargs["func"]) if "func" in node.kwargs else (
+            _lit_val(node.args[2]) if len(node.args) > 2 else None)
+        desc_flag = _lit_val(node.kwargs["desc"]) if "desc" in node.kwargs \
+            else (_lit_val(node.args[3]) if len(node.args) > 3 else False)
+        key = F.col("__k").desc() if desc_flag else F.col("__k").asc()
+        lv = (df.select(f_col.alias("__fct_f"), x_col.alias("__fct_x"))
+              .where(F.col("__fct_f").isNotNull())
+              .groupBy("__fct_f").agg(_reorder_agg(func)("__fct_x").alias("__k"))
+              .orderBy(key, F.col("__fct_f").asc()))
+    rows = lv.select("__fct_f").limit(max_levels + 1).collect()
+    if len(rows) > max_levels:
+        raise TranslationError(
+            f"{node.name}: more than {max_levels} distinct levels — not a "
+            f"categorical column (raise max_levels if intentional)")
+    return tuple(r["__fct_f"] for r in rows)
+
+
 fct_recode = _factory("fct_recode")
 fct_collapse = _factory("fct_collapse")
 fct_lump = _factory("fct_lump")

@@ -228,7 +228,16 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
         if meta is not None and meta.levels is not None:
             factors[name] = meta
         else:
-            factors.pop(name, None)
+            # a top-level level-order forcats call (fct_infreq/_inorder/
+            # _reorder/_rev) records its data-derived level order into
+            # the ledger — one bounded level-set collect
+            from ..functions.cat import CatMeta
+            from ..functions.forcats import fct_levels_collect
+            levels = fct_levels_collect(node, ctx, df)
+            if levels is not None:
+                factors[name] = CatMeta(tuple(levels), False)
+            else:
+                factors.pop(name, None)
     return work.evolve(df=df, group_by=orig_groups, factors=factors)
 
 

@@ -140,3 +140,33 @@ def test_errors(t):
         t >> mutate(x=_.s.cat.add_categories(["q"]))
     with pytest.raises(TranslationError, match="no translation"):
         t >> mutate(x=_.s.cat.nope())
+
+
+def test_fct_level_order_recorded_in_ledger(spark):
+    """VERDICT r5 punch 4: data-dependent forcats level orders land in the
+    factor ledger, so .cat.codes / arrange / pivot_wider agree with pandas
+    everywhere, not just inside arrange."""
+    from siuba_spark import fct_infreq, fct_inorder, fct_reorder, fct_rev
+    t = data_frame(spark,
+                   s=["b", "c", "b", "a", "c", "b"],
+                   y=[1.0, 9.0, 2.0, 5.0, 3.0, 4.0])
+    m = t >> mutate(f=fct_infreq(_.s))
+    assert m.factors["f"].levels == ("b", "c", "a")      # freq desc, tie asc
+    out = m >> mutate(c=_.f.cat.codes) >> collect()
+    assert sorted(set(zip(out.f, out.c))) == [("a", 2), ("b", 0), ("c", 1)]
+    # arrange follows the recorded order
+    got = (m >> arrange(_.f) >> collect()).f.tolist()
+    assert got == ["b", "b", "b", "c", "c", "a"]
+    # reorder by mean(y): b=2.33 < a=5 < c=6
+    assert (t >> mutate(f=fct_reorder(_.s, _.y, "mean"))
+            ).factors["f"].levels == ("b", "a", "c")
+    assert (t >> mutate(f=fct_reorder(_.s, _.y, "mean", True))
+            ).factors["f"].levels == ("c", "a", "b")
+    assert (t >> mutate(f=fct_inorder(_.s))).factors["f"].levels \
+        == ("b", "c", "a")
+    # fct_rev: reversed sorted uniques; over a ledger column it is the
+    # reversed ledger (no data pass)
+    assert (t >> mutate(f=fct_rev(_.s))).factors["f"].levels \
+        == ("c", "b", "a")
+    assert (m >> mutate(g=fct_rev(_.f))).factors["g"].levels \
+        == ("a", "c", "b")

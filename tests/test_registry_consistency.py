@@ -14,10 +14,11 @@ import __spark_entry__ as entry
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# the only entries allowed to lack a DuckDB oracle (each documented at its
-# definition): xxhash64 simhash signatures have no SQL replica, and MLlib
-# k-means|| training is not SQL-replayable (lloyd mode grades that path)
-ROWS_ONLY_ALLOWED = {"simhash_prod", "ivf_topk_kmeans"}
+# Since round 6 every registry entry has a DuckDB oracle: the two former
+# rows-only residents (xxhash64 simhash, MLlib k-means|| IVF) now grade
+# through constant-oracle hard gates (simhash_prod_gate,
+# ivf_kmeans_recall_gate) that drive the same production code paths.
+ROWS_ONLY_ALLOWED = set()
 
 
 def test_local_sweep_covers_registry():
