@@ -775,9 +775,27 @@ _STAGES = {
     # (both keep ties via min-rank semantics)
     "top2_vs_slice_max": (lambda C: ref.top_n(2, C.x),
                           lambda C: ours.slice_max(C.x, n=2)),
+    # round-6 widening: branching, grouped filter, window count, NULL intro
+    "case_when_sign": (
+        lambda C: ref.mutate(s=ref.case_when(
+            C, {C.x > 0: "pos", C.x < 0: "neg", True: "zero"})),
+        lambda C: ours.mutate(s=ours.case_when(
+            {C.x > 0: "pos", C.x < 0: "neg", True: "zero"}))),
+    "grouped_filter_max": (
+        lambda C: ref.group_by(C.g) >> ref.filter(C.x == C.x.max())
+        >> ref.ungroup(),
+        lambda C: ours.group_by(C.g) >> ours.filter(C.x == C.x.max())
+        >> ours.ungroup()),
+    "add_count_g": (lambda C: ref.add_count(C.g),
+                    lambda C: ours.add_count(C.g)),
+    "na_if_zero": (lambda C: ref.mutate(
+        z=__import__("siuba.dply.vector", fromlist=["na_if"]).na_if(C.x, 0)),
+        lambda C: ours.mutate(z=ours.na_if(C.x, 0))),
+    "transmute_xy": (lambda C: ref.transmute(r=C.x + C.y),
+                     lambda C: ours.transmute(r=C.x + C.y)),
 }
 _TERMINAL = {"grouped_sum", "distinct_g", "select_gx", "arrange_head",
-             "gather_xy", "unite_gk", "count_g"}
+             "gather_xy", "unite_gk", "count_g", "transmute_xy"}
 
 
 from hypothesis import example

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -119,11 +120,26 @@ def main():
         q = emb.df.orderBy("vec_id").limit(16)
         return lsh_topk(emb, q, k=10, n_planes=16, n_tables=2, dim=768).df
 
+    def pq_topk_768(d):
+        from siuba_spark.corpus.similarity import pq_topk
+        emb = embeddings768(d)
+        q = SparkTbl(emb.df.orderBy("vec_id").limit(16))
+        return pq_topk(emb, q, k=10, n_subspaces=8, n_codes=64).df
+
+    def ivf_lloyd_768(d):
+        from siuba_spark.corpus.similarity import ivf_topk
+        emb = embeddings768(d)
+        q = emb.df.orderBy("vec_id").limit(16)
+        return ivf_topk(emb, q, k=10, n_lists=16, n_probes=4,
+                        centroids="lloyd", n_iters=2, train_limit=2048).df
+
     OPS = {
         "exact_dedup": lambda d: exact_dedup(d, cols=("text",)).df,
         "minhash_near_dups": lambda d: minhash_near_dups(d, threshold=0.7).df,
         "dedup_chain": dedup_chain,
         "lsh_topk_768": lsh_topk_768,
+        "pq_topk_768": pq_topk_768,
+        "ivf_lloyd_768": ivf_lloyd_768,
         "simhash": lambda d: add_simhash(d, bits=16, id_col="doc_id").df,
         "quality_signals": lambda d: quality_signals(d).df,
         "dedup_segments": lambda d: dedup_segments(d, sep=" ").df,
@@ -133,6 +149,8 @@ def main():
         "text_stats": lambda d: text_stats(d).df,
         "fingerprint": lambda d: fingerprint(d).df,
     }
+    if only is not None:
+        OPS = {k: v for k, v in OPS.items() if k in only}
 
     def run(loader, op):
         from siuba_spark import release_all_pins
