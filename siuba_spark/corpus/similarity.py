@@ -32,9 +32,12 @@ def _to_double(a):
 
 
 def cosine_sim_col(a, b):
-    """Cosine similarity of two array columns (computed in double)."""
+    """Cosine similarity of two array columns (computed in double).
+    A zero-norm vector has no defined cosine: try_divide yields NULL
+    instead of an ANSI DIVIDE_BY_ZERO error (found by scale_spot — an
+    all-zero embedding is a real production hazard)."""
     ad, bd = _to_double(a), _to_double(b)
-    return _dot(ad, bd) / F.sqrt(_dot(ad, ad) * _dot(bd, bd))
+    return F.try_divide(_dot(ad, bd), F.sqrt(_dot(ad, ad) * _dot(bd, bd)))
 
 
 def _norm_sq(a):
@@ -46,8 +49,10 @@ def _cosine_from_parts(a, b, na_sq, nb_sq):
     """Same expression as ``cosine_sim_col`` (dot / sqrt(na²·nb²), bit-for-
     bit identical floats) but with the norms precomputed once per ROW
     instead of once per PAIR — zip_with/aggregate folds are interpreted,
-    not codegen'd, so at |pairs| ≫ |rows| this is the dominant cost."""
-    return _dot(_to_double(a), _to_double(b)) / F.sqrt(na_sq * nb_sq)
+    not codegen'd, so at |pairs| ≫ |rows| this is the dominant cost.
+    try_divide: zero-norm vectors score NULL, never an ANSI error."""
+    return F.try_divide(_dot(_to_double(a), _to_double(b)),
+                        F.sqrt(na_sq * nb_sq))
 
 
 @verb

@@ -87,3 +87,22 @@ def test_ivf_pq_probes_widen_candidates(emb):
     w = wide.sort_values(["query_id", "rk"]).reset_index(drop=True)
     f = full.sort_values(["query_id", "rk"]).reset_index(drop=True)
     assert (w.nbr_id == f.nbr_id).all() and (w.adist == f.adist).all()
+
+
+def test_cosine_zero_norm_vector_is_null_not_error(spark):
+    """scale_spot r6 finding: an all-zero embedding must not raise ANSI
+    DIVIDE_BY_ZERO — cosine with a zero-norm vector is NULL and such
+    neighbors sort last (never into the top-k ahead of real scores)."""
+    from siuba_spark import tbl
+    from siuba_spark.corpus.similarity import brute_force_topk, cosine_sim_col
+    from pyspark.sql import functions as F
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    t = tbl(spark.createDataFrame(rows, "vec_id long, embedding array<double>"))
+    q = t.df.filter("vec_id = 1")
+    out = brute_force_topk(t, q, k=3).df.orderBy("rk").collect()
+    assert [r.nbr_id for r in out] == [2, 3, 0]   # zero vector ranks last
+    assert out[-1].score is None
+    direct = (t.df.withColumn(
+        "c", cosine_sim_col(F.col("embedding"), F.array(F.lit(0.0), F.lit(0.0))))
+        .select("c").distinct().collect())
+    assert all(r.c is None for r in direct)
