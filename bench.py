@@ -115,6 +115,25 @@ def main():
     if leaked:
         print(f"bench warning: {leaked} persistent RDDs leaked", file=sys.stderr)
 
+    # A/A noise band (VERDICT r5 punch 5): re-time three sentinel queries
+    # at the END of the session with identical code — the ratio vs their
+    # main-loop timing is the empirical same-JVM noise floor, recorded so
+    # cross-round comparisons can tell regression from jitter.
+    aa = {}
+    for name in ("tpch_q3", "agg_stats", "window_ranks"):
+        if timings.get(name):
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                try:
+                    run(name)
+                except Exception:
+                    break
+                e = time.perf_counter() - t0
+                best = e if best is None else min(best, e)
+            if best is not None:
+                aa[name] = round(best / timings[name], 3)
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -122,6 +141,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "aa_rerun_ratio": aa,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -57,10 +57,12 @@ def quality_signals(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id"):
     - ``mean_word_len``    — mean token length
     - ``symbol_word_ratio``— non-alphanumeric chars per token
 
-    The first two and the last two are pure projections (array_distinct /
-    length arithmetic inside whole-stage codegen — zero shuffle).  The
-    most-frequent-2-gram needs cross-row state per doc: explode the
-    bigram array, count by (id, gram), take the per-doc max.  Both
+    Token-level signals are pure projections (array_distinct / length
+    arithmetic inside whole-stage codegen — zero shuffle).  Both
+    gram-level signals come out of ONE aggregation branch — explode the
+    bigram array, count by (id, gram), then per-doc max/sum/distinct —
+    so the bigram arrays are constructed exactly once (round-6: the
+    previous shape built them on the projection branch too).  Both
     aggregations get map-side partial combine and shuffle on fine-grained
     keys ((id, gram) then id), so the plan holds at 100 TB — no global
     window, no skew funnel (grams are near-unique per doc).  The join
@@ -77,16 +79,15 @@ def quality_signals(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id"):
             .withColumn("__toks", tokens_col(c))
             .withColumn("__grams", _bigrams(toks)))
 
-    proj = (base
+    # token-level signals are a pure projection (no gram build — round-6:
+    # every gram-derived signal moved to the aggregation branch so the
+    # bigram arrays are constructed exactly once, not once per branch)
+    proj = (tbl.df
+            .withColumn("__toks", tokens_col(c))
             .withColumn(
                 "dup_word_frac",
                 F.when(n_tok > 0,
                        F.round(1.0 - F.size(F.array_distinct(toks)) / n_tok, 6))
-                .otherwise(F.lit(0.0)))
-            .withColumn(
-                "dup_2gram_frac",
-                F.when(n_gram > 0,
-                       F.round(1.0 - F.size(F.array_distinct(grams)) / n_gram, 6))
                 .otherwise(F.lit(0.0)))
             .withColumn(
                 "mean_word_len",
@@ -117,7 +118,28 @@ def quality_signals(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id"):
         top_struct = F.array_min(F.transform(dg, lambda g: F.struct(
             (-F.size(F.filter(grams, lambda x: x == g))).alias("neg"),
             g.alias("g"))))
-        out = (proj
+        out = (base
+               .withColumn(
+                   "dup_word_frac",
+                   F.when(n_tok > 0, F.round(
+                       1.0 - F.size(F.array_distinct(toks)) / n_tok, 6))
+                   .otherwise(F.lit(0.0)))
+               .withColumn(
+                   "dup_2gram_frac",
+                   F.when(n_gram > 0, F.round(
+                       1.0 - F.size(F.array_distinct(grams)) / n_gram, 6))
+                   .otherwise(F.lit(0.0)))
+               .withColumn(
+                   "mean_word_len",
+                   F.when(n_tok > 0, F.round(
+                       F.length(F.regexp_replace(F.trim(F.lower(c)),
+                                                 r"\s+", "")) / n_tok, 6))
+                   .otherwise(F.lit(0.0)))
+               .withColumn(
+                   "symbol_word_ratio",
+                   F.when(n_tok > 0, F.round(
+                       F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+                       / n_tok, 6)).otherwise(F.lit(0.0)))
                .withColumn("__t", top_struct)
                .withColumn("top_2gram", F.col("__t.g"))
                .withColumn(
@@ -127,26 +149,40 @@ def quality_signals(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id"):
                        * F.length(F.coalesce(F.col("top_2gram"), F.lit("")))
                        / F.length(c), 6)).otherwise(F.lit(0.0)))
                .drop("__toks", "__grams", "__t"))
+        # column order matches the batch output (dup_2gram_frac computed
+        # before mean_word_len there too)
         return tbl.evolve(df=out)
 
     ex = (base.select(F.col(id_col).alias("__id"),
                       F.explode(grams).alias("__g")))
     cnt = ex.groupBy("__id", "__g").agg(F.count("*").alias("__cnt"))
-    top = (cnt.groupBy("__id")
+    per = (cnt.groupBy("__id")
            .agg(F.min(F.struct((-F.col("__cnt")).alias("neg"),
-                               F.col("__g").alias("g"))).alias("__t"))
+                               F.col("__g").alias("g"))).alias("__t"),
+                F.sum("__cnt").alias("__tot"),
+                F.count(F.lit(1)).alias("__dst"))
            .select(F.col("__id"),
                    (-F.col("__t.neg")).alias("__top_cnt"),
-                   F.col("__t.g").alias("top_2gram")))
+                   F.col("__t.g").alias("top_2gram"),
+                   F.col("__tot"), F.col("__dst")))
 
-    out = (proj.join(top, proj[id_col] == top["__id"], "left")
+    out = (proj.join(per, proj[id_col] == per["__id"], "left")
+           .withColumn(
+               "dup_2gram_frac",
+               F.when(F.coalesce(F.col("__tot"), F.lit(0)) > 0, F.round(
+                   1.0 - F.col("__dst") / F.col("__tot"), 6))
+               .otherwise(F.lit(0.0)))
            .withColumn(
                "top_2gram_frac",
                F.when(F.length(c) > 0, F.round(
                    F.coalesce(F.col("__top_cnt"), F.lit(0))
                    * F.length(F.coalesce(F.col("top_2gram"), F.lit("")))
                    / F.length(c), 6)).otherwise(F.lit(0.0)))
-           .drop("__toks", "__grams", "__id", "__top_cnt"))
+           .drop("__toks", "__id", "__top_cnt", "__tot", "__dst")
+           # restore the documented column order (same as the stream path)
+           .select(*tbl.df.columns, "dup_word_frac", "dup_2gram_frac",
+                   "mean_word_len", "symbol_word_ratio", "top_2gram",
+                   "top_2gram_frac"))
     return tbl.evolve(df=out)
 
 
@@ -424,6 +460,10 @@ def ngram_contamination(tbl: SparkTbl, benchmark, n: int = 8,
     ``broadcast()``; the corpus side streams through a map-side hash
     LEFT JOIN with zero shuffle of the 100 TB table.  Per-doc distinct
     grams (``array_distinct``) keep the join input bounded by doc length.
+    The n-gram construction — the CPU-dominant step — runs exactly ONCE:
+    the per-doc gram count rides along through the explode (round-6 fix;
+    the previous shape rebuilt the gram arrays a second time for the
+    final join).
     """
     from pyspark.sql.functions import broadcast
 
@@ -433,23 +473,26 @@ def ngram_contamination(tbl: SparkTbl, benchmark, n: int = 8,
                       .alias("__bg"))
               .distinct())
 
-    docs = (tbl.df
-            .withColumn("__grams",
-                        F.array_distinct(_ngrams(tokens_col(F.col(col)), n))))
-    ex = docs.select(F.col(id_col).alias("__id"),
-                     F.explode(F.col("__grams")).alias("__g"))
-    hits = (ex.join(broadcast(bgrams), ex["__g"] == bgrams["__bg"], "inner")
-            .groupBy("__id").agg(F.count("*").alias("__hits")))
+    ex = (tbl.df
+          .withColumn("__grams",
+                      F.array_distinct(_ngrams(tokens_col(F.col(col)), n)))
+          .select(F.col(id_col).alias("__id"),
+                  F.size("__grams").alias("__ng"),
+                  F.explode_outer(F.col("__grams")).alias("__g")))
+    hits = (ex.join(broadcast(bgrams), ex["__g"] == bgrams["__bg"], "left")
+            .groupBy("__id")
+            .agg(F.first("__ng").alias("__ng"),
+                 F.count("__bg").alias("__hits")))
 
-    out = (docs.join(hits, docs[id_col] == hits["__id"], "left")
+    out = (tbl.df.join(hits, tbl.df[id_col] == hits["__id"], "left")
            .withColumn("contaminated_ngrams",
                        F.coalesce(F.col("__hits"), F.lit(0)))
            .withColumn(
                "contamination_frac",
-               F.when(F.size("__grams") > 0, F.round(
-                   F.col("contaminated_ngrams") / F.size("__grams"), 6))
+               F.when(F.coalesce(F.col("__ng"), F.lit(0)) > 0, F.round(
+                   F.col("contaminated_ngrams") / F.col("__ng"), 6))
                .otherwise(F.lit(0.0)))
-           .drop("__grams", "__id", "__hits"))
+           .drop("__id", "__hits", "__ng"))
     return tbl.evolve(df=out)
 
 

@@ -24,14 +24,15 @@ def load(path):
     # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
     if "parsed" in data and isinstance(data["parsed"], dict):
         data = data["parsed"]
-    return {k: v for k, v in data.get("queries", {}).items() if v is not None}
+    qs = {k: v for k, v in data.get("queries", {}).items() if v is not None}
+    return qs, data.get("aa_rerun_ratio") or {}
 
 
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
         sys.exit(2)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, _aa_o), (new, aa_n) = load(sys.argv[1]), load(sys.argv[2])
     ratio_gate = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     shared = sorted(set(old) & set(new))
     if not shared:
@@ -53,6 +54,10 @@ def main():
     tot_n = sum(new[q] for q in shared)
     print(f"\nshared set: {len(shared)} queries, total "
           f"{tot_o:.2f}s -> {tot_n:.2f}s ({tot_n / tot_o:.2f}x)")
+    if aa_n:
+        band = ", ".join(f"{q} {r:.2f}x" for q, r in sorted(aa_n.items()))
+        print(f"A/A noise band (same JVM, identical code, end-of-run "
+              f"re-time): {band}")
     if failures:
         print(f"FAIL: {len(failures)} quer{'y' if len(failures) == 1 else 'ies'} "
               f"regressed past {ratio_gate}x: {', '.join(failures)}")
