@@ -4279,6 +4279,42 @@ SELECT pf, code, n FROM lv ORDER BY code
 """
 
 
+def q_consecutive_runs(spark, sf):
+    """dplyr 1.1 ``consecutive_id`` (functions/vector.py
+    rewrite_consecutive_id, new in round 6 — beyond the reference, which
+    predates dplyr 1.1): run-length ids over each user's event stream
+    (the canonical sessionization primitive), then runs-per-user.  Two-
+    step window plan (NULL-safe lag change flag, cumulative sum) sharing
+    ONE shuffle on the (user_id, ts) window; the summarize reuses the
+    same partitioning."""
+    from siuba_spark import consecutive_id
+    return (
+        _t(spark, sf, "events")
+        >> group_by(_.user_id)
+        >> arrange(_.ts, _.event_id)
+        >> mutate(run=consecutive_id(_.event_type))
+        >> summarize(n_runs=_.run.max(), n_events=_.event_id.count())
+        >> arrange(_.user_id)
+    ).df
+
+
+SQL_CONSECUTIVE_RUNS = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+              WHEN event_type IS DISTINCT FROM LAG(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT user_id,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM o)
+SELECT user_id, CAST(MAX(run) AS INT) AS n_runs, COUNT(*) AS n_events
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_simhash_prod_gate(spark, sf):
     """HARD pass/fail signal for the xxhash64 production simhash (r5's
     last rows-only resident, VERDICT punch 6): over the first 1000 docs
@@ -4580,6 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         # --- (a) round-6 additions, never driver-graded ---
         "fct_infreq_codes": q_fct_infreq_codes,
+        "consecutive_runs": q_consecutive_runs,
         "simhash_prod_gate": q_simhash_prod_gate,
         "ivf_kmeans_recall_gate": q_ivf_kmeans_recall_gate,
         # --- (a) r5 window follows (graded green in r05) ---
@@ -4913,6 +4950,7 @@ def oracle_sql() -> dict[str, str]:
         "cat_codes_static": SQL_CAT_CODES_STATIC,
         "cat_codes_dynamic": SQL_CAT_CODES_DYNAMIC,
         "fct_infreq_codes": SQL_FCT_INFREQ_CODES,
+        "consecutive_runs": SQL_CONSECUTIVE_RUNS,
         "simhash_prod_gate": SQL_SIMHASH_PROD_GATE,
         "ivf_kmeans_recall_gate": SQL_IVF_KMEANS_RECALL_GATE,
         "pq_topk": SQL_PQ_TOPK,

@@ -52,7 +52,7 @@ from .operators.reshape import (
 )
 from .functions.vector import (
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
-    lead, lag, n, n_distinct, approx_n_distinct, approx_quantile,
+    lead, lag, consecutive_id, n, n_distinct, approx_n_distinct, approx_quantile,
     nth, first, last, coalesce, na_if, between,
     if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
     near, cut,
@@ -90,7 +90,7 @@ __all__ = [
     "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
-    "ntile", "lead", "lag", "n", "n_distinct", "approx_n_distinct",
+    "ntile", "lead", "lag", "consecutive_id", "n", "n_distinct", "approx_n_distinct",
     "approx_quantile", "nth", "first", "last",
     "coalesce", "na_if", "between", "near", "if_else", "case_when", "desc", "str_c", "cut",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",

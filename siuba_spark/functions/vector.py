@@ -18,7 +18,7 @@ from .lowering import AGG, AGGED, SCALAR, LowerCtx, TranslationError, lower, reg
 
 __all__ = [
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
-    "ntile", "lead", "lag", "n", "n_distinct", "approx_n_distinct",
+    "ntile", "lead", "lag", "consecutive_id", "n", "n_distinct", "approx_n_distinct",
     "approx_quantile", "nth", "first", "last",
     "coalesce", "na_if", "between", "if_else", "case_when", "desc", "cut",
     "str_c", "floor_date", "ceil_date", "cumall", "cumany", "cummean",
@@ -139,6 +139,75 @@ def _register_offset(name, spark_fn):
 
 _register_offset("lead", F.lead)
 _register_offset("lag", F.lag)
+
+
+# -- consecutive_id (dplyr 1.1) ----------------------------------------------
+
+@register_fn("consecutive_id")
+def _consecutive_id_err(ctx, args, kwargs):
+    # reachable only when the mutate-level rewrite did not run (e.g. used
+    # inside filter/summarize): the two-step window (lag-flag, then
+    # cumulative sum) cannot nest in one Spark expression
+    raise TranslationError(
+        "consecutive_id() is only supported inside mutate()")
+
+
+def rewrite_consecutive_id(node, ctx, df):
+    """Replace ``consecutive_id(cols...)`` nodes with a two-step window
+    plan: a materialized change flag (NULL-safe lag comparison, first row
+    of each partition counts as a change), then a cumulative sum over the
+    same (group, arrange-order) window — dplyr 1.1 semantics: a 1-based
+    integer id that increments whenever ANY argument changes between
+    consecutive rows.  One shuffle (the window partitioning), both steps
+    share it.  Returns ``(df, node, tmps)``; identity when no node
+    matches (same mechanism as rewrite_fct_lump / rewrite_cat_dynamic)."""
+    from ..siu.calls import (BinaryOp, GetAttr, GetItem, Lit, MethodCall,
+                             UnaryOp)
+
+    state = {"df": df, "tmps": [], "idx": 0}
+
+    def build(nd):
+        w = ctx.w_ordered()
+        changed = None
+        for a in nd.args:
+            col = _low(a, ctx)
+            ch = ~col.eqNullSafe(F.lag(col, 1).over(w))
+            changed = ch if changed is None else (changed | ch)
+        if changed is None:
+            raise TranslationError(
+                "consecutive_id() requires at least one column")
+        flag = F.when(F.row_number().over(w) == 1, F.lit(1)) \
+            .otherwise(changed.cast("int"))
+        tmp = f"__cid_{state['idx']}"
+        state["idx"] += 1
+        state["df"] = state["df"].withColumn(tmp, flag)
+        state["tmps"].append(tmp)
+        return Lit(F.sum(F.col(tmp)).over(ctx.w_cuml()).cast("int"))
+
+    def walk(nd):
+        if not isinstance(nd, Call):
+            return nd
+        if isinstance(nd, FnCall):
+            if nd.name == "consecutive_id":
+                return build(nd)
+            return FnCall(nd.name, tuple(walk(a) for a in nd.args),
+                          {k: walk(v) for k, v in nd.kwargs.items()})
+        if isinstance(nd, BinaryOp):
+            return BinaryOp(nd.op, walk(nd.left), walk(nd.right))
+        if isinstance(nd, UnaryOp):
+            return UnaryOp(nd.op, walk(nd.operand))
+        if isinstance(nd, MethodCall):
+            return MethodCall(walk(nd.obj), nd.name,
+                              tuple(walk(a) for a in nd.args),
+                              {k: walk(v) for k, v in nd.kwargs.items()})
+        if isinstance(nd, GetAttr):
+            return GetAttr(walk(nd.obj), nd.name)
+        if isinstance(nd, GetItem):
+            return GetItem(walk(nd.obj), walk(nd.key))
+        return nd
+
+    new = walk(node)
+    return state["df"], new, state["tmps"]
 
 
 # -- group size aggregates --------------------------------------------------
@@ -481,6 +550,7 @@ cume_dist = _fn("cume_dist")
 ntile = _fn("ntile")
 lead = _fn("lead")
 lag = _fn("lag")
+consecutive_id = _fn("consecutive_id")
 n = _fn("n")
 n_distinct = _fn("n_distinct")
 approx_n_distinct = _fn("approx_n_distinct")

@@ -215,12 +215,14 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
         # fct_lump lowers to an agg→rank→broadcast-join plan, and dynamic
         # .cat.codes to a distinct→broadcast-join plan — not global
         # windows; rewrite the expression tree first (no-op otherwise)
+        from ..functions.vector import rewrite_consecutive_id
         df, node, tmps = rewrite_fct_lump(strip_symbolic(expr), ctx, df)
         df, node, tmps2 = rewrite_cat_dynamic(node, ctx, df)
+        df, node, tmps3 = rewrite_consecutive_id(node, ctx, df)
         col, _ = lower(node, ctx)
         df = df.withColumn(name, col)
-        if tmps or tmps2:
-            df = df.drop(*tmps, *tmps2)
+        if tmps or tmps2 or tmps3:
+            df = df.drop(*tmps, *tmps2, *tmps3)
         # a `.cat.*` chain at the top of the expression carries factor
         # levels onto the assigned column; any other assignment clears a
         # stale entry for that name

@@ -555,3 +555,29 @@ def test_rolling_std_large_magnitude(spark):
     assert math.isclose(out.v[4], 3.0e26)        # frame [3e13,4,5]
     assert math.isclose(out.s[5], 1.0)           # frame [4,5,6] — exact path
     assert out.s[:2].isna().all()
+
+
+def test_consecutive_id(spark):
+    """dplyr 1.1 consecutive_id: 1-based id incrementing whenever any
+    argument changes between consecutive rows (arrange order, per group);
+    NULL-safe (NA == NA does not increment); first row of every group is
+    id 1."""
+    from siuba_spark import _, arrange, collect, consecutive_id, group_by, mutate, tbl, ungroup
+    rows = [("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("a", 4, None),
+            ("a", 5, None), ("a", 6, "y"), ("b", 1, None), ("b", 2, "z")]
+    t = tbl(spark.createDataFrame(rows, "g string, i long, v string"))
+    out = (t >> group_by(_.g) >> arrange(_.i)
+           >> mutate(cid=consecutive_id(_.v)) >> ungroup()
+           >> arrange(_.g, _.i) >> collect())
+    assert out.cid.tolist() == [1, 1, 2, 3, 3, 4, 1, 2]
+    # multi-column: change in EITHER column increments
+    out2 = (t >> group_by(_.g) >> arrange(_.i)
+            >> mutate(cid=consecutive_id(_.v, _.i % 2)) >> ungroup()
+            >> arrange(_.g, _.i) >> collect())
+    assert out2.cid.tolist() == [1, 2, 3, 4, 5, 6, 1, 2]
+    # outside mutate: clear error
+    import pytest as _pt
+    from siuba_spark import summarize
+    from siuba_spark.functions.lowering import TranslationError
+    with _pt.raises(TranslationError, match="mutate"):
+        t >> summarize(x=consecutive_id(_.v))
