@@ -28,7 +28,7 @@ from siuba_spark import (  # noqa: F401
     pivot_longer, pivot_wider, bind_rows,
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, n, n_distinct, nth, first, last, coalesce, na_if, between,
-    if_else, case_when, desc, str_c, floor_date, ceil_date, json_extract,
+    if_else, case_when, sql_raw, desc, str_c, floor_date, ceil_date, json_extract,
     cumall, cumany, fct_lump, fct_reorder, fct_infreq,
     slice_max, separate_rows,
 )
@@ -4317,14 +4317,23 @@ FROM r GROUP BY user_id ORDER BY user_id
 
 def q_simhash_prod_gate(spark, sf):
     """HARD pass/fail signal for the xxhash64 production simhash (r5's
-    last rows-only resident, VERDICT punch 6): over the first 1000 docs
-    (bounded — the gate is O(subset²) at ANY corpus scale), the banded
-    simhash_pairs output must EQUAL brute-force bit_count pairs on the
-    same signatures (pigeonhole banding exactness), and the fixture must
-    actually produce near-dup pairs.  Both booleans are deterministic, so
-    the oracle is the constant (1, 1) row — any regression in the
-    xxhash64 path, the banding, or the pair join flips a value and fails
-    the hash match."""
+    last rows-only resident, VERDICT punch 6), three independent checks:
+
+    - ``banding_exact``: over the first 1000 docs (bounded — O(subset²)
+      at ANY corpus scale), the banded simhash_pairs output EQUALS
+      brute-force bit_count pairs on the same signatures (pigeonhole
+      banding exactness).  This covers the banding/pair join ONLY — both
+      sides share the add_simhash signatures, so it cannot see a
+      signature regression.
+    - ``has_pairs``: the fixture actually produces near-dup pairs (the
+      banding check isn't vacuously true).
+    - ``sig_pinned`` (ADVICE r6 item 1): add_simhash over three LITERAL
+      texts (SF-independent) must reproduce pinned signature values —
+      THIS is what grades the xxhash64 path itself (seed, tokenization,
+      bit layout); a one-bit change in any signature flips it.
+
+    All three are deterministic, so the oracle is the constant (1, 1, 1)
+    row."""
     from pyspark.sql import functions as F
 
     from siuba_spark.corpus.dedup import add_simhash, simhash_pairs
@@ -4340,14 +4349,31 @@ def q_simhash_prod_gate(spark, sf):
     miss = banded.exceptAll(brute).agg(F.count(F.lit(1)).alias("m1"))
     extra = brute.exceptAll(banded).agg(F.count(F.lit(1)).alias("m2"))
     npairs = brute.agg(F.count(F.lit(1)).alias("np"))
-    return (miss.crossJoin(extra).crossJoin(npairs)
+    # pinned signatures of literal texts (values recorded from the green
+    # r6 implementation); independent of sf_dir by construction
+    pin_texts = [
+        (0, "the quick brown fox jumps over the lazy dog", 894148818),
+        (1, "pack my box with five dozen liquor jugs", 2223685766),
+        (2, "spark graft simhash pin fixture九", 3244124947),
+    ]
+    pins = tbl(spark.createDataFrame(
+        [(i, t) for i, t, _v in pin_texts], "doc_id long, text string"))
+    got = add_simhash(pins, col="text", bits=32, id_col="doc_id").df
+    want = spark.createDataFrame(
+        [(i, v) for i, _t, v in pin_texts], "doc_id long, want long")
+    sig_ok = (got.join(want, "doc_id")
+              .agg(F.bool_and(F.col("simhash") == F.col("want"))
+                   .alias("ok")))
+    return (miss.crossJoin(extra).crossJoin(npairs).crossJoin(sig_ok)
             .select(((F.col("m1") + F.col("m2")) == 0).cast("int")
                     .alias("banding_exact"),
-                    (F.col("np") > 0).cast("int").alias("has_pairs")))
+                    (F.col("np") > 0).cast("int").alias("has_pairs"),
+                    F.col("ok").cast("int").alias("sig_pinned")))
 
 
 SQL_SIMHASH_PROD_GATE = """
-SELECT CAST(1 AS INT) AS banding_exact, CAST(1 AS INT) AS has_pairs
+SELECT CAST(1 AS INT) AS banding_exact, CAST(1 AS INT) AS has_pairs,
+       CAST(1 AS INT) AS sig_pinned
 """
 
 
@@ -4583,6 +4609,84 @@ FROM q ORDER BY l_returnflag, p
 """
 
 
+# ===========================================================================
+# round-7 additions: sql_raw escape hatch + incremental (snapshot-over-
+# snapshot) dedup against a persisted store
+# ===========================================================================
+
+
+def q_sql_raw_mutate(spark, sf):
+    """Raw Spark-SQL fragment escape hatch inside mutate + grouped mutate
+    (reference: sql_raw = sql.literal_column, siuba/sql/backend.py:372;
+    tests siuba/tests/test_sql_misc.py:20-29) — fragments are pasted
+    verbatim into the projection, composing with native expressions."""
+    return (
+        _t(spark, sf, "orders")
+        >> mutate(bucket=sql_raw("o_orderkey % 7"),
+                  pri=sql_raw("upper(substr(o_orderpriority, 1, 1))"))
+        >> group_by(_.bucket)
+        >> mutate(rel=sql_raw("o_totalprice / avg(o_totalprice) "
+                              "over (partition by bucket)").round(6))
+        >> ungroup()
+        >> select(_.o_orderkey, _.bucket, _.pri, _.rel)
+    ).df
+
+
+SQL_SQL_RAW_MUTATE = """
+SELECT o_orderkey, o_orderkey % 7 AS bucket,
+       UPPER(SUBSTR(o_orderpriority, 1, 1)) AS pri,
+       ROUND(o_totalprice / AVG(o_totalprice)
+             OVER (PARTITION BY o_orderkey % 7), 6) AS rel
+FROM orders
+"""
+
+
+def q_exact_dedup_incremental(spark, sf):
+    """Snapshot-over-snapshot exact dedup (corpus/dedup.py
+    exact_dedup_incremental): snapshot A (doc_id < 250) builds the key
+    store, snapshot B dedups against it; the FINAL STORE must equal the
+    from-scratch GROUP BY over the whole corpus — representative id and
+    cumulative duplicate count both.  The oracle is that from-scratch
+    aggregation, so the driver hash IS the incremental==from-scratch
+    equivalence proof."""
+    from siuba_spark.corpus.dedup import exact_dedup_incremental
+    docs = _td(spark, sf)
+    a = docs >> filter(_.doc_id < 250)
+    b = docs >> filter(_.doc_id >= 250)
+    _kept_a, store = exact_dedup_incremental(a, None, cols=["text"])
+    _kept_b, store2 = exact_dedup_incremental(b, store, cols=["text"])
+    from pyspark.sql import functions as F
+    return store2.df.select(F.col("doc_id").alias("keep_id"), "n_dups")
+
+
+SQL_EXACT_DEDUP_INCREMENTAL = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def q_minhash_incremental(spark, sf):
+    """Snapshot-over-snapshot MinHash near-dup detection
+    (corpus/dedup.py minhash_near_dups_incremental, md5_64/key grading
+    mode): snapshot A emits its own pairs and a signature store; snapshot
+    B emits only pairs with a NEW endpoint (new×new ∪ new×store, store
+    never re-banded against itself).  The union of the two incremental
+    outputs must equal the from-scratch pair set — the oracle IS the
+    existing from-scratch DuckDB replay over the full corpus."""
+    from siuba_spark.corpus.dedup import minhash_near_dups_incremental
+    docs = _td(spark, sf)
+    a = docs >> filter(_.doc_id < 250)
+    b = docs >> filter(_.doc_id >= 250)
+    p1, store = minhash_near_dups_incremental(
+        a, None, threshold=0.3, hash="md5_64", bucket="key")
+    p2, _store2 = minhash_near_dups_incremental(
+        b, store, threshold=0.3, hash="md5_64", bucket="key")
+    return p1.df.unionByName(p2.df)
+
+
+SQL_MINHASH_INCREMENTAL = SQL_MINHASH_NEAR_DUPS
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -4790,7 +4894,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_score": q_lang_score,
         "fingerprint": q_fingerprint,
     }
-    return {k: _managed(v) for k, v in raw.items()}
+    raw.update({
+        "sql_raw_mutate": q_sql_raw_mutate,
+        "exact_dedup_incremental": q_exact_dedup_incremental,
+        "minhash_incremental": q_minhash_incremental,
+    })
+    # Driver grades the FIRST 50 entries only.  Round-7 window: the new r7
+    # entries, then the entries whose LAST driver grade is oldest (r1,
+    # then r2, oldest-first) — VERDICT r6 item 5: refresh stale grades by
+    # rotation.  Everything else keeps its prior (green) grade and stays
+    # covered by tools/oracle_sweep.py.
+    front = [
+        # new in r7
+        "sql_raw_mutate", "exact_dedup_incremental", "minhash_incremental",
+        # last graded r1
+        "extract_regex", "ffill_gaps", "gather_long", "offsets_family",
+        "token_count_bpe",
+        # last graded r2 (alphabetical; 42 of 49 fit the 50-window)
+        "add_count", "agg_stats", "arrange_limit", "case_when_bands",
+        "complete_grid", "corpus_prep", "count_sorted", "cumsum_running",
+        "distinct_pairs", "dt_functions", "events_sessionize",
+        "events_total_seconds", "events_tumbling", "fct_infreq_arrange",
+        "fct_lump", "fct_lump_prop", "fct_reorder_arrange",
+        "filter_compound", "fingerprint", "full_join_coalesce",
+        "grouped_filter", "grouped_mutate_zscore", "join_inner",
+        "join_left_agg", "lang_score", "lead_lag", "mutate_arith",
+        "nest_unnest", "ntile_quartiles", "null_semantics",
+        "nunique_window", "pivot_longer", "pivot_wider",
+        "pivot_wider_glue", "rank_methods", "revenue_by_nation",
+        "salted_join_agg", "select_rename", "semi_anti", "separate_unite",
+        "spread_wide", "str_findall_family",
+    ]
+    assert len(front) == 50, len(front)
+    missing = [k for k in front if k not in raw]
+    assert not missing, missing
+    ordered = {k: raw[k] for k in front}
+    ordered.update({k: v for k, v in raw.items() if k not in ordered})
+    return {k: _managed(v) for k, v in ordered.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4957,4 +5097,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": SQL_IVF_PQ_TOPK,
         "separate_wider": SQL_SEPARATE_WIDER,
         "reframe_quantiles": SQL_REFRAME_QUANTILES,
+        # round-7 additions
+        "sql_raw_mutate": SQL_SQL_RAW_MUTATE,
+        "exact_dedup_incremental": SQL_EXACT_DEDUP_INCREMENTAL,
+        "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     }

@@ -74,7 +74,7 @@ def main():
     # r4 reps swallowed by one GC event — 3.498 s recorded vs 0.711 s
     # re-measured in a clean JVM)
     EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3",
-                  "tpch_q4"}
+                  "tpch_q4", "rolling_stats"}
     queries = entry.queries()
     # the xxhash64 simhash twin left the graded registry in round 6 (its
     # driver signal is now the constant-oracle simhash_prod_gate); bench

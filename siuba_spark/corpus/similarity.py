@@ -344,10 +344,28 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
                 # HALF_UP decimal(·,12) element sums (shortest-repr
                 # quantization = Spark's BigDecimal.valueOf cast), mean
                 # = float(exact sum)/n.
+                # id-cut semantics, identical to the distributed branch
+                # and the DuckDB oracle (ADVICE r6 item 2): the slice is
+                # ``vec_id <= max(first train_limit ids)``, which INCLUDES
+                # every tie/duplicate at the cut, where a bare LIMIT's tie
+                # selection is nondeterministic.  Probe ONE extra row: only
+                # when it carries the cut id itself can ties be missing —
+                # then (and only then) re-collect by the cut.  Unique-id
+                # tables stay a single ordered-limit job.
                 vrows = (tbl.df.orderBy(F.col(id_col).asc())
-                         .limit(train_limit)
-                         .select(_to_double(F.col(vec_col)).alias("__v"))
+                         .limit(train_limit + 1)
+                         .select(F.col(id_col).alias("__i"),
+                                 _to_double(F.col(vec_col)).alias("__v"))
                          .collect())
+                extra = vrows[train_limit:]
+                vrows = vrows[:train_limit]
+                if vrows and extra:
+                    cut = max(r["__i"] for r in vrows)
+                    if extra[0]["__i"] == cut:
+                        vrows = (tbl.df.filter(F.col(id_col) <= F.lit(cut))
+                                 .select(_to_double(F.col(vec_col))
+                                         .alias("__v"))
+                                 .collect())
                 vecs = [[float(x) for x in r["__v"]] for r in vrows]
                 cents = _lloyd_train_local(vecs, cents, n_lists, n_iters)
             else:

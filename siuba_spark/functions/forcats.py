@@ -309,7 +309,10 @@ def fct_sort_plan(node, asc, ctx, df, idx):
 
     knm = f"__fct_key_{idx}"
     if node.name == "fct_inorder":
-        # first-observed order: min monotonically-increasing id per level
+        # first-observed order: min monotonically-increasing id per level.
+        # ctx.order_by here IS the arrange being materialized (this fct
+        # call is one of its keys), so there is no prior order to honor —
+        # appearance order is scan order, as in the eager implementation.
         mid = f"__fct_mid_{idx}"
         df = df.withColumn(mid, F.monotonically_increasing_id())
         df = df.withColumn(
@@ -374,7 +377,9 @@ def fct_levels_collect(node, ctx, df, max_levels=10000):
         lv = (base.distinct()
               .orderBy(F.col("__fct_f").desc()))
     elif node.name == "fct_inorder":
-        lv = (df.select(f_col.alias("__fct_f"),
+        oc = ctx._order_cols()
+        lv = (df.orderBy(*oc) if oc else df)
+        lv = (lv.select(f_col.alias("__fct_f"),
                         F.monotonically_increasing_id().alias("__fct_mid"))
               .where(F.col("__fct_f").isNotNull())
               .groupBy("__fct_f").agg(F.min("__fct_mid").alias("__k"))

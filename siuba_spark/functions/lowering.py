@@ -37,6 +37,59 @@ class TranslationError(Exception):
     siuba/sql/translate.py:355-361)."""
 
 
+class WPool:
+    """Window-expression pool: CSE that Catalyst refuses to do.
+
+    Spark never dedups semantically-identical window expressions — each
+    occurrence in a projection is a separate per-row frame evaluation in
+    WindowExec (verified: ``select(c.alias("a"), (c*2).alias("b"))`` with
+    the same windowed Column object yields TWO window functions in the
+    physical plan).  Composite translations (rolling var/std share n, Σx,
+    Σx², the overflow gate and the fallback; ``(x - mean)/mean`` references
+    the same AggOver twice) therefore multiply frame-replay cost.
+
+    The pool keys each windowed aggregate on its expression string (stable
+    for identical trees, distinct across frames/specs) and hands back a
+    ``F.col`` reference to a reserved name; the host verb (mutate)
+    materializes every not-yet-materialized entry in ONE ``select`` right
+    before the user projection and drops the helpers at the end.
+    Nondeterministic sources (rand/randn/uuid/shuffle) are never pooled —
+    two unseeded rand() windows must stay independent.  Pooling
+    ``monotonically_increasing_id`` is deliberate: it turns the "no
+    arrange() before a window" fallback into ONE consistent ordering
+    shared by every window in the mutate (ADVICE r6 item 3)."""
+
+    __slots__ = ("entries", "materialized", "_n")
+
+    def __init__(self):
+        self.entries = {}       # key -> (name, Column)
+        self.materialized = []  # names already select()ed into the df
+        self._n = 0
+
+    def add(self, col):
+        key = str(col)
+        if any(tok in key for tok in ("rand(", "randn(", "uuid(", "shuffle(")):
+            return col
+        ent = self.entries.get(key)
+        if ent is None:
+            name = f"__wpool_{self._n}__"
+            self._n += 1
+            self.entries[key] = (name, col)
+            return F.col(name)
+        return F.col(ent[0])
+
+    def pending(self):
+        done = set(self.materialized)
+        return [(n, c) for (n, c) in self.entries.values() if n not in done]
+
+    def invalidate(self):
+        """A pre-existing column was overwritten: every pooled expression
+        string could now refer to stale data — forget the keys (already
+        materialized helper columns stay in the df until the final drop;
+        fresh entries get fresh names from the monotone counter)."""
+        self.entries = {}
+
+
 @dataclass
 class LowerCtx:
     """Lowering context: grouping / ordering state + compilation mode."""
@@ -51,6 +104,16 @@ class LowerCtx:
     # can read the resulting levels (functions/cat.py)
     factors: dict = field(default_factory=dict)
     cat_results: dict = field(default_factory=dict)
+    # window-expression pool (see WPool) — set by verbs that can
+    # materialize helper columns (mutate); None elsewhere = no pooling
+    wpool: WPool | None = None
+
+    def pooled(self, col):
+        """Route a windowed aggregate through the verb's WPool (identity
+        when the verb provides none)."""
+        if self.wpool is None:
+            return col
+        return self.wpool.add(col)
 
     # -- window spec builders (AggOver / RankOver / CumlOver analogues) ----
     def w_agg(self):
@@ -581,7 +644,8 @@ def _lower_method(node, ctx):
         if name in AGG_WINDOW_OVERRIDES:
             return AGG_WINDOW_OVERRIDES[name](ctx, obj, *raw_args, **raw_kw), SCALAR
         w = ctx.w_agg()
-        col = AGG_METHODS[name](lambda c: c.over(w), obj, *raw_args, **raw_kw)
+        col = AGG_METHODS[name](lambda c: ctx.pooled(c.over(w)),
+                                obj, *raw_args, **raw_kw)
         return col, SCALAR
 
     # ---- order-dependent window methods ---------------------------------

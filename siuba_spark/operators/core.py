@@ -206,12 +206,19 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
     kwargs = _merge_across(work, args, kwargs)
     df = work.df
     factors = dict(work.factors)
+    # window-expression pool: identical windowed aggregates across (and
+    # within) kwargs materialize ONCE — Catalyst evaluates every duplicated
+    # window expression separately (functions/lowering.py WPool)
+    from ..functions.lowering import WPool
+    wpool = WPool()
+    user_cols = set(df.columns)
     for name, expr in kwargs.items():
         from .across import IfAnyAll, expand_if_any_all
         if isinstance(expr, IfAnyAll):
             expr = expand_if_any_all(expr, work.columns)
         ctx = work.row_ctx()
         ctx.factors = dict(factors)
+        ctx.wpool = wpool
         # fct_lump lowers to an agg→rank→broadcast-join plan, and dynamic
         # .cat.codes to a distinct→broadcast-join plan — not global
         # windows; rewrite the expression tree first (no-op otherwise)
@@ -220,7 +227,17 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
         df, node, tmps2 = rewrite_cat_dynamic(node, ctx, df)
         df, node, tmps3 = rewrite_consecutive_id(node, ctx, df)
         col, _ = lower(node, ctx)
+        pending = wpool.pending()
+        if pending:
+            df = df.select("*", *[c.alias(n) for n, c in pending])
+            wpool.materialized.extend(n for n, _ in pending)
         df = df.withColumn(name, col)
+        if name in user_cols:
+            # overwriting a pre-existing column: pooled expression strings
+            # could now refer to stale data — forget the pool keys (the
+            # already-materialized helpers are dropped at the end)
+            wpool.invalidate()
+        user_cols.add(name)
         if tmps or tmps2 or tmps3:
             df = df.drop(*tmps, *tmps2, *tmps3)
         # a `.cat.*` chain at the top of the expression carries factor
@@ -240,6 +257,8 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
                 factors[name] = CatMeta(tuple(levels), False)
             else:
                 factors.pop(name, None)
+    if wpool.materialized:
+        df = df.drop(*wpool.materialized)
     return work.evolve(df=df, group_by=orig_groups, factors=factors)
 
 
@@ -326,25 +345,19 @@ def _parse_sort_arg(arg):
     return node, asc
 
 
-@verb
-def arrange(tbl: SparkTbl, *args):
-    """Sort rows; also records ``order_by`` state that later window
-    functions use as their ORDER BY (reference: siuba/sql/verbs/arrange.py).
+def build_sort_plan(tbl, order_state=None):
+    """Lower ``order_state`` (default: the table's sticky ``order_by``)
+    against the CURRENT DataFrame and return the physically sorted df.
 
-    NULLs sort last in both directions (pandas na_position='last').
-    At scale this is a global sort (range-partitioned shuffle) — it stays
-    lazy and Catalyst drops it when a later operator re-shuffles anyway.
-
-    Examples
-    --------
-    >>> t = tbl(spark.createDataFrame([("a", 1.0), ("b", 3.0), ("c", 2.0)],
-    ...                               "g string, x double"))
-    >>> (t >> arrange(-_.x) >> collect()).g.tolist()
-    ['b', 'c', 'a']
+    This is the materialization half of ``arrange``: called by
+    ``SparkTbl.ordered_df()`` (collect/pull/head/write) rather than at
+    arrange() time — see arrange's docstring for why the sort is deferred.
     """
     from ..functions.forcats import fct_sort_plan
 
-    order_state = tuple(_parse_sort_arg(a) for a in args)
+    order_state = tbl.order_by if order_state is None else order_state
+    if not order_state:
+        return tbl.df
     sort_cols = []
     tmp_cols = []
     df = tbl.df
@@ -378,7 +391,49 @@ def arrange(tbl: SparkTbl, *args):
     df = df.orderBy(*sort_cols)
     if tmp_cols:
         df = df.drop(*tmp_cols)
-    return tbl.evolve(df=df, order_by=order_state)
+    return df
+
+
+@verb
+def arrange(tbl: SparkTbl, *args):
+    """Record ``order_by`` state that later window functions use as their
+    ORDER BY (reference: siuba/sql/verbs/arrange.py).
+
+    NULLs sort last in both directions (pandas na_position='last').
+
+    The PHYSICAL sort is deferred to materialization (collect/pull/head/
+    write via ``SparkTbl.ordered_df()``) — the reference's SQL engine does
+    exactly this: ``arrange`` only sets ``order_by`` on the LazyTbl and the
+    ORDER BY is emitted on the final SELECT (siuba/sql/verbs/arrange.py:
+    10-24, siuba/sql/backend.py:241-250).  An eager global sort here is a
+    range-partitioned shuffle that the next window/aggregate/join shuffle
+    immediately destroys — measured on the rolling_stats bench it DOUBLED
+    the pipeline cost, and at 100 TB a wasted global sort is the single
+    most expensive no-op available.  Column references are validated
+    eagerly so typos still fail at arrange() time; expressions are
+    re-lowered against the final columns at materialization, matching SQL
+    ORDER-BY-on-the-outer-SELECT semantics.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 1.0), ("b", 3.0), ("c", 2.0)],
+    ...                               "g string, x double"))
+    >>> (t >> arrange(-_.x) >> collect()).g.tolist()
+    ['b', 'c', 'a']
+    """
+    order_state = tuple(_parse_sort_arg(a) for a in args)
+    # eager validation (no job, no plan): plain references must resolve,
+    # computed expressions must translate; fct_* sort keys go through
+    # fct_sort_plan at materialization and are not lowered here
+    from ..functions.forcats import FCT_ORDER_FNS
+    for node, _asc in order_state:
+        if isinstance(node, GetAttr) and isinstance(node.obj, MetaArg):
+            if node.name not in tbl.df.columns:
+                raise KeyError(
+                    f"arrange: no column {node.name!r} in table")
+        elif not (isinstance(node, FnCall) and node.name in FCT_ORDER_FNS):
+            lower(node, tbl.row_ctx())
+    return tbl.evolve(order_by=order_state)
 
 
 @verb
@@ -400,7 +455,11 @@ def distinct(tbl: SparkTbl, *args, _keep_all: bool = False, **kwargs):
 
 @verb
 def head(tbl: SparkTbl, n: int = 5):
-    return tbl.evolve(df=tbl.df.limit(n))
+    """First n rows IN ARRANGE ORDER — with the deferred sort, head is a
+    consumer of physical order, so it applies ``ordered_df()`` first;
+    Catalyst turns sort+limit into TakeOrderedAndProject (a top-k, no
+    global sort) — strictly cheaper than the eager-arrange plan was."""
+    return tbl.evolve(df=tbl.ordered_df().limit(n))
 
 
 @verb

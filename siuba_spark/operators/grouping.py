@@ -193,10 +193,15 @@ def summarize(tbl: SparkTbl, *args, _sets=None, _by=None, **kwargs):
     else:
         raise TranslationError(f"summarize: unknown _sets={_sets!r}")
 
+    # carry the factor ledger through (ctor prunes to surviving cols), but
+    # clear entries whose name is REASSIGNED by an aggregate output — e.g.
+    # summarize(f=_.x.max()) with levels recorded for 'f' must not leave a
+    # later arrange(_.f) sorting the unrelated aggregate by stale level
+    # order (ADVICE r6 item 4; mirrors mutate's clear-on-reassignment)
+    factors = {k: v for k, v in tbl.factors.items() if k not in kwargs}
     if not distinct_names:
-        # carry the factor ledger through (ctor prunes to surviving cols)
         return SparkTbl(grouped.agg(*build(kwargs.items())),
-                        factors=dict(tbl.factors))
+                        factors=factors)
 
     main_items = [(k, v) for k, v in kwargs.items() if k not in distinct_names]
     dist_items = [(k, v) for k, v in kwargs.items() if k in distinct_names]
@@ -215,7 +220,7 @@ def summarize(tbl: SparkTbl, *args, _sets=None, _by=None, **kwargs):
     else:
         joined = main.crossJoin(dist)
     return SparkTbl(joined.select(*tbl.group_by, *kwargs.keys()),
-                    factors=dict(tbl.factors))
+                    factors=factors)
 
 
 summarise = summarize
@@ -286,7 +291,10 @@ def count(tbl: SparkTbl, *args, wt=None, sort: bool = False, name: str | None = 
     df = work.df.groupBy(*[F.col(c) for c in names]).agg(agg.alias(out_name))
     if sort:
         df = df.orderBy(F.col(out_name).desc_nulls_last())
-    return SparkTbl(df, factors=dict(work.factors))
+    # an explicit name= may shadow a factor column — clear the stale entry
+    # like mutate/summarize do (ADVICE r6 item 4)
+    factors = {k: v for k, v in work.factors.items() if k != out_name}
+    return SparkTbl(df, factors=factors)
 
 
 @verb

@@ -115,6 +115,28 @@ class SparkTbl:
     def columns(self):
         return self.df.columns
 
+    def ordered_df(self) -> DataFrame:
+        """The DataFrame with the sticky ``order_by`` state physically
+        applied — the materialization half of the deferred ``arrange``
+        (see operators/core.py arrange).  Re-lowers the order expressions
+        against the CURRENT columns (SQL ORDER-BY-on-the-outer-SELECT
+        semantics); if an order key no longer resolves (e.g. stale state
+        surviving a summarize that dropped the column), the sort is
+        skipped — the same "order undefined after aggregation" contract
+        SQL engines apply to subquery ORDER BYs."""
+        if not self.order_by:
+            return self.df
+        from ..operators.core import build_sort_plan
+        from ..functions.lowering import TranslationError
+        try:
+            return build_sort_plan(self)
+        except TranslationError:
+            return self.df
+        except Exception as e:  # stale column refs -> AnalysisException
+            if type(e).__name__ in ("AnalysisException", "KeyError"):
+                return self.df
+            raise
+
     # -- convenience -------------------------------------------------------
     def show(self, n=20, truncate=True):
         self.df.show(n, truncate)
@@ -224,7 +246,7 @@ def collect(tbl: SparkTbl):
     (reference: siuba/sql/verbs/compute.py:8-47).  Unpersists any pinned
     intermediates (pivot specs, minhash shingle sets) after the action."""
     try:
-        return tbl.df.toPandas()
+        return tbl.ordered_df().toPandas()
     finally:
         tbl.release()
 
@@ -246,7 +268,7 @@ def pull(tbl: SparkTbl, col=None):
         else:
             raise TypeError("pull expects a column name or _.col reference")
     try:
-        return tbl.df.select(name).toPandas()[name]
+        return tbl.ordered_df().select(name).toPandas()[name]
     finally:
         tbl.release()
 
@@ -256,7 +278,7 @@ def glimpse(tbl: SparkTbl, n: int = 5):
     """dplyr ``glimpse``: print dtype + first values per column (one
     bounded ``take(n)`` job), return the table unchanged for further
     piping."""
-    rows = tbl.df.take(n)
+    rows = tbl.ordered_df().take(n)
     types = dict(tbl.df.dtypes)
     width = max((len(c) for c in tbl.columns), default=0)
     print(f"Columns: {len(tbl.columns)}; groups: {list(tbl.group_by) or '—'}")
@@ -275,8 +297,8 @@ def show_query(tbl: SparkTbl, simplify: bool = False):
     Returns the tbl so it chains."""
     if not simplify:
         print("== Analyzed Logical Plan ==")
-        print(tbl.df._jdf.queryExecution().analyzed().toString())
-    tbl.df.explain(mode="simple" if simplify else "formatted")
+        print(tbl.ordered_df()._jdf.queryExecution().analyzed().toString())
+    tbl.ordered_df().explain(mode="simple" if simplify else "formatted")
     return tbl
 
 
@@ -289,7 +311,7 @@ def write_parquet(tbl: SparkTbl, path: str, mode: str = "overwrite",
     # a rewrite can change the file's schema — drop any cached inference
     sc_id = id(tbl.df.sparkSession.sparkContext)
     _PARQUET_SCHEMA_CACHE.pop((sc_id, path), None)
-    w = tbl.df.write.mode(mode)
+    w = tbl.ordered_df().write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     if bucket_by:
@@ -304,7 +326,7 @@ def write_parquet(tbl: SparkTbl, path: str, mode: str = "overwrite",
 
 @verb
 def write_csv(tbl: SparkTbl, path: str, mode: str = "overwrite", header: bool = True):
-    tbl.df.write.mode(mode).option("header", header).csv(path)
+    tbl.ordered_df().write.mode(mode).option("header", header).csv(path)
     return tbl.release()
 
 

@@ -1,0 +1,103 @@
+"""Incremental (snapshot-over-snapshot) dedup against a persisted store
+(corpus/dedup.py exact_dedup_incremental / minhash_near_dups_incremental,
+VERDICT r6 item 6).  The invariant under test everywhere: processing
+snapshots incrementally produces EXACTLY the from-scratch result on the
+union — representatives, cumulative counts, and near-dup pair sets."""
+
+import pytest
+
+from siuba_spark import tbl
+from siuba_spark.corpus.dedup import (
+    exact_dedup, exact_dedup_incremental, minhash_near_dups,
+    minhash_near_dups_incremental,
+)
+
+
+def _docs(spark, rows):
+    return tbl(spark.createDataFrame(rows, "doc_id long, text string"))
+
+
+def test_exact_incremental_equals_from_scratch(spark):
+    a_rows = [(0, "alpha beta"), (1, "alpha beta"), (2, "gamma"), (3, None)]
+    b_rows = [(10, "alpha beta"), (11, "delta"), (12, None), (13, "delta")]
+    a, b = _docs(spark, a_rows), _docs(spark, b_rows)
+
+    kept_a, store = exact_dedup_incremental(a, None, cols=["text"])
+    kept_b, store2 = exact_dedup_incremental(b, store, cols=["text"])
+
+    # snapshot A keeps one row per key (min id), counts within A
+    got_a = {(r.doc_id, r.n_dups) for r in kept_a.df.collect()}
+    assert got_a == {(0, 2), (2, 1), (3, 1)}
+    # snapshot B keeps only NEVER-SEEN keys ("delta"); NULL text was seen
+    got_b = {(r.doc_id, r.n_dups) for r in kept_b.df.collect()}
+    assert got_b == {(11, 2)}
+
+    # the final store equals from-scratch exact_dedup over the union
+    union = _docs(spark, a_rows + b_rows)
+    scratch = {(r.doc_id, r.n_dups)
+               for r in exact_dedup(union, cols=["text"]).df.collect()}
+    final = {(r.doc_id, r.n_dups) for r in store2.df.collect()}
+    assert final == scratch == {(0, 3), (2, 1), (3, 2), (11, 2)}
+
+
+def test_exact_incremental_store_schema_roundtrip(spark):
+    a = _docs(spark, [(0, "x"), (1, "y")])
+    _kept, store = exact_dedup_incremental(a, None, cols=["text"])
+    assert set(store.df.columns) == {"text", "doc_id", "n_dups"}
+    # the store is re-consumable as a plain DataFrame (parquet roundtrip
+    # shape): pass .df back in
+    b = _docs(spark, [(5, "x"), (6, "z")])
+    kept_b, store2 = exact_dedup_incremental(b, store.df, cols=["text"])
+    assert {r.doc_id for r in kept_b.df.collect()} == {6}
+    assert {(r.doc_id, r.n_dups) for r in store2.df.collect()} == {
+        (0, 2), (1, 1), (6, 1)}
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "completely different text about spark window functions"),
+    (10, "the quick brown fox jumps over the lazy dog today ok"),
+    (11, "another unrelated document mentioning nothing shared"),
+    (12, "completely different text about spark window functions"),
+]
+
+
+@pytest.mark.parametrize("hash_,bucket", [("xxhash64", "hash"),
+                                          ("md5_64", "key")])
+def test_minhash_incremental_equals_from_scratch(spark, hash_, bucket):
+    a = _docs(spark, DOCS[:3])
+    b = _docs(spark, DOCS[3:])
+    kw = dict(threshold=0.3, hash=hash_, bucket=bucket)
+
+    p1, store = minhash_near_dups_incremental(a, None, **kw)
+    p2, store2 = minhash_near_dups_incremental(b, store, **kw)
+    inc = {(r.id_a, r.id_b, r.jaccard) for r in p1.df.collect()} | \
+          {(r.id_a, r.id_b, r.jaccard) for r in p2.df.collect()}
+
+    union = _docs(spark, DOCS)
+    scratch = {(r.id_a, r.id_b, r.jaccard)
+               for r in minhash_near_dups(union, **kw).df.collect()}
+    assert inc == scratch and len(scratch) >= 2
+    # phase-B pairs all have at least one NEW endpoint
+    new_ids = {10, 11, 12}
+    assert all((r.id_a in new_ids) or (r.id_b in new_ids)
+               for r in p2.df.collect())
+    # store accumulates both snapshots' signatures
+    assert store2.df.count() == len(DOCS)
+    assert set(store2.df.columns) == {"doc_id", "shingles", "minhash"}
+
+
+def test_minhash_incremental_store_never_rebanded(spark):
+    """Plan guarantee: the banded self-join's LEFT side is new-only —
+    store×store candidate generation must not appear.  Observable: with
+    an all-duplicate STORE and a disjoint NEW snapshot, phase B emits no
+    store×store pairs even though they near-dup each other."""
+    a = _docs(spark, [(0, "same text repeated here okay fine"),
+                      (1, "same text repeated here okay fine")])
+    b = _docs(spark, [(10, "entirely new content nothing alike at all")])
+    kw = dict(threshold=0.3)
+    p1, store = minhash_near_dups_incremental(a, None, **kw)
+    assert {(r.id_a, r.id_b) for r in p1.df.collect()} == {(0, 1)}
+    p2, _ = minhash_near_dups_incremental(b, store, **kw)
+    assert p2.df.count() == 0

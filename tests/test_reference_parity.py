@@ -436,8 +436,8 @@ def test_parity_dt_quarter_dim_month_start(spark):
 
 def _g_seq(res):
     """The sequence of g values after arrange — the observable level order."""
-    if hasattr(res, "df"):  # SparkTbl
-        res = res.df.toPandas()
+    if hasattr(res, "df"):  # SparkTbl — materialize (applies deferred sort)
+        res = res.ordered_df().toPandas()
     return res["g"].tolist()
 
 

@@ -18,6 +18,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # rows-only residents (xxhash64 simhash, MLlib k-means|| IVF) now grade
 # through constant-oracle hard gates (simhash_prod_gate,
 # ivf_kmeans_recall_gate) that drive the same production code paths.
+# Gate coverage, stated precisely (ADVICE r6 item 1): simhash_prod_gate's
+# banding check proves banding/pair-join exactness over shared signatures,
+# its sig_pinned check grades the xxhash64 signature path itself against
+# pinned literal-text values; ivf_kmeans_recall_gate pins a recall floor,
+# not the k-means|| coordinates (MLlib's init is seed-stable but not
+# SQL-replayable).
 ROWS_ONLY_ALLOWED = set()
 
 

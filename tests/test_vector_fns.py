@@ -581,3 +581,46 @@ def test_consecutive_id(spark):
     from siuba_spark.functions.lowering import TranslationError
     with _pt.raises(TranslationError, match="mutate"):
         t >> summarize(x=consecutive_id(_.v))
+
+
+def test_sql_raw_mutate(spark):
+    """Port of the reference's raw-SQL escape tests
+    (siuba/tests/test_sql_misc.py:20-29; sql_raw = sql.literal_column at
+    siuba/sql/backend.py:372): the fragment is pasted verbatim into the
+    projection, both ungrouped and grouped."""
+    from siuba_spark import _, collect, group_by, mutate, sql_raw, tbl, ungroup
+    t = tbl(spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "x string, y double"))
+    out = t >> mutate(z=sql_raw("y + 1")) >> collect()
+    assert sorted(out.z.tolist()) == [2.0, 3.0, 4.0]
+    out2 = (t >> group_by(_.x) >> mutate(z=sql_raw("y + 1"))
+            >> ungroup() >> collect())
+    assert sorted(out2.z.tolist()) == [2.0, 3.0, 4.0]
+    # composes with native expressions and window fragments
+    out3 = (t >> group_by(_.x)
+            >> mutate(r=sql_raw("sum(y) over (partition by x)") / _.y)
+            >> ungroup() >> collect())
+    assert sorted(out3.r.tolist()) == [1.0, 1.5, 3.0]
+
+
+def test_consecutive_id_no_arrange_is_consistent(spark):
+    """ADVICE r6 item 3: without arrange(), both windows (change flag and
+    cumulative sum) must share ONE materialized ordering — the run ids
+    must be internally consistent (1-based, increment-by-0-or-1 in some
+    row order), never e.g. a cumsum over a different permutation than the
+    flags were computed in."""
+    import warnings as _w
+
+    from siuba_spark import _, consecutive_id, mutate, tbl
+    rows = [(i, "v%d" % (i // 7)) for i in range(200)]
+    t = tbl(spark.createDataFrame(rows, "i long, v string").repartition(8))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        out = (t >> mutate(cid=consecutive_id(_.v))).df.collect()
+    cids = sorted(r.cid for r in out)
+    # consistency: ids form a contiguous 1..K multiset whose total count
+    # of distinct values K equals the number of runs the shared ordering
+    # produced; inconsistent orderings produce gaps/overshoots
+    assert cids[0] == 1
+    k = max(cids)
+    assert set(cids) == set(range(1, k + 1))

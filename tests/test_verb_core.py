@@ -111,17 +111,17 @@ def test_filter_window_cond_uses_input_table(spark):
 
 def test_arrange_asc_desc(spark):
     t = data_frame(spark, a=[2, 1, 3], b=[1, 2, 3])
-    out = (t >> arrange(-_.a)).df.toPandas()
+    out = t >> arrange(-_.a) >> collect()
     assert list(out.a) == [3, 2, 1]
-    out2 = (t >> arrange(desc(_.a))).df.toPandas()
+    out2 = t >> arrange(desc(_.a)) >> collect()
     assert list(out2.a) == [3, 2, 1]
 
 
 def test_arrange_nulls_last(spark):
     t = data_frame(spark, a=[2.0, None, 1.0])
-    out = (t >> arrange(_.a)).df.toPandas()
+    out = t >> arrange(_.a) >> collect()
     assert list(out.a[:2]) == [1.0, 2.0] and pd.isna(out.a.iloc[2])
-    out2 = (t >> arrange(-_.a)).df.toPandas()
+    out2 = t >> arrange(-_.a) >> collect()
     assert list(out2.a[:2]) == [2.0, 1.0] and pd.isna(out2.a.iloc[2])
 
 
@@ -134,7 +134,7 @@ def test_arrange_feeds_window_order(spark):
 
 def test_arrange_expression(spark):
     t = data_frame(spark, a=[-3, 1, 2])
-    out = (t >> arrange(_.a.abs())).df.toPandas()
+    out = t >> arrange(_.a.abs()) >> collect()
     assert list(out.a) == [1, 2, -3]
 
 

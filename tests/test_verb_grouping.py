@@ -324,3 +324,29 @@ def test_reframe_multi_quantile(spark):
     plain = (t >> group_by(_.g) >> reframe(m=_.x.mean())
                >> arrange(_.g) >> collect())
     assert plain.m.tolist() == [2.5, 15.0]
+
+
+def test_summarize_clears_reassigned_factor_levels(spark):
+    """ADVICE r6 item 4: an aggregate OUTPUT reusing a factor column's
+    name must clear the stale ledger entry — a later arrange(_.f) sorts
+    the aggregate by VALUE, not by the old level order."""
+    from siuba_spark import (
+        _, arrange, collect, fct_inorder, group_by, mutate, summarize, tbl,
+    )
+    t = tbl(spark.createDataFrame(
+        [("g1", "z"), ("g1", "a"), ("g2", "m")], "g string, f string"))
+    t2 = t >> mutate(f=fct_inorder(_.f))   # levels recorded: z, a, m
+    assert "f" in t2.factors
+    out = (t2 >> group_by(_.g) >> summarize(f=_.f.max()))
+    assert "f" not in out.factors          # cleared on reassignment
+    got = out >> arrange(_.f) >> collect()
+    assert got.f.tolist() == ["m", "z"]    # plain value order
+
+
+def test_count_name_clears_factor_entry(spark):
+    from siuba_spark import _, count, fct_inorder, mutate, tbl
+    t = tbl(spark.createDataFrame(
+        [("x", "b"), ("x", "a")], "g string, f string"))
+    t2 = t >> mutate(f=fct_inorder(_.f))
+    out = t2 >> count(_.g, name="f")
+    assert "f" not in out.factors
