@@ -1,0 +1,206 @@
+"""True merges-table-driven BPE tokenization, JVM-side (no UDF).
+
+``token_count_bpe`` (text.py) approximates subword counts with a regex;
+training-data token budgets inherit its error.  This module implements a
+REAL byte-pair-encoding merge loop against a rank table, entirely in
+Spark array expressions (VERDICT r6 item 9):
+
+- pre-tokenize with the GPT-2-ish word/number/symbol regex;
+- explode words to rows (zero-shuffle flatMap);
+- split each word into characters;
+- apply ``max_word_len - 1`` merge STEPS: each step finds the lowest-rank
+  adjacent pair (leftmost occurrence on rank ties) and merges THAT ONE
+  occurrence via slice/concat.
+
+One-occurrence-per-step is exactly equivalent to the classic
+all-occurrences-left-to-right formulation: a merged token is the
+concatenation of the pair, so it is strictly longer than either side and
+can never itself form a new occurrence of the SAME pair — repeatedly
+merging the leftmost occurrence therefore consumes the identical
+occurrence set in the identical order.  The win: each step is pure
+``array_position``/``array_min``/``slice``/``concat`` — replayable
+verbatim in DuckDB (list_position/list_min/list slicing), with no fold
+accumulator, so the oracle replays the whole loop value-exactly.
+
+Scale shape: per word the loop is ``max_word_len - 1`` materialized
+projections of O(word_len) array ops — CPU-linear in corpus tokens, no
+shuffle until the final per-document count aggregation (one shuffle,
+map-side combined).  The merges ranking is a literal MAP in the plan
+(small vocabularies; the constructor guards the size) — the broadcast-
+join variant for 100k+ merge vocabs would swap the literal for a
+broadcast lookup table without changing the loop.
+
+No reference equivalent (siuba has no tokenizer surface); the API mirrors
+this repo's corpus verbs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.pipe import verb
+from ..plans.tbl import SparkTbl
+
+__all__ = ["DEFAULT_MERGES", "bpe_token_count", "bpe_encode",
+           "bpe_tokens_col"]
+
+# the GPT-2-ish pre-tokenizer pattern token_count_bpe already uses
+from .text import _BPE_RE  # noqa: E402
+
+#: A small deterministic English merges table (rank = list position).
+#: Stands in for a trained tokenizer's merges.txt; any [(left, right)]
+#: list loaded from a real merges file plugs in unchanged.
+DEFAULT_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("o", "u"), ("i", "s"), ("o", "f"),
+    ("t", "o"), ("e", "s"), ("a", "l"), ("a", "r"), ("s", "t"),
+    ("the", "r"), ("l", "e"), ("i", "t"), ("a", "s"), ("c", "o"),
+    ("e", "d"), ("i", "on"), ("me", "n"), ("r", "o"), ("m", "e"),
+    ("b", "e"), ("w", "h"), ("e", "x"), ("ex", "p"), ("c", "h"),
+    ("s", "h"), ("u", "n"), ("w", "or"), ("wor", "d"), ("q", "u"),
+]
+
+_NO_MERGE = 1 << 30  # rank sentinel: pair not in the table
+
+
+def _merges_map(merges):
+    """Literal MAP<pair-key, rank> column.  Guarded small: a literal map
+    is serialized into every task's plan, which is the right trade for
+    tokenizer-sized tables (GPT-2 ships 50k merges ≈ 1 MB — still fine);
+    beyond that, switch to a broadcast join."""
+    if len(merges) > 200_000:
+        raise ValueError("merges table too large for a literal plan map; "
+                         "use a broadcast-join variant")
+    entries = []
+    for rank, (a, b) in enumerate(merges):
+        entries.append(F.lit(f"{a} {b}"))
+        entries.append(F.lit(rank))
+    return F.create_map(*entries)
+
+
+def _pair_rank(m, a, b):
+    return F.coalesce(F.element_at(m, F.concat_ws(" ", a, b)),
+                      F.lit(_NO_MERGE))
+
+
+def _merge_step(syms, m):
+    """ONE merge: find the lowest-rank adjacent pair (leftmost on ties via
+    first-index array_position) and join that occurrence.  Identity when
+    no pair is in the table or fewer than 2 symbols remain."""
+    n = F.size(syms)
+    ranks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: _pair_rank(m, F.element_at(syms, i),
+                             F.element_at(syms, i + 1)))
+    best = F.array_min(ranks)
+    p = F.array_position(ranks, best).cast("int")
+    merged = F.concat(
+        F.slice(syms, 1, p - 1),
+        F.array(F.concat(F.element_at(syms, p), F.element_at(syms, p + 1))),
+        F.when(n - p - 1 > 0, F.slice(syms, p + 2, n - p - 1))
+         .otherwise(F.array().cast("array<string>")))
+    return F.when((n < 2) | (best >= _NO_MERGE), syms).otherwise(merged)
+
+
+def _chars(word):
+    return F.transform(F.sequence(F.lit(1), F.length(word)),
+                       lambda i: F.substring(word, i, 1))
+
+
+def _word_rows(df, col, id_col, max_word_len):
+    """(id, word-index, symbol-array) rows: pre-tokenize, explode, split
+    to characters.  Words are truncated to ``max_word_len`` characters
+    (bounds the merge-loop depth; count error only on longer words, and
+    the truncation is replayed identically by the oracle)."""
+    words = F.regexp_extract_all(F.lower(F.col(col)), F.lit(_BPE_RE), 0)
+    return (df
+            .select(F.col(id_col), F.posexplode(words).alias("__wi", "__w"))
+            .withColumn("__w", F.substring(F.col("__w"), 1, max_word_len))
+            .withColumn("__s", _chars(F.col("__w")))
+            .drop("__w"))
+
+
+def _run_merge_loop(rows, merges, max_word_len):
+    """``max_word_len - 1`` materialized merge steps.  Each step is its
+    own projection (withColumn) so Catalyst does NOT inline the
+    multi-reference array expression 15 levels deep — CollapseProject
+    declines to duplicate non-cheap expressions, keeping plan size and
+    per-row work linear in the step count."""
+    m = _merges_map(merges)
+    for _ in range(max(1, max_word_len - 1)):
+        rows = rows.withColumn("__s", _merge_step(F.col("__s"), m))
+    return rows
+
+
+@verb
+def bpe_token_count(tbl: SparkTbl, merges=None, col: str = "text",
+                    id_col: str = "doc_id", out: str = "n_bpe_tokens",
+                    max_word_len: int = 16):
+    """Per-document TRUE-BPE token count against a merges ranking.
+
+    One explode (zero-shuffle) + the bounded merge loop + one count
+    aggregation shuffled on ``id_col`` with map-side combine.  Documents
+    whose text produces no pre-tokens count 0."""
+    merges = DEFAULT_MERGES if merges is None else list(merges)
+    rows = _word_rows(tbl.df, col, id_col, max_word_len)
+    rows = _run_merge_loop(rows, merges, max_word_len)
+    counts = (rows.groupBy(id_col)
+              .agg(F.sum(F.size("__s")).alias(out)))
+    base = tbl.df.select(id_col)
+    df = (base.join(counts, id_col, "left")
+          .withColumn(out, F.coalesce(F.col(out), F.lit(0)).cast("long")))
+    return SparkTbl(df)
+
+
+@verb
+def bpe_encode(tbl: SparkTbl, merges=None, col: str = "text",
+               id_col: str = "doc_id", out: str = "bpe_tokens",
+               max_word_len: int = 16):
+    """Per-document BPE token sequence (array<string>), word order
+    preserved via the pre-tokenizer's position index."""
+    merges = DEFAULT_MERGES if merges is None else list(merges)
+    rows = _word_rows(tbl.df, col, id_col, max_word_len)
+    rows = _run_merge_loop(rows, merges, max_word_len)
+    seqs = (rows.groupBy(id_col)
+            .agg(F.flatten(F.array_sort(F.collect_list(
+                F.struct(F.col("__wi"), F.col("__s")))).getField("__s"))
+                .alias(out)))
+    base = tbl.df.select(id_col)
+    df = (base.join(seqs, id_col, "left")
+          .withColumn(out, F.coalesce(F.col(out),
+                                      F.array().cast("array<string>"))))
+    return SparkTbl(df)
+
+
+def _bind(col, fn):
+    """Expression-level LET: evaluate ``col`` once, bind it to a lambda
+    variable, and build ``fn`` against that variable.  Spark expressions
+    have no let form, but a single-element ``transform`` provides one —
+    every reference to the bound value inside ``fn`` is a leaf
+    NamedLambdaVariable instead of a copy of the whole subtree.  Without
+    this, chaining N merge steps (each referencing its input ~6 times)
+    builds a 6^N-node tree and OOMs the driver at N=15; with it, tree
+    size is linear in N."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def bpe_tokens_col(col, merges=None, max_word_len: int = 16):
+    """Expression-level token COUNT for a single row's text — the
+    ``tokenizer=`` hook for token-consuming verbs (token_budget_sample).
+    Same merge loop as the row verbs, nested as one per-row expression
+    over the word array (no explode); each merge step is let-bound (see
+    ``_bind``) so the expression stays linear in the step count."""
+    merges = DEFAULT_MERGES if merges is None else list(merges)
+    words = F.regexp_extract_all(F.lower(col), F.lit(_BPE_RE), 0)
+
+    def count_word(w, m):
+        syms = _chars(F.substring(w, 1, max_word_len))
+        for _ in range(max_word_len - 1):
+            syms = _bind(syms, lambda s: _merge_step(s, m))
+        return F.size(syms)
+
+    return _bind(
+        _merges_map(merges),
+        lambda m: F.aggregate(words, F.lit(0).cast("long"),
+                              lambda acc, w: acc + count_word(w, m)))

@@ -362,7 +362,7 @@ def gopher_filter(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
 @verb
 def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
                         n_tokens_col: str | None = None, col: str = "text",
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id", tokenizer=None):
     """Deterministic per-stratum TOKEN budget sampling — the mixture
     question trainers actually ask ("~N tokens of each source"), vs
     stratified_sample's row counts.  Docs accumulate in md5(id) order
@@ -372,7 +372,11 @@ def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
     on ids + token counts, reproducible on any engine or cluster size.
 
     ``n_tokens_col=`` uses a precomputed count; otherwise tokens are
-    counted from ``col``.  One window shuffle on the strata key.
+    counted from ``col``.  ``tokenizer=`` swaps the whitespace count for
+    any Column->Column counter — e.g. ``corpus.bpe.bpe_tokens_col`` for
+    TRUE merge-table BPE counts, so budgets are measured in the same
+    units the trainer's tokenizer will produce.  One window shuffle on
+    the strata key.
     """
     keys = [str(s) for s in strata] or list(tbl.group_by)
     if not keys:
@@ -380,8 +384,12 @@ def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
                          "(or a grouped tbl)")
     if budget < 1:
         raise ValueError("budget must be >= 1")
-    ntok = (F.col(n_tokens_col) if n_tokens_col
-            else F.size(tokens_col(F.col(col))))
+    if n_tokens_col:
+        ntok = F.col(n_tokens_col)
+    elif tokenizer is not None:
+        ntok = tokenizer(F.col(col))
+    else:
+        ntok = F.size(tokens_col(F.col(col)))
     h = F.md5(F.col(id_col).cast("string"))
     w = (Window.partitionBy(*[F.col(k) for k in keys])
          .orderBy(h.asc(), F.col(id_col).asc())

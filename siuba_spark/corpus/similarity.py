@@ -19,7 +19,8 @@ from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
 __all__ = ["cosine_sim_col", "brute_force_topk", "lsh_topk", "add_hyperplane_bucket",
-           "cosine_near_dups", "ivf_topk", "pq_topk", "ivf_pq_topk"]
+           "cosine_near_dups", "ivf_topk", "pq_topk", "ivf_pq_topk",
+           "semantic_dedup"]
 
 
 def _dot(a, b):
@@ -269,43 +270,14 @@ def cosine_near_dups(tbl: SparkTbl, threshold: float = 0.9,
     return SparkTbl(out)
 
 
-@verb
-def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
-             vec_col: str = "embedding", n_lists: int = 16, n_probes: int = 4,
-             seed: int = 42, round_to: int = 4, centroids: str = "kmeans",
-             n_iters: int = 2, train_limit: int | None = None):
-    """IVF (inverted-file) approximate top-k: the corpus is partitioned
-    into ``n_lists`` cells; each query probes its ``n_probes`` nearest
-    centroids and scans only those cells with exact cosine.
-
-    ``centroids=`` picks how the cell centroids are chosen:
-
-    - ``"kmeans"`` (default) — MLlib k-means|| on the corpus: tightest
-      cells, best recall-per-probe; the iterative training is not
-      SQL-expressible, so results can only be recall-floor-checked.
-    - ``"sample"`` — the ``n_lists`` corpus vectors with the smallest ids
-      (IVF practice routinely builds coarse quantizers from a sample;
-      skipping Lloyd iterations costs some cell balance).  Every stage —
-      centroid pick, argmin assignment, probe ranking — is deterministic
-      and replicable in vanilla SQL, so an independent engine can verify
-      the full pipeline value-exactly.
-    - ``"lloyd"`` — ``n_iters`` fixed Lloyd iterations refining the
-      sample seeds, with DECIMAL(38,12) element-wise sums so the centroid
-      update is summation-order-independent: a TRAINED coarse quantizer
-      whose every iteration an independent SQL engine replays bit-exactly
-      (the kmeans mode's quality, the sample mode's verifiability).
-      Each iteration is one map-side-combined aggregate to n_lists×dim
-      cells plus a bounded n_lists-row collect.  Training runs over the
-      ``train_limit`` smallest-id vectors (default ``256 * n_lists`` —
-      standard IVF coarse-quantizer practice), so the per-iteration cost
-      is INDEPENDENT of corpus size: at 100 TB, Lloyd touches a fixed
-      few-thousand-row slice, never the corpus (VERDICT r5 punch item).
-      ``train_limit=None`` semantics: the deterministic first-N cut is
-      one bounded ORDER BY/LIMIT pass that an oracle replays exactly.
-
-    Scale shape (both modes): the centroid table is tiny and broadcast,
-    and the candidate join shuffles on the cell id — per-query work is
-    |corpus| * n_probes / n_lists instead of |corpus|."""
+def _cells_and_centers(tbl, id_col, vec_col, n_lists, centroids,
+                       n_iters, seed, train_limit):
+    """Coarse-quantizer training + full-corpus cell assignment — the
+    shared front half of ``ivf_topk`` and ``semantic_dedup``.  Returns
+    ``(assigned, centers)``: ``assigned`` has columns (nbr_id, nbr_vec,
+    __nn, __cell); ``centers`` is a [(cell, center_vec)] list (tiny,
+    broadcastable).  See ivf_topk's docstring for the three centroids
+    modes and their oracle-replayability contracts."""
     spark = tbl.df.sparkSession
 
     def _argmin_cell(cents, df=None):
@@ -418,6 +390,50 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
                    for i, c in enumerate(model.clusterCenters())]
     else:
         raise ValueError(f"unknown centroids mode: {centroids!r}")
+
+    return assigned, centers
+
+
+@verb
+def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_lists: int = 16, n_probes: int = 4,
+             seed: int = 42, round_to: int = 4, centroids: str = "kmeans",
+             n_iters: int = 2, train_limit: int | None = None):
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
+    into ``n_lists`` cells; each query probes its ``n_probes`` nearest
+    centroids and scans only those cells with exact cosine.
+
+    ``centroids=`` picks how the cell centroids are chosen:
+
+    - ``"kmeans"`` (default) — MLlib k-means|| on the corpus: tightest
+      cells, best recall-per-probe; the iterative training is not
+      SQL-expressible, so results can only be recall-floor-checked.
+    - ``"sample"`` — the ``n_lists`` corpus vectors with the smallest ids
+      (IVF practice routinely builds coarse quantizers from a sample;
+      skipping Lloyd iterations costs some cell balance).  Every stage —
+      centroid pick, argmin assignment, probe ranking — is deterministic
+      and replicable in vanilla SQL, so an independent engine can verify
+      the full pipeline value-exactly.
+    - ``"lloyd"`` — ``n_iters`` fixed Lloyd iterations refining the
+      sample seeds, with DECIMAL(38,12) element-wise sums so the centroid
+      update is summation-order-independent: a TRAINED coarse quantizer
+      whose every iteration an independent SQL engine replays bit-exactly
+      (the kmeans mode's quality, the sample mode's verifiability).
+      Each iteration is one map-side-combined aggregate to n_lists×dim
+      cells plus a bounded n_lists-row collect.  Training runs over the
+      ``train_limit`` smallest-id vectors (default ``256 * n_lists`` —
+      standard IVF coarse-quantizer practice), so the per-iteration cost
+      is INDEPENDENT of corpus size: at 100 TB, Lloyd touches a fixed
+      few-thousand-row slice, never the corpus (VERDICT r5 punch item).
+      ``train_limit=None`` semantics: the deterministic first-N cut is
+      one bounded ORDER BY/LIMIT pass that an oracle replays exactly.
+
+    Scale shape (both modes): the centroid table is tiny and broadcast,
+    and the candidate join shuffles on the cell id — per-query work is
+    |corpus| * n_probes / n_lists instead of |corpus|."""
+    spark = tbl.df.sparkSession
+    assigned, centers = _cells_and_centers(
+        tbl, id_col, vec_col, n_lists, centroids, n_iters, seed, train_limit)
 
     # tiny (n_lists × dim) centroid table → broadcast against the queries
     cdf = spark.createDataFrame(centers, ["__cell", "__center"])
@@ -638,3 +654,51 @@ def ivf_pq_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
            .filter(F.col("rk") <= k)
            .select("query_id", "nbr_id", "adist", "rk"))
     return SparkTbl(out)
+
+
+@verb
+def semantic_dedup(tbl: SparkTbl, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_lists: int = 16, centroids: str = "lloyd",
+                   n_iters: int = 2, seed: int = 42,
+                   train_limit: int | None = None, round_to: int = 4,
+                   keep: str = "min", return_pairs: bool = False):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the coarse
+    quantizer, compare pairs INSIDE each cluster only (exact cosine ≥
+    ``threshold``), connected-components the resulting pair graph, keep
+    one representative per component (``keep``: min/max id), drop the
+    rest.  Composition of four independently-verified stages:
+    ``_cells_and_centers`` (shared with ivf_topk) → intra-cell pair join →
+    ``dedup_clusters`` → ``drop_near_dups``.
+
+    Scale shape: pair generation is a self-join ON THE CELL ID — cost is
+    Σ over cells of |cell|², never corpus² (the paper's core trick; at
+    fixed average cell size the pair count grows linearly with corpus).
+    The quantizer trains on a bounded slice (lloyd/sample) or MLlib
+    k-means|| (``centroids="kmeans"``), and the drop set anti-join is
+    AQE-sized.  ``centroids="sample"``/``"lloyd"`` keep every stage
+    SQL-replayable for value-exact cross-engine verification.
+
+    Returns the deduplicated table; ``return_pairs=True`` returns
+    ``(deduped, pairs)`` with the verified intra-cell pair table
+    (id_a < id_b, rounded score)."""
+    assigned, _centers = _cells_and_centers(
+        tbl, id_col, vec_col, n_lists, centroids, n_iters, seed, train_limit)
+    a = assigned.select(F.col("nbr_id").alias("id_a"),
+                        F.col("nbr_vec").alias("vec_a"),
+                        F.col("__nn").alias("__na"), "__cell")
+    b = assigned.select(F.col("nbr_id").alias("id_b"),
+                        F.col("nbr_vec").alias("vec_b"),
+                        F.col("__nn").alias("__nb"), "__cell")
+    pairs = (a.join(b, ["__cell"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("score", F.round(_cosine_from_parts(
+                 "vec_a", "vec_b", F.col("__na"), F.col("__nb")), round_to))
+             .filter(F.col("score") >= threshold)
+             .select("id_a", "id_b", "score"))
+    from .dedup import drop_near_dups
+    deduped = drop_near_dups(tbl, SparkTbl(pairs), id_col=id_col, keep=keep)
+    if return_pairs:
+        return deduped, SparkTbl(pairs)
+    return deduped

@@ -115,7 +115,7 @@ def vocab_topk(tbl: SparkTbl, col: str = "text", k: int = 100,
               .filter(F.col("count") >= min_count))
     return tbl.evolve(
         df=counts.orderBy(F.col("count").desc(), F.col("token")).limit(k),
-        order_by=(("count", True), ("token", False)))
+        order_by=(("count", False), ("token", True)))
 
 
 @verb

@@ -126,6 +126,8 @@ class LowerCtx:
         cols = []
         sub = LowerCtx(self.group_by, (), ROW)
         for call, asc in self.order_by:
+            if isinstance(call, str):  # name-only order state (vocab_topk)
+                call = GetAttr(MetaArg(), call)
             c, _ = lower(call, sub)
             cols.append(c.asc_nulls_last() if asc else c.desc_nulls_last())
         return cols

@@ -362,6 +362,8 @@ def build_sort_plan(tbl, order_state=None):
     tmp_cols = []
     df = tbl.df
     for i, (node, asc) in enumerate(order_state):
+        if isinstance(node, str):
+            node = GetAttr(MetaArg(), node)
         ctx = tbl.row_ctx()
         # a plain column with declared factor levels sorts by LEVEL ORDER
         # (pandas ordered-categorical sort; literal array lookup, codegen).

@@ -21,7 +21,7 @@ from ..functions.lowering import TranslationError, lower
 from ..siu.calls import GetAttr, MetaArg, strip_symbolic
 from ..plans.pipe import join_verb, verb, wrap_table
 from ..plans.tbl import SparkTbl
-from .tidyselect import resolve_names
+from .tidyselect import resolve_measure_names, resolve_names
 
 __all__ = [
     "fill_na_directional", "drop_na", "replace_na",
@@ -568,7 +568,7 @@ def build_longer_spec(tbl: SparkTbl, *args, names_to="name",
     name manipulation: no Spark job runs."""
     import pandas as pd
 
-    cols = resolve_names(args, tbl.columns)
+    cols = resolve_measure_names(args, tbl.columns)
     names_to = (names_to,) if isinstance(names_to, str) else tuple(names_to)
     pairs = _longer_spec_pairs(tbl.columns, cols, names_to, values_to,
                                names_sep, names_pattern, names_prefix)
@@ -622,7 +622,7 @@ def pivot_longer(tbl: SparkTbl, *args, names_to="name", values_to: str = "value"
     mapping value-column names to a dtype string (lazy cast) or a
     Column→Column callable.  ``names_repair``: "check_unique" (raise on
     duplicates), "unique" (suffix ``___{position}``)."""
-    cols = resolve_names(args, tbl.columns)
+    cols = resolve_measure_names(args, tbl.columns)
     if isinstance(names_to, str):
         names_to = (names_to,)
     names_to = tuple(names_to)
@@ -752,10 +752,14 @@ def pivot_wider(tbl: SparkTbl, id_cols=None, names_from="name",
     """
     if names_vary not in ("fastest", "slowest"):
         raise ValueError(f"names_vary must be 'fastest' or 'slowest', got {names_vary!r}")
-    names_from = [_colname(names_from)] if not isinstance(names_from, (list, tuple)) \
-        else [_colname(c) for c in names_from]
-    values_from = [_colname(values_from)] if not isinstance(values_from, (list, tuple)) \
-        else [_colname(c) for c in values_from]
+    # full tidyselect (reference parity): ``values_from=_[_.x, _.y]`` and
+    # other multi-selections resolve like select() does
+    def _pivot_sel(arg):
+        args = list(arg) if isinstance(arg, (list, tuple)) else [arg]
+        return resolve_measure_names(args, tbl.columns)
+
+    names_from = _pivot_sel(names_from)
+    values_from = _pivot_sel(values_from)
     if id_cols is None:
         ids = [c for c in tbl.columns if c not in names_from + values_from]
     else:

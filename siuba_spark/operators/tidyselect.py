@@ -145,3 +145,13 @@ def resolve_names(args, columns):
             if nm not in out:
                 out.append(nm)
     return out
+
+
+def resolve_measure_names(args, columns):
+    """Full select-style resolution (negation allowed) to a flat name
+    list — pivot_longer/gather measure columns accept ``~_.id`` meaning
+    "every column except id", exactly like the reference's tidyselect
+    (siuba/experimental/pivot/pivot_long.py Examples:
+    ``pivot_longer(df, ~_.id, ...)``)."""
+    pairs = resolve_select(args, {}, columns)
+    return [old for old, _new in pairs]

@@ -1,0 +1,119 @@
+"""True-BPE tokenizer (corpus/bpe.py): parity against a pure-Python
+reference implementation of classic merge-table BPE (merge ALL
+occurrences of the lowest-rank pair per step, left to right) — the
+engine's one-occurrence-per-step formulation must be exactly
+equivalent."""
+
+import re
+
+import pytest
+
+from siuba_spark import tbl
+from siuba_spark.corpus.bpe import (
+    DEFAULT_MERGES, bpe_encode, bpe_token_count, bpe_tokens_col,
+)
+
+_WORD_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+def _ref_bpe_word(word, merges, max_word_len=16):
+    """Classic BPE: each step merges every non-overlapping occurrence of
+    the lowest-rank adjacent pair, scanning left to right."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word[:max_word_len])
+    while len(syms) > 1:
+        pairs = [(ranks.get((syms[i], syms[i + 1]), 1 << 60), i)
+                 for i in range(len(syms) - 1)]
+        best = min(p for p, _ in pairs)
+        if best >= 1 << 60:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if (i < len(syms) - 1
+                    and ranks.get((syms[i], syms[i + 1]), 1 << 60) == best):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _ref_bpe_text(text, merges, max_word_len=16):
+    toks = []
+    for w in _WORD_RE.findall(text.lower()):
+        toks.extend(_ref_bpe_word(w, merges, max_word_len))
+    return toks
+
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "another word there and another thing",
+    "exploring expression translation engines",
+    "aaa bbb the the the",
+    "punctuation, too! and numbers 12345",
+    "",
+    "a",
+    "antidisestablishmentarianismlongword",   # > max_word_len, truncated
+]
+
+
+def test_bpe_encode_matches_reference(spark):
+    t = tbl(spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"))
+    got = {r.doc_id: list(r.bpe_tokens)
+           for r in bpe_encode(t).df.collect()}
+    for i, text in enumerate(TEXTS):
+        assert got[i] == _ref_bpe_text(text, DEFAULT_MERGES), (i, text)
+
+
+def test_bpe_token_count_matches_reference(spark):
+    t = tbl(spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"))
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_count(t).df.collect()}
+    for i, text in enumerate(TEXTS):
+        assert got[i] == len(_ref_bpe_text(text, DEFAULT_MERGES)), (i, text)
+
+
+def test_bpe_custom_merges(spark):
+    merges = [("a", "b"), ("ab", "c"), ("c", "d")]
+    t = tbl(spark.createDataFrame(
+        [(0, "abcd abc ab cd x")], "doc_id long, text string"))
+    out = bpe_encode(t, merges=merges).df.collect()[0].bpe_tokens
+    assert list(out) == _ref_bpe_text("abcd abc ab cd x", merges) \
+        == ["abc", "d", "abc", "ab", "cd", "x"]
+
+
+def test_bpe_tokenizer_hook_on_token_budget(spark):
+    """token_budget_sample(tokenizer=) measures budgets in true-BPE
+    units: with a 6-token budget and per-doc BPE counts [4, 4, 4], only
+    docs while running total < 6 survive (the first two, md5 order)."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import token_budget_sample
+    rows = [(i, "g", "the thing is here") for i in range(3)]
+    t = tbl(spark.createDataFrame(rows, "doc_id long, g string, text string"))
+    per_doc = bpe_token_count(t).df.collect()[0].n_bpe_tokens
+    out = token_budget_sample(
+        t, "g", budget=per_doc + 1,
+        tokenizer=lambda c: bpe_tokens_col(c)).df
+    assert out.count() == 2  # first fits under budget, second overshoots
+
+
+def test_bpe_hypothesis_parity(spark):
+    """Randomized words over the merge alphabet — the equivalence proof
+    in test form."""
+    import random
+    rng = random.Random(7)
+    letters = "theandingwofrst"
+    texts = [" ".join("".join(rng.choice(letters)
+                              for _ in range(rng.randint(1, 12)))
+                      for _ in range(rng.randint(1, 6)))
+             for _ in range(25)]
+    t = tbl(spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"))
+    got = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(t).df.collect()}
+    for i, text in enumerate(texts):
+        assert got[i] == _ref_bpe_text(text, DEFAULT_MERGES), (i, text)

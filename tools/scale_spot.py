@@ -133,6 +133,39 @@ def main():
         return ivf_topk(emb, q, k=10, n_lists=16, n_probes=4,
                         centroids="lloyd", n_iters=2, train_limit=2048).df
 
+    def semantic_dedup_64(d):
+        # SemDeDup bound check: with K = sqrt(N) cells (standard coarse-
+        # quantizer scaling), assignment is O(N*K*d) and the intra-cell
+        # pair term is sum(cell^2) ~ N^1.5 — SUB-quadratic by
+        # construction, vs the N^2 all-pairs baseline.  Expected decade
+        # ratio ~ mult^1.5 (10x -> ~32x), NOT mult^2 (100x); the
+        # ~linear-cost alternative cell rule (fixed-cost hyperplane LSH
+        # buckets) is measured separately as embedding_near_dups_lsh.
+        # dim 64: the blocking bound is width-independent (768-wide ANN
+        # decades are pq/ivf_768's rows).
+        from siuba_spark.corpus.similarity import semantic_dedup
+        vec = F.transform(F.sequence(F.lit(1), F.lit(64)),
+                          lambda j: F.sin(F.col("doc_id") * j * 0.1))
+        emb = SparkTbl(d.df.select(F.col("doc_id").alias("vec_id"),
+                                   vec.alias("embedding")))
+        n = max(16, int(emb.df.count() ** 0.5))
+        return semantic_dedup(emb, threshold=0.999, n_lists=n,
+                              centroids="sample").df
+
+    def quality_chain(d):
+        # the composed training-data quality path (VERDICT r6 item 10):
+        # gopher filter -> PII scrub -> unigram logprob -> token budget
+        from siuba_spark.corpus.quality import (
+            gopher_filter, scrub_pii, token_budget_sample, unigram_logprob,
+        )
+        out = gopher_filter(d)
+        out = scrub_pii(out)
+        out = unigram_logprob(out)
+        out = out.evolve(df=out.df.withColumn(
+            "__bucket", (F.col("doc_id") % 100).cast("int")))
+        out = token_budget_sample(out, "__bucket", budget=100_000)
+        return out.df
+
     OPS = {
         "exact_dedup": lambda d: exact_dedup(d, cols=("text",)).df,
         "minhash_near_dups": lambda d: minhash_near_dups(d, threshold=0.7).df,
@@ -140,6 +173,8 @@ def main():
         "lsh_topk_768": lsh_topk_768,
         "pq_topk_768": pq_topk_768,
         "ivf_lloyd_768": ivf_lloyd_768,
+        "semantic_dedup_64": semantic_dedup_64,
+        "quality_chain": quality_chain,
         "simhash": lambda d: add_simhash(d, bits=16, id_col="doc_id").df,
         "quality_signals": lambda d: quality_signals(d).df,
         "dedup_segments": lambda d: dedup_segments(d, sep=" ").df,
