@@ -15,7 +15,7 @@ planning; the engine adds only expression lowering, verb mapping, and
 pandas/dplyr semantics shims (SURVEY.md §4).
 """
 
-from .siu.calls import Symbolic
+from .siu.calls import Lam, Lazy, Symbolic
 from .functions.lowering import TranslationError
 from .plans.tbl import (
     SparkTbl, tbl, collect, show_query, write_parquet, write_csv,
@@ -92,7 +92,7 @@ __all__ = [
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "consecutive_id", "n", "n_distinct", "approx_n_distinct",
     "approx_quantile", "nth", "first", "last",
-    "coalesce", "na_if", "between", "near", "if_else", "case_when", "sql_raw", "desc", "str_c", "cut",
+    "coalesce", "na_if", "between", "near", "if_else", "case_when", "sql_raw", "Lam", "Lazy", "desc", "str_c", "cut",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
     "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
     "rolling_std", "rolling_var", "rolling_median", "rolling_count",

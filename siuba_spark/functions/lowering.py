@@ -451,11 +451,14 @@ def lower(node, ctx: LowerCtx):
         return impl(ctx, node.args, node.kwargs)
 
     if isinstance(node, RawCallable):
-        args = [lower(a, ctx)[0] if isinstance(a, Call) else a for a in node.args]
-        kwargs = {
-            k: lower(v, ctx)[0] if isinstance(v, Call) else v
-            for k, v in node.kwargs.items()
-        }
+        from ..siu.calls import Lazy
+
+        def _arg(a):
+            if isinstance(a, Lazy):
+                return a(None)  # deliver the wrapped object un-lowered
+            return lower(a, ctx)[0] if isinstance(a, Call) else a
+        args = [_arg(a) for a in node.args]
+        kwargs = {k: _arg(v) for k, v in node.kwargs.items()}
         out = node.func(*args, **kwargs)
         if not isinstance(out, Column):
             out = F.lit(out)

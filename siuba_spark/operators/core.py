@@ -307,22 +307,33 @@ def filter(tbl: SparkTbl, *conds, _by=None, **kwargs):
         else:
             expanded.append(cond)
 
+    from ..functions.lowering import WPool
+    wpool = WPool()
     plain, windowed = [], []
     for cond in expanded:
         ctx = tbl.row_ctx()
+        # identical window aggregates across conditions (e.g. two bounds
+        # against the same group mean) materialize once — same WPool CSE
+        # as mutate; all conditions see the INPUT table, so no
+        # invalidation between them is needed
+        ctx.wpool = wpool
         col, _ = lower(strip_symbolic(cond), ctx)
         (windowed if ctx.used_window else plain).append(col)
 
     df = tbl.df
     if windowed:
         # all conds must be evaluated against the *input* table
+        pend = wpool.pending()
+        if pend:
+            df = df.select("*", *[c.alias(n) for n, c in pend])
+            wpool.materialized.extend(n for n, _c in pend)
         tmp_names = [f"__filter_{i}" for i in range(len(windowed))]
         for nm, c in zip(tmp_names, windowed):
             df = df.withColumn(nm, c)
         cond_all = None
         for c in plain + [F.col(nm) for nm in tmp_names]:
             cond_all = c if cond_all is None else (cond_all & c)
-        df = df.filter(cond_all).drop(*tmp_names)
+        df = df.filter(cond_all).drop(*tmp_names, *wpool.materialized)
     elif plain:
         cond_all = None
         for c in plain:
@@ -441,7 +452,14 @@ def arrange(tbl: SparkTbl, *args):
 @verb
 def distinct(tbl: SparkTbl, *args, _keep_all: bool = False, **kwargs):
     """Unique rows, optionally by (computed) columns
-    (reference: siuba/sql/verbs/distinct.py:9-38)."""
+    (reference: siuba/sql/verbs/distinct.py:9-38).
+
+    ``_keep_all=True`` with columns is beyond the reference (its SQL
+    engine raises NotImplementedError, distinct.py:12): which full row
+    survives per key is arbitrary UNLESS the table carries ``arrange``
+    state — then the FIRST row in arrange order is kept (the pandas
+    ``drop_duplicates(keep="first")`` semantics), via a row_number window
+    over (key, order) — one shuffle, deterministic at any scale."""
     if not args and not kwargs:
         return tbl.evolve(df=tbl.df.dropDuplicates())
     work = mutate(tbl, **kwargs) if kwargs else tbl
@@ -451,6 +469,13 @@ def distinct(tbl: SparkTbl, *args, _keep_all: bool = False, **kwargs):
             names.append(nm)
     names += [k for k in kwargs if k not in names]
     if _keep_all:
+        oc = work.row_ctx()._order_cols()
+        if oc:
+            from pyspark.sql import Window
+            w = Window.partitionBy(*[F.col(n) for n in names]).orderBy(*oc)
+            df = (work.df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+            return work.evolve(df=df)
         return work.evolve(df=work.df.dropDuplicates(names))
     return work.evolve(df=work.df.select(*names).distinct())
 

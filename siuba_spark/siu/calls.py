@@ -50,6 +50,35 @@ class MetaArg(Call):
         return ("_",)
 
 
+class Lazy(Call):
+    """Lazily pass a call object ITSELF instead of its evaluated value
+    (reference: siuba/siu/calls.py:335, exported with the ``Lam`` alias at
+    siuba/siu/__init__.py:17 and re-exported from ``siuba``).  Wrapping an
+    argument of ``call()`` in ``Lazy`` hands the receiving function the
+    wrapped expression object un-lowered — e.g. an AST-inspecting helper
+    that wants the ``Symbolic`` rather than a ``Column``."""
+
+    def __init__(self, func, arg=None):
+        # mirror the reference's two-form constructor: Lazy(x) wraps x;
+        # the (func, arg) form appears in generic node rebuilds
+        if arg is None:
+            self.func = "<lazy>"
+            self.args = (func,)
+        else:
+            self.func = func
+            self.args = (arg,)
+        self.kwargs = {}
+
+    def _parts(self):
+        return (self.args[0],)
+
+    def __call__(self, x, *args, **kwargs):
+        return self.args[0]
+
+
+Lam = Lazy
+
+
 class Lit(Call):
     """A literal constant embedded in an expression."""
 

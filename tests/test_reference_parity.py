@@ -793,6 +793,32 @@ _STAGES = {
         lambda C: ours.mutate(z=ours.na_if(C.x, 0))),
     "transmute_xy": (lambda C: ref.transmute(r=C.x + C.y),
                      lambda C: ours.transmute(r=C.x + C.y)),
+    # round-7 widening: double-reference aggregates (exercises WPool CSE),
+    # two-sided grouped filter bounds (pooled window conds), coalesce,
+    # grouped lead over arrange state
+    "double_mean_ref": (
+        lambda C: ref.group_by(C.g)
+        >> ref.mutate(d=(C.x - C.x.mean()) * (C.x - C.x.mean()))
+        >> ref.ungroup(),
+        lambda C: ours.group_by(C.g)
+        >> ours.mutate(d=(C.x - C.x.mean()) * (C.x - C.x.mean()))
+        >> ours.ungroup()),
+    "filter_two_bounds": (
+        lambda C: ref.group_by(C.g)
+        >> ref.filter(C.x >= C.x.min(), C.x > C.x.mean() - 100)
+        >> ref.ungroup(),
+        lambda C: ours.group_by(C.g)
+        >> ours.filter(C.x >= C.x.min(), C.x > C.x.mean() - 100)
+        >> ours.ungroup()),
+    "coalesce_xy": (
+        lambda C: ref.mutate(z=__import__(
+            "siuba.dply.vector", fromlist=["coalesce"]).coalesce(C.x, C.y)),
+        lambda C: ours.mutate(z=ours.coalesce(C.x, C.y))),
+    "grouped_shift": (
+        lambda C: ref.arrange(C.x, C.y) >> ref.group_by(C.g)
+        >> ref.mutate(p=C.x.shift(1)) >> ref.ungroup(),
+        lambda C: ours.arrange(C.x, C.y) >> ours.group_by(C.g)
+        >> ours.mutate(p=C.x.shift(1)) >> ours.ungroup()),
 }
 _TERMINAL = {"grouped_sum", "distinct_g", "select_gx", "arrange_head",
              "gather_xy", "unite_gk", "count_g", "transmute_xy"}

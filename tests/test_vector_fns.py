@@ -624,3 +624,25 @@ def test_consecutive_id_no_arrange_is_consistent(spark):
     assert cids[0] == 1
     k = max(cids)
     assert set(cids) == set(range(1, k + 1))
+
+
+def test_lazy_lam_passes_expression_unlowered(spark):
+    """Reference parity: ``Lazy``/``Lam`` (siuba/siu/calls.py:335,
+    Lam = Lazy at siu/__init__.py:17) wrap an argument so the receiving
+    callable gets the expression OBJECT, not its evaluated Column."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import Lam, Lazy, _, call, collect, mutate, tbl
+    from siuba_spark.siu.calls import Call
+    assert Lam is Lazy
+    t = tbl(spark.createDataFrame([(1.0,), (2.0,)], "x double"))
+    seen = {}
+
+    def build(col, node):
+        seen["node"] = node          # the un-lowered wrapped object
+        return F.col("x") * 10
+    out = t >> mutate(y=call(build, _.x, Lazy(_.x))) >> collect()
+    assert sorted(out.y) == [10.0, 20.0]
+    from siuba_spark.siu.calls import Symbolic, strip_symbolic
+    assert isinstance(seen["node"], Symbolic)
+    assert isinstance(strip_symbolic(seen["node"]), Call)

@@ -304,3 +304,18 @@ def test_by_per_operation_grouping(spark):
     assert (t >> mutate(dev=_.x - _.x.mean(), _by="g")).group_by == ()
     with pytest.raises(TranslationError, match="_by"):
         t >> group_by(_.g) >> mutate(d=_.x, _by="g")
+
+
+def test_distinct_keep_all_honors_arrange_order(spark):
+    """distinct(cols, _keep_all=True) after arrange keeps the FIRST row
+    per key in arrange order (pandas drop_duplicates keep="first"; the
+    reference SQL engine raises NotImplementedError here)."""
+    t = data_frame(spark, g=["a", "a", "b", "b"], x=[2, 1, 9, 3],
+                   tag=["hi", "lo", "hi", "lo"])
+    out = (t >> arrange(_.x) >> distinct(_.g, _keep_all=True)
+           >> collect()).sort_values("g").reset_index(drop=True)
+    assert out.x.tolist() == [1, 3]        # lowest-x row survives per g
+    assert out.tag.tolist() == ["lo", "lo"]
+    out2 = (t >> arrange(-_.x) >> distinct(_.g, _keep_all=True)
+            >> collect()).sort_values("g").reset_index(drop=True)
+    assert out2.x.tolist() == [2, 9]
