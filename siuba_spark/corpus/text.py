@@ -131,16 +131,22 @@ def tf_idf(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     broken on the term string."""
     from pyspark.sql import Window
 
-    toks = tbl.df.select(
+    base = tbl.df.select(
         F.col(id_col),
-        F.explode(tokens_col(F.col(col))).alias("term"),
-    ).filter(F.col("term") != "")
+        F.filter(tokens_col(F.col(col)),
+                 lambda t: t != "").alias("__toks"))
+    toks = base.select(F.col(id_col), F.explode("__toks").alias("term"))
     term_counts = toks.groupBy(id_col, "term").agg(F.count("*").alias("tc"))
-    doc_lens = term_counts.groupBy(id_col).agg(F.sum("tc").alias("doc_len"))
+    # doc length and corpus N come from the PROJECTION side, not the
+    # exploded term table: doc_len is a per-row array size (no shuffle,
+    # no second pass over the explode), and n_docs is a 1-row aggregate
+    # over it — the term_counts subtree is scanned once, for df
+    doc_lens = base.select(F.col(id_col),
+                           F.size("__toks").alias("doc_len")) \
+        .filter(F.col("doc_len") > 0)
     doc_freq = term_counts.groupBy("term").agg(
         F.count("*").alias("df"))
-    n_docs = term_counts.select(id_col).distinct().agg(
-        F.count("*").alias("n_docs"))
+    n_docs = doc_lens.agg(F.count("*").alias("n_docs"))
     scored = (term_counts
               .join(doc_lens, id_col)
               .join(doc_freq, "term")

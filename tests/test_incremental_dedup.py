@@ -101,3 +101,28 @@ def test_minhash_incremental_store_never_rebanded(spark):
     assert {(r.id_a, r.id_b) for r in p1.df.collect()} == {(0, 1)}
     p2, _ = minhash_near_dups_incremental(b, store, **kw)
     assert p2.df.count() == 0
+
+
+def test_exact_incremental_random_splits_property(spark):
+    """Property: for ANY 3-way snapshot split (monotone id blocks) of a
+    corpus with duplicate keys, chaining exact_dedup_incremental equals
+    from-scratch exact_dedup on the union — representatives and counts."""
+    import random
+    rng = random.Random(42)
+    texts = ["t%d" % rng.randint(0, 6) for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(texts)]
+    for trial in range(4):
+        c1, c2 = sorted(rng.sample(range(1, 39), 2))
+        snaps = [rows[:c1], rows[c1:c2], rows[c2:]]
+        store = None
+        kept_ids = []
+        for snap in snaps:
+            t = _docs(spark, snap)
+            kept, store = exact_dedup_incremental(t, store, cols=["text"])
+            kept_ids.extend(r.doc_id for r in kept.df.collect())
+        union = _docs(spark, rows)
+        scratch = {(r.doc_id, r.n_dups)
+                   for r in exact_dedup(union, cols=["text"]).df.collect()}
+        final = {(r.doc_id, r.n_dups) for r in store.df.collect()}
+        assert final == scratch, (trial, c1, c2)
+        assert sorted(kept_ids) == sorted(i for i, _n in scratch), (trial,)
