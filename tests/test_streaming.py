@@ -353,3 +353,52 @@ def test_stream_token_budget_sample_contract(spark):
                 assert grp["__ntok"].sum() >= budget, lang
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
+    """Stream/batch parity for the incremental near-dup pipeline: a
+    document stream processed file-by-file through stream_minhash_dedup
+    (foreachBatch + append-only signature store) emits EXACTLY the
+    from-scratch minhash_near_dups pair set over everything seen."""
+    import pandas as pd
+
+    from siuba_spark import tbl as _tbl
+    from siuba_spark.corpus.dedup import minhash_near_dups
+    from siuba_spark.streaming.windows import stream_minhash_dedup
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely different text about spark window functions"),
+        (10, "the quick brown fox jumps over the lazy dog today ok"),
+        (11, "another unrelated document mentioning nothing shared"),
+        (12, "completely different text about spark window functions"),
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(docs[:3], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "b0.parquet"))
+    spark.createDataFrame(docs[3:], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    schema = "doc_id long, text string"
+    stream = _tbl(spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*.parquet"))
+    q = stream_minhash_dedup(
+        stream, store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"), threshold=0.3)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "pairs")).toPandas()
+    want = minhash_near_dups(
+        _tbl(spark.createDataFrame(docs, schema)), threshold=0.3
+    ).df.toPandas()
+    key = ["id_a", "id_b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))
+    # the store accumulated every document's signature, append-only
+    assert spark.read.parquet(str(tmp_path / "store")).count() == len(docs)
