@@ -57,8 +57,10 @@ def _common_value_type(df, cols):
 @verb
 def gather(tbl: SparkTbl, key: str = "key", value: str = "value", *args,
            drop_na: bool = False, convert: bool = False):
-    """Wide→long (reference: siuba/dply/verbs.py:1919-2000)."""
-    measure = resolve_names(args, tbl.columns) if args else [
+    """Wide→long (reference: siuba/dply/verbs.py:1919-2000).  Measure
+    selection is full tidyselect — ``-_.id`` / ``~_.id`` ("everything
+    except") work like the reference's gather doc examples."""
+    measure = resolve_measure_names(args, tbl.columns) if args else [
         c for c in tbl.columns if c not in tbl.group_by
     ]
     ids = [c for c in tbl.columns if c not in measure]

@@ -117,3 +117,25 @@ def test_bpe_hypothesis_parity(spark):
     got = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(t).df.collect()}
     for i, text in enumerate(texts):
         assert got[i] == _ref_bpe_text(text, DEFAULT_MERGES), (i, text)
+
+
+def test_bpe_counts_feed_pack_sequences(spark):
+    """Composition: bpe_token_count's output column drives pack_sequences
+    — training sequences measured in TRUE tokenizer units (the point of
+    the tokenizer hook family)."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import pack_sequences
+    rows = [(i, "g", "the thing is here and there") for i in range(6)]
+    t = tbl(spark.createDataFrame(rows, "doc_id long, g string, text string"))
+    counted = bpe_token_count(t.evolve(df=t.df), merges=DEFAULT_MERGES)
+    # re-attach the group/text columns (bpe_token_count projects id+count)
+    joined = t.evolve(df=t.df.join(counted.df, "doc_id"))
+    per_doc = counted.df.agg(F.min("n_bpe_tokens"), F.max("n_bpe_tokens")).first()
+    assert per_doc[0] == per_doc[1]  # identical docs -> identical counts
+    n = per_doc[0]
+    packed = pack_sequences(joined, tokens_col="n_bpe_tokens",
+                            capacity=2 * n, by="g").df
+    seqs = {r.doc_id: r.seq_id for r in packed.collect()}
+    # 6 docs, 2 per sequence -> sequence ids 0,0,1,1,2,2 in doc order
+    assert [seqs[i] for i in range(6)] == [0, 0, 1, 1, 2, 2]
