@@ -1331,10 +1331,99 @@ def q_minhash_near_dups(spark, sf):
 def q_minhash_near_dups_prod(spark, sf):
     """Production defaults (xxhash64 + murmur band buckets): identical
     plan, fastest hash — the variant bench.py times as
-    "minhash_near_dups".  Pair-level semantics are covered by the md5_64
-    twin's oracle; this entry is a rows-only perf twin."""
+    "minhash_near_dups".  NOT a registry entry: LSH candidate recall is
+    hash-family-dependent and PROBABILISTIC for borderline pairs (at
+    j=0.3 with 8 bands x 4 rows the collision probability is ~6%), so no
+    fixed pair-set oracle can hold at every SF — the round-7 sf0.1 sweep
+    disproved the earlier "full recall at this SF" assumption by finding
+    one borderline pair (255 vs 256).  The production path is graded by
+    q_minhash_prod_gate's SF-independent invariants instead."""
     return minhash_near_dups(_td(spark, sf), col="text",
                              id_col="doc_id", threshold=0.3).df
+
+
+def q_minhash_prod_gate(spark, sf):
+    """HARD pass/fail signal for the xxhash64/murmur production minhash,
+    four deterministic (any-SF) invariants — replaces the former
+    value-exact prod oracle, whose "banding has full recall here"
+    assumption was disproven at sf0.1 (LSH recall for borderline pairs is
+    probabilistic by design):
+
+    - ``sig_pinned``: add_minhash over two LITERAL texts reproduces
+      pinned 32-slot signature fingerprints — grades the xxhash64 hash
+      path itself (seed, shingling, XOR masks, min-agg);
+    - ``precision_ok``: over the first 400 docs (bounded, O(subset²) for
+      the ORACLE side only), every banded-output pair is in the exact
+      all-pairs >= threshold set — banding+verification never emits a
+      false pair;
+    - ``dup_recall_ok``: every EXACT-duplicate subset pair (jaccard 1.0)
+      is in the banded output — identical signatures always collide, the
+      one recall statement that IS deterministic for LSH;
+    - ``has_pairs``: the fixture produces pairs (nothing vacuous).
+
+    Oracle: the constant (1, 1, 1, 1) row."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import add_minhash, add_shingles
+    from siuba_spark.plans.tbl import SparkTbl
+
+    # first-400 corpus docs PLUS a literal fixture (one exact-dup pair,
+    # one near-dup) so the pair set is non-empty and the exact-dup recall
+    # invariant is exercised at ANY sf_dir — corpus near-dup placement
+    # varies by SF (the first 400 of sf0.1 happen to contain none)
+    fixture = [
+        (1_000_000_000, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1_000_000_001, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1_000_000_002, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    fx = spark.createDataFrame(fixture, "doc_id long, text string")
+    base = (_td(spark, sf) >> filter(_.doc_id < 400)).df \
+        .select("doc_id", "text").unionByName(fx)
+    docs = tbl(base)
+    banded = minhash_near_dups(docs, col="text", id_col="doc_id",
+                               threshold=0.3).df.select("id_a", "id_b")
+    sh = add_shingles(docs, col="text", k=3).df.select("doc_id", "shingles")
+    a = sh.selectExpr("doc_id AS id_a", "shingles AS sa")
+    b = sh.selectExpr("doc_id AS id_b", "shingles AS sb")
+    exact = (a.crossJoin(b).filter("id_a < id_b")
+             .withColumn("j", F.size(F.array_intersect("sa", "sb"))
+                         / F.size(F.array_union("sa", "sb")))
+             .filter(F.col("j") >= 0.3).select("id_a", "id_b", "j"))
+    false_pairs = banded.exceptAll(exact.select("id_a", "id_b")) \
+        .agg(F.count(F.lit(1)).alias("fp"))
+    dups = exact.filter(F.col("j") >= 0.9999).select("id_a", "id_b")
+    missed_dups = dups.exceptAll(banded).agg(F.count(F.lit(1)).alias("md"))
+    npairs = exact.agg(F.count(F.lit(1)).alias("np"))
+    pins = [
+        (0, "the quick brown fox jumps over the lazy dog",
+         "b39bde87a130da19bb2ac155cc65ea0b"),
+        (1, "pack my box with five dozen liquor jugs",
+         "1f2dc447fda317d6e48ff48c044a6f9f"),
+    ]
+    pt = tbl(spark.createDataFrame([(i, t_) for i, t_, _w in pins],
+                                   "doc_id long, text string"))
+    psig = add_minhash(
+        SparkTbl(add_shingles(pt, col="text", k=3).df
+                 .select("doc_id", "shingles")),
+        num_hashes=32, id_col="doc_id").df
+    fp = F.md5(F.concat_ws(",", F.transform(F.col("minhash"),
+                                            lambda x: x.cast("string"))))
+    want = spark.createDataFrame([(i, w) for i, _t, w in pins],
+                                 "doc_id long, want string")
+    sig_ok = (psig.withColumn("fp", fp).join(want, "doc_id")
+              .agg(F.bool_and(F.col("fp") == F.col("want")).alias("ok")))
+    return (false_pairs.crossJoin(missed_dups).crossJoin(npairs)
+            .crossJoin(sig_ok)
+            .select(F.col("ok").cast("int").alias("sig_pinned"),
+                    (F.col("fp") == 0).cast("int").alias("precision_ok"),
+                    (F.col("md") == 0).cast("int").alias("dup_recall_ok"),
+                    (F.col("np") > 0).cast("int").alias("has_pairs")))
+
+
+SQL_MINHASH_PROD_GATE = """
+SELECT CAST(1 AS INT) AS sig_pinned, CAST(1 AS INT) AS precision_ok,
+       CAST(1 AS INT) AS dup_recall_ok, CAST(1 AS INT) AS has_pairs
+"""
 
 
 def _minhash_oracle_sql(num_hashes=32, bands=8, rows=4, threshold=0.3):
@@ -4104,30 +4193,6 @@ SELECT query_id, nbr_id, score, rk FROM r WHERE rk <= {k}""")
 SQL_IVF_TOPK_LLOYD = _ivf_lloyd_oracle_sql()
 
 
-def _minhash_prod_oracle_sql(threshold=0.3):
-    """Exact all-pairs Jaccard oracle for the xxhash64 production minhash:
-    verified empirically that at this SF the banded-LSH candidate set has
-    FULL recall, so the output equals the complete exact pair set — which
-    vanilla SQL computes directly (the O(n^2) join is the ORACLE's cost at
-    sf0.01, not the engine's).  This grades the prod hash path value-
-    exactly AND asserts recall=1.0: a banding regression that drops a true
-    pair fails the row.  (A cross-hash pair-set-equality invariant was
-    tested and disproven — md5_64 misses one true pair xxhash64 finds.)"""
-    return r"""
-WITH t AS (SELECT doc_id,
-        string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-sh AS (SELECT doc_id, list_distinct(list_transform(
-        generate_series(1, greatest(len(toks) - 2, 1)),
-        i -> array_to_string(toks[i:i+2], ' '))) AS shingles FROM t),
-v AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        ROUND(len(list_intersect(a.shingles, b.shingles))
-          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE),
-          4) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= """ + str(threshold)
-
-
-SQL_MINHASH_NEAR_DUPS_PROD = _minhash_prod_oracle_sql()
 
 
 def q_rows_family(spark, sf):
@@ -4833,7 +4898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename_relocate": q_rename_relocate,
         "approx_aggs": q_approx_aggs,
         "ivf_topk_lloyd": q_ivf_topk_lloyd,
-        "minhash_near_dups_prod": q_minhash_near_dups_prod,
+        "minhash_prod_gate": q_minhash_prod_gate,
         "tally_if_any": q_tally_if_any,
         "rows_family": q_rows_family,
         "nest_join_sizes": q_nest_join_sizes,
@@ -5010,7 +5075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         # new in r7
         "sql_raw_mutate", "exact_dedup_incremental", "minhash_incremental",
-        "semantic_dedup", "bpe_token_count_true",
+        "semantic_dedup", "bpe_token_count_true", "minhash_prod_gate",
         # last graded r1
         "extract_regex", "ffill_gaps", "gather_long", "offsets_family",
         "token_count_bpe",
@@ -5026,7 +5091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nest_unnest", "ntile_quartiles", "null_semantics",
         "nunique_window", "pivot_longer", "pivot_wider",
         "pivot_wider_glue", "rank_methods", "revenue_by_nation",
-        "salted_join_agg", "select_rename", "semi_anti", "separate_unite",
+        "salted_join_agg", "select_rename", "semi_anti",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -5187,7 +5252,7 @@ def oracle_sql() -> dict[str, str]:
         "rename_relocate": SQL_RENAME_RELOCATE,
         "approx_aggs": SQL_APPROX_AGGS,
         "ivf_topk_lloyd": SQL_IVF_TOPK_LLOYD,
-        "minhash_near_dups_prod": SQL_MINHASH_NEAR_DUPS_PROD,
+        "minhash_prod_gate": SQL_MINHASH_PROD_GATE,
         "rows_family": SQL_ROWS_FAMILY,
         "nest_join_sizes": SQL_NEST_JOIN_SIZES,
         "cat_codes_static": SQL_CAT_CODES_STATIC,

@@ -80,6 +80,11 @@ def main():
     # driver signal is now the constant-oracle simhash_prod_gate); bench
     # still times the raw production query under the historical name
     queries["simhash_prod"] = entry.q_simhash_prod
+    # same pattern for the prod minhash: the registry grades it through
+    # the constant-oracle minhash_prod_gate (LSH recall for borderline
+    # pairs is probabilistic, so no fixed pair-set oracle exists); bench
+    # still times the raw production query
+    queries["minhash_near_dups_prod"] = entry.q_minhash_near_dups_prod
 
     def run(name):
         df = queries[BENCH_ALIASES.get(name, name)](spark, sf_dir)

@@ -23,7 +23,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # its sig_pinned check grades the xxhash64 signature path itself against
 # pinned literal-text values; ivf_kmeans_recall_gate pins a recall floor,
 # not the k-means|| coordinates (MLlib's init is seed-stable but not
-# SQL-replayable).
+# SQL-replayable).  minhash_prod_gate (round 7) replaced the prod
+# minhash's value-exact oracle after the sf0.1 sweep disproved its
+# "banding has full recall at this SF" assumption — LSH recall for
+# borderline pairs is probabilistic by design, so the gate pins what IS
+# deterministic: signature fingerprints, zero false pairs on a bounded
+# subset, and exact-duplicate recall (identical signatures always
+# collide).
 ROWS_ONLY_ALLOWED = set()
 
 

@@ -4,7 +4,14 @@ arbitrary scale factor (default sf0.1 — 10x the driver's grading scale).
     python tools/oracle_sweep.py [/root/testdata/sf0.1]
 
 The compare is the driver's bar: row count, column set, and exact values
-on the name-sorted, row-sorted frame.  Last full run: 91/91 OK at sf0.1.
+on the name-sorted, row-sorted frame.  Round-7 full runs: 163/163 at sf0.01; 162/163 at sf0.1 (the one miss became the minhash_prod_gate redesign below).
+
+Run it at MULTIPLE scale factors periodically — not just the graded
+sf0.01.  The round-7 sf0.1 sweep caught an oracle whose assumption only
+held at small scale (LSH borderline-pair recall is probabilistic; the
+prod minhash's fixed pair-set oracle was replaced by an SF-independent
+gate).  Value-exactness that survives a 10x data change is much stronger
+evidence than one-SF green.
 """
 
 from __future__ import annotations
