@@ -192,11 +192,8 @@ def test_parity_nest_unnest_roundtrip(spark):
     want = (PDF >> ref.select(R.g, R.x) >> ref.nest(-R.g)
             >> ref.unnest("data"))
     t = ours.tbl(spark.createDataFrame(PDF))
-    try:
-        got = (t >> ours.select(S.g, S.x) >> ours.nest(-S.g)
-               >> ours.unnest("data")).df.toPandas()
-    except Exception:
-        pytest.skip("nest arg-form divergence; covered by nest_unnest oracle")
+    got = (t >> ours.select(S.g, S.x) >> ours.nest(-S.g)
+           >> ours.unnest("data")).df.toPandas()
     pd.testing.assert_frame_equal(_norm(got), _norm(pd.DataFrame(want)),
                                   check_dtype=False)
 

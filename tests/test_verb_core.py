@@ -319,3 +319,24 @@ def test_distinct_keep_all_honors_arrange_order(spark):
     out2 = (t >> arrange(-_.x) >> distinct(_.g, _keep_all=True)
             >> collect()).sort_values("g").reset_index(drop=True)
     assert out2.x.tolist() == [2, 9]
+
+
+def test_stale_order_state_skips_sort_at_collect(spark):
+    """Deferred arrange: order state referencing a column that a later
+    summarize dropped must not break materialization — the sort is
+    skipped (SQL's order-undefined-after-aggregation contract), and a
+    FRESH arrange on the aggregate re-enables ordering."""
+    from siuba_spark import summarize
+    t = data_frame(spark, g=["a", "b", "a"], x=[3, 1, 2])
+    out = (t >> arrange(_.x) >> group_by(_.g)
+           >> summarize(s=_.x.sum()) >> collect())
+    assert sorted(out.s.tolist()) == [1, 5]     # materializes fine
+    out2 = (t >> arrange(_.x) >> group_by(_.g)
+            >> summarize(s=_.x.sum()) >> arrange(-_.s, _.g) >> collect())
+    assert out2.g.tolist() == ["a", "b"] and out2.s.tolist() == [5, 1]
+
+
+def test_rearrange_replaces_order_state(spark):
+    t = data_frame(spark, a=[1, 2, 3], b=[30, 10, 20])
+    out = t >> arrange(_.a) >> arrange(_.b) >> collect()
+    assert out.a.tolist() == [2, 3, 1]
