@@ -103,6 +103,17 @@ STR_METHODS = {
     "startswith": lambda col, pat, na=None: _with_na(col.startswith(pat), na),
     "endswith": lambda col, pat, na=None: _with_na(col.endswith(pat), na),
     "contains": _str_contains,
+    # match/fullmatch: beyond the reference (its SQL dialects comment
+    # these out, base.py:290) — trivial Spark rlike translations with
+    # pandas anchor semantics: match anchors at the START only,
+    # fullmatch at both ends
+    "match": lambda col, pat, case=True, na=None: _with_na(
+        col.rlike("^(?:" + pat + ")") if case
+        else col.rlike("(?i)^(?:" + pat + ")"), na),
+    "fullmatch": lambda col, pat, case=True, na=None: _with_na(
+        col.rlike("^(?:" + pat + ")$") if case
+        else col.rlike("(?i)^(?:" + pat + ")$"), na),
+
     "replace": lambda col, pat, repl, regex=True: (
         F.regexp_replace(col, pat, repl) if regex
         else F.replace(col, F.lit(pat), F.lit(repl))

@@ -646,3 +646,25 @@ def test_lazy_lam_passes_expression_unlowered(spark):
     from siuba_spark.siu.calls import Symbolic, strip_symbolic
     assert isinstance(seen["node"], Symbolic)
     assert isinstance(strip_symbolic(seen["node"]), Call)
+
+
+def test_str_match_fullmatch(spark):
+    """str.match / str.fullmatch (beyond the reference — its SQL dialects
+    comment these out, base.py:290): pandas anchor semantics, case=
+    flag, NULL propagation."""
+    import pandas as pd
+
+    from siuba_spark import _, collect, mutate, tbl
+    t = tbl(spark.createDataFrame(
+        [("ab1",), ("xy",), ("AB2",), (None,)], "s string"))
+    out = (t >> mutate(m=_.s.str.match(r"[a-z]+\d"),
+                       fm=_.s.str.fullmatch(r"[a-z]+"),
+                       mi=_.s.str.match(r"[a-z]+\d", case=False))
+           >> collect())
+    ref = pd.Series(["ab1", "xy", "AB2", None])
+    assert out.m.fillna(-1).tolist() == \
+        ref.str.match(r"[a-z]+\d").fillna(-1).tolist()
+    assert out.fm.fillna(-1).tolist() == \
+        ref.str.fullmatch(r"[a-z]+").fillna(-1).tolist()
+    assert out.mi.fillna(-1).tolist() == \
+        ref.str.match(r"[a-z]+\d", case=False).fillna(-1).tolist()

@@ -340,3 +340,17 @@ def test_rearrange_replaces_order_state(spark):
     t = data_frame(spark, a=[1, 2, 3], b=[30, 10, 20])
     out = t >> arrange(_.a) >> arrange(_.b) >> collect()
     assert out.a.tolist() == [2, 3, 1]
+
+
+def test_mutate_overwrite_then_reuse_aggregate(spark):
+    """WPool invalidation: after a kwarg OVERWRITES a column, a later
+    kwarg's identical-looking window aggregate must recompute against the
+    NEW values (sequential-kwarg semantics), not reuse the pooled result
+    computed on the old column."""
+    t = data_frame(spark, g=["a", "a", "b"], x=[1.0, 3.0, 10.0])
+    out = (t >> group_by(_.g)
+           >> mutate(x=_.x.mean(), y=_.x - _.x.mean())
+           >> ungroup() >> collect())
+    # x becomes the group mean; y = new_x - mean(new_x) = 0 everywhere
+    assert sorted(out.x.tolist()) == [2.0, 2.0, 10.0]
+    assert out.y.tolist() == [0.0, 0.0, 0.0]
