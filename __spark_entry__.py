@@ -4853,6 +4853,34 @@ FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
 SQL_BPE_TOKEN_COUNT = _bpe_oracle_sql()
 
 
+def q_vector_mean(spark, sf):
+    """Per-group embedding centroids (corpus/similarity.py vector_mean):
+    decimal(38,12) element sums → order-independent exact means; emitted
+    exploded to (group, position, value) scalars so the driver's
+    row-sorted compare applies.  One (group, position) fine-key shuffle
+    with map-side combine — no driver collect, unbounded dim/groups."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import vector_mean
+    emb = _t(spark, sf, "embeddings")
+    grouped = emb.evolve(df=emb.df.withColumn("g", F.col("vec_id") % 5))
+    out = vector_mean(grouped, "g", round_to=6)
+    return (out.df.select("g", F.posexplode("centroid").alias("p", "m")))
+
+
+SQL_VECTOR_MEAN = """
+WITH e AS (SELECT vec_id % 5 AS g, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+x AS (SELECT g, generate_subscripts(v, 1) - 1 AS p, unnest(v) AS val
+      FROM e),
+m AS (SELECT g, p,
+        ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) / COUNT(*) AS DOUBLE),
+              6) AS m
+      FROM x GROUP BY g, p)
+SELECT g, CAST(p AS INT) AS p, m FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -5066,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "semantic_dedup": q_semantic_dedup,
         "bpe_token_count_true": q_bpe_token_count,
+        "vector_mean": q_vector_mean,
     })
     # Driver grades the FIRST 50 entries only.  Round-7 window: the new r7
     # entries, then the entries whose LAST driver grade is oldest (r1,
@@ -5271,4 +5300,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental": SQL_MINHASH_INCREMENTAL,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "bpe_token_count_true": SQL_BPE_TOKEN_COUNT,
+        "vector_mean": SQL_VECTOR_MEAN,
     }

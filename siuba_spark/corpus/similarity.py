@@ -20,7 +20,7 @@ from ..plans.tbl import SparkTbl
 
 __all__ = ["cosine_sim_col", "brute_force_topk", "lsh_topk", "add_hyperplane_bucket",
            "cosine_near_dups", "ivf_topk", "pq_topk", "ivf_pq_topk",
-           "semantic_dedup"]
+           "semantic_dedup", "vector_mean"]
 
 
 def _dot(a, b):
@@ -702,3 +702,46 @@ def semantic_dedup(tbl: SparkTbl, threshold: float = 0.95,
     if return_pairs:
         return deduped, SparkTbl(pairs)
     return deduped
+
+
+@verb
+def vector_mean(tbl: SparkTbl, by, vec_col: str = "embedding",
+                out: str = "centroid", normalize: bool = False,
+                round_to: int | None = None):
+    """Per-group element-wise mean of an embedding column — profile /
+    centroid vectors (user embeddings from document embeddings, cluster
+    centroid export, class prototypes).
+
+    Scale shape: posexplode to (group, position, value) → ONE aggregation
+    shuffled on the fine-grained (group, position) key with map-side
+    combine → rebuild the array with position-sorted collect.  No vector
+    is ever collected to the driver, group count and dimension are both
+    unbounded, and skew is limited to (largest group × dim) key fan-out.
+    ``normalize=True`` L2-normalizes the mean (the usual prototype form);
+    zero-norm means become NULL (same try_divide contract as cosine).
+    ``round_to`` rounds elements for cross-engine comparison.
+
+    Sums run in DECIMAL(38,12) so the mean is summation-order-independent
+    — an independent engine replays it value-exactly (the same
+    order-exactness pattern as the Lloyd centroid update)."""
+    keys = [by] if isinstance(by, str) else list(by)
+    exploded = (tbl.df
+                .select(*[F.col(k) for k in keys],
+                        F.posexplode(_to_double(F.col(vec_col)))
+                        .alias("__p", "__v"))
+                .groupBy(*keys, "__p")
+                .agg((F.sum(F.col("__v").cast("decimal(38,12)"))
+                      / F.count(F.lit(1))).cast("double").alias("__m")))
+    vec = F.transform(
+        F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+        lambda s: s.getField("__m"))
+    agg = (exploded.groupBy(*keys)
+           .agg(vec.alias(out)))
+    col = F.col(out)
+    if normalize:
+        nrm = F.sqrt(F.aggregate(col, F.lit(0.0),
+                                 lambda a, x: a + x * x))
+        col = F.transform(col, lambda x: F.try_divide(x, nrm))
+    if round_to is not None:
+        col = F.transform(col, lambda x: F.round(x, round_to))
+    return SparkTbl(agg.withColumn(out, col))

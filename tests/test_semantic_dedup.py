@@ -61,3 +61,19 @@ def test_semantic_dedup_keep_max(spark):
     kept = semantic_dedup(t, threshold=0.99, n_lists=1, centroids="sample",
                           keep="max")
     assert sorted(r.vec_id for r in kept.df.collect()) == [3, 7]
+
+
+def test_vector_mean_groups_and_normalize(spark):
+    """vector_mean: element-wise per-group means (decimal-exact sums),
+    optional L2 normalization with the NULL-on-zero-norm contract."""
+    import math
+
+    from siuba_spark.corpus.similarity import vector_mean
+    rows = [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [0.0, 0.0])]
+    t = tbl(spark.createDataFrame(rows, "g string, embedding array<double>"))
+    out = {r.g: list(r.centroid) for r in vector_mean(t, "g").df.collect()}
+    assert out == {"a": [2.0, 3.0], "b": [0.0, 0.0]}
+    outn = {r.g: list(r.centroid)
+            for r in vector_mean(t, "g", normalize=True).df.collect()}
+    assert abs(outn["a"][0] - 2 / math.hypot(2, 3)) < 1e-12
+    assert outn["b"] == [None, None]
