@@ -54,7 +54,8 @@ from .functions.vector import (
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, consecutive_id, n, n_distinct, approx_n_distinct, approx_quantile,
     nth, first, last, coalesce, na_if, between,
-    if_else, case_when, sql_raw, desc, str_c, floor_date, ceil_date, json_extract,
+    if_else, case_when, sql_raw, symbolic_dispatch, desc, str_c,
+    floor_date, ceil_date, json_extract,
     near, cut,
     rolling_mean, rolling_sum, rolling_min, rolling_max,
     rolling_std, rolling_var, rolling_median, rolling_count,
@@ -92,7 +93,8 @@ __all__ = [
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "consecutive_id", "n", "n_distinct", "approx_n_distinct",
     "approx_quantile", "nth", "first", "last",
-    "coalesce", "na_if", "between", "near", "if_else", "case_when", "sql_raw", "Lam", "Lazy", "desc", "str_c", "cut",
+    "coalesce", "na_if", "between", "near", "if_else", "case_when", "sql_raw",
+    "symbolic_dispatch", "Lam", "Lazy", "desc", "str_c", "cut",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
     "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
     "rolling_std", "rolling_var", "rolling_median", "rolling_count",

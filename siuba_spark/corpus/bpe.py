@@ -25,10 +25,12 @@ accumulator, so the oracle replays the whole loop value-exactly.
 Scale shape: per word the loop is ``max_word_len - 1`` materialized
 projections of O(word_len) array ops — CPU-linear in corpus tokens, no
 shuffle until the final per-document count aggregation (one shuffle,
-map-side combined).  The merges ranking is a literal MAP in the plan
-(small vocabularies; the constructor guards the size) — the broadcast-
-join variant for 100k+ merge vocabs would swap the literal for a
-broadcast lookup table without changing the loop.
+map-side combined).  The merges ranking ships one of two ways: a literal
+MAP in the plan for tokenizer-sized tables, or — above
+``BROADCAST_MERGES_THRESHOLD`` (or ``broadcast=True``) — a one-row
+broadcast-joined MAP relation, which moves the table onto the data path
+(one broadcast exchange) and keeps plan size constant for 100k+ merge
+vocabularies.  Both variants run the identical merge loop.
 
 No reference equivalent (siuba has no tokenizer surface); the API mirrors
 this repo's corpus verbs.
@@ -41,8 +43,8 @@ from pyspark.sql import functions as F
 from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
-__all__ = ["DEFAULT_MERGES", "bpe_token_count", "bpe_encode",
-           "bpe_tokens_col"]
+__all__ = ["DEFAULT_MERGES", "BROADCAST_MERGES_THRESHOLD",
+           "bpe_token_count", "bpe_encode", "bpe_tokens_col"]
 
 # the GPT-2-ish pre-tokenizer pattern token_count_bpe already uses
 from .text import _BPE_RE  # noqa: E402
@@ -77,6 +79,25 @@ def _merges_map(merges):
         entries.append(F.lit(f"{a} {b}"))
         entries.append(F.lit(rank))
     return F.create_map(*entries)
+
+
+def _merges_relation(spark, merges):
+    """One-row DataFrame carrying the merges ranking as a MAP column —
+    the broadcast-join variant for large vocabularies.  The table ships
+    to executors ONCE via a broadcast exchange (data path), instead of
+    being serialized into every task's plan the way the literal map is;
+    plan size stays constant no matter how many merges.  Built from two
+    parallel arrays (Arrow-transferred) + ``map_from_arrays``."""
+    keys = [f"{a} {b}" for a, b in merges]
+    df = spark.createDataFrame(
+        [(keys, list(range(len(keys))))], "k array<string>, r array<int>")
+    return df.select(F.map_from_arrays("k", "r").alias("__merges"))
+
+
+#: auto-switch point: beyond this many merges the verbs broadcast-join
+#: the ranking instead of inlining a literal plan map (a 50k GPT-2 table
+#: is ~1 MB of plan either way — the join keeps plans lean past that)
+BROADCAST_MERGES_THRESHOLD = 50_000
 
 
 def _pair_rank(m, a, b):
@@ -121,56 +142,74 @@ def _word_rows(df, col, id_col, max_word_len):
             .drop("__w"))
 
 
-def _run_merge_loop(rows, merges, max_word_len):
+def _run_merge_loop(rows, merges, max_word_len, broadcast=None):
     """``max_word_len - 1`` materialized merge steps.  Each step is its
     own projection (withColumn) so Catalyst does NOT inline the
     multi-reference array expression 15 levels deep — CollapseProject
     declines to duplicate non-cheap expressions, keeping plan size and
-    per-row work linear in the step count."""
-    m = _merges_map(merges)
+    per-row work linear in the step count.
+
+    ``broadcast``: None = auto (literal plan map below
+    ``BROADCAST_MERGES_THRESHOLD``, broadcast join above); True/False
+    forces the variant.  Both produce identical tokens — the broadcast
+    path joins the one-row merges MAP onto the word rows (a broadcast
+    nested-loop join against a single row), and every merge step then
+    references that attribute instead of a literal."""
+    if broadcast is None:
+        broadcast = len(merges) > BROADCAST_MERGES_THRESHOLD
+    if broadcast:
+        mdf = _merges_relation(rows.sparkSession, merges)
+        rows = rows.join(F.broadcast(mdf))
+        m = F.col("__merges")
+    else:
+        m = _merges_map(merges)
     for _ in range(max(1, max_word_len - 1)):
         rows = rows.withColumn("__s", _merge_step(F.col("__s"), m))
-    return rows
+    return rows.drop("__merges") if broadcast else rows
 
 
 @verb
 def bpe_token_count(tbl: SparkTbl, merges=None, col: str = "text",
                     id_col: str = "doc_id", out: str = "n_bpe_tokens",
-                    max_word_len: int = 16):
+                    max_word_len: int = 16, broadcast=None):
     """Per-document TRUE-BPE token count against a merges ranking.
 
     One explode (zero-shuffle) + the bounded merge loop + one count
     aggregation shuffled on ``id_col`` with map-side combine.  Documents
-    whose text produces no pre-tokens count 0."""
+    whose text produces no pre-tokens count 0.  Column-preserving: the
+    count joins back onto the FULL input row (same contract as the
+    sibling ``token_count_bpe``), so text/metadata stay available
+    downstream."""
     merges = DEFAULT_MERGES if merges is None else list(merges)
     rows = _word_rows(tbl.df, col, id_col, max_word_len)
-    rows = _run_merge_loop(rows, merges, max_word_len)
+    rows = _run_merge_loop(rows, merges, max_word_len, broadcast)
     counts = (rows.groupBy(id_col)
               .agg(F.sum(F.size("__s")).alias(out)))
-    base = tbl.df.select(id_col)
+    base = tbl.df.drop(out)
     df = (base.join(counts, id_col, "left")
           .withColumn(out, F.coalesce(F.col(out), F.lit(0)).cast("long")))
-    return SparkTbl(df)
+    return tbl.evolve(df=df)
 
 
 @verb
 def bpe_encode(tbl: SparkTbl, merges=None, col: str = "text",
                id_col: str = "doc_id", out: str = "bpe_tokens",
-               max_word_len: int = 16):
+               max_word_len: int = 16, broadcast=None):
     """Per-document BPE token sequence (array<string>), word order
-    preserved via the pre-tokenizer's position index."""
+    preserved via the pre-tokenizer's position index.  Column-preserving:
+    the sequence joins back onto the FULL input row."""
     merges = DEFAULT_MERGES if merges is None else list(merges)
     rows = _word_rows(tbl.df, col, id_col, max_word_len)
-    rows = _run_merge_loop(rows, merges, max_word_len)
+    rows = _run_merge_loop(rows, merges, max_word_len, broadcast)
     seqs = (rows.groupBy(id_col)
             .agg(F.flatten(F.array_sort(F.collect_list(
                 F.struct(F.col("__wi"), F.col("__s")))).getField("__s"))
                 .alias(out)))
-    base = tbl.df.select(id_col)
+    base = tbl.df.drop(out)
     df = (base.join(seqs, id_col, "left")
           .withColumn(out, F.coalesce(F.col(out),
                                       F.array().cast("array<string>"))))
-    return SparkTbl(df)
+    return tbl.evolve(df=df)
 
 
 def _bind(col, fn):

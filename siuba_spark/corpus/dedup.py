@@ -523,10 +523,22 @@ def exact_dedup_incremental(tbl: SparkTbl, store=None, cols=("text",),
 
     Contract: ids are globally unique and monotone across snapshots
     (append-only corpus), so the store's representative id is always the
-    global min.  Cost per snapshot: one shuffle on ``cols`` for the new
-    snapshot's self-dedup + one null-safe equi-join against the store —
-    the store is never re-deduped against itself.
+    global min.  Only ``keep='min'`` is supported: the cross-snapshot
+    merge keeps the store-side (older) id, which equals the global-min
+    rule but would NOT match any from-scratch ``GROUP BY`` for
+    ``keep='max'`` (new snapshot would keep max id per key while the
+    merge keeps the oldest) — so that combination raises instead of
+    silently producing an inconsistent store.  Cost per snapshot: one
+    shuffle on ``cols`` for the new snapshot's self-dedup + one
+    null-safe equi-join against the store — the store is never
+    re-deduped against itself.
     """
+    if keep != "min":
+        raise ValueError(
+            "exact_dedup_incremental only supports keep='min': the "
+            "store merge keeps the oldest (store-side) id, which is the "
+            "global min under monotone ids but matches no from-scratch "
+            "rule for keep='max'.")
     cols = list(cols)
     newd = exact_dedup(tbl, cols=cols, id_col=id_col, keep=keep).df
     new_keys = newd.select(*cols, id_col, "n_dups")

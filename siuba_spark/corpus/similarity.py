@@ -297,20 +297,29 @@ def _cells_and_centers(tbl, id_col, vec_col, n_lists, centroids,
             .join(F.broadcast(cpk), "__jk"), cell
 
     if centroids in ("sample", "lloyd"):
-        # bounded eager probe: n_lists rows collected (same class of
-        # collected-spec job as pivot's key discovery)
-        rows = (tbl.df.orderBy(F.col(id_col).asc()).limit(n_lists)
-                .select(_to_double(F.col(vec_col)).alias("__c")).collect())
-        cents = [[float(x) for x in r["__c"]] for r in rows]
-        if centroids == "lloyd":
+        if centroids == "sample":
+            # bounded eager probe: n_lists rows collected (same class of
+            # collected-spec job as pivot's key discovery)
+            rows = (tbl.df.orderBy(F.col(id_col).asc()).limit(n_lists)
+                    .select(_to_double(F.col(vec_col)).alias("__c"))
+                    .collect())
+            cents = [[float(x) for x in r["__c"]] for r in rows]
+        else:
             # train on the first-N-by-id slice only: corpus-size-free
             if train_limit is None:
                 train_limit = 256 * n_lists
-            dim = len(cents[0])
-            if train_limit * dim <= (1 << 22):
+            # dim probe: ONE unsorted row (take(1) is a narrow local
+            # job) — not the full ordered seed scan; in the small path
+            # the seed centroids come out of the training collect itself
+            head = tbl.df.select(_to_double(F.col(vec_col)).alias("__c")) \
+                .take(1)
+            dim = len(head[0]["__c"]) if head else 0
+            if head and train_limit * dim <= (1 << 22):
                 # slice fits comfortably on the driver (<= 32 MB of
-                # doubles): collect ONCE (a single ordered-limit job —
-                # no separate id-cut pass) and run every Lloyd iteration
+                # doubles): collect ONCE — a single ordered-limit job
+                # supplies BOTH the seed centroids (first n_lists rows
+                # by id, exactly what the separate seed job returned)
+                # and the training slice — and run every Lloyd iteration
                 # locally with the same arithmetic both engines use —
                 # left-fold double distances, first-index argmin,
                 # HALF_UP decimal(·,12) element sums (shortest-repr
@@ -334,13 +343,23 @@ def _cells_and_centers(tbl, id_col, vec_col, n_lists, centroids,
                 if vrows and extra:
                     cut = max(r["__i"] for r in vrows)
                     if extra[0]["__i"] == cut:
-                        vrows = (tbl.df.filter(F.col(id_col) <= F.lit(cut))
-                                 .select(_to_double(F.col(vec_col))
-                                         .alias("__v"))
-                                 .collect())
+                        vrows = sorted(
+                            (tbl.df.filter(F.col(id_col) <= F.lit(cut))
+                             .select(F.col(id_col).alias("__i"),
+                                     _to_double(F.col(vec_col))
+                                     .alias("__v"))
+                             .collect()),
+                            key=lambda r: r["__i"])
                 vecs = [[float(x) for x in r["__v"]] for r in vrows]
+                cents = vecs[:n_lists]
                 cents = _lloyd_train_local(vecs, cents, n_lists, n_iters)
-            else:
+            elif head:
+                # large-slice path: seeds = first n_lists by id (its own
+                # bounded collect; the slice itself stays distributed)
+                rows = (tbl.df.orderBy(F.col(id_col).asc()).limit(n_lists)
+                        .select(_to_double(F.col(vec_col)).alias("__c"))
+                        .collect())
+                cents = [[float(x) for x in r["__c"]] for r in rows]
                 cut = (tbl.df.select(F.col(id_col).alias("__i"))
                        .orderBy(F.col("__i").asc()).limit(train_limit)
                        .agg(F.max("__i")).collect()[0][0])
@@ -366,6 +385,8 @@ def _cells_and_centers(tbl, id_col, vec_col, n_lists, centroids,
                     # empty cells keep their previous centroid
                     cents = [upd.get(i, cents[i]) for i in range(n_lists)]
                 train.unpersist()
+            else:
+                cents = []          # empty table: no centroids to train
         centers = list(enumerate(cents))
         base, cell = _argmin_cell(cents)
         assigned = base.select(F.col(id_col).alias("nbr_id"),
@@ -723,7 +744,9 @@ def vector_mean(tbl: SparkTbl, by, vec_col: str = "embedding",
 
     Sums run in DECIMAL(38,12) so the mean is summation-order-independent
     — an independent engine replays it value-exactly (the same
-    order-exactness pattern as the Lloyd centroid update)."""
+    order-exactness pattern as the Lloyd centroid update).  NULL elements
+    inside a vector are SKIPPED (non-null denominator, the same contract
+    as ``F.avg`` / pandas ``mean``), not treated as zeros."""
     keys = [by] if isinstance(by, str) else list(by)
     exploded = (tbl.df
                 .select(*[F.col(k) for k in keys],
@@ -731,7 +754,7 @@ def vector_mean(tbl: SparkTbl, by, vec_col: str = "embedding",
                         .alias("__p", "__v"))
                 .groupBy(*keys, "__p")
                 .agg((F.sum(F.col("__v").cast("decimal(38,12)"))
-                      / F.count(F.lit(1))).cast("double").alias("__m")))
+                      / F.count(F.col("__v"))).cast("double").alias("__m")))
     vec = F.transform(
         F.array_sort(F.collect_list(F.struct("__p", "__m"))),
         lambda s: s.getField("__m"))

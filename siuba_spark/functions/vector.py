@@ -18,7 +18,8 @@ from .lowering import AGG, AGGED, SCALAR, LowerCtx, TranslationError, lower, reg
 
 __all__ = [
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
-    "ntile", "lead", "lag", "consecutive_id", "sql_raw", "n", "n_distinct", "approx_n_distinct",
+    "ntile", "lead", "lag", "consecutive_id", "sql_raw", "symbolic_dispatch",
+    "n", "n_distinct", "approx_n_distinct",
     "approx_quantile", "nth", "first", "last",
     "coalesce", "na_if", "between", "if_else", "case_when", "desc", "cut",
     "str_c", "floor_date", "ceil_date", "cumall", "cumany", "cummean",
@@ -625,6 +626,73 @@ def _sql_raw(ctx, args, kwargs):
 def sql_raw(fragment):
     """``mutate(z=sql_raw("y + 1"))`` — raw SQL fragment leaf."""
     return Symbolic(FnCall("sql_raw", (Lit(fragment),), {}))
+
+
+def symbolic_dispatch(fn=None, *, name=None):
+    """Register a user-defined column function as a first-class verb-able
+    symbol — the public extension point (reference: ``symbolic_dispatch``,
+    siuba/siu/dispatchers.py:19-83, exported at siuba/siu/__init__.py:15;
+    every built-in free function here registers through the same
+    machinery, functions/lowering.py register_fn).
+
+    The decorated function receives LOWERED ``pyspark.sql.Column``
+    arguments (symbolic ``_.x`` operands are translated first; plain
+    Python values pass through untouched) and must return a ``Column`` —
+    it runs entirely JVM-side, unlike the ``py_func`` UDF escape::
+
+        @symbolic_dispatch
+        def taxed(col, rate=0.17):
+            return col * (1.0 + rate)
+
+        orders >> mutate(gross=taxed(_.o_totalprice))
+
+    Calling the returned factory with symbolic arguments builds a
+    deferred expression for mutate/filter/summarize; calling it with
+    concrete Columns (or inside plain PySpark code) executes directly —
+    the same call-with-data / call-with-symbol duality the reference
+    dispatches on.  Aggregate-kind propagation follows the arguments: if
+    any symbolic operand lowers to an aggregate (e.g. ``_.x.mean()``),
+    the result is treated as aggregated for the grouped-mutate
+    window-vs-agg decision."""
+    def deco(f):
+        nm = name or f.__name__
+
+        @register_fn(nm)
+        def impl(ctx, args, kwargs, _f=f):
+            kinds = []
+
+            def low(v):
+                if isinstance(v, Call):
+                    c, k = lower(v, ctx)
+                    kinds.append(k)
+                    return c
+                return v
+
+            largs = [low(a) for a in args]
+            lkw = {k: low(v) for k, v in kwargs.items()}
+            out = _f(*largs, **lkw)
+            if not isinstance(out, Column):
+                out = F.lit(out)
+            return out, (AGGED if AGGED in kinds else SCALAR)
+
+        def factory(*args, **kwargs):
+            symbolic = any(
+                isinstance(a, (Symbolic, Call))
+                for a in (*args, *kwargs.values()))
+            if not symbolic:
+                return f(*args, **kwargs)
+            return Symbolic(FnCall(
+                nm,
+                tuple(_node(a) for a in args),
+                {k: _node(v) for k, v in kwargs.items()},
+            ))
+
+        factory.__name__ = nm
+        factory.__doc__ = f.__doc__
+        factory.fn = f
+        return factory
+
+    return deco(fn) if fn is not None else deco
 
 
 def _register_rolling(name, agg, post=None, frame_fn=None):

@@ -122,18 +122,33 @@ class SparkTbl:
         against the CURRENT columns (SQL ORDER-BY-on-the-outer-SELECT
         semantics); if an order key no longer resolves (e.g. stale state
         surviving a summarize that dropped the column), the sort is
-        skipped — the same "order undefined after aggregation" contract
-        SQL engines apply to subquery ORDER BYs."""
+        skipped WITH A WARNING — the same "order undefined after
+        aggregation" contract SQL engines apply to subquery ORDER BYs,
+        but never silently (a dropped/renamed sort key masking a
+        pipeline bug should be visible)."""
         if not self.order_by:
             return self.df
+        import warnings
+
         from ..operators.core import build_sort_plan
         from ..functions.lowering import TranslationError
+
+        def _warn_stale(err):
+            warnings.warn(
+                "arrange order discarded at materialization: the sort "
+                f"expression no longer resolves against columns "
+                f"{self.df.columns} ({type(err).__name__}: {err}). "
+                "Re-arrange after the operation that dropped or renamed "
+                "the sort key.", UserWarning, stacklevel=3)
+
         try:
             return build_sort_plan(self)
-        except TranslationError:
+        except TranslationError as e:
+            _warn_stale(e)
             return self.df
         except Exception as e:  # stale column refs -> AnalysisException
             if type(e).__name__ in ("AnalysisException", "KeyError"):
+                _warn_stale(e)
                 return self.df
             raise
 

@@ -296,13 +296,27 @@ def stream_minhash_dedup(stream_tbl: SparkTbl, store_path: str,
     Per micro-batch (``foreachBatch`` — the sanctioned pattern for
     streaming work whose state lives in an external table):
 
-    1. read the signature store (all previous batches' appends);
+    1. read the signature store (previous batches' partitions ONLY —
+       partitions with ``batch >= batch_id`` are filtered out, so a
+       retried batch never sees its own partial prior attempt);
     2. run the incremental band join: batch×batch ∪ batch×store, the
        store is never re-banded against itself;
-    3. append the verified pairs to ``pairs_path``;
-    4. append ONLY the batch's own (id, shingles, minhash) rows to the
-       store — no rewrite, so the store is safe to read while writing
-       and grows strictly by |new| per batch.
+    3. ``overwrite`` the verified pairs into
+       ``{pairs_path}/batch=<batch_id>/``;
+    4. ``overwrite`` ONLY the batch's own (id, shingles, minhash) rows
+       into ``{store_path}/batch=<batch_id>/`` — the store grows
+       strictly by |new| per batch and old partitions are never
+       rewritten.
+
+    **Idempotency**: ``foreachBatch`` is at-least-once — a batch may be
+    re-executed after a failure between the sink writes and the
+    checkpoint commit.  Each batch writes its outputs to a
+    ``batch=<batch_id>`` hive-partition directory with
+    ``mode="overwrite"``, so a retry replaces its own prior partial
+    output instead of appending a second copy, and the store read
+    excludes the retrying batch's own partition.  Readers of
+    ``pairs_path`` / ``store_path`` see one extra discovered partition
+    column ``batch`` (the micro-batch id that produced each row).
 
     The union of all batches' pair outputs equals the from-scratch
     ``minhash_near_dups`` pair set over everything seen (the graded
@@ -313,15 +327,18 @@ def stream_minhash_dedup(stream_tbl: SparkTbl, store_path: str,
 
     from ..corpus.dedup import minhash_near_dups_incremental
 
-    def handle(batch_df, _batch_id):
+    def handle(batch_df, batch_id):
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
         store = None
         try:
-            if any(f.endswith(".parquet") or f.startswith("part-")
-                   for f in os.listdir(store_path)):
-                store = spark.read.parquet(store_path)
+            if any(f.startswith("batch=") for f in os.listdir(store_path)):
+                store = (spark.read.parquet(store_path)
+                         .filter(F.col("batch") < F.lit(int(batch_id)))
+                         .drop("batch"))
+                if not store.take(1):
+                    store = None
         except FileNotFoundError:
             store = None
         pairs, new_store = minhash_near_dups_incremental(
@@ -329,8 +346,10 @@ def stream_minhash_dedup(stream_tbl: SparkTbl, store_path: str,
         batch_ids = batch_df.select(id_col).distinct()
         new_sigs = new_store.df.join(F.broadcast(batch_ids), id_col,
                                      "left_semi")
-        pairs.df.write.mode("append").parquet(pairs_path)
-        new_sigs.write.mode("append").parquet(store_path)
+        pairs.df.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={int(batch_id)}"))
+        new_sigs.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch={int(batch_id)}"))
         pairs.release()
 
     writer = (stream_tbl.df.writeStream

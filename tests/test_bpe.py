@@ -128,14 +128,53 @@ def test_bpe_counts_feed_pack_sequences(spark):
     from siuba_spark.corpus.quality import pack_sequences
     rows = [(i, "g", "the thing is here and there") for i in range(6)]
     t = tbl(spark.createDataFrame(rows, "doc_id long, g string, text string"))
-    counted = bpe_token_count(t.evolve(df=t.df), merges=DEFAULT_MERGES)
-    # re-attach the group/text columns (bpe_token_count projects id+count)
-    joined = t.evolve(df=t.df.join(counted.df, "doc_id"))
+    # column-preserving (ADVICE r7 item 5): g/text ride along with the count
+    counted = bpe_token_count(t, merges=DEFAULT_MERGES)
+    assert set(counted.df.columns) == {"doc_id", "g", "text", "n_bpe_tokens"}
     per_doc = counted.df.agg(F.min("n_bpe_tokens"), F.max("n_bpe_tokens")).first()
     assert per_doc[0] == per_doc[1]  # identical docs -> identical counts
     n = per_doc[0]
-    packed = pack_sequences(joined, tokens_col="n_bpe_tokens",
+    packed = pack_sequences(counted, tokens_col="n_bpe_tokens",
                             capacity=2 * n, by="g").df
     seqs = {r.doc_id: r.seq_id for r in packed.collect()}
     # 6 docs, 2 per sequence -> sequence ids 0,0,1,1,2,2 in doc order
     assert [seqs[i] for i in range(6)] == [0, 0, 1, 1, 2, 2]
+
+
+def test_bpe_broadcast_variant_matches_literal(spark):
+    """broadcast=True routes the merges ranking through a one-row
+    broadcast-joined MAP relation instead of a literal plan map — the
+    token output must be identical (VERDICT r7 item 5: the declared
+    bpe.py TODO)."""
+    rows = [(0, "the expression of the word"), (1, "another thing here"),
+            (2, ""), (3, None)]
+    t = tbl(spark.createDataFrame(rows, "doc_id long, text string"))
+    lit = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_count(t, broadcast=False).df.collect()}
+    bc = {r.doc_id: r.n_bpe_tokens
+          for r in bpe_token_count(t, broadcast=True).df.collect()}
+    assert lit == bc
+    lit_e = {r.doc_id: list(r.bpe_tokens)
+             for r in bpe_encode(t, broadcast=False).df.collect()}
+    bc_e = {r.doc_id: list(r.bpe_tokens)
+            for r in bpe_encode(t, broadcast=True).df.collect()}
+    assert lit_e == bc_e
+    # the merges relation never leaks into the output schema
+    assert "__merges" not in bpe_encode(t, broadcast=True).df.columns
+
+
+def test_bpe_broadcast_auto_switch_large_table(spark):
+    """A GPT-2-scale merges table (> BROADCAST_MERGES_THRESHOLD) switches
+    to the broadcast join automatically and completes; real merges keep
+    their effect (synthetic filler ranks are junk pairs that never
+    match)."""
+    from siuba_spark.corpus.bpe import BROADCAST_MERGES_THRESHOLD
+    filler = [(f"zz{i}", f"qq{i}")
+              for i in range(BROADCAST_MERGES_THRESHOLD + 1000)]
+    merges = list(DEFAULT_MERGES) + filler
+    t = tbl(spark.createDataFrame([(0, "the thing is here")],
+                                  "doc_id long, text string"))
+    big = bpe_token_count(t, merges=merges).df.collect()[0].n_bpe_tokens
+    small = bpe_token_count(t, merges=DEFAULT_MERGES).df.collect()[0] \
+        .n_bpe_tokens
+    assert big == small

@@ -126,3 +126,13 @@ def test_exact_incremental_random_splits_property(spark):
         final = {(r.doc_id, r.n_dups) for r in store.df.collect()}
         assert final == scratch, (trial, c1, c2)
         assert sorted(kept_ids) == sorted(i for i, _n in scratch), (trial,)
+
+
+def test_exact_incremental_rejects_keep_max(spark):
+    """keep='max' would make the store inconsistent with every
+    from-scratch GROUP BY rule (the cross-snapshot merge keeps the
+    store-side oldest id) — so it raises instead of silently diverging
+    (ADVICE r7 item 2)."""
+    a = _docs(spark, [(0, "x"), (1, "x")])
+    with pytest.raises(ValueError, match="keep='min'"):
+        exact_dedup_incremental(a, None, cols=["text"], keep="max")

@@ -101,10 +101,10 @@ def test_round7_training_pipeline_composition(spark, tmp_path):
 
     # BPE-budgeted, packed, sharded training set from the kept docs
     survivors = docs.evolve(df=docs.df.join(kept_ids, "doc_id"))
+    # bpe_token_count is column-preserving — no re-join needed
     counted = bpe_token_count(survivors)
-    joined = survivors.evolve(
-        df=survivors.df.join(counted.df, "doc_id")
-        .withColumn("src", (F.col("doc_id") % 2).cast("int")))
+    joined = counted.evolve(
+        df=counted.df.withColumn("src", (F.col("doc_id") % 2).cast("int")))
     budgeted = token_budget_sample(joined, "src", budget=500,
                                    n_tokens_col="n_bpe_tokens")
     packed = pack_sequences(budgeted, tokens_col="n_bpe_tokens",

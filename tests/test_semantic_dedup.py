@@ -77,3 +77,15 @@ def test_vector_mean_groups_and_normalize(spark):
             for r in vector_mean(t, "g", normalize=True).df.collect()}
     assert abs(outn["a"][0] - 2 / math.hypot(2, 3)) < 1e-12
     assert outn["b"] == [None, None]
+
+
+def test_vector_mean_skips_null_elements(spark):
+    """NULL elements inside a vector are SKIPPED (non-null denominator,
+    the F.avg / pandas-mean contract), not treated as zeros
+    (ADVICE r7 item 4)."""
+    from siuba_spark.corpus.similarity import vector_mean
+    rows = [("a", [1.0, None]), ("a", [3.0, 4.0])]
+    t = tbl(spark.createDataFrame(rows, "g string, embedding array<double>"))
+    out = {r.g: list(r.centroid) for r in vector_mean(t, "g").df.collect()}
+    # position 1: mean over the single non-null value 4.0, not (0+4)/2
+    assert out == {"a": [2.0, 4.0]}

@@ -402,3 +402,19 @@ def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
         want[key].sort_values(key).reset_index(drop=True))
     # the store accumulated every document's signature, append-only
     assert spark.read.parquet(str(tmp_path / "store")).count() == len(docs)
+
+    # At-least-once idempotency (ADVICE r7 item 1): replay EVERY batch
+    # with a fresh checkpoint (the worst-case retry) — per-batch
+    # overwrite partitions mean outputs are replaced, never re-appended.
+    import shutil
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    q2 = stream_minhash_dedup(
+        stream, store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"), threshold=0.3)
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(str(tmp_path / "pairs")).toPandas()
+    pd.testing.assert_frame_equal(
+        got2[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))
+    assert spark.read.parquet(str(tmp_path / "store")).count() == len(docs)

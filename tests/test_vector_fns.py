@@ -668,3 +668,48 @@ def test_str_match_fullmatch(spark):
         ref.str.fullmatch(r"[a-z]+").fillna(-1).tolist()
     assert out.mi.fillna(-1).tolist() == \
         ref.str.match(r"[a-z]+\d", case=False).fillna(-1).tolist()
+
+
+# -- symbolic_dispatch: the public extension point ---------------------------
+# (reference: siuba/siu/dispatchers.py:19-83 symbolic_dispatch; the
+# call-with-symbol builds a deferred expression, call-with-data executes)
+
+def test_symbolic_dispatch_mutate_and_filter(spark):
+    from pyspark.sql import functions as F
+
+    from siuba_spark import filter, symbolic_dispatch
+
+    @symbolic_dispatch
+    def taxed(col, rate=0.5):
+        return col * (1.0 + rate)
+
+    t = data_frame(spark, x=[1.0, 2.0, 4.0])
+    out = _col(t >> mutate(g=taxed(_.x)), "g", sort_by="x")
+    assert out == [1.5, 3.0, 6.0]
+    # kwargs, symbolic and plain, both reach the implementation
+    out2 = _col(t >> mutate(g=taxed(_.x, rate=_.x)), "g", sort_by="x")
+    assert out2 == [2.0, 6.0, 20.0]
+    flt = (t >> filter(taxed(_.x) > 4)).df.toPandas()
+    assert sorted(flt.x.tolist()) == [4.0]
+    # call-with-data duality: concrete args execute directly
+    assert taxed(10.0) == 15.0
+    direct = t.df.select(taxed(F.col("x")).alias("y"))
+    assert sorted(r.y for r in direct.collect()) == [1.5, 3.0, 6.0]
+
+
+def test_symbolic_dispatch_agg_kind_propagates(spark):
+    """If a symbolic operand lowers to an aggregate, grouped mutate must
+    window it (AggOver broadcast), and summarize must accept it."""
+    from siuba_spark import summarize, symbolic_dispatch
+
+    @symbolic_dispatch(name="doubled")
+    def _dbl(col):
+        return col * 2
+
+    t = data_frame(spark, g=["a", "a", "b"], x=[1.0, 3.0, 5.0])
+    out = (t >> group_by(_.g) >> mutate(m2=_dbl(_.x.mean()))
+           >> ungroup()).df.toPandas().sort_values("x")
+    assert out.m2.tolist() == [4.0, 4.0, 10.0]
+    agg = (t >> group_by(_.g) >> summarize(m2=_dbl(_.x.mean()))
+           ).df.toPandas().sort_values("g")
+    assert agg.m2.tolist() == [4.0, 10.0]

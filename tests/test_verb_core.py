@@ -354,3 +354,33 @@ def test_mutate_overwrite_then_reuse_aggregate(spark):
     # x becomes the group mean; y = new_x - mean(new_x) = 0 everywhere
     assert sorted(out.x.tolist()) == [2.0, 2.0, 10.0]
     assert out.y.tolist() == [0.0, 0.0, 0.0]
+
+
+def test_stale_order_state_warns_at_collect(spark):
+    """Two halves of the deferred-arrange materialization contract
+    (ADVICE r7 item 3):
+
+    1. A sort key dropped by a later select/rename still ORDERS the
+       output — Spark's ResolveMissingReferences recovers the column
+       from the child plan, matching dplyr's arrange-then-select row
+       order (better than skipping).
+    2. When the order state genuinely cannot resolve (degenerate state:
+       the frame was swapped under the ledger), the discard is audible
+       as a UserWarning, never silent."""
+    import warnings
+
+    from siuba_spark import rename, select
+    t = data_frame(spark, g=["a", "b", "c"], x=[3, 1, 2])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = t >> arrange(_.x) >> select(_.g) >> collect()
+        assert out.g.tolist() == ["b", "c", "a"]     # sort survived the drop
+        ren = t >> arrange(_.x) >> rename(z=_.x) >> select(_.g) >> collect()
+        assert ren.g.tolist() == ["b", "c", "a"]     # ...and the rename
+    # genuinely unresolvable: order state points at a column no plan
+    # below the sort can supply
+    arranged = t >> arrange(_.x)
+    stale = arranged.evolve(df=spark.createDataFrame([("u",)], "other string"))
+    with pytest.warns(UserWarning, match="arrange order discarded"):
+        got = stale.ordered_df().collect()
+    assert [r.other for r in got] == ["u"]
