@@ -4874,11 +4874,148 @@ WITH e AS (SELECT vec_id % 5 AS g, CAST(embedding AS DOUBLE[]) AS v
 x AS (SELECT g, generate_subscripts(v, 1) - 1 AS p, unnest(v) AS val
       FROM e),
 m AS (SELECT g, p,
-        ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) / COUNT(*) AS DOUBLE),
+        ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) / COUNT(val) AS DOUBLE),
               6) AS m
       FROM x GROUP BY g, p)
 SELECT g, CAST(p AS INT) AS p, m FROM m
 """
+
+
+def q_semantic_dedup_incr(spark, sf):
+    """Incremental SemDeDup (corpus/similarity.py
+    semantic_dedup_incremental — VERDICT r7 item 8): snapshot A trains
+    the sample-centroid quantizer and emits its intra-cell pairs +
+    assignment store; snapshot B assigns against the SAME centroids and
+    emits only pairs with a new endpoint (new×new ∪ new×store, the store
+    is never re-paired against itself).  The union of the two outputs
+    must equal the from-scratch pair set — the oracle replays the
+    from-scratch pipeline (seed centroids = first 8 ids, all inside
+    snapshot A, so training is identical by construction)."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import semantic_dedup_incremental
+    emb = _t(spark, sf, "embeddings")
+    a = emb.evolve(df=emb.df.filter(F.col("vec_id") < 250))
+    b = emb.evolve(df=emb.df.filter(F.col("vec_id") >= 250))
+    kw = dict(threshold=0.35, n_lists=8, centroids="sample")
+    p1, store, cents = semantic_dedup_incremental(a, **kw)
+    p2, _s2, _c2 = semantic_dedup_incremental(b, store, cents, **kw)
+    return p1.df.unionByName(p2.df)
+
+
+SQL_SEMANTIC_DEDUP_INCR = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 8)),
+d AS (SELECT e.vec_id, e.v, cents.cell,
+        list_reduce(list_transform(range(1, len(e.v) + 1),
+          j -> (e.v[j] - cents.c[j]) * (e.v[j] - cents.c[j])),
+          (a, b) -> a + b) AS d2
+      FROM e CROSS JOIN cents),
+asg AS (SELECT vec_id, v, cell FROM
+        (SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS rn FROM d)
+        WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS score
+FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+"""
+
+
+def q_stream_minhash_store(spark, sf):
+    """THE streaming code path, driver-graded (VERDICT r7 item 6): the
+    documents table split into two parquet files becomes a two-micro-batch
+    stream (maxFilesPerTrigger=1, availableNow); stream_minhash_dedup
+    (streaming/windows.py — foreachBatch + idempotent per-batch-partition
+    signature store) processes it; the accumulated pairs output must
+    equal the from-scratch minhash_near_dups pair set over everything
+    seen — the oracle IS the from-scratch DuckDB replay."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from siuba_spark.streaming.windows import stream_minhash_dedup
+    base = tempfile.mkdtemp(prefix="smh_entry_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        src = os.path.join(base, "src")
+        docs.filter(F.col("doc_id") < 250).coalesce(1) \
+            .write.parquet(os.path.join(src, "b0.parquet"))
+        docs.filter(F.col("doc_id") >= 250).coalesce(1) \
+            .write.parquet(os.path.join(src, "b1.parquet"))
+        stream = tbl(spark.readStream.schema(docs.schema)
+                     .option("maxFilesPerTrigger", 1)
+                     .parquet(src + "/*.parquet"))
+        q = stream_minhash_dedup(
+            stream, store_path=os.path.join(base, "store"),
+            pairs_path=os.path.join(base, "pairs"),
+            checkpoint=os.path.join(base, "ckpt"),
+            threshold=0.3, hash="md5_64", bucket="key")
+        q.awaitTermination(600)
+        out = (spark.read.parquet(os.path.join(base, "pairs"))
+               .select("id_a", "id_b", "jaccard").toPandas())
+        return spark.createDataFrame(
+            out, "id_a long, id_b long, jaccard double")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_MINHASH_STORE = SQL_MINHASH_NEAR_DUPS
+
+
+def q_symbolic_dispatch_fn(spark, sf):
+    """The public user-extension point (functions/vector.py
+    symbolic_dispatch — reference siuba/siu/dispatchers.py:19-83,
+    VERDICT r7 item 4) driven through a real pipeline: a custom
+    JVM-side column function registered by a user, used in mutate,
+    filter, and (via method chaining) a grouped aggregate.  Decimal cast
+    inside the custom fn keeps the sum order-independent for the
+    cross-engine hash."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import symbolic_dispatch
+
+    @symbolic_dispatch(name="net_price_r8")
+    def _net(price, disc):
+        return (price * (1.0 - disc)).cast("decimal(18,6)")
+
+    lt = _t(spark, sf, "lineitem")
+    return (lt
+            >> mutate(net=_net(_.l_extendedprice, _.l_discount))
+            >> filter(_.net > 1000)
+            >> group_by(_.l_returnflag)
+            >> summarize(n_items=n(), revenue=_.net.sum())
+            >> ungroup()).df.select(
+                "l_returnflag", "n_items",
+                F.col("revenue").cast("double").alias("revenue"))
+
+
+SQL_SYMBOLIC_DISPATCH_FN = """
+WITH m AS (SELECT l_returnflag,
+             CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+               AS net
+           FROM lineitem)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(net) AS DOUBLE) AS revenue
+FROM m WHERE net > 1000 GROUP BY l_returnflag
+"""
+
+
+def q_bpe_broadcast(spark, sf):
+    """The BPE broadcast-join variant (corpus/bpe.py, VERDICT r7 item 5):
+    the merges ranking rides a one-row broadcast MAP relation instead of
+    a literal plan map — token counts must be identical, graded against
+    the same 15-step DuckDB merge-loop replay as the literal path."""
+    from siuba_spark.corpus.bpe import bpe_token_count
+    return bpe_token_count(_td(spark, sf), broadcast=True).df \
+        .select("doc_id", "n_bpe_tokens")
+
+
+SQL_BPE_BROADCAST = SQL_BPE_TOKEN_COUNT
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5095,32 +5232,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bpe_token_count_true": q_bpe_token_count,
         "vector_mean": q_vector_mean,
+        "semantic_dedup_incr": q_semantic_dedup_incr,
+        "stream_minhash_store": q_stream_minhash_store,
+        "symbolic_dispatch_fn": q_symbolic_dispatch_fn,
+        "bpe_broadcast": q_bpe_broadcast,
     })
-    # Driver grades the FIRST 50 entries only.  Round-7 window: the new r7
-    # entries, then the entries whose LAST driver grade is oldest (r1,
-    # then r2, oldest-first) — VERDICT r6 item 5: refresh stale grades by
-    # rotation.  Everything else keeps its prior (green) grade and stays
-    # covered by tools/oracle_sweep.py.
+    # Driver grades the FIRST 50 entries only.  Round-8 window: the new
+    # r8 entries + vector_mean (added below the r7 window, never graded),
+    # then the entries whose LAST driver grade is oldest (r2, then r3,
+    # then the r4 head, oldest-first) — the rotation VERDICT r6 item 5
+    # established.  Everything else keeps its prior (green) grade and
+    # stays covered by tools/oracle_sweep.py.
     front = [
-        # new in r7
-        "sql_raw_mutate", "exact_dedup_incremental", "minhash_incremental",
-        "semantic_dedup", "bpe_token_count_true", "minhash_prod_gate",
-        # last graded r1
-        "extract_regex", "ffill_gaps", "gather_long", "offsets_family",
-        "token_count_bpe",
-        # last graded r2 (alphabetical; 42 of 49 fit the 50-window)
-        "add_count", "agg_stats", "arrange_limit", "case_when_bands",
-        "complete_grid", "corpus_prep", "count_sorted", "cumsum_running",
-        "distinct_pairs", "dt_functions", "events_sessionize",
-        "events_total_seconds", "events_tumbling", "fct_infreq_arrange",
-        "fct_lump", "fct_lump_prop", "fct_reorder_arrange",
-        "filter_compound", "fingerprint", "full_join_coalesce",
-        "grouped_filter", "grouped_mutate_zscore", "join_inner",
-        "join_left_agg", "lang_score", "lead_lag", "mutate_arith",
-        "nest_unnest", "ntile_quartiles", "null_semantics",
-        "nunique_window", "pivot_longer", "pivot_wider",
-        "pivot_wider_glue", "rank_methods", "revenue_by_nation",
-        "salted_join_agg", "select_rename", "semi_anti",
+        # new in r8
+        "semantic_dedup_incr", "stream_minhash_store",
+        "symbolic_dispatch_fn", "bpe_broadcast",
+        # never driver-graded (added below the r7 window)
+        "vector_mean",
+        # last graded r2
+        "separate_unite", "spread_wide", "str_findall_family",
+        "str_functions", "text_stats", "theta_join", "top_n", "tpch_q3",
+        "window_ranks", "window_share",
+        # last graded r3 (alphabetical, all 32)
+        "across_agg", "agg_moments", "asof_last_purchase",
+        "bind_rows_slices", "corr_matrix", "crosstab", "cumall_cumany",
+        "cut_qcut_bands", "describe_stats", "elwise_family",
+        "events_sliding", "expand_grid", "fct_remap", "first_last_agg",
+        "hash_split", "interval_join_events", "json_props", "one_hot",
+        "rank_average", "rolling_time_window", "rolling_window",
+        "row_number_per_group", "slice_minmax", "str_pad_family",
+        "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q17", "tpch_q18",
+        "tpch_q5", "tpch_q6", "transmute_pricing",
+        # last graded r4 (alphabetical head; the rest rotate in r9)
+        "ann_topk", "audio_meta", "chunk_tokens",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -5301,4 +5445,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "bpe_token_count_true": SQL_BPE_TOKEN_COUNT,
         "vector_mean": SQL_VECTOR_MEAN,
+        "semantic_dedup_incr": SQL_SEMANTIC_DEDUP_INCR,
+        "stream_minhash_store": SQL_STREAM_MINHASH_STORE,
+        "symbolic_dispatch_fn": SQL_SYMBOLIC_DISPATCH_FN,
+        "bpe_broadcast": SQL_BPE_BROADCAST,
     }

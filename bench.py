@@ -58,6 +58,9 @@ def main():
         # round-5 additions
         "rolling_stats", "set_ops", "ivf_topk_lloyd", "pq_topk",
         "ivf_pq_topk",
+        # round-8 additions: the r7/r8 corpus-pipeline surface
+        "semantic_dedup", "bpe_token_count_true", "vector_mean",
+        "exact_dedup_incremental", "semantic_dedup_incr",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64
@@ -73,8 +76,11 @@ def main():
     # 0.57 vs 0.74 A/A swing on identical code in r4; tpch_q4 had all 3
     # r4 reps swallowed by one GC event — 3.498 s recorded vs 0.711 s
     # re-measured in a clean JVM)
+    # ivf_topk_lloyd added r8: two consecutive upward creeps (1.42 ->
+    # 1.65 -> 1.88 s) that the tight A/A compare attributed mostly to
+    # noise + a removed second collect; extra reps pin it down
     EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3",
-                  "tpch_q4", "rolling_stats"}
+                  "tpch_q4", "rolling_stats", "ivf_topk_lloyd"}
     queries = entry.queries()
     # the xxhash64 simhash twin left the graded registry in round 6 (its
     # driver signal is now the constant-oracle simhash_prod_gate); bench

@@ -725,6 +725,102 @@ def semantic_dedup(tbl: SparkTbl, threshold: float = 0.95,
     return deduped
 
 
+def _assign_fixed(df, cents, id_col, vec_col):
+    """Assign rows to FIXED centroids (broadcast 1-row centroid table,
+    argmin squared distance, first index on ties — the identical plan
+    ``_cells_and_centers`` builds, minus training).  Returns
+    (id_col, vec_col, __nn, __cell)."""
+    spark = df.sparkSession
+    cpk = (spark.createDataFrame([(cents,)], "__cents: array<array<double>>")
+           .withColumn("__jk", F.lit(1)))
+    vd = _to_double(F.col(vec_col))
+    d2 = F.transform(F.col("__cents"), lambda c: F.aggregate(
+        F.zip_with(vd, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cell = (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+    return (df.withColumn("__jk", F.lit(1)).join(F.broadcast(cpk), "__jk")
+            .select(F.col(id_col), F.col(vec_col),
+                    _norm_sq(F.col(vec_col)).alias("__nn"),
+                    cell.alias("__cell")))
+
+
+def semantic_dedup_incremental(
+        tbl: SparkTbl, store=None, cents=None, threshold: float = 0.95,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        n_lists: int = 16, centroids: str = "lloyd", n_iters: int = 2,
+        seed: int = 42, train_limit: int | None = None, round_to: int = 4):
+    """SemDeDup over a NEW embedding snapshot against a persisted
+    assignment store — the snapshot-over-snapshot form of
+    ``semantic_dedup`` (the embedding twin of
+    ``minhash_near_dups_incremental``; same store discipline).
+
+    Returns ``(pairs, new_store, cents)``:
+
+    - ``pairs``: intra-cell cosine pairs (``score ≥ threshold``) with AT
+      LEAST ONE new endpoint — new×new plus new×store (store×store pairs
+      were emitted by the snapshots that introduced them).  Orientation
+      normalized to ``id_a < id_b``, so the union of every snapshot's
+      output EQUALS the from-scratch ``semantic_dedup(return_pairs=True)``
+      pair set over the full corpus AT THE SAME CENTROIDS — run
+      ``dedup_clusters``/``drop_near_dups`` over the accumulated pairs for
+      the kept set (components over the union of pairs are exactly the
+      from-scratch components, so representative selection matches too).
+    - ``new_store``: store ∪ new ``(id_col, vec_col, __nn, __cell)`` —
+      persist with ``write_parquet`` and pass back next snapshot.
+    - ``cents``: the centroid list (first call trains it on THIS
+      snapshot's bounded slice; later calls require it back verbatim —
+      it is driver-sized by construction, n_lists × dim floats; persist
+      as JSON next to the store).
+
+    Scale shape: the NEW side only is assigned (one broadcast-centroid
+    pass); the store participates exactly once, as the probe side of the
+    cell-equijoin — it is NEVER re-paired against itself, so per-snapshot
+    cost is Σ over cells of |new_cell| × (|new_cell| + |store_cell|), not
+    corpus².  Centroids stay FIXED after the first snapshot (the
+    incremental contract; re-train offline and rebuild the store if the
+    distribution drifts).
+
+    Contract: ids are globally unique across snapshots."""
+    if store is None:
+        assigned, centers = _cells_and_centers(
+            tbl, id_col, vec_col, n_lists, centroids, n_iters, seed,
+            train_limit)
+        cents = [c for _i, c in centers]
+        new_asg = assigned.select(
+            F.col("nbr_id").alias(id_col), F.col("nbr_vec").alias(vec_col),
+            "__nn", "__cell")
+        store_df = None
+    else:
+        if cents is None:
+            raise ValueError(
+                "semantic_dedup_incremental: pass the cents list returned "
+                "by the first call along with the store (assignments are "
+                "only comparable at fixed centroids)")
+        new_asg = _assign_fixed(tbl.df, cents, id_col, vec_col)
+        store_df = store.df if isinstance(store, SparkTbl) else store
+
+    nb = new_asg.withColumn("__new", F.lit(True))
+    all_b = nb if store_df is None else \
+        nb.unionByName(store_df.withColumn("__new", F.lit(False)))
+    l, r = nb.alias("l"), all_b.alias("r")
+    pairs = (l.join(r, [F.col("l.__cell") == F.col("r.__cell"),
+                        (~F.col("r.__new"))
+                        | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))])
+             .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+             .withColumn("score", F.round(_cosine_from_parts(
+                 f"l.{vec_col}", f"r.{vec_col}",
+                 F.col("l.__nn"), F.col("r.__nn")), round_to))
+             .filter(F.col("score") >= threshold)
+             .select(F.least(F.col(f"l.{id_col}"),
+                             F.col(f"r.{id_col}")).alias("id_a"),
+                     F.greatest(F.col(f"l.{id_col}"),
+                                F.col(f"r.{id_col}")).alias("id_b"),
+                     "score"))
+    new_store = new_asg if store_df is None else \
+        store_df.unionByName(new_asg)
+    return SparkTbl(pairs), SparkTbl(new_store), cents
+
+
 @verb
 def vector_mean(tbl: SparkTbl, by, vec_col: str = "embedding",
                 out: str = "centroid", normalize: bool = False,

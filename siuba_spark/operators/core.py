@@ -304,6 +304,14 @@ def filter(tbl: SparkTbl, *conds, _by=None, **kwargs):
             expanded.extend(expand_across(cond, tbl.columns).values())
         elif isinstance(cond, IfAnyAll):
             expanded.append(expand_if_any_all(cond, tbl.columns))
+        elif callable(cond) and not isinstance(strip_symbolic(cond), Call):
+            # plain-function conditions (reference filter tutorial: both
+            # `_.cyl == 4` and `lambda _: _.cyl == 4` work — 'filter will
+            # call the lambda on the underlying data'): call it with the
+            # symbolic frame so the condition stays a translated plan,
+            # never a row-at-a-time Python predicate
+            from ..siu.calls import Symbolic
+            expanded.append(cond(Symbolic(MetaArg())))
         else:
             expanded.append(cond)
 

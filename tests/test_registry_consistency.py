@@ -41,6 +41,22 @@ def test_local_sweep_covers_registry():
         "after changing the registry")
 
 
+def test_local_sweep_ran_at_multiple_sfs():
+    """Tri-SF guard (VERDICT r7 item 7): one-SF green can be luck — the
+    round-7 sf0.1 sweep disproved an oracle that held only at small
+    scale.  The committed sweep artifact must therefore carry at least
+    one EXTRA scale factor, all green (run
+    ``python tools/oracle_sweep.py SF1 SF2 ...``)."""
+    with open(os.path.join(REPO, "CORRECTNESS_local.json")) as fh:
+        sweep = json.load(fh)
+    extra = sweep.get("extra_sfs")
+    assert extra, (
+        "CORRECTNESS_local.json was produced by a single-SF sweep — run "
+        "tools/oracle_sweep.py with two SF dirs (e.g. sf0.01 sf0.001)")
+    for sf, summary in extra.items():
+        assert summary["ok"] == summary["total"], (sf, summary["failed"])
+
+
 def test_every_query_has_an_oracle_or_is_allowlisted():
     queries = set(entry.queries())
     oracles = set(entry.oracle_sql())
