@@ -1385,7 +1385,10 @@ def q_minhash_prod_gate(spark, sf):
     sh = add_shingles(docs, col="text", k=3).df.select("doc_id", "shingles")
     a = sh.selectExpr("doc_id AS id_a", "shingles AS sa")
     b = sh.selectExpr("doc_id AS id_b", "shingles AS sb")
-    exact = (a.crossJoin(b).filter("id_a < id_b")
+    # bounded all-pairs ground truth (<= ~403 docs by construction):
+    # broadcast the probe side so the plan is an explicit
+    # BroadcastNestedLoopJoin, not an unbounded CartesianProduct node
+    exact = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
              .withColumn("j", F.size(F.array_intersect("sa", "sb"))
                          / F.size(F.array_union("sa", "sb")))
              .filter(F.col("j") >= 0.3).select("id_a", "id_b", "j"))
@@ -1412,8 +1415,10 @@ def q_minhash_prod_gate(spark, sf):
                                  "doc_id long, want string")
     sig_ok = (psig.withColumn("fp", fp).join(want, "doc_id")
               .agg(F.bool_and(F.col("fp") == F.col("want")).alias("ok")))
-    return (false_pairs.crossJoin(missed_dups).crossJoin(npairs)
-            .crossJoin(sig_ok)
+    # 1-row scalar-agg combines: broadcast crosses, never cartesians
+    return (false_pairs.crossJoin(F.broadcast(missed_dups))
+            .crossJoin(F.broadcast(npairs))
+            .crossJoin(F.broadcast(sig_ok))
             .select(F.col("ok").cast("int").alias("sig_pinned"),
                     (F.col("fp") == 0).cast("int").alias("precision_ok"),
                     (F.col("md") == 0).cast("int").alias("dup_recall_ok"),

@@ -166,8 +166,29 @@ def main():
         out = token_budget_sample(out, "__bucket", budget=100_000)
         return out.df
 
+    def bpe_true(d):
+        # the 15-step merges-table BPE loop (corpus/bpe.py): CPU-linear
+        # in corpus tokens, zero shuffle until the final per-doc count
+        from siuba_spark.corpus.bpe import bpe_token_count
+        return bpe_token_count(d).df.select("doc_id", "n_bpe_tokens")
+
+    def bpe_bc_50k(d):
+        # GPT-2-size vocabulary (>50k merges) through the broadcast-join
+        # variant — the table rides ONE broadcast exchange, plan size
+        # constant; filler pairs never match so counts equal bpe_true
+        from siuba_spark.corpus.bpe import (
+            BROADCAST_MERGES_THRESHOLD, DEFAULT_MERGES, bpe_token_count,
+        )
+        merges = list(DEFAULT_MERGES) + [
+            (f"zz{i}", f"qq{i}")
+            for i in range(BROADCAST_MERGES_THRESHOLD + 1000)]
+        return bpe_token_count(d, merges=merges).df \
+            .select("doc_id", "n_bpe_tokens")
+
     OPS = {
         "exact_dedup": lambda d: exact_dedup(d, cols=("text",)).df,
+        "bpe_token_count": bpe_true,
+        "bpe_bc_50k": bpe_bc_50k,
         "minhash_near_dups": lambda d: minhash_near_dups(d, threshold=0.7).df,
         "dedup_chain": dedup_chain,
         "lsh_topk_768": lsh_topk_768,
