@@ -44,7 +44,8 @@ from .operators.rows import (
     rows_delete,
 )
 from .operators.reshape import (
-    gather, spread, separate, separate_rows, unite, extract, nest, unnest, expand, complete,
+    gather, spread, separate, separate_rows, unite, extract, nest, unnest,
+    unnest_longer, unnest_wider, hoist, expand, complete,
     separate_wider_delim, separate_wider_position, separate_wider_regex,
     fill_na_directional as fill, drop_na, replace_na,
     pivot_longer, pivot_wider, bind_rows, one_hot, crosstab,
@@ -85,7 +86,9 @@ __all__ = [
     "semi_join", "anti_join", "asof_join", "interval_join", "salted_join",
     "union", "union_all", "intersect", "setdiff", "cross_join", "nest_join", "across", "Fx", "if_any", "if_all", "call", "py_func", "group_apply",
     "rows_insert", "rows_append", "rows_update", "rows_patch", "rows_upsert", "rows_delete",
-    "gather", "spread", "separate", "separate_rows", "unite", "extract", "nest", "unnest", "fill", "drop_na", "replace_na",
+    "gather", "spread", "separate", "separate_rows", "unite", "extract",
+    "nest", "unnest", "unnest_longer", "unnest_wider", "hoist",
+    "fill", "drop_na", "replace_na",
     "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",

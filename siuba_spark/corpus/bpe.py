@@ -25,12 +25,19 @@ accumulator, so the oracle replays the whole loop value-exactly.
 Scale shape: per word the loop is ``max_word_len - 1`` materialized
 projections of O(word_len) array ops — CPU-linear in corpus tokens, no
 shuffle until the final per-document count aggregation (one shuffle,
-map-side combined).  The merges ranking ships one of two ways: a literal
-MAP in the plan for tokenizer-sized tables, or — above
-``BROADCAST_MERGES_THRESHOLD`` (or ``broadcast=True``) — a one-row
-broadcast-joined MAP relation, which moves the table onto the data path
-(one broadcast exchange) and keeps plan size constant for 100k+ merge
-vocabularies.  Both variants run the identical merge loop.
+map-side combined).  The merges ranking ships in one of THREE tiers
+(auto-selected by size, overridable via ``broadcast=``/``engine=``):
+
+1. flat literal plan map (<= BROADCAST_MERGES_THRESHOLD): zero setup,
+   fine while a linear ``element_at`` scan over the entries is cheap;
+2. bucketed broadcast map (map<int, map<string,int>>, crc32 % sqrt(N)
+   buckets): one broadcast exchange, constant plan size, ~2*sqrt(N)
+   compares per probe;
+3. Arrow mapInPandas tokenizer (> ARROW_MERGES_THRESHOLD): a real hash
+   table with O(1) lookups — the GPT-2-scale (50k merges) path, since
+   JVM MapType probes always scan.
+
+All tiers produce identical tokens (pinned by parity tests).
 
 No reference equivalent (siuba has no tokenizer surface); the API mirrors
 this repo's corpus verbs.
@@ -44,6 +51,7 @@ from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
 __all__ = ["DEFAULT_MERGES", "BROADCAST_MERGES_THRESHOLD",
+           "ARROW_MERGES_THRESHOLD",
            "bpe_token_count", "bpe_encode", "bpe_tokens_col"]
 
 # the GPT-2-ish pre-tokenizer pattern token_count_bpe already uses
@@ -67,13 +75,18 @@ _NO_MERGE = 1 << 30  # rank sentinel: pair not in the table
 
 
 def _merges_map(merges):
-    """Literal MAP<pair-key, rank> column.  Guarded small: a literal map
-    is serialized into every task's plan, which is the right trade for
-    tokenizer-sized tables (GPT-2 ships 50k merges ≈ 1 MB — still fine);
-    beyond that, switch to a broadcast join."""
-    if len(merges) > 200_000:
-        raise ValueError("merges table too large for a literal plan map; "
-                         "use a broadcast-join variant")
+    """Literal MAP<pair-key, rank> column — tier 1, SMALL tables only.
+    Two costs grow with size: the literal serializes into every task's
+    plan, and ``element_at`` on a MapType is a linear scan per probe.
+    The verbs auto-switch to the bucketed broadcast relation above
+    ``BROADCAST_MERGES_THRESHOLD`` and to the Arrow tokenizer above
+    ``ARROW_MERGES_THRESHOLD``; this hard guard only backstops direct
+    expression-level use (``bpe_tokens_col``)."""
+    if len(merges) > 8192:
+        raise ValueError(
+            "merges table too large for a literal plan map (plan bloat + "
+            "linear element_at scans); use bpe_token_count/bpe_encode, "
+            "which auto-route to the bucketed broadcast or Arrow tier")
     entries = []
     for rank, (a, b) in enumerate(merges):
         entries.append(F.lit(f"{a} {b}"))
@@ -82,30 +95,68 @@ def _merges_map(merges):
 
 
 def _merges_relation(spark, merges):
-    """One-row DataFrame carrying the merges ranking as a MAP column —
-    the broadcast-join variant for large vocabularies.  The table ships
-    to executors ONCE via a broadcast exchange (data path), instead of
-    being serialized into every task's plan the way the literal map is;
-    plan size stays constant no matter how many merges.  Built from two
-    parallel arrays (Arrow-transferred) + ``map_from_arrays``."""
-    keys = [f"{a} {b}" for a, b in merges]
+    """One-row DataFrame carrying the merges ranking as a TWO-LEVEL
+    bucketed map ``map<int, map<string,int>>`` — the broadcast-join
+    variant for large vocabularies.
+
+    Two scale problems with a flat map, both fixed here:
+
+    - plan size: a literal map serializes into every task; this table
+      ships ONCE via a broadcast exchange (data path), so plan size is
+      constant no matter how many merges;
+    - lookup cost: Spark's ``element_at`` on a MapType is a LINEAR scan
+      of the entries — a flat 50k-entry map costs 50k string compares
+      per pair-rank probe, which is computationally infeasible over a
+      corpus (measured: the flat variant stalls scale_spot at 100x).
+      Bucketing by ``crc32(key) % ceil(sqrt(N))`` cuts each probe to
+      ~2·sqrt(N) compares (~450 for GPT-2's 50k vs 50k flat).
+
+    crc32 is the bucket hash because Python's ``zlib.crc32`` and
+    Spark's ``F.crc32`` agree bit-for-bit on UTF-8 bytes, so the
+    build-side (driver) and probe-side (executor expression) bucket
+    identically.  Returns ``(one_row_df, n_buckets)``."""
+    import math
+    import zlib
+
+    n_buckets = max(1, math.isqrt(len(merges)))
+    ks = [[] for _ in range(n_buckets)]
+    rs = [[] for _ in range(n_buckets)]
+    for rank, (a, b) in enumerate(merges):
+        key = f"{a} {b}"
+        i = zlib.crc32(key.encode("utf-8")) % n_buckets
+        ks[i].append(key)
+        rs[i].append(rank)
     df = spark.createDataFrame(
-        [(keys, list(range(len(keys))))], "k array<string>, r array<int>")
-    return df.select(F.map_from_arrays("k", "r").alias("__merges"))
+        [(list(range(n_buckets)), ks, rs)],
+        "b array<int>, k array<array<string>>, r array<array<int>>")
+    inner = F.zip_with("k", "r", lambda kk, rr: F.map_from_arrays(kk, rr))
+    return (df.select(F.map_from_arrays("b", inner).alias("__merges")),
+            n_buckets)
 
 
-#: auto-switch point: beyond this many merges the verbs broadcast-join
-#: the ranking instead of inlining a literal plan map (a 50k GPT-2 table
-#: is ~1 MB of plan either way — the join keeps plans lean past that)
-BROADCAST_MERGES_THRESHOLD = 50_000
+#: auto-switch point: beyond this many merges the verbs broadcast-join a
+#: BUCKETED ranking instead of inlining a flat literal plan map (the
+#: flat map's linear element_at scan dominates CPU long before its plan
+#: size does)
+BROADCAST_MERGES_THRESHOLD = 1024
+
+#: beyond this, even bucketed JVM map scans (~2*sqrt(N) per probe) lose
+#: to an Arrow-batched tokenizer with O(1) dict lookups — GPT-2-size
+#: tables auto-route to engine="arrow"
+ARROW_MERGES_THRESHOLD = 8192
 
 
-def _pair_rank(m, a, b):
-    return F.coalesce(F.element_at(m, F.concat_ws(" ", a, b)),
-                      F.lit(_NO_MERGE))
+def _pair_rank(m, a, b, n_buckets=None):
+    key = F.concat_ws(" ", a, b)
+    if n_buckets is not None:
+        bucket = F.pmod(F.crc32(key.cast("binary")),
+                        F.lit(n_buckets)).cast("int")
+        return F.coalesce(F.element_at(F.element_at(m, bucket), key),
+                          F.lit(_NO_MERGE))
+    return F.coalesce(F.element_at(m, key), F.lit(_NO_MERGE))
 
 
-def _merge_step(syms, m):
+def _merge_step(syms, m, n_buckets=None):
     """ONE merge: find the lowest-rank adjacent pair (leftmost on ties via
     first-index array_position) and join that occurrence.  Identity when
     no pair is in the table or fewer than 2 symbols remain."""
@@ -113,7 +164,7 @@ def _merge_step(syms, m):
     ranks = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
         lambda i: _pair_rank(m, F.element_at(syms, i),
-                             F.element_at(syms, i + 1)))
+                             F.element_at(syms, i + 1), n_buckets))
     best = F.array_min(ranks)
     p = F.array_position(ranks, best).cast("int")
     merged = F.concat(
@@ -157,21 +208,87 @@ def _run_merge_loop(rows, merges, max_word_len, broadcast=None):
     references that attribute instead of a literal."""
     if broadcast is None:
         broadcast = len(merges) > BROADCAST_MERGES_THRESHOLD
+    nb = None
     if broadcast:
-        mdf = _merges_relation(rows.sparkSession, merges)
+        mdf, nb = _merges_relation(rows.sparkSession, merges)
         rows = rows.join(F.broadcast(mdf))
         m = F.col("__merges")
     else:
         m = _merges_map(merges)
     for _ in range(max(1, max_word_len - 1)):
-        rows = rows.withColumn("__s", _merge_step(F.col("__s"), m))
+        rows = rows.withColumn("__s", _merge_step(F.col("__s"), m, nb))
     return rows.drop("__merges") if broadcast else rows
+
+
+def _arrow_bpe_fn(merges, col, id_col, max_word_len, out, mode):
+    """Arrow-batched (mapInPandas) classic-BPE tokenizer — the
+    GPT-2-scale engine tier.  A Python dict gives O(1) rank lookups
+    where every JVM MapType probe is a linear (flat) or ~2*sqrt(N)
+    (bucketed) scan, so past ``ARROW_MERGES_THRESHOLD`` merges this is
+    the only formulation whose per-token cost is independent of
+    vocabulary size.  The merge loop is the SAME algorithm as the
+    expression path (bounded steps, lowest-rank pair, leftmost on ties,
+    words truncated to ``max_word_len``) — parity is pinned in
+    test_bpe.  The pre-tokenizer regex is evaluated by Python ``re``
+    here and Java regex in the expression path; the pattern uses only
+    ASCII classes so both agree."""
+    import re
+
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    pat = re.compile(_BPE_RE)
+
+    def encode_word(word):
+        syms = list(word[:max_word_len])
+        for _ in range(max(1, max_word_len - 1)):
+            if len(syms) < 2:
+                break
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    def fn(batches):
+        for pdf in batches:
+            toks = [[t for w in pat.findall(s.lower())
+                     for t in encode_word(w)]
+                    for s in pdf[col].fillna("")]
+            if mode == "count":
+                yield pd.DataFrame({id_col: pdf[id_col],
+                                    out: [len(t) for t in toks]})
+            else:
+                yield pd.DataFrame({id_col: pdf[id_col], out: toks})
+
+    return fn
+
+
+def _arrow_bpe(tbl, merges, col, id_col, out, max_word_len, mode):
+    id_type = tbl.df.schema[id_col].dataType.simpleString()
+    out_type = "bigint" if mode == "count" else "array<string>"
+    fn = _arrow_bpe_fn(merges, col, id_col, max_word_len, out, mode)
+    return (tbl.df.select(id_col, col)
+            .mapInPandas(fn, f"{id_col} {id_type}, {out} {out_type}"))
+
+
+def _pick_engine(engine, merges):
+    if engine is None:
+        return "arrow" if len(merges) > ARROW_MERGES_THRESHOLD else "expr"
+    if engine not in ("expr", "arrow"):
+        raise ValueError("engine must be 'expr', 'arrow', or None (auto)")
+    return engine
 
 
 @verb
 def bpe_token_count(tbl: SparkTbl, merges=None, col: str = "text",
                     id_col: str = "doc_id", out: str = "n_bpe_tokens",
-                    max_word_len: int = 16, broadcast=None):
+                    max_word_len: int = 16, broadcast=None,
+                    engine: str | None = None):
     """Per-document TRUE-BPE token count against a merges ranking.
 
     One explode (zero-shuffle) + the bounded merge loop + one count
@@ -179,13 +296,27 @@ def bpe_token_count(tbl: SparkTbl, merges=None, col: str = "text",
     whose text produces no pre-tokens count 0.  Column-preserving: the
     count joins back onto the FULL input row (same contract as the
     sibling ``token_count_bpe``), so text/metadata stay available
-    downstream."""
+    downstream.
+
+    ``engine=`` picks the tokenizer tier (None = auto by merges size):
+    ``"expr"`` — pure JVM array expressions (literal map, or bucketed
+    broadcast map above ``BROADCAST_MERGES_THRESHOLD``); ``"arrow"`` —
+    mapInPandas with O(1) dict lookups, the GPT-2-scale path (JVM map
+    probes scan linearly, so vocabulary-independent cost needs a real
+    hash table).  All tiers produce identical tokens."""
     merges = DEFAULT_MERGES if merges is None else list(merges)
+    base = tbl.df.drop(out)
+    if _pick_engine(engine, merges) == "arrow":
+        counts = _arrow_bpe(tbl, merges, col, id_col, out,
+                            max_word_len, "count")
+        df = (base.join(counts, id_col, "left")
+              .withColumn(out, F.coalesce(F.col(out), F.lit(0))
+                          .cast("long")))
+        return tbl.evolve(df=df)
     rows = _word_rows(tbl.df, col, id_col, max_word_len)
     rows = _run_merge_loop(rows, merges, max_word_len, broadcast)
     counts = (rows.groupBy(id_col)
               .agg(F.sum(F.size("__s")).alias(out)))
-    base = tbl.df.drop(out)
     df = (base.join(counts, id_col, "left")
           .withColumn(out, F.coalesce(F.col(out), F.lit(0)).cast("long")))
     return tbl.evolve(df=df)
@@ -194,18 +325,24 @@ def bpe_token_count(tbl: SparkTbl, merges=None, col: str = "text",
 @verb
 def bpe_encode(tbl: SparkTbl, merges=None, col: str = "text",
                id_col: str = "doc_id", out: str = "bpe_tokens",
-               max_word_len: int = 16, broadcast=None):
+               max_word_len: int = 16, broadcast=None,
+               engine: str | None = None):
     """Per-document BPE token sequence (array<string>), word order
     preserved via the pre-tokenizer's position index.  Column-preserving:
-    the sequence joins back onto the FULL input row."""
+    the sequence joins back onto the FULL input row.  ``engine=`` as in
+    ``bpe_token_count``."""
     merges = DEFAULT_MERGES if merges is None else list(merges)
-    rows = _word_rows(tbl.df, col, id_col, max_word_len)
-    rows = _run_merge_loop(rows, merges, max_word_len, broadcast)
-    seqs = (rows.groupBy(id_col)
-            .agg(F.flatten(F.array_sort(F.collect_list(
-                F.struct(F.col("__wi"), F.col("__s")))).getField("__s"))
-                .alias(out)))
     base = tbl.df.drop(out)
+    if _pick_engine(engine, merges) == "arrow":
+        seqs = _arrow_bpe(tbl, merges, col, id_col, out,
+                          max_word_len, "encode")
+    else:
+        rows = _word_rows(tbl.df, col, id_col, max_word_len)
+        rows = _run_merge_loop(rows, merges, max_word_len, broadcast)
+        seqs = (rows.groupBy(id_col)
+                .agg(F.flatten(F.array_sort(F.collect_list(
+                    F.struct(F.col("__wi"), F.col("__s")))).getField("__s"))
+                    .alias(out)))
     df = (base.join(seqs, id_col, "left")
           .withColumn(out, F.coalesce(F.col(out),
                                       F.array().cast("array<string>"))))

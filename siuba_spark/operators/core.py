@@ -265,10 +265,30 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
 @verb
 def transmute(tbl: SparkTbl, *args, **kwargs):
     """mutate, then keep only grouping + new columns
-    (reference: siuba/sql/verbs/mutate.py:121-133)."""
-    kwargs = _merge_across(tbl, args, kwargs)
-    out = mutate(tbl, **kwargs)
-    keep = list(tbl.group_by) + [k for k in kwargs if k not in tbl.group_by]
+    (reference: siuba/sql/verbs/mutate.py:121-133).  Positional column
+    references select pass-through columns (the transmute doc:
+    ``transmute(_.cyl, _.mpg, hp_per_cyl=_.hp / _.cyl)``); positional
+    ``across(...)`` expands as in mutate."""
+    from .across import Across
+    plain, across_args = [], []
+    for a in args:
+        if isinstance(a, Across):
+            across_args.append(a)
+        else:
+            node = strip_symbolic(a)
+            if isinstance(a, str):
+                plain.append(a)
+            elif isinstance(node, GetAttr) and isinstance(node.obj, MetaArg):
+                plain.append(node.name)
+            else:
+                raise TranslationError(
+                    "positional arguments to transmute must be column "
+                    "references or across(...) expansions")
+    kwargs = _merge_across(tbl, across_args, kwargs)
+    out = mutate(tbl, **kwargs) if kwargs else tbl
+    keep = (list(tbl.group_by) + [c for c in plain if c not in tbl.group_by]
+            + [k for k in kwargs
+               if k not in tbl.group_by and k not in plain])
     return out.evolve(df=out.df.select(*keep))
 
 

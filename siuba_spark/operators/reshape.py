@@ -26,7 +26,8 @@ from .tidyselect import resolve_measure_names, resolve_names
 __all__ = [
     "fill_na_directional", "drop_na", "replace_na",
     "gather", "spread", "separate", "separate_rows", "unite", "extract",
-    "nest", "unnest", "expand", "complete", "pivot_longer", "pivot_wider",
+    "nest", "unnest", "unnest_longer", "unnest_wider", "hoist",
+    "expand", "complete", "pivot_longer", "pivot_wider",
     "bind_rows", "one_hot", "crosstab",
     "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
 ]
@@ -1116,3 +1117,103 @@ def separate_wider_regex(tbl: SparkTbl, col, patterns: dict,
            .alias(nm)
            for i, nm in enumerate(out_names)]
     return tbl.evolve(df=df.select(*keep, *new))
+
+
+# --------------------------------------------------------------------------
+# tidyr 1.x rectangling: unnest_longer / unnest_wider / hoist
+# (beyond the reference — siuba stops at nest/unnest; these are the modern
+# tidyr rectangling verbs, and Spark's native complex types make them
+# shuffle-free projections/explodes)
+# --------------------------------------------------------------------------
+
+@verb
+def unnest_longer(tbl: SparkTbl, col, values_to: str | None = None,
+                  indices_to: str | None = None, keep_empty: bool = False):
+    """tidyr ``unnest_longer``: explode a list column to one row PER
+    ELEMENT, optionally keeping the element index (0-based for arrays,
+    the key for maps).
+
+    - array column  -> rows of elements; ``indices_to`` adds positions;
+    - map column    -> rows of values; ``indices_to`` adds keys;
+    - ``keep_empty=True`` keeps rows whose list is empty/NULL (their
+      value/index become NULL) — ``explode_outer`` semantics.
+
+    Zero shuffle: one generator projection (posexplode), the same plan
+    shape as ``separate_rows``."""
+    name = _colname(col, tbl.columns)
+    values_to = values_to or name
+    others = [c for c in tbl.columns if c != name]
+    dt = dict((f.name, f.dataType) for f in tbl.df.schema.fields)[name]
+    if isinstance(dt, T.MapType):
+        # explode over maps yields (key, value); tidyr keeps map names
+        # by default (they're meaningful), under `{col}_id` unless
+        # indices_to renames it
+        gen = F.explode_outer(name) if keep_empty else F.explode(name)
+        idx_name = indices_to or f"{name}_id"
+        df = tbl.df.select(*others, gen.alias(idx_name, values_to))
+        return tbl.evolve(df=df)
+    gen = F.posexplode_outer(name) if keep_empty else F.posexplode(name)
+    df = tbl.df.select(*others, gen.alias("__idx", values_to))
+    if indices_to is not None:
+        df = df.withColumn(indices_to, F.col("__idx"))
+    return tbl.evolve(df=df.drop("__idx"))
+
+
+@verb
+def unnest_wider(tbl: SparkTbl, col, names_sep: str | None = None):
+    """tidyr ``unnest_wider``: promote a struct column's fields (or a
+    map column's keys) to top-level columns.
+
+    Structs are schema-static — the widening is a pure projection, no
+    job runs.  Maps need the key universe: a bounded distinct-keys probe
+    (the same ``MAX_PIVOT_KEYS``-capped collected-spec job as
+    ``pivot_wider``); missing keys become NULL.  ``names_sep`` prefixes
+    new columns with ``{col}{names_sep}`` (tidyr's collision-avoidance
+    convention)."""
+    name = _colname(col, tbl.columns)
+    others = [c for c in tbl.columns if c != name]
+    dt = dict((f.name, f.dataType) for f in tbl.df.schema.fields)[name]
+    pre = f"{name}{names_sep}" if names_sep else ""
+    if isinstance(dt, T.StructType):
+        new = [F.col(f"{name}.{f.name}").alias(f"{pre}{f.name}")
+               for f in dt.fields]
+        return tbl.evolve(df=tbl.df.select(*others, *new))
+    if isinstance(dt, T.MapType):
+        rows = (tbl.df.select(F.explode(F.map_keys(F.col(name)))
+                              .alias("__k"))
+                .distinct().orderBy("__k")
+                .limit(MAX_PIVOT_KEYS + 1).collect())
+        if len(rows) > MAX_PIVOT_KEYS:
+            raise ValueError(
+                f"unnest_wider: map column {name!r} has more than "
+                f"{MAX_PIVOT_KEYS} distinct keys — widen explicitly or "
+                "unnest_longer instead")
+        keys = [r["__k"] for r in rows]
+        new = [F.element_at(F.col(name), F.lit(k)).alias(f"{pre}{k}")
+               for k in keys]
+        return tbl.evolve(df=tbl.df.select(*others, *new))
+    raise TranslationError(
+        f"unnest_wider expects a struct or map column, got {dt.simpleString()}")
+
+
+@verb
+def hoist(tbl: SparkTbl, col, **specs):
+    """tidyr ``hoist``: pluck named elements OUT of a nested column into
+    top-level columns, keeping the rest of the nest in place.
+
+    Each kwarg is ``new_name="field"`` (struct field / map key) or
+    ``new_name=["a", 2, "b"]`` — a pluck path walked left to right
+    (strings index structs/maps, INTEGERS index arrays 1-based like
+    tidyr/R).  Pure projection: no shuffle, no job."""
+    name = _colname(col, tbl.columns)
+    out = tbl.df
+    for new_name, path in specs.items():
+        steps = path if isinstance(path, (list, tuple)) else [path]
+        c = F.col(name)
+        for s in steps:
+            # getItem handles struct fields, map keys, AND array
+            # positions; tidyr paths index arrays 1-based, Spark getItem
+            # 0-based — convert
+            c = c.getItem(s - 1) if isinstance(s, int) else c.getItem(s)
+        out = out.withColumn(new_name, c)
+    return tbl.evolve(df=out)

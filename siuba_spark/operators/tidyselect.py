@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 
 from ..siu.calls import (
-    Call, GetAttr, GetItem, MetaArg, MethodCall, Symbolic, UnaryOp,
+    BinaryOp, Call, GetAttr, GetItem, MetaArg, MethodCall, Symbolic, UnaryOp,
     strip_symbolic,
 )
 
@@ -26,6 +26,10 @@ def _match_one(node, columns):
 
     if isinstance(node, str):
         return [node], False
+    if isinstance(node, int) and not isinstance(node, bool):
+        # 0-indexed column position (reference select doc:
+        # ``mtcars >> select(0, 1)`` keeps the first two columns)
+        return [columns[node]], False
     if isinstance(node, (list, tuple)):
         out = []
         for sub in node:
@@ -108,6 +112,23 @@ def resolve_select(args, kwargs, columns):
         selection = [(o, n) for o, n in selection if o != name]
 
     for arg in args:
+        node = strip_symbolic(arg)
+        if isinstance(node, BinaryOp) and node.op == "__eq__":
+            # select-rename form (reference select doc): the equality
+            # operator renames — ``select(_.new == _.old)`` keeps old
+            # under the name new, dict-style new-on-the-left
+            lhs, rhs = strip_symbolic(node.left), strip_symbolic(node.right)
+            if not (isinstance(lhs, GetAttr) and isinstance(lhs.obj, MetaArg)):
+                raise TidySelectError(
+                    "select rename must look like _.new_name == _.old")
+            names, neg = _match_one(rhs, columns)
+            if neg or len(names) != 1:
+                raise TidySelectError(
+                    f"rename target {lhs.name!r} must select exactly one column")
+            if not started:
+                started = True
+            add(names[0], lhs.name)
+            continue
         names, neg = _match_one(arg, columns)
         if not started:
             started = True

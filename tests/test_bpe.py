@@ -178,3 +178,42 @@ def test_bpe_broadcast_auto_switch_large_table(spark):
     small = bpe_token_count(t, merges=DEFAULT_MERGES).df.collect()[0] \
         .n_bpe_tokens
     assert big == small
+
+
+def test_bpe_arrow_engine_matches_expr(spark):
+    """engine="arrow" (mapInPandas dict tokenizer — the GPT-2-scale
+    tier) produces the identical tokens and counts as the expression
+    path on every fixture text."""
+    t = tbl(spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"))
+    expr_e = {r.doc_id: list(r.bpe_tokens)
+              for r in bpe_encode(t, engine="expr").df.collect()}
+    arr_e = {r.doc_id: list(r.bpe_tokens)
+             for r in bpe_encode(t, engine="arrow").df.collect()}
+    assert expr_e == arr_e
+    expr_c = {r.doc_id: r.n_bpe_tokens
+              for r in bpe_token_count(t, engine="expr").df.collect()}
+    arr_c = {r.doc_id: r.n_bpe_tokens
+             for r in bpe_token_count(t, engine="arrow").df.collect()}
+    assert expr_c == arr_c
+    # column-preserving + null text -> 0 / [] on the arrow path too
+    tn = tbl(spark.createDataFrame([(0, None)], "doc_id long, text string"))
+    row = bpe_token_count(tn, engine="arrow").df.collect()[0]
+    assert row.n_bpe_tokens == 0
+    assert list(bpe_encode(tn, engine="arrow").df.collect()[0].bpe_tokens) == []
+
+
+def test_bpe_arrow_auto_at_gpt2_scale(spark):
+    """> ARROW_MERGES_THRESHOLD merges auto-routes to the arrow engine
+    and a 51k-merge table completes fast; junk filler pairs never match,
+    so counts equal the DEFAULT_MERGES result."""
+    from siuba_spark.corpus.bpe import ARROW_MERGES_THRESHOLD
+    filler = [(f"zz{i}", f"qq{i}") for i in range(50_000)]
+    merges = list(DEFAULT_MERGES) + filler
+    assert len(merges) > ARROW_MERGES_THRESHOLD
+    t = tbl(spark.createDataFrame(
+        [(0, "the thing is here and the word is there")],
+        "doc_id long, text string"))
+    big = bpe_token_count(t, merges=merges).df.collect()[0].n_bpe_tokens
+    small = bpe_token_count(t).df.collect()[0].n_bpe_tokens
+    assert big == small

@@ -6,7 +6,7 @@ import pandas as pd
 
 from siuba_spark import (
     _, gather, spread, separate, unite, extract, nest, unnest, expand,
-    complete, pivot_longer, pivot_wider, bind_rows, arrange, select,
+    complete, pivot_longer, pivot_wider, bind_rows, arrange, select, tbl,
 )
 from .helpers import data_frame, assert_equal_query
 
@@ -525,3 +525,70 @@ def test_pull_and_glimpse(spark, capsys):
     out = capsys.readouterr().out
     assert "$ g" in out and "bigint" in out
     assert back.df.count() == 2  # pipeable passthrough
+
+
+# -- tidyr 1.x rectangling: unnest_longer / unnest_wider / hoist -------------
+# (beyond the reference — siuba stops at nest/unnest)
+
+def test_unnest_longer_array(spark):
+    from siuba_spark import unnest_longer
+    t = tbl(spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None), (4, ["c"])],
+        "id long, xs array<string>"))
+    out = unnest_longer(t, "xs").df.toPandas()
+    assert sorted(zip(out.id, out["xs"])) == [(1, "a"), (1, "b"), (4, "c")]
+    kept = unnest_longer(t, "xs", keep_empty=True).df.toPandas()
+    assert sorted(kept.id.tolist()) == [1, 1, 2, 3, 4]
+    idx = unnest_longer(t, "xs", indices_to="pos").df.toPandas()
+    assert sorted(zip(idx.id, idx.pos)) == [(1, 0), (1, 1), (4, 0)]
+    val = unnest_longer(t, "xs", values_to="tok").df
+    assert "tok" in val.columns and "xs" not in val.columns
+
+
+def test_unnest_longer_map(spark):
+    from pyspark.sql import functions as F
+
+    from siuba_spark import unnest_longer
+    t = tbl(spark.createDataFrame([(1,)], "id long").select(
+        "id", F.create_map(F.lit("a"), F.lit(10),
+                           F.lit("b"), F.lit(20)).alias("m")))
+    out = unnest_longer(t, "m", values_to="v").df.toPandas()
+    assert sorted(zip(out.m_id, out.v)) == [("a", 10), ("b", 20)]
+    ren = unnest_longer(t, "m", values_to="v", indices_to="k").df
+    assert set(ren.columns) == {"id", "k", "v"}
+
+
+def test_unnest_wider_struct_and_map(spark):
+    from pyspark.sql import functions as F
+
+    from siuba_spark import unnest_wider
+    t = tbl(spark.createDataFrame([(1, 2.0, "x")],
+                                  "id long, a double, b string")
+            .select("id", F.struct("a", "b").alias("s")))
+    out = unnest_wider(t, "s").df.toPandas()
+    assert set(out.columns) == {"id", "a", "b"}
+    assert out.a[0] == 2.0 and out.b[0] == "x"
+    pre = unnest_wider(t, "s", names_sep="_").df
+    assert set(pre.columns) == {"id", "s_a", "s_b"}
+    # map: bounded distinct-key probe; missing keys -> NULL
+    m = tbl(spark.createDataFrame([(1,), (2,)], "id long").select(
+        "id",
+        F.when(F.col("id") == 1,
+               F.create_map(F.lit("x"), F.lit(1.0)))
+        .otherwise(F.create_map(F.lit("y"), F.lit(2.0))).alias("m")))
+    wide = unnest_wider(m, "m").df.toPandas().sort_values("id")
+    assert set(wide.columns) == {"id", "x", "y"}
+    assert wide.x.tolist()[0] == 1.0 and pd.isna(wide.x.tolist()[1])
+
+
+def test_hoist_paths(spark):
+    from pyspark.sql import functions as F
+
+    from siuba_spark import hoist
+    t = tbl(spark.createDataFrame([(1, 2.0, ["u", "v"])],
+                                  "id long, a double, xs array<string>")
+            .select("id", F.struct("a", "xs").alias("s")))
+    out = hoist(t, "s", first_x=["xs", 1], aa="a").df.toPandas()
+    assert out.first_x[0] == "u"        # tidyr paths are 1-based
+    assert out.aa[0] == 2.0
+    assert "s" in out.columns           # the nest stays in place

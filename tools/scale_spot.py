@@ -172,23 +172,31 @@ def main():
         from siuba_spark.corpus.bpe import bpe_token_count
         return bpe_token_count(d).df.select("doc_id", "n_bpe_tokens")
 
-    def bpe_bc_50k(d):
-        # GPT-2-size vocabulary (>50k merges) through the broadcast-join
-        # variant — the table rides ONE broadcast exchange, plan size
-        # constant; filler pairs never match so counts equal bpe_true
-        from siuba_spark.corpus.bpe import (
-            BROADCAST_MERGES_THRESHOLD, DEFAULT_MERGES, bpe_token_count,
-        )
+    def bpe_bc_2k(d):
+        # mid-size vocabulary through the BUCKETED broadcast-map tier
+        # (crc32 % sqrt(N) buckets — a flat map's linear element_at scan
+        # stalled this very run at 100x before the bucketing fix)
+        from siuba_spark.corpus.bpe import DEFAULT_MERGES, bpe_token_count
         merges = list(DEFAULT_MERGES) + [
-            (f"zz{i}", f"qq{i}")
-            for i in range(BROADCAST_MERGES_THRESHOLD + 1000)]
+            (f"zz{i}", f"qq{i}") for i in range(2000)]
+        return bpe_token_count(d, merges=merges, engine="expr").df \
+            .select("doc_id", "n_bpe_tokens")
+
+    def bpe_50k_arrow(d):
+        # GPT-2-size vocabulary (50k merges) through the Arrow tier —
+        # O(1) dict lookups; filler pairs never match so counts equal
+        # bpe_token_count's
+        from siuba_spark.corpus.bpe import DEFAULT_MERGES, bpe_token_count
+        merges = list(DEFAULT_MERGES) + [
+            (f"zz{i}", f"qq{i}") for i in range(50_000)]
         return bpe_token_count(d, merges=merges).df \
             .select("doc_id", "n_bpe_tokens")
 
     OPS = {
         "exact_dedup": lambda d: exact_dedup(d, cols=("text",)).df,
         "bpe_token_count": bpe_true,
-        "bpe_bc_50k": bpe_bc_50k,
+        "bpe_bc_2k": bpe_bc_2k,
+        "bpe_50k_arrow": bpe_50k_arrow,
         "minhash_near_dups": lambda d: minhash_near_dups(d, threshold=0.7).df,
         "dedup_chain": dedup_chain,
         "lsh_topk_768": lsh_topk_768,
