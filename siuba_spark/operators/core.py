@@ -52,6 +52,20 @@ def _colref_name(x):
     raise TranslationError(f"expected a column reference, got {node!r}")
 
 
+def callable_to_expr(v):
+    """Plain-function column definitions (reference programming guide:
+    ``mutate(cars, demean=lambda d: d.mpg - d.mpg.mean())`` — 'both are
+    using pandas Series methods under the hood'): call the function with
+    the symbolic frame so the definition stays a fully-translated plan,
+    never a row-at-a-time Python callable.  Non-callables (and symbolic
+    expressions, which are themselves callable) pass through."""
+    if callable(v) and not isinstance(strip_symbolic(v), Call) \
+            and not isinstance(v, type):
+        from ..siu.calls import Symbolic
+        return strip_symbolic(v(Symbolic(MetaArg())))
+    return v
+
+
 def _merge_across(tbl, args, kwargs):
     """Expand positional across() objects into named expressions."""
     if not args:
@@ -204,6 +218,7 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
     orig_groups = tbl.group_by
     work = _temp_by(tbl, _by, "mutate")
     kwargs = _merge_across(work, args, kwargs)
+    kwargs = {k: callable_to_expr(v) for k, v in kwargs.items()}
     df = work.df
     factors = dict(work.factors)
     # window-expression pool: identical windowed aggregates across (and

@@ -61,6 +61,12 @@ def verb(fn):
     def wrapper(*args, **kwargs):
         if args and isinstance(args[0], (SparkTbl, DataFrame)):
             return fn(wrap_table(args[0]), *args[1:], **kwargs)
+        # explicit-pipe spelling (reference programming guide, 'Pipeable
+        # class'): ``mutate(_, x=...)`` — a bare leading ``_`` is the
+        # placeholder for the piped table, not an argument
+        from ..siu.calls import MetaArg, strip_symbolic
+        if args and isinstance(strip_symbolic(args[0]), MetaArg):
+            args = args[1:]
         return Pipe(lambda t: fn(t, *args, **kwargs), fn.__name__)
 
     wrapper.__verb__ = fn

@@ -269,6 +269,15 @@ class Symbolic:
     def __iter__(self):
         raise TypeError("Symbolic expressions are not iterable")
 
+    def __contains__(self, item):
+        # `1 in _` would silently coerce through __iter__/__bool__; the
+        # reference "is careful to raise an error" here (programming
+        # guide, Caveats) — use _.isin([...]) for membership tests
+        raise TypeError(
+            "`x in _.col` cannot be expressed lazily (Python requires "
+            "__contains__ to return a bool). Use _.col.isin([...]) instead."
+        )
+
     def __repr__(self):
         return f"Symbolic({self._call!r})"
 
