@@ -358,3 +358,90 @@ def stream_minhash_dedup(stream_tbl: SparkTbl, store_path: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_semantic_dedup(stream_tbl: SparkTbl, store_path: str,
+                          pairs_path: str, checkpoint: str,
+                          cents_path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          trigger_available_now: bool = True,
+                          **sem_kw):
+    """Streaming SemDeDup over an embedding stream — the foreachBatch
+    twin of ``corpus.similarity.semantic_dedup_incremental`` and the
+    embedding counterpart of ``stream_minhash_dedup``.
+
+    Per micro-batch:
+
+    1. load the fixed centroids from ``cents_path`` (JSON; the FIRST
+       batch trains them on its own bounded slice and writes the file);
+    2. read the assignment store (previous batches' partitions only —
+       ``batch >= batch_id`` filtered out, so retries never see their
+       own partial prior attempt);
+    3. run the incremental cell-blocked cosine pair join (new×new ∪
+       new×store; the store is never re-paired against itself);
+    4. ``overwrite`` pairs into ``{pairs_path}/batch=<id>/`` and the
+       batch's own assignments into ``{store_path}/batch=<id>/`` — the
+       same idempotent at-least-once discipline as
+       ``stream_minhash_dedup``.
+
+    The union of all batches' pair outputs equals the from-scratch
+    ``semantic_dedup(return_pairs=True)`` pair set at the trained
+    centroids (the equivalence ``semantic_dedup_incr`` grades); run
+    ``dedup_clusters``/``drop_near_dups`` over the accumulated pairs for
+    the kept set.  Returns the ``StreamingQuery``."""
+    import json
+    import os
+
+    from ..corpus.similarity import semantic_dedup_incremental
+
+    def handle(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        store = None
+        try:
+            if any(f.startswith("batch=") for f in os.listdir(store_path)):
+                store = (spark.read.parquet(store_path)
+                         .filter(F.col("batch") < F.lit(int(batch_id)))
+                         .drop("batch"))
+                if not store.take(1):
+                    store = None
+        except FileNotFoundError:
+            store = None
+        if store is None:
+            # first batch (or a retry of it): train the centroids on
+            # this batch's bounded slice — deterministic, so a retry
+            # reproduces the identical cents — and record them
+            pairs, new_store, cents = semantic_dedup_incremental(
+                SparkTbl(batch_df), None, None,
+                id_col=id_col, vec_col=vec_col, **sem_kw)
+            tmp = cents_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(cents, fh)
+            os.replace(tmp, cents_path)        # atomic: retry-safe
+        else:
+            if not os.path.exists(cents_path):
+                raise RuntimeError(
+                    "stream_semantic_dedup: assignment store exists but "
+                    f"{cents_path} is missing — the store is only "
+                    "comparable at its training centroids")
+            with open(cents_path) as fh:
+                cents = json.load(fh)
+            pairs, new_store, cents = semantic_dedup_incremental(
+                SparkTbl(batch_df), store, cents,
+                id_col=id_col, vec_col=vec_col, **sem_kw)
+        batch_ids = batch_df.select(id_col).distinct()
+        new_asg = new_store.df.join(F.broadcast(batch_ids), id_col,
+                                    "left_semi")
+        pairs.df.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={int(batch_id)}"))
+        new_asg.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch={int(batch_id)}"))
+
+    writer = (stream_tbl.df.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -418,3 +418,65 @@ def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
         got2[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True))
     assert spark.read.parquet(str(tmp_path / "store")).count() == len(docs)
+
+
+def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
+    """Stream/batch parity for the embedding dedup pipeline: an
+    embedding stream processed file-by-file through stream_semantic_dedup
+    (foreachBatch + idempotent per-batch assignment store + persisted
+    centroids) emits EXACTLY the from-scratch semantic_dedup pair set at
+    the trained centroids — including after a full at-least-once replay."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from siuba_spark import tbl as _tbl
+    from siuba_spark.corpus.similarity import semantic_dedup
+    from siuba_spark.streaming.windows import stream_semantic_dedup
+
+    full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    # batch 0 holds the low ids -> the sample seeds live in batch 0, so
+    # from-scratch training sees the identical slice
+    full.filter(F.col("vec_id") < 250).coalesce(1) \
+        .write.parquet(str(src / "b0.parquet"))
+    full.filter(F.col("vec_id") >= 250).coalesce(1) \
+        .write.parquet(str(src / "b1.parquet"))
+
+    kw = dict(threshold=0.3, n_lists=4, centroids="sample")
+
+    def run_stream():
+        stream = _tbl(spark.readStream.schema(full.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .parquet(str(src) + "/*.parquet"))
+        q = stream_semantic_dedup(
+            stream, store_path=str(tmp_path / "store"),
+            pairs_path=str(tmp_path / "pairs"),
+            checkpoint=str(tmp_path / "ckpt"),
+            cents_path=str(tmp_path / "cents.json"), **kw)
+        q.awaitTermination(300)
+
+    run_stream()
+    got = spark.read.parquet(str(tmp_path / "pairs")) \
+        .select("id_a", "id_b", "score").toPandas()
+    _, want_pairs = semantic_dedup(_tbl(full), return_pairs=True, **kw)
+    want = want_pairs.df.toPandas()
+    key = ["id_a", "id_b", "score"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))
+    assert spark.read.parquet(str(tmp_path / "store")).count() == full.count()
+
+    # full replay with a fresh checkpoint (worst-case at-least-once
+    # retry): per-batch overwrite partitions + deterministic retraining
+    # keep the outputs identical
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    run_stream()
+    got2 = spark.read.parquet(str(tmp_path / "pairs")) \
+        .select("id_a", "id_b", "score").toPandas()
+    pd.testing.assert_frame_equal(
+        got2[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))
+    assert spark.read.parquet(str(tmp_path / "store")).count() == full.count()
