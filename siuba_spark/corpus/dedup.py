@@ -364,7 +364,12 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
 
     pdf = wrap_table(pairs).df
     a, b = F.col(id_a), F.col(id_b)
-    # undirected edge list, both directions
+    # undirected edge list, both directions.  The union scans the pair
+    # plan twice, and pair generation is the expensive upstream (LSH
+    # band join / intra-cell cosine) — persist it so the checkpoint job
+    # computes it once (unpersisted right after; the checkpoint owns the
+    # data from then on)
+    pdf = pdf.persist()
     edges = (pdf.select(a.alias("src"), b.alias("dst"))
              .unionByName(pdf.select(b.alias("src"), a.alias("dst")))
              .distinct())
@@ -378,6 +383,7 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("lbl", F.col("id"))
               .localCheckpoint())
+    pdf.unpersist()
 
     for _i in range(max_iter):
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
@@ -399,12 +405,23 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
                                       F.coalesce(F.col("n_min"),
                                                  F.col("lbl"))).alias("lbl"))
                       .localCheckpoint())
+        if _i == 0:
+            # round 1 always changes labels on any non-empty pair set
+            # (some node has a smaller neighbor) — skip its convergence
+            # count, one whole job saved per call
+            labels = new_labels
+            continue
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
         labels = new_labels
         if changed == 0:
             break
+    # superseded round checkpoints (and the final one, once the caller
+    # drops the result) are reclaimed by Spark's ContextCleaner when
+    # their driver references are GC'd — DataFrame.unpersist() cannot
+    # free a localCheckpoint (it is an RDD-level cache, not a plan-cache
+    # entry), so eager cleanup is deliberately not attempted here
     return SparkTbl(labels.select(F.col("id"), F.col("lbl").alias("cluster")))
 
 

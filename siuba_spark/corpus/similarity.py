@@ -706,6 +706,10 @@ def semantic_dedup(tbl: SparkTbl, threshold: float = 0.95,
     (id_a < id_b, rounded score)."""
     assigned, _centers = _cells_and_centers(
         tbl, id_col, vec_col, n_lists, centroids, n_iters, seed, train_limit)
+    # NOTE: the self-join consumes the assignment subtree twice (a and b
+    # output names differ, so ReuseExchange can't dedup them); measured,
+    # persisting it here costs MORE than the recompute at bench scale
+    # (extra caching job + pin lifetime) — left unpersisted on purpose
     a = assigned.select(F.col("nbr_id").alias("id_a"),
                         F.col("nbr_vec").alias("vec_a"),
                         F.col("__nn").alias("__na"), "__cell")
