@@ -20,7 +20,8 @@ from ..plans.tbl import SparkTbl
 
 __all__ = ["cosine_sim_col", "brute_force_topk", "lsh_topk", "add_hyperplane_bucket",
            "cosine_near_dups", "ivf_topk", "pq_topk", "ivf_pq_topk",
-           "semantic_dedup", "vector_mean"]
+           "semantic_dedup", "semantic_dedup_incremental", "vector_mean",
+           "quantize_embeddings", "dequantize_embeddings"]
 
 
 def _dot(a, b):
@@ -868,3 +869,50 @@ def vector_mean(tbl: SparkTbl, by, vec_col: str = "embedding",
     if round_to is not None:
         col = F.transform(col, lambda x: F.round(x, round_to))
     return SparkTbl(agg.withColumn(out, col))
+
+
+@verb
+def quantize_embeddings(tbl: SparkTbl, vec_col: str = "embedding",
+                        out: str = "q_embedding",
+                        scale_col: str = "q_scale"):
+    """Symmetric per-vector int8 scalar quantization — the standard 4x
+    storage cut for 100 TB embedding stores (float32 -> int8 + one
+    float scale per vector).
+
+    ``scale = max(|x|) / 127``; codes = ``round(x / scale)`` clipped to
+    [-127, 127] (HALF_UP, the same Spark-double-to-decimal rounding both
+    engines share, so codes replay value-exactly in vanilla SQL).  An
+    all-zero vector quantizes to zero codes with scale 0 and dequantizes
+    back to zeros.  Map-only: no shuffle, no job — pure projection.
+
+    Column-preserving: ``out`` (array<tinyint>) and ``scale_col``
+    (double) are appended; drop the float column afterwards for the
+    storage win.  Quantization error is bounded by scale/2 per element
+    (~0.4% of the max magnitude), which the cosine-preservation tests
+    bound end-to-end."""
+    vd = _to_double(F.col(vec_col))
+    scale = F.array_max(F.transform(vd, F.abs)) / F.lit(127.0)
+    codes = F.transform(
+        vd, lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127),
+                    F.when(F.col(scale_col) == 0, F.lit(0))
+                    .otherwise(F.round(x / F.col(scale_col)))
+                    .cast("int"))).cast("tinyint"))
+    df = (tbl.df.withColumn(scale_col, scale)
+          .withColumn(out, codes))
+    return tbl.evolve(df=df)
+
+
+@verb
+def dequantize_embeddings(tbl: SparkTbl, q_col: str = "q_embedding",
+                          scale_col: str = "q_scale",
+                          out: str = "embedding"):
+    """Inverse of ``quantize_embeddings``: ``x' = code * scale`` back to
+    array<double>.  Map-only.  ``x'`` differs from the original by at
+    most scale/2 per element; downstream ANN (brute_force_topk / ivf /
+    pq) consumes it unchanged."""
+    df = tbl.df.withColumn(
+        out, F.transform(F.col(q_col),
+                         lambda c: c.cast("double") * F.col(scale_col)))
+    return tbl.evolve(df=df)

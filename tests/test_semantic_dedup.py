@@ -144,3 +144,50 @@ def test_semantic_dedup_incremental_requires_cents_with_store(spark):
                                               centroids="sample")
     with pytest.raises(ValueError, match="cents"):
         semantic_dedup_incremental(t, store, None, n_lists=2)
+
+
+def test_quantize_embeddings_roundtrip_and_edge_cases(spark):
+    """int8 scalar quantization: codes bounded to [-127,127], the max
+    element maps to ±127 exactly, zero vectors survive, and dequantize
+    reconstructs within scale/2 per element."""
+    from siuba_spark.corpus.similarity import (
+        dequantize_embeddings, quantize_embeddings,
+    )
+    rows = [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]),
+            (2, [127.0, -127.0, 63.5])]
+    t = tbl(spark.createDataFrame(rows, "vec_id long, embedding array<double>"))
+    q = quantize_embeddings(t)
+    got = {r.vec_id: (list(r.q_embedding), r.q_scale)
+           for r in q.df.collect()}
+    assert got[0][0] == [64, -127, 32]        # scale 2/127; 1/(2/127)=63.5 -> 64
+    assert got[1] == ([0, 0, 0], 0.0)
+    assert got[2][0] == [127, -127, 64]       # 63.5/1 -> HALF_UP 64
+    back = dequantize_embeddings(q, out="emb2").df.collect()
+    for r in back:
+        orig = dict(rows)[r.vec_id]
+        for x, y in zip(orig, r.emb2):
+            assert abs(x - y) <= (r.q_scale or 0) / 2 + 1e-12
+
+
+def test_quantize_preserves_ann_neighbors(spark):
+    """End-to-end: brute-force top-5 over DEquantized embeddings matches
+    the exact float top-5 for >= 90% of (query, neighbor) slots on the
+    real fixture — the storage cut does not wreck retrieval."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import (
+        brute_force_topk, dequantize_embeddings, quantize_embeddings,
+    )
+    emb = tbl(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    qset = emb.df.limit(10)
+    exact = brute_force_topk(emb, qset, k=5).df \
+        .select("query_id", "nbr_id").collect()
+    deq = dequantize_embeddings(
+        quantize_embeddings(emb).evolve(df=quantize_embeddings(emb).df
+                                        .drop("embedding")),
+        out="embedding")
+    approx = brute_force_topk(deq, qset, k=5).df \
+        .select("query_id", "nbr_id").collect()
+    a = {(r.query_id, r.nbr_id) for r in exact}
+    b = {(r.query_id, r.nbr_id) for r in approx}
+    assert len(a & b) / len(a) >= 0.9
