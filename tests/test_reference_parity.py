@@ -908,3 +908,53 @@ def test_parity_between_default(spark):
     got = (t >> ours.mutate(b=ours.between(S.x, 0, 5, default=False))) \
         .df.toPandas().sort_values("i")["b"].tolist()
     assert got == want
+
+
+# -- round-8 API surface: the reference is the oracle -------------------------
+
+def test_parity_select_positions_and_eq_rename(spark):
+    """select(0, 1), select('name'), and the `_.new == _.old` rename form
+    (reference select doc examples)."""
+    _both(spark,
+          ref.select(0, 1),
+          ours.select(0, 1))
+    _both(spark,
+          ref.select(R.gg == R.g, "x"),
+          ours.select(S.gg == S.g, "x"))
+
+
+def test_parity_transmute_positional(spark):
+    """transmute positional selects + named mutate (transmute doc)."""
+    _both(spark,
+          ref.transmute(R.g, R.x, xy=R.x * R.y),
+          ours.transmute(S.g, S.x, xy=S.x * S.y))
+
+
+def test_parity_lambda_columns(spark):
+    """lambda column definitions in mutate/filter/summarize (programming
+    guide: 'both these forms work')."""
+    _both(spark,
+          ref.mutate(d=lambda d: d.x - d.x.mean())
+          >> ref.filter(lambda d: d.y > 10),
+          ours.mutate(d=lambda d: d.x - d.x.mean())
+          >> ours.filter(lambda d: d.y > 10))
+    _both(spark,
+          ref.group_by(R.g) >> ref.summarize(m=lambda d: d.x.mean()),
+          ours.group_by(S.g) >> ours.summarize(m=lambda d: d.x.mean()))
+
+
+def test_parity_explicit_pipe_placeholder(spark):
+    """verb(_, ...) explicit pipes (programming guide 'Pipeable class')."""
+    want = PDF >> ref.mutate(R, z=R.x + 1)
+    t = ours.tbl(spark.createDataFrame(PDF))
+    got = (t >> ours.mutate(S, z=S.x + 1)).df.toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_parity_symbolic_caveats():
+    """Both engines refuse truthiness and containment on symbolics."""
+    for sym in (R, S):
+        with pytest.raises(TypeError):
+            sym and 1
+        with pytest.raises(TypeError):
+            1 in sym
