@@ -47,6 +47,15 @@ def _norm_sq(a):
     return _dot(ad, ad)
 
 
+def _cosine_pre(a, b, na_sq, nb_sq):
+    """``_cosine_from_parts`` for operands ALREADY cast to
+    array<double> at the row level: skips the per-PAIR ``_to_double``
+    transform (two fresh 64-element arrays per candidate — measured
+    ~15% of the pair-scoring stage even on double inputs, more on
+    float).  Same floats, same folds — bit-identical scores."""
+    return F.try_divide(_dot(a, b), F.sqrt(na_sq * nb_sq))
+
+
 def _cosine_from_parts(a, b, na_sq, nb_sq):
     """Same expression as ``cosine_sim_col`` (dot / sqrt(na²·nb²), bit-for-
     bit identical floats) but with the norms precomputed once per ROW
@@ -65,15 +74,20 @@ def brute_force_topk(tbl: SparkTbl, queries, k: int = 10,
 
     Deterministic tie-break by corpus id so results are stable across
     engines and partitionings."""
-    corpus = tbl.df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"),
+    # vectors cast to double ONCE per row here — pair scoring then runs
+    # the raw fold (_cosine_pre), not a per-pair cast
+    corpus = tbl.df.select(F.col(id_col).alias("nbr_id"),
+                           _to_double(F.col(vec_col)).alias("nbr_vec"),
                            _norm_sq(F.col(vec_col)).alias("__nn"))
     qdf = queries.df if isinstance(queries, SparkTbl) else queries
-    qdf = qdf.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+    qdf = qdf.select(F.col(id_col).alias("query_id"),
+                     _to_double(F.col(vec_col)).alias("query_vec"),
                      _norm_sq(F.col(vec_col)).alias("__qn"))
     scored = (corpus.join(F.broadcast(qdf),
                           F.col("query_id") != F.col("nbr_id"))
-              .withColumn("score", F.round(_cosine_from_parts(
-                  "query_vec", "nbr_vec", F.col("__qn"), F.col("__nn")), round_to)))
+              .withColumn("score", F.round(_cosine_pre(
+                  F.col("query_vec"), F.col("nbr_vec"),
+                  F.col("__qn"), F.col("__nn")), round_to)))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
     out = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)
@@ -214,19 +228,20 @@ def lsh_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
                                    out=out_c, seed=seed + 97 * ti, dim=dim)
         bcols.append(out_c)
     corpus = bt.df.select(F.col(id_col).alias("nbr_id"),
-                          F.col(vec_col).alias("nbr_vec"),
+                          _to_double(F.col(vec_col)).alias("nbr_vec"),
                           _norm_sq(F.col(vec_col)).alias("__nn"),
                           F.posexplode(F.array(*bcols)).alias("tbl_i", "bucket"))
     qdf = qt.df.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("query_vec"),
+                       _to_double(F.col(vec_col)).alias("query_vec"),
                        _norm_sq(F.col(vec_col)).alias("__qn"),
                        F.posexplode(F.array(*bcols)).alias("tbl_i", "bucket"))
     cand = (corpus.join(F.broadcast(qdf), ["tbl_i", "bucket"])
             .filter(F.col("query_id") != F.col("nbr_id")))
     if n_tables > 1:
         cand = cand.dropDuplicates(["query_id", "nbr_id"])
-    scored = cand.withColumn("score", F.round(_cosine_from_parts(
-        "query_vec", "nbr_vec", F.col("__qn"), F.col("__nn")), round_to))
+    scored = cand.withColumn("score", F.round(_cosine_pre(
+        F.col("query_vec"), F.col("nbr_vec"),
+        F.col("__qn"), F.col("__nn")), round_to))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
     out = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)
@@ -252,20 +267,25 @@ def cosine_near_dups(tbl: SparkTbl, threshold: float = 0.9,
     if method == "lsh":
         bt = add_hyperplane_bucket(tbl, vec_col=vec_col, n_planes=n_planes,
                                    dim=dim)
-        a = bt.df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        a = bt.df.select(F.col(id_col).alias("id_a"),
+                         _to_double(F.col(vec_col)).alias("vec_a"),
                          F.col("bucket"), _norm_sq(F.col(vec_col)).alias("__na"))
-        b = bt.df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        b = bt.df.select(F.col(id_col).alias("id_b"),
+                         _to_double(F.col(vec_col)).alias("vec_b"),
                          F.col("bucket"), _norm_sq(F.col(vec_col)).alias("__nb"))
         pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
     else:
-        a = tbl.df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        a = tbl.df.select(F.col(id_col).alias("id_a"),
+                          _to_double(F.col(vec_col)).alias("vec_a"),
                           _norm_sq(F.col(vec_col)).alias("__na"))
-        b = tbl.df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        b = tbl.df.select(F.col(id_col).alias("id_b"),
+                          _to_double(F.col(vec_col)).alias("vec_b"),
                           _norm_sq(F.col(vec_col)).alias("__nb"))
         pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     out = (pairs
-           .withColumn("score", F.round(_cosine_from_parts(
-               "vec_a", "vec_b", F.col("__na"), F.col("__nb")), round_to))
+           .withColumn("score", F.round(_cosine_pre(
+               F.col("vec_a"), F.col("vec_b"),
+               F.col("__na"), F.col("__nb")), round_to))
            .filter(F.col("score") >= threshold)
            .select("id_a", "id_b", "score"))
     return SparkTbl(out)
@@ -390,8 +410,11 @@ def _cells_and_centers(tbl, id_col, vec_col, n_lists, centroids,
                 cents = []          # empty table: no centroids to train
         centers = list(enumerate(cents))
         base, cell = _argmin_cell(cents)
+        # nbr_vec emitted as array<double> — every consumer (ivf scoring,
+        # semantic pair join) folds on it; casting once per row here
+        # replaces a per-pair cast downstream
         assigned = base.select(F.col(id_col).alias("nbr_id"),
-                               F.col(vec_col).alias("nbr_vec"),
+                               _to_double(F.col(vec_col)).alias("nbr_vec"),
                                _norm_sq(F.col(vec_col)).alias("__nn"),
                                cell.alias("__cell"))
     elif centroids == "kmeans":
@@ -405,7 +428,7 @@ def _cells_and_centers(tbl, id_col, vec_col, n_lists, centroids,
             .fit(corpus_f.select("__feat"))
         assigned = (model.transform(corpus_f)
                     .select(F.col(id_col).alias("nbr_id"),
-                            F.col(vec_col).alias("nbr_vec"),
+                            _to_double(F.col(vec_col)).alias("nbr_vec"),
                             _norm_sq(F.col(vec_col)).alias("__nn"),
                             F.col("prediction").alias("__cell")))
         centers = [(i, [float(x) for x in c])
@@ -461,10 +484,11 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
     cdf = spark.createDataFrame(centers, ["__cell", "__center"])
 
     qdf = queries.df if isinstance(queries, SparkTbl) else queries
-    qdf = qdf.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"),
+    qdf = qdf.select(F.col(id_col).alias("query_id"),
+                     _to_double(F.col(vec_col)).alias("query_vec"),
                      _norm_sq(F.col(vec_col)).alias("__qn"))
     dist = F.sqrt(F.aggregate(
-        F.zip_with(_to_double(F.col("query_vec")), F.col("__center"),
+        F.zip_with(F.col("query_vec"), F.col("__center"),
                    lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x))
     wq = Window.partitionBy("query_id").orderBy(F.col("__dist").asc(), F.col("__cell").asc())
@@ -476,8 +500,9 @@ def ivf_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
 
     scored = (assigned.join(F.broadcast(probes), "__cell")
               .filter(F.col("query_id") != F.col("nbr_id"))
-              .withColumn("score", F.round(_cosine_from_parts(
-                  "query_vec", "nbr_vec", F.col("__qn"), F.col("__nn")), round_to)))
+              .withColumn("score", F.round(_cosine_pre(
+                  F.col("query_vec"), F.col("nbr_vec"),
+                  F.col("__qn"), F.col("__nn")), round_to)))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
     out = (scored.withColumn("rk", F.row_number().over(w))
            .filter(F.col("rk") <= k)
@@ -719,8 +744,9 @@ def semantic_dedup(tbl: SparkTbl, threshold: float = 0.95,
                         F.col("__nn").alias("__nb"), "__cell")
     pairs = (a.join(b, ["__cell"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("score", F.round(_cosine_from_parts(
-                 "vec_a", "vec_b", F.col("__na"), F.col("__nb")), round_to))
+             .withColumn("score", F.round(_cosine_pre(
+                 F.col("vec_a"), F.col("vec_b"),
+                 F.col("__na"), F.col("__nb")), round_to))
              .filter(F.col("score") >= threshold)
              .select("id_a", "id_b", "score"))
     from .dedup import drop_near_dups
@@ -744,7 +770,7 @@ def _assign_fixed(df, cents, id_col, vec_col):
         F.lit(0.0), lambda acc, x: acc + x))
     cell = (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
     return (df.withColumn("__jk", F.lit(1)).join(F.broadcast(cpk), "__jk")
-            .select(F.col(id_col), F.col(vec_col),
+            .select(F.col(id_col), vd.alias(vec_col),
                     _norm_sq(F.col(vec_col)).alias("__nn"),
                     cell.alias("__cell")))
 
@@ -812,8 +838,8 @@ def semantic_dedup_incremental(
                         (~F.col("r.__new"))
                         | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))])
              .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
-             .withColumn("score", F.round(_cosine_from_parts(
-                 f"l.{vec_col}", f"r.{vec_col}",
+             .withColumn("score", F.round(_cosine_pre(
+                 F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
                  F.col("l.__nn"), F.col("r.__nn")), round_to))
              .filter(F.col("score") >= threshold)
              .select(F.least(F.col(f"l.{id_col}"),
