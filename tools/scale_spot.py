@@ -152,6 +152,39 @@ def main():
         return semantic_dedup(emb, threshold=0.999, n_lists=n,
                               centroids="sample").df
 
+    def semantic_incr_64(d):
+        # snapshot-over-snapshot SemDeDup: halves by id, snapshot B
+        # paired only against new x (new + store-in-cell) — the store is
+        # never re-paired, so the two-snapshot total should track the
+        # from-scratch cost (same Σ|cell|² term), not exceed it
+        from siuba_spark.corpus.similarity import semantic_dedup_incremental
+        vec = F.transform(F.sequence(F.lit(1), F.lit(64)),
+                          lambda j: F.sin(F.col("doc_id") * j * 0.1))
+        emb = SparkTbl(d.df.select(F.col("doc_id").alias("vec_id"),
+                                   vec.alias("embedding")))
+        n = max(16, int(emb.df.count() ** 0.5))
+        cut = emb.df.agg(F.expr("approx_percentile(vec_id, 0.5)")) \
+            .first()[0]
+        a = SparkTbl(emb.df.filter(F.col("vec_id") < cut))
+        b = SparkTbl(emb.df.filter(F.col("vec_id") >= cut))
+        kw = dict(threshold=0.999, n_lists=n, centroids="sample")
+        p1, store, cents = semantic_dedup_incremental(a, **kw)
+        p2, _s2, _c2 = semantic_dedup_incremental(b, store, cents, **kw)
+        return p1.df.unionByName(p2.df)
+
+    def quantize_emb_64(d):
+        # int8 quantize + dequantize roundtrip: two map-only projections
+        from siuba_spark.corpus.similarity import (
+            dequantize_embeddings, quantize_embeddings,
+        )
+        vec = F.transform(F.sequence(F.lit(1), F.lit(64)),
+                          lambda j: F.sin(F.col("doc_id") * j * 0.1))
+        emb = SparkTbl(d.df.select(F.col("doc_id").alias("vec_id"),
+                                   vec.alias("embedding")))
+        q = quantize_embeddings(emb)
+        return dequantize_embeddings(
+            SparkTbl(q.df.drop("embedding")), out="embedding").df
+
     def quality_chain(d):
         # the composed training-data quality path (VERDICT r6 item 10):
         # gopher filter -> PII scrub -> unigram logprob -> token budget
@@ -203,6 +236,8 @@ def main():
         "pq_topk_768": pq_topk_768,
         "ivf_lloyd_768": ivf_lloyd_768,
         "semantic_dedup_64": semantic_dedup_64,
+        "semantic_incr_64": semantic_incr_64,
+        "quantize_emb_64": quantize_emb_64,
         "quality_chain": quality_chain,
         "simhash": lambda d: add_simhash(d, bits=16, id_col="doc_id").df,
         "quality_signals": lambda d: quality_signals(d).df,
