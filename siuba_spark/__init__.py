@@ -47,6 +47,7 @@ from .operators.reshape import (
     gather, spread, separate, separate_rows, unite, extract, nest, unnest,
     unnest_longer, unnest_wider, hoist, expand, complete,
     separate_wider_delim, separate_wider_position, separate_wider_regex,
+    separate_longer_delim, separate_longer_position,
     fill_na_directional as fill, drop_na, replace_na,
     pivot_longer, pivot_wider, bind_rows, one_hot, crosstab,
     build_longer_spec, pivot_longer_spec, build_wider_spec, pivot_wider_spec,
@@ -90,6 +91,7 @@ __all__ = [
     "nest", "unnest", "unnest_longer", "unnest_wider", "hoist",
     "fill", "drop_na", "replace_na",
     "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
+    "separate_longer_delim", "separate_longer_position",
     "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
     "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",

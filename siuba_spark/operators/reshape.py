@@ -30,6 +30,7 @@ __all__ = [
     "expand", "complete", "pivot_longer", "pivot_wider",
     "bind_rows", "one_hot", "crosstab",
     "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
+    "separate_longer_delim", "separate_longer_position",
 ]
 
 MAX_PIVOT_KEYS = 10_000  # driver-side spec guard
@@ -1217,3 +1218,38 @@ def hoist(tbl: SparkTbl, col, **specs):
             c = c.getItem(s - 1) if isinstance(s, int) else c.getItem(s)
         out = out.withColumn(new_name, c)
     return tbl.evolve(df=out)
+
+
+@verb
+def separate_longer_delim(tbl: SparkTbl, *cols, delim: str):
+    """tidyr 1.3 ``separate_longer_delim``: split on a PLAIN (non-regex)
+    delimiter and explode one row per piece — the longer-direction
+    sibling of ``separate_wider_delim``.  Delegates to ``separate_rows``
+    (identical lockstep/NULL semantics) with the delimiter regex-quoted,
+    exactly as tidyr treats ``delim`` as a literal string."""
+    return separate_rows.__verb__(tbl, *cols, sep=re.escape(delim))
+
+
+@verb
+def separate_longer_position(tbl: SparkTbl, *cols, width: int):
+    """tidyr 1.3 ``separate_longer_position``: chop the value into
+    ``width``-character pieces and explode one row per piece.  NULL
+    inputs survive as one NULL-piece row (tidyr keeps the NA row).
+    Zero shuffle: regexp_extract_all + explode_outer, a flatMap-shaped
+    projection."""
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    names = [_colname(c) for c in cols]
+    if not names:
+        raise ValueError("separate_longer_position needs at least one column")
+    if len(names) > 1:
+        raise TranslationError(
+            "separate_longer_position splits one column (tidyr's "
+            "signature); call it once per column")
+    name = names[0]
+    others = [c for c in tbl.columns if c != name]
+    pieces = F.regexp_extract_all(F.col(name),
+                                  F.lit(f"(.{{1,{width}}})"), 1)
+    pieces = F.coalesce(pieces, F.array(F.lit(None).cast("string")))
+    df = tbl.df.select(*others, F.explode_outer(pieces).alias(name))
+    return tbl.evolve(df=df)

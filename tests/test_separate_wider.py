@@ -5,7 +5,7 @@ import pytest
 
 from siuba_spark import (
     _, collect, separate_wider_delim, separate_wider_position,
-    separate_wider_regex,
+    separate_wider_regex, tbl,
 )
 from tests.helpers import data_frame
 
@@ -86,3 +86,27 @@ def test_regex_empty_capture_vs_no_match(spark):
         too_few="align_start") >> collect())
     assert out.alpha.tolist() == ["ab", "cd", None]
     assert out.num.tolist() == ["12", "", None]
+
+
+# -- tidyr 1.3 longer-direction siblings --------------------------------------
+
+def test_separate_longer_delim(spark):
+    from siuba_spark import separate_longer_delim
+    t = tbl(spark.createDataFrame(
+        [(1, "a.b"), (2, "c"), (3, None)], "id long, x string"))
+    out = separate_longer_delim(t, "x", delim=".").df.toPandas()
+    got = sorted((r.id, r.x) for _, r in out.iterrows())
+    # '.' is a LITERAL delimiter (not regex-any); NULL survives as one row
+    assert got == [(1, "a"), (1, "b"), (2, "c"), (3, None)]
+
+
+def test_separate_longer_position(spark):
+    import pandas as pd
+
+    from siuba_spark import separate_longer_position
+    t = tbl(spark.createDataFrame(
+        [(1, "abcde"), (2, "xy"), (3, None)], "id long, x string"))
+    out = separate_longer_position(t, "x", width=2).df.toPandas()
+    got = sorted(((r.id, r.x) for _, r in out.iterrows()),
+                 key=lambda p: (p[0], str(p[1])))
+    assert got == [(1, "ab"), (1, "cd"), (1, "e"), (2, "xy"), (3, None)]
