@@ -656,6 +656,14 @@ def symbolic_dispatch(fn=None, *, name=None):
     window-vs-agg decision."""
     def deco(f):
         nm = name or f.__name__
+        from .lowering import FN_REGISTRY
+        if nm in FN_REGISTRY:
+            import warnings
+            warnings.warn(
+                f"symbolic_dispatch overrides the existing registered "
+                f"function {nm!r} — pipelines using the previous "
+                "translation will now call yours",
+                UserWarning, stacklevel=3)
 
         @register_fn(nm)
         def impl(ctx, args, kwargs, _f=f):

@@ -713,3 +713,21 @@ def test_symbolic_dispatch_agg_kind_propagates(spark):
     agg = (t >> group_by(_.g) >> summarize(m2=_dbl(_.x.mean()))
            ).df.toPandas().sort_values("g")
     assert agg.m2.tolist() == [4.0, 10.0]
+
+
+def test_symbolic_dispatch_warns_on_override(spark):
+    """Registering over an existing name (yours or a built-in) is legal
+    (latest wins, like singledispatch re-registration) but audible."""
+    from siuba_spark import symbolic_dispatch
+
+    @symbolic_dispatch(name="my_unique_fn_xyz")
+    def _one(col):
+        return col + 1
+
+    with pytest.warns(UserWarning, match="overrides the existing"):
+        @symbolic_dispatch(name="my_unique_fn_xyz")
+        def _two(col):
+            return col + 2
+
+    t = data_frame(spark, x=[1])
+    assert (t >> mutate(y=_two(_.x))).df.collect()[0].y == 3
