@@ -1226,7 +1226,15 @@ def separate_longer_delim(tbl: SparkTbl, *cols, delim: str):
     delimiter and explode one row per piece — the longer-direction
     sibling of ``separate_wider_delim``.  Delegates to ``separate_rows``
     (identical lockstep/NULL semantics) with the delimiter regex-quoted,
-    exactly as tidyr treats ``delim`` as a literal string."""
+    exactly as tidyr treats ``delim`` as a literal string.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([(1, "a.b")], "id long, x string"))
+    >>> sorted(r.x for r in
+    ...        (t >> separate_longer_delim(_.x, delim=".")).df.collect())
+    ['a', 'b']
+    """
     return separate_rows.__verb__(tbl, *cols, sep=re.escape(delim))
 
 
