@@ -1239,12 +1239,16 @@ def separate_longer_delim(tbl: SparkTbl, *cols, delim: str):
 
 
 @verb
-def separate_longer_position(tbl: SparkTbl, *cols, width: int):
+def separate_longer_position(tbl: SparkTbl, *cols, width: int,
+                             keep_empty: bool = False):
     """tidyr 1.3 ``separate_longer_position``: chop the value into
     ``width``-character pieces and explode one row per piece.  NULL
-    inputs survive as one NULL-piece row (tidyr keeps the NA row).
-    Zero shuffle: regexp_extract_all + explode_outer, a flatMap-shaped
-    projection."""
+    inputs survive as one NULL-piece row (tidyr keeps the NA row);
+    empty strings produce zero pieces and are dropped unless
+    ``keep_empty=True`` (tidyr's default ``keep_empty = FALSE``).
+    The chop pattern is DOTALL so embedded newlines are preserved,
+    matching tidyr's substring chopping.  Zero shuffle:
+    regexp_extract_all + explode, a flatMap-shaped projection."""
     if width < 1:
         raise ValueError("width must be >= 1")
     names = [_colname(c) for c in cols]
@@ -1257,7 +1261,11 @@ def separate_longer_position(tbl: SparkTbl, *cols, width: int):
     name = names[0]
     others = [c for c in tbl.columns if c != name]
     pieces = F.regexp_extract_all(F.col(name),
-                                  F.lit(f"(.{{1,{width}}})"), 1)
+                                  F.lit(f"(?s)(.{{1,{width}}})"), 1)
+    # NULL input -> one NULL-piece row (both explode variants keep it);
+    # "" input -> empty array: explode drops the row, explode_outer
+    # (keep_empty=True) keeps it as a NULL piece.
     pieces = F.coalesce(pieces, F.array(F.lit(None).cast("string")))
-    df = tbl.df.select(*others, F.explode_outer(pieces).alias(name))
+    exploder = F.explode_outer if keep_empty else F.explode
+    df = tbl.df.select(*others, exploder(pieces).alias(name))
     return tbl.evolve(df=df)

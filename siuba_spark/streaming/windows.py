@@ -18,7 +18,41 @@ from ..plans.tbl import SparkTbl
 
 __all__ = ["tumble", "slide", "sessionize", "stream_tumble", "stream_slide",
            "read_event_stream",
-           "stream_sessionize", "running_dedup_stream", "stream_interval_join"]
+           "stream_sessionize", "running_dedup_stream", "stream_interval_join",
+           "stream_minhash_dedup", "stream_semantic_dedup"]
+
+
+def _read_batch_store(spark, store_path, batch_id):
+    """Read a ``batch=<id>``-partitioned state store, excluding this
+    batch's own (possibly partial) prior attempt.  Returns ``None``
+    when the store is absent or empty.  A store laid out flat (the
+    pre-r8 append layout: loose ``part-*.parquet`` files with no
+    ``batch=`` partitions) is NOT silently treated as empty — that
+    would drop dedup state on upgrade — it raises with a migration
+    message instead."""
+    import os
+
+    try:
+        entries = os.listdir(store_path)
+    except FileNotFoundError:
+        return None
+    has_batches = any(f.startswith("batch=") for f in entries)
+    legacy = [f for f in entries
+              if f.startswith("part-") or f.endswith(".parquet")]
+    if legacy and not has_batches:
+        raise RuntimeError(
+            f"state store at {store_path} uses the legacy flat-append "
+            "layout (loose part- files, no batch=<id> partitions); "
+            "migrate it by moving the existing files under "
+            f"{store_path}/batch=-1/ before restarting the stream")
+    if not has_batches:
+        return None
+    store = (spark.read.parquet(store_path)
+             .filter(F.col("batch") < F.lit(int(batch_id)))
+             .drop("batch"))
+    if not store.take(1):
+        return None
+    return store
 
 
 def _agg_exprs(aggs):
@@ -331,16 +365,7 @@ def stream_minhash_dedup(stream_tbl: SparkTbl, store_path: str,
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        store = None
-        try:
-            if any(f.startswith("batch=") for f in os.listdir(store_path)):
-                store = (spark.read.parquet(store_path)
-                         .filter(F.col("batch") < F.lit(int(batch_id)))
-                         .drop("batch"))
-                if not store.take(1):
-                    store = None
-        except FileNotFoundError:
-            store = None
+        store = _read_batch_store(spark, store_path, batch_id)
         pairs, new_store = minhash_near_dups_incremental(
             SparkTbl(batch_df), store, col=col, id_col=id_col, **minhash_kw)
         batch_ids = batch_df.select(id_col).distinct()
@@ -399,16 +424,7 @@ def stream_semantic_dedup(stream_tbl: SparkTbl, store_path: str,
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        store = None
-        try:
-            if any(f.startswith("batch=") for f in os.listdir(store_path)):
-                store = (spark.read.parquet(store_path)
-                         .filter(F.col("batch") < F.lit(int(batch_id)))
-                         .drop("batch"))
-                if not store.take(1):
-                    store = None
-        except FileNotFoundError:
-            store = None
+        store = _read_batch_store(spark, store_path, batch_id)
         if store is None:
             # first batch (or a retry of it): train the centroids on
             # this batch's bounded slice — deterministic, so a retry

@@ -110,3 +110,23 @@ def test_separate_longer_position(spark):
     got = sorted(((r.id, r.x) for _, r in out.iterrows()),
                  key=lambda p: (p[0], str(p[1])))
     assert got == [(1, "ab"), (1, "cd"), (1, "e"), (2, "xy"), (3, None)]
+
+
+def test_separate_longer_position_newlines_and_empty(spark):
+    """ADVICE r8: the chop pattern is DOTALL so embedded newlines are
+    preserved, and "" yields zero pieces (dropped) under tidyr's default
+    keep_empty=FALSE while keep_empty=True keeps it as one NULL row."""
+    from siuba_spark import separate_longer_position
+    t = tbl(spark.createDataFrame(
+        [(1, "a\nb"), (2, ""), (3, None)], "id long, x string"))
+    out = separate_longer_position(t, "x", width=2).df.toPandas()
+    got = sorted(((r.id, r.x) for _, r in out.iterrows()),
+                 key=lambda p: (p[0], str(p[1])))
+    # newline survives inside the first piece; "" row is dropped; NULL kept
+    assert got == [(1, "a\n"), (1, "b"), (3, None)]
+
+    kept = separate_longer_position(t, "x", width=2,
+                                    keep_empty=True).df.toPandas()
+    got2 = sorted(((r.id, r.x) for _, r in kept.iterrows()),
+                  key=lambda p: (p[0], str(p[1])))
+    assert got2 == [(1, "a\n"), (1, "b"), (2, None), (3, None)]

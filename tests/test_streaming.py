@@ -480,3 +480,21 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
         got2[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True))
     assert spark.read.parquet(str(tmp_path / "store")).count() == full.count()
+
+
+def test_legacy_flat_store_raises_migration_error(spark, tmp_path):
+    """ADVICE r8: a pre-batch=-partitioned (flat-append) state store must
+    NOT be silently treated as empty — that loses dedup state on upgrade."""
+    from siuba_spark.streaming.windows import _read_batch_store
+
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "part-00000-abc.snappy.parquet").write_bytes(b"")
+    with pytest.raises(RuntimeError, match="legacy flat-append"):
+        _read_batch_store(spark, str(store), 3)
+
+    # absent and genuinely-empty dirs are still fine (None)
+    assert _read_batch_store(spark, str(tmp_path / "missing"), 3) is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _read_batch_store(spark, str(empty), 3) is None
