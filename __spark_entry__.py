@@ -5122,6 +5122,83 @@ FROM documents WHERE text IS NOT NULL AND length(text) > 0
 """
 
 
+def q_separate_longer(spark, sf):
+    """tidyr 1.3 longer-direction separators chained (operators/reshape.py
+    separate_longer_delim + separate_longer_position — reference parity
+    target tidyr's separate_longer_*; the reference itself stops at
+    separate/separate_rows):  ``lang-source`` splits on the literal
+    delimiter, then each piece chops into width-2 fragments.  Both steps
+    are shuffle-free flatMap-shaped projections (split/regexp_extract_all
+    + explode)."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import separate_longer_delim, separate_longer_position
+    docs = _t(spark, sf, "documents")
+    base = docs.df.select(
+        "doc_id", F.concat_ws("-", "lang", "source").alias("piece"))
+    out = (tbl(base)
+           >> separate_longer_delim(_.piece, delim="-")
+           >> separate_longer_position(_.piece, width=2))
+    return out.df.select("doc_id", "piece")
+
+
+SQL_SEPARATE_LONGER = """
+WITH u AS (SELECT doc_id,
+                  unnest(string_split(lang || '-' || source, '-')) AS piece
+           FROM documents)
+SELECT doc_id, unnest(regexp_extract_all(piece, '(?s)(.{1,2})', 1)) AS piece
+FROM u
+"""
+
+
+def q_stream_semantic_store(spark, sf):
+    """THE streaming SemDeDup code path, driver-graded (VERDICT r8 item
+    3): the embeddings table split into two parquet files becomes a
+    two-micro-batch stream (maxFilesPerTrigger=1, availableNow);
+    stream_semantic_dedup (streaming/windows.py — foreachBatch +
+    idempotent per-batch assignment store + persisted JSON centroids)
+    processes it; the accumulated pairs output must equal the
+    from-scratch SemDeDup pair set at the trained centroids — the oracle
+    IS the from-scratch DuckDB replay (same SQL the batch-side
+    ``semantic_dedup_incr`` entry grades against).  Batch 0 holds the low
+    vec_ids, so the deterministic 'sample' centroids trained on the first
+    micro-batch equal the oracle's full-table first-8 slice."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from siuba_spark.streaming.windows import stream_semantic_dedup
+    base = tempfile.mkdtemp(prefix="ssem_entry_")
+    try:
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        src = os.path.join(base, "src")
+        emb.filter(F.col("vec_id") < 250).coalesce(1) \
+            .write.parquet(os.path.join(src, "b0.parquet"))
+        emb.filter(F.col("vec_id") >= 250).coalesce(1) \
+            .write.parquet(os.path.join(src, "b1.parquet"))
+        stream = tbl(spark.readStream.schema(emb.schema)
+                     .option("maxFilesPerTrigger", 1)
+                     .parquet(src + "/*.parquet"))
+        q = stream_semantic_dedup(
+            stream, store_path=os.path.join(base, "store"),
+            pairs_path=os.path.join(base, "pairs"),
+            checkpoint=os.path.join(base, "ckpt"),
+            cents_path=os.path.join(base, "cents.json"),
+            threshold=0.35, n_lists=8, centroids="sample")
+        q.awaitTermination(600)
+        out = (spark.read.parquet(os.path.join(base, "pairs"))
+               .select("id_a", "id_b", "score").toPandas())
+        return spark.createDataFrame(
+            out, "id_a long, id_b long, score double")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_STREAM_SEMANTIC_STORE = SQL_SEMANTIC_DEDUP_INCR
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -5345,35 +5422,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest_wider_hoist": q_unnest_wider_hoist,
         "bpe_arrow": q_bpe_arrow,
         "quantize_embeddings": q_quantize_embeddings,
+        # new in r9
+        "stream_semantic_store": q_stream_semantic_store,
+        "separate_longer": q_separate_longer,
     })
-    # Driver grades the FIRST 50 entries only.  Round-8 window: the new
-    # r8 entries + vector_mean (added below the r7 window, never graded),
-    # then the entries whose LAST driver grade is oldest (r2, then r3,
-    # then the r4 head, oldest-first) — the rotation VERDICT r6 item 5
-    # established.  Everything else keeps its prior (green) grade and
-    # stays covered by tools/oracle_sweep.py.
+    # Driver grades the FIRST 50 entries only.  Round-9 window: the two
+    # new r9 entries (the streaming SemDeDup path + the tidyr 1.3
+    # longer-separators), then the four r8 additions that never received
+    # a driver grade, then the entries whose LAST driver grade is oldest
+    # (all of r4, all of r5, then the r6 head alphabetical) — the
+    # rotation VERDICT r6 item 5 established.  Everything else keeps its
+    # prior (green) grade and stays covered by tools/oracle_sweep.py.
     front = [
-        # new in r8
-        "semantic_dedup_incr", "stream_minhash_store",
-        "symbolic_dispatch_fn", "bpe_broadcast",
-        # never driver-graded (added below the r7 window)
-        "vector_mean",
-        # last graded r2
-        "separate_unite", "spread_wide", "str_findall_family",
-        "str_functions", "text_stats", "theta_join", "top_n", "tpch_q3",
-        "window_ranks", "window_share",
-        # last graded r3 (alphabetical, all 32)
-        "across_agg", "agg_moments", "asof_last_purchase",
-        "bind_rows_slices", "corr_matrix", "crosstab", "cumall_cumany",
-        "cut_qcut_bands", "describe_stats", "elwise_family",
-        "events_sliding", "expand_grid", "fct_remap", "first_last_agg",
-        "hash_split", "interval_join_events", "json_props", "one_hot",
-        "rank_average", "rolling_time_window", "rolling_window",
-        "row_number_per_group", "slice_minmax", "str_pad_family",
-        "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q17", "tpch_q18",
-        "tpch_q5", "tpch_q6", "transmute_pricing",
-        # last graded r4 (alphabetical head; the rest rotate in r9)
-        "ann_topk", "audio_meta", "chunk_tokens",
+        # new in r9
+        "stream_semantic_store", "separate_longer",
+        # never driver-graded (added below the r8 window)
+        "bpe_arrow", "quantize_embeddings",
+        "unnest_longer_tokens", "unnest_wider_hoist",
+        # last graded r4 (all 15)
+        "cube_agg", "dedup_clusters", "dedup_exact", "dedup_segments",
+        "embedding_near_dups", "fuzzy_pairs", "knn_label_vote",
+        "multimodal_headers", "ngram_contamination", "quality_signals",
+        "rollup_agg", "scrub_pii", "stratified_sample", "unigram_logprob",
+        "video_meta",
+        # last graded r5 (all 4)
+        "grouping_sets", "jaccard_pairs", "separate_rows", "tpch_q1",
+        # last graded r6 (alphabetical head; the rest rotate in r10)
+        "approx_aggs", "by_grouping", "cat_codes_dynamic",
+        "cat_codes_static", "consecutive_runs", "drop_near_dups",
+        "dropna_replacena", "embedding_near_dups_lsh", "fct_infreq_codes",
+        "fill_downup", "gopher_filter", "group_apply",
+        "ivf_kmeans_recall_gate", "ivf_pq_topk", "ivf_topk",
+        "ivf_topk_lloyd", "lsh_ann", "minhash_near_dups",
+        "multimodal_decode", "nest_join_sizes", "pack_sequences",
+        "pq_topk", "reframe_quantiles", "rename_relocate",
+        "rolling_stats",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -5562,4 +5645,7 @@ def oracle_sql() -> dict[str, str]:
         "unnest_wider_hoist": SQL_UNNEST_WIDER_HOIST,
         "bpe_arrow": SQL_BPE_ARROW,
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+        # round-9 additions
+        "stream_semantic_store": SQL_STREAM_SEMANTIC_STORE,
+        "separate_longer": SQL_SEPARATE_LONGER,
     }

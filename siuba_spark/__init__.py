@@ -16,6 +16,7 @@ pandas/dplyr semantics shims (SURVEY.md §4).
 """
 
 from .siu.calls import Lam, Lazy, Symbolic
+from .siu.format import explain
 from .functions.lowering import TranslationError
 from .plans.tbl import (
     SparkTbl, tbl, collect, show_query, write_parquet, write_csv,
@@ -99,7 +100,7 @@ __all__ = [
     "ntile", "lead", "lag", "consecutive_id", "n", "n_distinct", "approx_n_distinct",
     "approx_quantile", "nth", "first", "last",
     "coalesce", "na_if", "between", "near", "if_else", "case_when", "sql_raw",
-    "symbolic_dispatch", "Lam", "Lazy", "desc", "str_c", "cut",
+    "symbolic_dispatch", "Lam", "Lazy", "explain", "desc", "str_c", "cut",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
     "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
     "rolling_std", "rolling_var", "rolling_median", "rolling_count",

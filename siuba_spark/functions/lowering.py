@@ -406,11 +406,29 @@ def register_fn(name):
 
 
 def lower(node, ctx: LowerCtx):
-    """Lower an AST node. Returns (Column, kind)."""
+    """Lower an AST node. Returns (Column, kind).
+
+    A TranslationError raised anywhere in the subtree is annotated ONCE
+    with the box-tree rendering of the smallest failing subexpression
+    (siu.format.tree — the reference diagnoses captured expressions the
+    same way via its Formatter / `explain`), so the error message shows
+    the user WHICH node failed, not just why."""
     if isinstance(node, Lit):
         return F.lit(node.value), SCALAR
     if not isinstance(node, Call):
         return F.lit(node), SCALAR
+    try:
+        return _lower_call(node, ctx)
+    except TranslationError as exc:
+        if not getattr(exc, "_siu_annotated", False):
+            from ..siu.format import tree
+            exc._siu_annotated = True
+            exc.args = (f"{exc.args[0]}\nin expression:\n{tree(node)}",
+                        *exc.args[1:])
+        raise
+
+
+def _lower_call(node, ctx: LowerCtx):
 
     if isinstance(node, MetaArg):
         raise TranslationError(

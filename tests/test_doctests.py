@@ -16,6 +16,7 @@ MODULES = [
     "siuba_spark.operators.reshape",
     "siuba_spark.functions.vector",
     "siuba_spark.functions.forcats",
+    "siuba_spark.siu.format",
 ]
 
 
