@@ -79,8 +79,14 @@ def main():
     # ivf_topk_lloyd added r8: two consecutive upward creeps (1.42 ->
     # 1.65 -> 1.88 s) that the tight A/A compare attributed mostly to
     # noise + a removed second collect; extra reps pin it down
+    # pack_sequences added r9: flagged 1.23x in the r8 driver run, but a
+    # clean-JVM min-of-7 re-measure gave 0.451 s (vs 0.56 r7) — noise;
+    # rolling_stats likewise re-measured 0.65 s min-of-7 against the r8
+    # driver's 0.87 (r7 0.68) — both stay on extra reps to keep the
+    # driver number honest
     EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3",
-                  "tpch_q4", "rolling_stats", "ivf_topk_lloyd"}
+                  "tpch_q4", "rolling_stats", "ivf_topk_lloyd",
+                  "pack_sequences"}
     queries = entry.queries()
     # the xxhash64 simhash twin left the graded registry in round 6 (its
     # driver signal is now the constant-oracle simhash_prod_gate); bench

@@ -36,7 +36,13 @@ def _str_contains(col, pat, case=True, regex=True, na=None):
     return _with_na(out, na)
 
 
-def _str_slice(col, start=None, stop=None):
+def _str_slice(col, start=None, stop=None, step=None):
+    if step not in (None, 1):
+        from .lowering import TranslationError
+        raise TranslationError(
+            "str.slice(step=...) has no SQL/Spark substring equivalent "
+            "(the reference's SQL dialects omit str.slice entirely, "
+            "base.py); use a regexp instead")
     start = 0 if start is None else start
     if start < 0:
         # negative start counts from the end (pandas slice semantics);
@@ -121,6 +127,9 @@ STR_METHODS = {
     "slice": _str_slice,
     "get": lambda col, i: F.substring(col, i + 1, 1),
     "split": lambda col, pat=None, regex=True: F.split(col, pat if pat is not None else r"\s+"),
+    # pandas str.join concatenates the elements of a list-valued Series
+    # (typically the output of str.split); NULL-safe like pandas NaN rows
+    "join": lambda col, sep: F.array_join(col, sep),
     "cat": lambda col, other, sep="": F.concat_ws(sep, col, other),
     "zfill": lambda col, width: F.lpad(col, width, "0"),
     "pad": lambda col, width, side="left", fillchar=" ": (
@@ -172,7 +181,9 @@ STR_METHODS = {
     "slice_replace": lambda col, start=0, stop=None, repl="": F.concat(
         F.substring(col, 1, start),
         F.lit(repl),
-        F.substring(col, (stop if stop is not None else 2147483647) + 1,
+        # stop=None replaces through the end: tail start stays INT-ranged
+        # (2147483647 + 1 would overflow Spark's INT position parameter)
+        F.substring(col, stop + 1 if stop is not None else 2147483647,
                     2147483647)),
     # pandas center: left pad gets floor of the slack, right gets the rest
     "center": lambda col, width, fillchar=" ": F.when(

@@ -245,6 +245,10 @@ ELWISE_METHODS = {
     "pow": lambda col, p: F.pow(col, p),
     "exp": lambda col: F.exp(col),
     "log": lambda col: F.log(col),
+    # container element pluck (pandas `.str.split(...).get(i)`; the
+    # reference registers Series.get for this, ops/generics.py) —
+    # F.get is 0-based and NULL-safe on out-of-range, matching pandas
+    "get": lambda col, i: F.get(col, i),
 }
 
 
@@ -304,6 +308,10 @@ AGG_METHODS = {
     # no appearance order, so the deterministic choice is sorted
     "unique": lambda over, col: F.array_sort(over(F.collect_set(col))),
 }
+# pandas alias pairs (the reference registers both spellings,
+# siuba/ops/generics.py: kurtosis/kurt, product/prod)
+AGG_METHODS["kurtosis"] = AGG_METHODS["kurt"]
+AGG_METHODS["product"] = AGG_METHODS["prod"]
 
 # nunique: Spark bans DISTINCT aggregates inside windows → collect_set
 AGG_WINDOW_OVERRIDES = {
@@ -503,6 +511,12 @@ def _apply_binop(op, lc, rc):
         return F.floor(F.try_divide(rc, lc)).cast("long")
     if op == "__pow__":
         return F.pow(lc, rc)
+    if op == "__xor__":
+        # logical exclusive-or with SQL three-valued NULL semantics —
+        # pandas `^` between boolean Series (the reference registers
+        # __xor__ but its SQL dialects comment it out; this engine
+        # supports the boolean form; use py_func for bitwise int xor)
+        return (lc & ~rc) | (~lc & rc)
     fn = getattr(lc, op, None)
     if fn is None:
         raise TranslationError(f"unsupported operator {op}")

@@ -260,6 +260,11 @@ class Symbolic:
         )
 
     # -- misc protocol -----------------------------------------------------
+    def __round__(self, n=0):
+        # builtin round(_.x, 2) (and the reference's registered __round__
+        # op) captures as the .round() method — same lowering, F.round
+        return Symbolic(MethodCall(self._call, "round", (_node(n),), {}))
+
     def __bool__(self):
         raise TypeError(
             "Symbolic expressions are lazy and have no truth value. "

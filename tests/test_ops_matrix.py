@@ -138,6 +138,18 @@ ELWISE = {
                       "CASE WHEN s IS NULL THEN NULL "
                       "ELSE substr(s, greatest(length(s)-2, 1), 2) END"),
     "op_findall": (_.s.str.findall("[a-z]+"), "regexp_extract_all(s, '[a-z]+')"),
+    "op_slice_replace": (_.s.str.slice_replace(1, 3, "XY"),
+                         "substr(s, 1, 1) || 'XY' || substr(s, 4)"),
+    # stop=None replaces through the end (regression: the tail-start
+    # constant must stay INT-ranged, accessors.py slice_replace)
+    "op_slice_replace_tail": (_.s.str.slice_replace(2, repl="Z"),
+                              "substr(s, 1, 2) || 'Z'"),
+    "op_str_join": (_.s.str.split(" ").str.join("|"),
+                    "array_to_string(string_split(s, ' '), '|')"),
+    "op_split_get": (_.s.str.split(" ").get(0),
+                     "string_split(s, ' ')[1]"),
+    "op_xor": ((_.x > 0) ^ (_.y > 2), "(x > 0) != (y > 2)"),
+    "op_dunder_round": (round(_.x, 1), "round(x, 1)"),
     "op_near": (NEAR_XY, "abs(x - (x + 1e-12)) < 1.4901161193847656e-08"),
     "op_find": (_.s.str.find("e"), "strpos(s, 'e') - 1"),
     "op_repeat": (_.s.str.repeat(2), "repeat(s, 2)"),
