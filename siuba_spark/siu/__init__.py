@@ -3,12 +3,12 @@
 
 from .calls import (
     BinaryOp, Call, FnCall, GetAttr, GetItem, Lam, Lazy, Lit, MetaArg,
-    MethodCall, RawCallable, Symbolic, UnaryOp, strip_symbolic,
+    MethodCall, RawCallable, Symbolic, UnaryOp, op_vars, strip_symbolic,
 )
 from .format import code, explain, tree
 
 __all__ = [
     "BinaryOp", "Call", "FnCall", "GetAttr", "GetItem", "Lam", "Lazy",
     "Lit", "MetaArg", "MethodCall", "RawCallable", "Symbolic", "UnaryOp",
-    "strip_symbolic", "code", "explain", "tree",
+    "op_vars", "strip_symbolic", "code", "explain", "tree",
 ]

@@ -39,6 +39,16 @@ class Call:
     def _parts(self):
         return ()
 
+    def op_vars(self, attr_calls: bool = True) -> set:
+        """Set of all variable names used in the expression (reference:
+        siuba/siu/calls.py:267 ``Call.op_vars`` — the programming-surface
+        helper the key_features guide demonstrates).
+
+        ``attr_calls=False`` excludes names that are *invoked* — method
+        names like ``mean`` in ``_.a.mean()`` — leaving only the data
+        columns the expression reads."""
+        return op_vars(self, attr_calls=attr_calls)
+
     # Allow raw Call objects in pipes: ``df >> some_call`` is not supported,
     # but composing Calls with operators is (used internally).
 
@@ -187,6 +197,53 @@ _RSWAP = {
 def strip_symbolic(x):
     """Return the underlying Call for a Symbolic, else x unchanged."""
     return x._call if isinstance(x, Symbolic) else x
+
+
+def op_vars(node, attr_calls: bool = True) -> set:
+    """Collect every variable name an expression references (reference:
+    siuba/siu/calls.py:267).  Names come from attribute access
+    (``_.a`` → 'a'), string subscripts (``_["b"]`` → 'b'), and — unless
+    ``attr_calls=False`` — invoked method names (``_.a.mean()`` adds
+    'mean').
+
+    Examples
+    --------
+    >>> from siuba_spark import _
+    >>> from siuba_spark.siu import op_vars, strip_symbolic
+    >>> sorted(op_vars(_.a.mean() + _["b"], attr_calls=False))
+    ['a', 'b']
+    >>> sorted(op_vars(_.a.mean() + _["b"]))
+    ['a', 'b', 'mean']
+    """
+    node = strip_symbolic(node)
+    out = set()
+    if isinstance(node, GetAttr):
+        out.add(node.name)
+        out |= op_vars(node.obj, attr_calls)
+    elif isinstance(node, GetItem):
+        if isinstance(node.key, str):
+            out.add(node.key)
+        else:
+            out |= op_vars(node.key, attr_calls)
+        out |= op_vars(node.obj, attr_calls)
+    elif isinstance(node, MethodCall):
+        if attr_calls:
+            out.add(node.name)
+        out |= op_vars(node.obj, attr_calls)
+        for a in node.args:
+            out |= op_vars(a, attr_calls)
+        for v in node.kwargs.values():
+            out |= op_vars(v, attr_calls)
+    elif isinstance(node, BinaryOp):
+        out |= op_vars(node.left, attr_calls) | op_vars(node.right, attr_calls)
+    elif isinstance(node, UnaryOp):
+        out |= op_vars(node.operand, attr_calls)
+    elif isinstance(node, (FnCall, RawCallable, Lazy)):
+        for a in getattr(node, "args", ()):
+            out |= op_vars(a, attr_calls)
+        for v in getattr(node, "kwargs", {}).values():
+            out |= op_vars(v, attr_calls)
+    return out
 
 
 def _node(x):

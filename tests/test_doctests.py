@@ -17,6 +17,7 @@ MODULES = [
     "siuba_spark.functions.vector",
     "siuba_spark.functions.forcats",
     "siuba_spark.siu.format",
+    "siuba_spark.siu.calls",
 ]
 
 
