@@ -191,3 +191,142 @@ def test_quantize_preserves_ann_neighbors(spark):
     a = {(r.query_id, r.nbr_id) for r in exact}
     b = {(r.query_id, r.nbr_id) for r in approx}
     assert len(a & b) / len(a) >= 0.9
+
+
+def test_int8_prefilter_pair_set_identical(spark):
+    """prefilter='int8' must emit EXACTLY the unfiltered pair set (the
+    ADC bound proves no false drops; the exact re-rank removes any false
+    keeps) — checked across thresholds on real sf0.001 embeddings."""
+    import pandas as pd
+
+    emb = tbl(spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"))
+    for thr in (0.25, 0.35, 0.6):
+        _d1, p1 = semantic_dedup(emb, threshold=thr, n_lists=4,
+                                 centroids="sample", return_pairs=True)
+        _d2, p2 = semantic_dedup(emb, threshold=thr, n_lists=4,
+                                 centroids="sample", return_pairs=True,
+                                 prefilter="int8")
+        a = p1.df.toPandas().sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
+        b = p2.df.toPandas().sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_int8_bound_dominates_exact_cosine(spark):
+    """The ADC prune bound is a true UPPER bound: for every intra-cell
+    pair (threshold 0, nothing pruned by value), bound ≥ exact cosine.
+    Includes adversarial vectors: near-duplicates, an all-zero vector,
+    constant vectors, and sign-flipped pairs."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import (
+        _cells_and_centers, _cosine_pre,
+    )
+    from siuba_spark.corpus.similarity import _int8_prefiltered_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),          # near-dup of 0
+        (2, [0.0, 0.0, 0.0, 0.0]),             # zero vector
+        (3, [0.5, 0.5, 0.5, 0.5]),
+        (4, [-0.5, -0.5, -0.5, -0.5]),         # sign flip of 3
+        (5, [0.1, -0.2, 0.3, -0.4]),
+        (6, [0.1000001, -0.2, 0.3, -0.4]),     # near-dup of 5
+        (7, [127.0, -127.0, 63.5, 1.0]),       # large magnitudes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, _c = _cells_and_centers(
+        tbl(df), "vec_id", "embedding", 1, "sample", 2, 42, None)
+    # bound-only pairs at threshold -1.0 (keeps everything) vs exact
+    pre = _int8_prefiltered_pairs(assigned, -1.0, 8).toPandas()
+    a = assigned.select(F.col("nbr_id").alias("id_a"),
+                        F.col("nbr_vec").alias("va"),
+                        F.col("__nn").alias("na"), "__cell")
+    b = assigned.select(F.col("nbr_id").alias("id_b"),
+                        F.col("nbr_vec").alias("vb"),
+                        F.col("__nn").alias("nb"), "__cell")
+    exact = (a.join(b, "__cell").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(_cosine_pre(F.col("va"), F.col("vb"),
+                                         F.col("na"), F.col("nb")), 8)
+                     .alias("score"))).toPandas()
+    # every non-NULL exact pair must appear in the prefiltered output
+    # with the identical score (zero-vector pairs are NULL on both paths)
+    exact = exact.dropna(subset=["score"])
+    merged = exact.merge(pre, on=["id_a", "id_b"], how="left",
+                         suffixes=("_want", "_got"))
+    assert merged.score_got.notna().all(), merged[merged.score_got.isna()]
+    assert (merged.score_want == merged.score_got).all()
+
+
+def test_semantic_store_compact_rebalances_and_preserves_contract(spark):
+    """Store maintenance (semantic_store_compact): a drifted store — all
+    later snapshots landing in the epoch-1 cells — compacts into
+    rebalanced cells with every row preserved, the trigger is a no-op
+    under the p99 limit, and the incremental equivalence holds in the
+    new epoch (next snapshot's pairs at the new centroids == from-scratch
+    pairs over store+snapshot at those centroids, restricted to pairs
+    with a new endpoint)."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import (
+        semantic_dedup, semantic_dedup_incremental, semantic_store_compact,
+    )
+
+    full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = tbl(full.filter(F.col("vec_id") < 150))
+    b = tbl(full.filter(F.col("vec_id").between(150, 299)))
+    c = tbl(full.filter(F.col("vec_id") >= 300))
+    kw = dict(threshold=0.3, centroids="sample")
+
+    # epoch 1: centroids trained on snapshot a only -> drift by snapshot b
+    _p1, store, cents = semantic_dedup_incremental(a, n_lists=4, **kw)
+    _p2, store, cents = semantic_dedup_incremental(b, store, cents,
+                                                   n_lists=4, **kw)
+    n_store = store.df.count()
+
+    # under-limit trigger: untouched
+    same, no_cents, did = semantic_store_compact(store, p99_limit=10**9)
+    assert did is False and no_cents is None
+    assert same.df.count() == n_store
+
+    # compaction: every row survives, schema identical, cells rebalanced
+    new_store, new_cents, did = semantic_store_compact(
+        store, n_lists=8, centroids="sample", p99_limit=1)
+    assert did is True and len(new_cents) == 8
+    assert new_store.df.count() == n_store
+    assert set(new_store.df.columns) == set(store.df.columns)
+    old_p99, new_p99 = [
+        s.df.groupBy("__cell").count()
+        .agg(F.expr("percentile(count, 0.99)")).first()[0]
+        for s in (store, new_store)]
+    assert new_p99 <= old_p99
+
+    # epoch 2: the incremental contract holds at the new centroids
+    p3, _s3, _c3 = semantic_dedup_incremental(c, new_store, new_cents,
+                                              n_lists=8, **kw)
+    _d, want_pairs = semantic_dedup(
+        tbl(full), n_lists=8, centroids="sample", return_pairs=True,
+        **{k: v for k, v in kw.items() if k != "centroids"})
+    # from-scratch at the SAME centroids: replay with fixed cents
+    from siuba_spark.corpus.similarity import _assign_fixed, _cosine_pre
+    asg = _assign_fixed(full, new_cents, "vec_id", "embedding")
+    l = asg.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"),
+                   F.col("__nn").alias("na"), "__cell")
+    r = asg.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"),
+                   F.col("__nn").alias("nb"), "__cell")
+    allp = (l.join(r, "__cell").filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("score", F.round(_cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4))
+            .filter(F.col("score") >= 0.3)
+            .select("id_a", "id_b", "score"))
+    want = (allp.filter((F.col("id_a") >= 300) | (F.col("id_b") >= 300))
+            .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    got = p3.df.toPandas().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)

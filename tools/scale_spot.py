@@ -152,6 +152,22 @@ def main():
         return semantic_dedup(emb, threshold=0.999, n_lists=n,
                               centroids="sample").df
 
+    def semantic_int8_64(d):
+        # same SemDeDup bound with the int8 ADC prefilter: the cell
+        # self-join shuffles tinyint codes + 4 scalars instead of the
+        # 64-double vectors (~8x lighter pair-stage payload); survivors
+        # fetch doubles by id-equijoin for the exact re-rank.  The decade
+        # ratio must match semantic_dedup_64 (same Σ|cell|² pair count);
+        # the shuffle column is the point of the row.
+        from siuba_spark.corpus.similarity import semantic_dedup
+        vec = F.transform(F.sequence(F.lit(1), F.lit(64)),
+                          lambda j: F.sin(F.col("doc_id") * j * 0.1))
+        emb = SparkTbl(d.df.select(F.col("doc_id").alias("vec_id"),
+                                   vec.alias("embedding")))
+        n = max(16, int(emb.df.count() ** 0.5))
+        return semantic_dedup(emb, threshold=0.999, n_lists=n,
+                              centroids="sample", prefilter="int8").df
+
     def semantic_incr_64(d):
         # snapshot-over-snapshot SemDeDup: halves by id, snapshot B
         # paired only against new x (new + store-in-cell) — the store is
@@ -236,6 +252,7 @@ def main():
         "pq_topk_768": pq_topk_768,
         "ivf_lloyd_768": ivf_lloyd_768,
         "semantic_dedup_64": semantic_dedup_64,
+        "semantic_int8_64": semantic_int8_64,
         "semantic_incr_64": semantic_incr_64,
         "quantize_emb_64": quantize_emb_64,
         "quality_chain": quality_chain,
