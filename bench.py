@@ -84,9 +84,13 @@ def main():
     # rolling_stats likewise re-measured 0.65 s min-of-7 against the r8
     # driver's 0.87 (r7 0.68) — both stay on extra reps to keep the
     # driver number honest
+    # rolling_time_window / interval_join_events added r9: run-b sat
+    # 1.37x/1.28x over the r8 artifact with no code cause in the r9
+    # diff (clean-JVM min-of-7 = r7 levels); r10 watch set
     EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3",
                   "tpch_q4", "rolling_stats", "ivf_topk_lloyd",
-                  "pack_sequences"}
+                  "pack_sequences", "rolling_time_window",
+                  "interval_join_events"}
     queries = entry.queries()
     # the xxhash64 simhash twin left the graded registry in round 6 (its
     # driver signal is now the constant-oracle simhash_prod_gate); bench
