@@ -45,6 +45,7 @@ from .operators.rows import (
     rows_delete,
 )
 from .operators.reshape import (
+    uncount,
     gather, spread, separate, separate_rows, unite, extract, nest, unnest,
     unnest_longer, unnest_wider, hoist, expand, complete,
     separate_wider_delim, separate_wider_position, separate_wider_regex,
@@ -57,7 +58,7 @@ from .functions.vector import (
     row_number, min_rank, dense_rank, percent_rank, cume_dist, ntile,
     lead, lag, consecutive_id, n, n_distinct, approx_n_distinct, approx_quantile,
     nth, first, last, coalesce, na_if, between,
-    if_else, case_when, sql_raw, symbolic_dispatch, desc, str_c,
+    if_else, case_when, case_match, sql_raw, symbolic_dispatch, desc, str_c,
     floor_date, ceil_date, json_extract,
     near, cut,
     rolling_mean, rolling_sum, rolling_min, rolling_max,
@@ -93,13 +94,13 @@ __all__ = [
     "fill", "drop_na", "replace_na",
     "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
     "separate_longer_delim", "separate_longer_position",
-    "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows",
+    "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows", "uncount",
     "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "consecutive_id", "n", "n_distinct", "approx_n_distinct",
     "approx_quantile", "nth", "first", "last",
-    "coalesce", "na_if", "between", "near", "if_else", "case_when", "sql_raw",
+    "coalesce", "na_if", "between", "near", "if_else", "case_when", "case_match", "sql_raw",
     "symbolic_dispatch", "Lam", "Lazy", "explain", "desc", "str_c", "cut",
     "floor_date", "ceil_date", "cumall", "cumany", "cummean", "json_extract",
     "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",

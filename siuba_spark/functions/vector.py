@@ -488,6 +488,60 @@ def _case_when(ctx, args, kwargs):
     return (out.otherwise(otherwise) if otherwise is not None else out), SCALAR
 
 
+@register_fn("case_match")
+def _case_match(ctx, args, kwargs):
+    """dplyr 1.1 ``case_match`` (beyond the reference, which stops at
+    case_when): switch on the VALUES of one expression.  Each mapping
+    key is a value or tuple/list of values; first matching key wins;
+    ``_default=`` (or a ``True`` key) supplies the fallback, otherwise
+    unmatched rows are NULL — dplyr semantics.  Lowers to one
+    ``CASE WHEN x IN (...)`` chain, whole-stage codegen."""
+    from ..siu.calls import strip_symbolic
+    col = _low(strip_symbolic(args[0]), ctx)
+    mapping = args[1]
+    if isinstance(mapping, Lit):
+        mapping = mapping.value
+    default = kwargs.get("_default")
+    if default is not None:
+        default = _low(strip_symbolic(default), ctx)
+        default = default if isinstance(default, Column) else F.lit(default)
+    out = None
+    for key, value in mapping.items():
+        value = strip_symbolic(value)
+        v = _low(value, ctx)
+        v = v if isinstance(v, Column) else F.lit(v)
+        if key is True:
+            default = v
+            continue
+        vals = list(key) if isinstance(key, (tuple, frozenset)) else [key]
+        c = col.isin(vals)
+        out = F.when(c, v) if out is None else out.when(c, v)
+    if out is None:
+        return (default if default is not None else F.lit(None)), SCALAR
+    return (out.otherwise(default) if default is not None else out), SCALAR
+
+
+def case_match(expr, mapping, _default=None):
+    """Value-switch expression (dplyr 1.1)::
+
+        mutate(band=case_match(_.cyl, {(4, 6): "small", 8: "big"},
+                               _default="other"))
+
+    Keys are single values or tuples of values; first match wins;
+    unmatched rows get ``_default`` (NULL when omitted).
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([(4,), (6,), (8,), (12,)], "cyl long"))
+    >>> out = t >> mutate(band=case_match(
+    ...     _.cyl, {(4, 6): "small", 8: "big"}, _default="other")) >> collect()
+    >>> out.band.tolist()
+    ['small', 'small', 'big', 'other']
+    """
+    kw = {} if _default is None else {"_default": _node(_default)}
+    return Symbolic(FnCall("case_match", (_node(expr), Lit(mapping)), kw))
+
+
 @register_fn("desc")
 def _desc(ctx, args, kwargs):
     # appearing inside a general expression: numeric negate (matches the

@@ -30,7 +30,7 @@ __all__ = [
     "expand", "complete", "pivot_longer", "pivot_wider",
     "bind_rows", "one_hot", "crosstab",
     "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
-    "separate_longer_delim", "separate_longer_position",
+    "separate_longer_delim", "separate_longer_position", "uncount",
 ]
 
 MAX_PIVOT_KEYS = 10_000  # driver-side spec guard
@@ -1269,3 +1269,47 @@ def separate_longer_position(tbl: SparkTbl, *cols, width: int,
     exploder = F.explode_outer if keep_empty else F.explode
     df = tbl.df.select(*others, exploder(pieces).alias(name))
     return tbl.evolve(df=df)
+
+
+@verb
+def uncount(tbl: SparkTbl, weights, remove: bool = True,
+            id: str | None = None):
+    """tidyr ``uncount``: duplicate each row ``weights`` times — the
+    inverse of ``count`` (beyond the reference, which has no uncount;
+    tidyr signature ``uncount(data, weights, .remove, .id)``).
+
+    ``weights`` may be a column reference or any expression (``2 * _.n``);
+    zero and NULL weights drop the row; negative or fractional weights
+    raise at runtime (tidyr requires whole non-negative numbers — a
+    silent truncate would fabricate data).  ``id=`` adds a 1-based copy
+    index.  Shuffle-free: one ``explode(sequence(1, w))`` flatMap-shaped
+    projection; at 100 TB the only cost is the output row fan-out itself.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([("a", 2), ("b", 1), ("c", 0)],
+    ...                               "g string, n long"))
+    >>> out = t >> uncount(_.n, id="copy") >> collect()
+    >>> sorted(zip(out.g, out.copy))
+    [('a', 1), ('a', 2), ('b', 1)]
+    """
+    from ..functions.lowering import LowerCtx
+    node = strip_symbolic(weights)
+    w, _k = lower(node, LowerCtx(tbl.group_by, tbl.order_by))
+    # whole-number gate: raise_error inside the plan, no extra pass
+    wl = F.when(w.isNull(), F.lit(None).cast("long")).otherwise(
+        F.when((w < 0) | (w != F.floor(w)),
+               F.raise_error(F.concat(
+                   F.lit("uncount: weights must be whole non-negative "
+                         "numbers, got "), w.cast("string"))).cast("long")
+               ).otherwise(w.cast("long")))
+    seq = F.when(wl >= 1, F.sequence(F.lit(1).cast("long"), wl)) \
+        .otherwise(F.array().cast("array<long>"))
+    keep = [c for c in tbl.columns
+            if not (remove and isinstance(node, GetAttr)
+                    and isinstance(node.obj, MetaArg)
+                    and c == node.name)]
+    out = tbl.df.select(*keep, F.explode(seq).alias(id or "__uncount_id"))
+    if id is None:
+        out = out.drop("__uncount_id")
+    return tbl.evolve(df=out)

@@ -553,3 +553,25 @@ def test_determinism_is_partition_invariant(spark):
         for i, v in enumerate(variants[1:], 1):
             got = rows(op(v))
             assert got == want, f"{name} differs under partitioning #{i}"
+
+
+def test_uncount_is_shuffle_free_generate(spark):
+    """uncount must stay a flatMap-shaped projection: explode of a
+    sequence, zero Exchange — at 100 TB the only cost is the output row
+    fan-out."""
+    from siuba_spark import _, tbl, uncount
+    t = tbl(spark.createDataFrame([("a", 3)], "g string, n long"))
+    plan = _plan((t >> uncount(_.n, id="i")).df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the explode
+
+
+def test_case_match_is_single_projection(spark):
+    """case_match lowers to one CASE WHEN x IN (...) chain inside the
+    projection — no join, no shuffle, codegen-friendly."""
+    from siuba_spark import _, mutate, tbl
+    from siuba_spark.functions.vector import case_match
+    t = tbl(spark.createDataFrame([(4,)], "cyl long"))
+    out = t >> mutate(b=case_match(_.cyl, {(4, 6): "s"}, _default="o"))
+    plan = _plan(out.df)
+    assert "Exchange" not in plan and "Join" not in plan, plan

@@ -592,3 +592,35 @@ def test_hoist_paths(spark):
     assert out.first_x[0] == "u"        # tidyr paths are 1-based
     assert out.aa[0] == 2.0
     assert "s" in out.columns           # the nest stays in place
+
+
+def test_uncount_edges(spark):
+    """tidyr uncount: zero/NULL weights drop rows, remove=False keeps the
+    weight column, expression weights never remove a column, id is
+    1-based."""
+    from siuba_spark import _, collect, tbl, uncount
+    t = tbl(spark.createDataFrame(
+        [("a", 2), ("b", 0), ("c", None)], "g string, n long"))
+    out = t >> uncount(_.n) >> collect()
+    assert out.g.tolist() == ["a", "a"]
+    assert list(out.columns) == ["g"]            # weights column removed
+    kept = t >> uncount(_.n, remove=False, id="i") >> collect()
+    assert list(kept.columns) == ["g", "n", "i"]
+    assert sorted(zip(kept.g, kept.i)) == [("a", 1), ("a", 2)]
+    expr = t >> uncount(_.n + 1) >> collect()    # expression: nothing removed
+    assert list(expr.columns) == ["g", "n"]
+    assert sorted(expr.g.tolist()) == ["a", "a", "a", "b"]
+
+
+def test_case_match_null_and_grouped(spark):
+    """case_match: NULL never matches an isin key (dplyr semantics — use
+    _default for the catch-all); works inside grouped pipelines."""
+    from siuba_spark import _, collect, group_by, mutate, tbl
+    from siuba_spark.functions.vector import case_match
+    t = tbl(spark.createDataFrame(
+        [("x", 4), ("x", None), ("y", 8)], "g string, cyl long"))
+    out = (t >> group_by(_.g)
+           >> mutate(band=case_match(_.cyl, {4: "s", 8: "b"},
+                                     _default="?")) >> collect())
+    assert sorted(zip(out.g, out.band)) == [("x", "?"), ("x", "s"),
+                                            ("y", "b")]
