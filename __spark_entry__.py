@@ -5211,6 +5211,58 @@ FROM nation
 """
 
 
+def q_pack_unpack(spark, sf):
+    """tidyr pack/unpack round-trip (operators/reshape.py — beyond the
+    reference; Spark structs make both pure zero-job projections): bundle
+    (lang, source) into one struct column, unpack with a names_sep
+    prefix, aggregate on the restored columns."""
+    from siuba_spark import pack, unpack
+    return (
+        _t(spark, sf, "documents")
+        >> pack(meta=(_.lang, _.source))
+        >> unpack(_.meta, names_sep="_")
+        >> group_by(_.meta_lang, _.meta_source)
+        >> summarize(n=_.meta_lang.count(),
+                     chars=_.n_chars.sum())
+    ).df
+
+
+SQL_PACK_UNPACK = """
+SELECT lang AS meta_lang, source AS meta_source,
+       COUNT(*) AS n, SUM(n_chars) AS chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_chop_unchop(spark, sf):
+    """tidyr chop/unchop (operators/reshape.py — beyond the reference):
+    chop collapses customers' order keys into sorted list columns (one
+    collect_list aggregation), unchop explodes them back in lockstep;
+    the entry emits the round-tripped rows PLUS the chopped array
+    rendered as a string (exercising the sorted-array contract) so both
+    directions are value-pinned."""
+    from siuba_spark import chop, unchop
+    base = (_t(spark, sf, "orders")
+            >> filter(_.o_custkey < 200)
+            >> transmute(_.o_custkey, okey=_.o_orderkey.astype(str)))
+    return (
+        base
+        >> chop(_.okey)
+        >> mutate(keys=_.okey.str.join("|"))
+        >> unchop(_.okey)
+        >> select(_.o_custkey, _.okey, _.keys)
+    ).df
+
+
+SQL_CHOP_UNCHOP = """
+WITH c AS (SELECT o_custkey,
+                  list_sort(list(CAST(o_orderkey AS VARCHAR))) AS ks
+           FROM orders WHERE o_custkey < 200 GROUP BY 1)
+SELECT o_custkey, unnest(ks) AS okey, array_to_string(ks, '|') AS keys
+FROM c
+"""
+
+
 def q_stream_semantic_store(spark, sf):
     """THE streaming SemDeDup code path, driver-graded (VERDICT r8 item
     3): the embeddings table split into two parquet files becomes a
@@ -5489,6 +5541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below the r9 window (sweep-covered now, driver-graded in r10)
         "case_match_bands": q_case_match_bands,
         "uncount_weights": q_uncount_weights,
+        "pack_unpack": q_pack_unpack,
+        "chop_unchop": q_chop_unchop,
     })
     # Driver grades the FIRST 50 entries only.  Round-9 window: the two
     # new r9 entries (the streaming SemDeDup path + the tidyr 1.3
@@ -5714,4 +5768,6 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_int8": SQL_SEMANTIC_DEDUP,
         "case_match_bands": SQL_CASE_MATCH_BANDS,
         "uncount_weights": SQL_UNCOUNT_WEIGHTS,
+        "pack_unpack": SQL_PACK_UNPACK,
+        "chop_unchop": SQL_CHOP_UNCHOP,
     }

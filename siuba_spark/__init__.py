@@ -45,7 +45,7 @@ from .operators.rows import (
     rows_delete,
 )
 from .operators.reshape import (
-    uncount,
+    uncount, pack, unpack, chop, unchop,
     gather, spread, separate, separate_rows, unite, extract, nest, unnest,
     unnest_longer, unnest_wider, hoist, expand, complete,
     separate_wider_delim, separate_wider_position, separate_wider_regex,
@@ -94,7 +94,7 @@ __all__ = [
     "fill", "drop_na", "replace_na",
     "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
     "separate_longer_delim", "separate_longer_position",
-    "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows", "uncount",
+    "expand", "complete", "pivot_longer", "pivot_wider", "bind_rows", "uncount", "pack", "unpack", "chop", "unchop",
     "one_hot", "crosstab",
     "build_longer_spec", "pivot_longer_spec", "build_wider_spec", "pivot_wider_spec",
     "row_number", "min_rank", "dense_rank", "percent_rank", "cume_dist",

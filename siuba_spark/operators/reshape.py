@@ -31,6 +31,7 @@ __all__ = [
     "bind_rows", "one_hot", "crosstab",
     "separate_wider_delim", "separate_wider_position", "separate_wider_regex",
     "separate_longer_delim", "separate_longer_position", "uncount",
+    "pack", "unpack", "chop", "unchop",
 ]
 
 MAX_PIVOT_KEYS = 10_000  # driver-side spec guard
@@ -1289,8 +1290,8 @@ def uncount(tbl: SparkTbl, weights, remove: bool = True,
     --------
     >>> t = tbl(spark.createDataFrame([("a", 2), ("b", 1), ("c", 0)],
     ...                               "g string, n long"))
-    >>> out = t >> uncount(_.n, id="copy") >> collect()
-    >>> sorted(zip(out.g, out.copy))
+    >>> out = t >> uncount(_.n, id="cid") >> collect()
+    >>> sorted(zip(out.g, out.cid))
     [('a', 1), ('a', 2), ('b', 1)]
     """
     from ..functions.lowering import LowerCtx
@@ -1312,4 +1313,136 @@ def uncount(tbl: SparkTbl, weights, remove: bool = True,
     out = tbl.df.select(*keep, F.explode(seq).alias(id or "__uncount_id"))
     if id is None:
         out = out.drop("__uncount_id")
+    return tbl.evolve(df=out)
+
+
+@verb
+def pack(tbl: SparkTbl, **specs):
+    """tidyr ``pack``: bundle columns into a single struct column (the
+    df-column idiom; beyond the reference, which has no pack/unpack —
+    Spark structs make it a pure zero-job projection).
+
+    ``pack(t, meta=(_.lang, _.source))`` replaces the chosen columns
+    with one struct column ``meta`` whose fields keep their names.
+    Tidyselect references or plain names both work.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([(1, "en", "s1")],
+    ...                               "id long, lang string, src string"))
+    >>> out = t >> pack(meta=(_.lang, _.src))
+    >>> out.df.columns
+    ['id', 'meta']
+    >>> out.df.select("meta.lang").first()[0]
+    'en'
+    """
+    if not specs:
+        raise TranslationError("pack() needs name=(cols...) bundles")
+    bundles = {}
+    for name, cols in specs.items():
+        cols = cols if isinstance(cols, (list, tuple)) else (cols,)
+        bundles[name] = [_colname(c, tbl.columns) for c in cols]
+    packed = {c for names in bundles.values() for c in names}
+    keep = [c for c in tbl.columns if c not in packed]
+    news = [F.struct(*[F.col(c) for c in names]).alias(name)
+            for name, names in bundles.items()]
+    return tbl.evolve(df=tbl.df.select(*keep, *news))
+
+
+@verb
+def unpack(tbl: SparkTbl, *cols, names_sep: str | None = None):
+    """tidyr ``unpack``: flatten struct columns back to top level — the
+    inverse of ``pack`` (delegates to the ``unnest_wider`` struct path;
+    pure projection, no job).  ``names_sep`` prefixes field names with
+    ``{col}{names_sep}`` on collision-prone frames, like tidyr.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame([(1, "en", "s1")],
+    ...                               "id long, lang string, src string"))
+    >>> rt = t >> pack(meta=(_.lang, _.src)) >> unpack(_.meta)
+    >>> rt.df.columns
+    ['id', 'lang', 'src']
+    """
+    if not cols:
+        raise TranslationError("unpack() needs at least one struct column")
+    out = tbl
+    for c in cols:
+        out = unnest_wider.__verb__(out, c, names_sep=names_sep)
+    return out
+
+
+@verb
+def chop(tbl: SparkTbl, *cols):
+    """tidyr ``chop``: collapse the selected columns into list columns,
+    one row per unique combination of the REMAINING columns (beyond the
+    reference, which stops at nest/unnest).  Values are sorted for
+    deterministic cross-engine output (pandas keeps encounter order;
+    a distributed engine has none — same divergence note as ``unique``).
+
+    One groupBy aggregation with map-side partial collect_list — the
+    same shuffle shape as ``nest``.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame(
+    ...     [("a", 1), ("a", 2), ("b", 3)], "g string, x long"))
+    >>> out = t >> chop(_.x)
+    >>> sorted((r.g, r.x) for r in out.df.collect())
+    [('a', [1, 2]), ('b', [3])]
+    """
+    if not cols:
+        raise TranslationError("chop() needs at least one column")
+    names = resolve_names(cols, tbl.columns)
+    keys = [c for c in tbl.columns if c not in names]
+    aggs = [F.array_sort(F.collect_list(F.col(c))).alias(c) for c in names]
+    return tbl.evolve(df=tbl.df.groupBy(*keys).agg(*aggs))
+
+
+@verb
+def unchop(tbl: SparkTbl, *cols, keep_empty: bool = False):
+    """tidyr ``unchop``: explode list columns back to one row per
+    element — the inverse of ``chop``.  Multiple columns explode in
+    LOCKSTEP (tidyr semantics: sizes must match per row; mismatches
+    raise at runtime).  ``keep_empty=True`` keeps zero-length/NULL rows
+    as NULL elements.  Shuffle-free flatMap-shaped projection.
+
+    Examples
+    --------
+    >>> t = tbl(spark.createDataFrame(
+    ...     [("a", [1, 2]), ("b", [])], "g string, x array<long>"))
+    >>> sorted((r.g, r.x) for r in (t >> unchop(_.x)).df.collect())
+    [('a', 1), ('a', 2)]
+    >>> kept = (t >> unchop(_.x, keep_empty=True)).df.collect()
+    >>> sorted(((r.g, r.x) for r in kept), key=lambda p: (p[0], str(p[1])))
+    [('a', 1), ('a', 2), ('b', None)]
+    """
+    if not cols:
+        raise TranslationError("unchop() needs at least one column")
+    names = resolve_names(cols, tbl.columns)
+    others = [c for c in tbl.columns if c not in names]
+    first = names[0]
+    size_guard = F.col(first)
+    zipped = F.col(first) if len(names) == 1 else F.arrays_zip(
+        *[F.col(c) for c in names])
+    for c in names[1:]:
+        # lockstep contract: per-row sizes must match (arrays_zip would
+        # silently NULL-pad, fabricating rows)
+        size_guard = F.when(
+            F.size(F.col(c)) != F.size(F.col(first)),
+            F.raise_error(F.lit(
+                f"unchop: columns {first!r} and {c!r} have mismatched "
+                "sizes"))).otherwise(size_guard)
+    df = tbl.df.withColumn(first, size_guard) if len(names) > 1 else tbl.df
+    arr = zipped if len(names) == 1 else F.arrays_zip(
+        *[F.col(c) for c in names])
+    if keep_empty:
+        arr = F.when(arr.isNull() | (F.size(arr) == 0),
+                     F.array(F.lit(None))).otherwise(arr)
+    out = df.withColumn("__el", F.explode(arr))
+    if len(names) == 1:
+        out = out.select(*others, F.col("__el").alias(first))
+    else:
+        out = out.select(*others,
+                         *[F.col(f"__el.{c}").alias(c) for c in names])
     return tbl.evolve(df=out)

@@ -624,3 +624,20 @@ def test_case_match_null_and_grouped(spark):
                                      _default="?")) >> collect())
     assert sorted(zip(out.g, out.band)) == [("x", "?"), ("x", "s"),
                                             ("y", "b")]
+
+
+def test_pack_unpack_roundtrip_and_struct_access(spark):
+    """tidyr pack/unpack: zero-job struct projections; round-trip
+    restores the flat schema, names_sep prefixes on unpack."""
+    from siuba_spark import _, collect, pack, tbl, unpack
+    t = tbl(spark.createDataFrame(
+        [(1, "en", "s1"), (2, "de", "s2")],
+        "id long, lang string, src string"))
+    p = t >> pack(meta=(_.lang, _.src))
+    assert p.df.columns == ["id", "meta"]
+    assert p.df.schema["meta"].dataType.typeName() == "struct"
+    rt = p >> unpack(_.meta) >> collect()
+    assert list(rt.columns) == ["id", "lang", "src"]
+    assert sorted(zip(rt.id, rt.lang)) == [(1, "en"), (2, "de")]
+    pre = (p >> unpack(_.meta, names_sep="_")).df.columns
+    assert pre == ["id", "meta_lang", "meta_src"]
