@@ -5229,7 +5229,7 @@ def q_pack_unpack(spark, sf):
 
 SQL_PACK_UNPACK = """
 SELECT lang AS meta_lang, source AS meta_source,
-       COUNT(*) AS n, SUM(n_chars) AS chars
+       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY 1, 2
 """
 
