@@ -656,18 +656,49 @@ def _slice_minmax(tbl, col, n, with_ties, asc):
 
 @verb
 def slice_sample(tbl: SparkTbl, n: int | None = None,
-                 prop: float | None = None, seed: int = 42):
+                 prop: float | None = None, seed: int = 42,
+                 weight_by=None):
     """Random sample per group (dplyr slice_sample). ``n=`` takes exactly
     n per group via seeded-random rank (one window); ``prop=`` is a pure
     seeded-random filter — zero shuffle, but per-group counts are only
     ~proportional.  For the reproducible-pipeline variant that survives
-    engine changes, use ``stratified_sample`` (md5-keyed)."""
+    engine changes, use ``stratified_sample`` (md5-keyed).
+
+    ``weight_by=`` (dplyr parity; ``n=`` mode only) draws a WEIGHTED
+    sample without replacement per group — the data-mixing primitive
+    (sample documents proportional to a quality score).  Implemented as
+    Efraimidis–Spirakis A-Res: rank by ``u^(1/w)`` descending, take the
+    top n — exact weighted sampling in ONE window, no iteration, no
+    driver state, JVM-side.  Zero weights are never selected; negative
+    weights raise at runtime (dplyr errors too — silently flooring them
+    would bias the sample)."""
     from pyspark.sql import Window
 
     if (n is None) == (prop is None):
         raise TranslationError("slice_sample: exactly one of n= or prop=")
+    if weight_by is not None and prop is not None:
+        raise TranslationError("slice_sample: weight_by= requires n=")
     if prop is not None:
         return tbl.evolve(df=tbl.df.filter(F.rand(seed) < float(prop)))
+    if weight_by is not None:
+        from ..functions.lowering import LowerCtx, lower
+        from ..siu.calls import strip_symbolic
+        wcol, _k = lower(strip_symbolic(weight_by),
+                         LowerCtx(tbl.group_by, tbl.order_by))
+        wcol = F.when(
+            wcol < 0,
+            F.raise_error(F.concat(
+                F.lit("slice_sample: weight_by must be non-negative, got "),
+                wcol.cast("string")))).otherwise(wcol.cast("double"))
+        # zero-weight rows are ineligible (probability 0; dplyr shrinks
+        # the sample rather than padding with them) — filter BEFORE
+        # ranking so row_number can't reach them when n > eligible rows
+        eligible = tbl.evolve(df=tbl.df.filter(wcol > 0))
+        # A-Res key: u^(1/w), top-n by key = exact weighted sample
+        key = F.pow(F.rand(seed), F.try_divide(F.lit(1.0), wcol))
+        w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]) \
+            .orderBy(key.desc_nulls_last())
+        return _slice_by_rank(eligible, F.row_number().over(w), n)
     w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]) \
         .orderBy(F.rand(seed))
     return _slice_by_rank(tbl, F.row_number().over(w), n)

@@ -116,3 +116,46 @@ def test_slice_matches_duckdb(spark):
         ) WHERE rk <= 2
     """).df()
     assert_equal_query(t >> group_by(_.g) >> slice_min(_.x, n=2), exp)
+
+
+def test_slice_sample_weight_by(spark):
+    """dplyr slice_sample(weight_by=): exact weighted sampling without
+    replacement (A-Res u^(1/w) top-n).  Deterministic per seed; zero
+    weights never sampled (sample shrinks); negative weights raise;
+    heavy weights dominate the draw frequency across seeds."""
+    import pytest
+
+    from siuba_spark import _, collect, group_by, slice_sample, tbl
+
+    rows = [("g1", i, 1000.0 if i == 0 else 0.01) for i in range(20)] + \
+           [("g2", i, 1.0 if i < 5 else 0.0) for i in range(10)]
+    t = tbl(spark.createDataFrame(rows, "g string, rid long, w double"))
+
+    out = (t >> group_by(_.g)
+           >> slice_sample(n=3, weight_by=_.w, seed=7) >> collect())
+    # determinism: identical seed reproduces the identical sample
+    out2 = (t >> group_by(_.g)
+            >> slice_sample(n=3, weight_by=_.w, seed=7) >> collect())
+    key = ["g", "rid"]
+    assert sorted(map(tuple, out[key].values.tolist())) == \
+        sorted(map(tuple, out2[key].values.tolist()))
+    # g2: only the 5 positive-weight rows are eligible
+    g2 = out[out.g == "g2"]
+    assert len(g2) == 3 and (g2.rid < 5).all()
+    # zero-weight rows never appear even when n exceeds eligibility
+    shrunk = (t >> group_by(_.g)
+              >> slice_sample(n=8, weight_by=_.w, seed=7) >> collect())
+    s2 = shrunk[shrunk.g == "g2"]
+    assert len(s2) == 5 and (s2.rid < 5).all()
+    # the 1000x-weight row in g1 is drawn in (almost) every seed
+    hits = 0
+    for seed in range(12):
+        s = (t >> group_by(_.g)
+             >> slice_sample(n=3, weight_by=_.w, seed=seed) >> collect())
+        hits += int(0 in set(s[s.g == "g1"].rid))
+    assert hits >= 11, hits
+    # negative weights raise at runtime
+    bad = tbl(spark.createDataFrame([("g", 1, -1.0)],
+                                    "g string, rid long, w double"))
+    with pytest.raises(Exception, match="non-negative"):
+        (bad >> slice_sample(n=1, weight_by=_.w) >> collect())
