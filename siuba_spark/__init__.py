@@ -20,7 +20,8 @@ from .siu.format import explain
 from .functions.lowering import TranslationError
 from .plans.tbl import (
     SparkTbl, tbl, collect, show_query, write_parquet, write_csv,
-    write_shards, repartition, coalesce_partitions, cache, release_all_pins,
+    write_shards, repartition, coalesce_partitions, cluster_by, cache,
+    release_all_pins,
     lint_plan, pull, glimpse,
 )
 from .plans.pipe import Pipe, Pipeable, pipe, verb
@@ -78,7 +79,7 @@ __all__ = [
     "_", "Symbolic", "SparkTbl", "tbl", "collect", "pull", "glimpse", "show_query",
     "release_all_pins",
     "write_parquet", "write_csv", "write_shards", "lint_plan", "Pipe", "Pipeable", "pipe", "verb", "TranslationError",
-    "repartition", "coalesce_partitions", "cache",
+    "repartition", "coalesce_partitions", "cluster_by", "cache",
     "select", "rename", "rename_with", "relocate", "mutate", "transmute", "filter", "arrange",
     "distinct", "head", "top_n", "qcut",
     "slice_head", "slice_tail", "slice_min", "slice_max", "slice_sample",

@@ -404,6 +404,45 @@ def coalesce_partitions(tbl: SparkTbl, n: int):
 
 
 @verb
+def cluster_by(tbl: SparkTbl, *cols, n_partitions: int | None = None):
+    """Data-layout clustering before a write: RANGE-partition on the
+    given columns, then sort WITHIN each partition — so every output
+    parquet file covers a narrow key range and its row-group min/max
+    statistics let later scans skip whole files (the Delta/Iceberg
+    ``CLUSTER BY`` idea, expressed with vanilla Spark primitives;
+    beyond the reference, which has no physical-layout control).
+
+    One range shuffle (sampled boundaries) + an in-partition sort that
+    never spills across partitions.  Chain with ``write_parquet``::
+
+        big >> cluster_by(_.event_date, _.user_id) >> write_parquet(path)
+
+    ``n_partitions=`` overrides the output file count (default: the
+    session's shuffle partitions).  This is a LAYOUT verb: the table's
+    logical row set and (engine-semantics) unordered-ness are unchanged;
+    use ``arrange`` for result ordering."""
+    if not cols:
+        raise ValueError("cluster_by needs at least one column")
+    names = []
+    for c in cols:
+        from ..siu.calls import GetAttr, MetaArg, strip_symbolic
+        node = strip_symbolic(c)
+        if isinstance(node, str):
+            names.append(node)
+        elif isinstance(node, GetAttr) and isinstance(node.obj, MetaArg):
+            names.append(node.name)
+        else:
+            raise ValueError(
+                "cluster_by takes plain column references (the layout key "
+                "must exist in the written schema)")
+    from pyspark.sql import functions as F
+    fcols = [F.col(n) for n in names]
+    df = (tbl.df.repartitionByRange(n_partitions, *fcols)
+          if n_partitions else tbl.df.repartitionByRange(*fcols))
+    return tbl.evolve(df=df.sortWithinPartitions(*fcols))
+
+
+@verb
 def cache(tbl: SparkTbl):
     """Mark for storage-level caching (reuse across several downstream
     actions; unpersists with the session)."""

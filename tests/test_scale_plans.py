@@ -575,3 +575,31 @@ def test_case_match_is_single_projection(spark):
     out = t >> mutate(b=case_match(_.cyl, {(4, 6): "s"}, _default="o"))
     plan = _plan(out.df)
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_cluster_by_is_range_partition_plus_local_sort(spark, tmp_path):
+    """cluster_by: RangePartitioning exchange + partition-LOCAL sort (no
+    global Sort), so written files carry narrow min/max key ranges that
+    later scans prune on."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import _, cluster_by, tbl, write_parquet
+    t = tbl(spark.range(0, 10000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")))
+    out = t >> cluster_by(_.k, n_partitions=8)
+    plan = _plan(out.df)
+    assert "rangepartitioning" in plan.lower(), plan
+    # the sort is within-partition (global=false), never a global sort
+    assert "Sort [k" in plan and "false, 0" in plan, plan
+
+    # end-to-end: files written after clustering have disjoint-ish key
+    # ranges -> a point-filter scan prunes most row groups.  Verify the
+    # layout contract directly: per-file min/max spans are narrow.
+    path = str(tmp_path / "clustered")
+    out >> write_parquet(path)
+    spans = (spark.read.parquet(path)
+             .groupBy(F.input_file_name())
+             .agg((F.max("k") - F.min("k")).alias("span"))
+             .toPandas())
+    assert len(spans) >= 4
+    assert spans.span.median() <= 24, spans  # 97-wide domain over 8 files
