@@ -46,11 +46,15 @@ def find_tbl_name(names, history_lines):
     column sets are cheap to read from any candidate)."""
     if not names:
         return None
+    import re
+    pats = {n: re.compile(rf"\b{re.escape(n)}\b") for n in names}
     for line in reversed(list(history_lines)):
-        hits = [n for n in names if n in line]
+        # word-boundary match: a short name must not hit inside an
+        # unrelated identifier or string literal ('item' in
+        # 'lineitems_raw'); ties between real mentions still prefer
+        # the longest name (`lineitem` vs `lineitem2`)
+        hits = [n for n in names if pats[n].search(line)]
         if hits:
-            # prefer the longest name to avoid substring aliasing
-            # (`lineitem` vs `lineitem2`)
             return max(hits, key=len)
     return names[0]
 

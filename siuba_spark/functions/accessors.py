@@ -128,8 +128,13 @@ STR_METHODS = {
     "get": lambda col, i: F.substring(col, i + 1, 1),
     "split": lambda col, pat=None, regex=True: F.split(col, pat if pat is not None else r"\s+"),
     # pandas str.join concatenates the elements of a list-valued Series
-    # (typically the output of str.split); NULL-safe like pandas NaN rows
-    "join": lambda col, sep: F.array_join(col, sep),
+    # (typically the output of str.split); a NULL row stays NULL, and a
+    # list CONTAINING a NULL element yields NULL — pandas returns NaN for
+    # such rows, whereas bare array_join would silently skip the element
+    # (ADVICE r9 divergence, now matched)
+    "join": lambda col, sep: F.when(
+        F.exists(col, lambda x: x.isNull()), F.lit(None).cast("string")
+    ).otherwise(F.array_join(col, sep)),
     "cat": lambda col, other, sep="": F.concat_ws(sep, col, other),
     "zfill": lambda col, width: F.lpad(col, width, "0"),
     "pad": lambda col, width, side="left", fillchar=" ": (

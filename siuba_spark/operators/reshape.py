@@ -1280,11 +1280,13 @@ def uncount(tbl: SparkTbl, weights, remove: bool = True,
     tidyr signature ``uncount(data, weights, .remove, .id)``).
 
     ``weights`` may be a column reference or any expression (``2 * _.n``);
-    zero and NULL weights drop the row; negative or fractional weights
-    raise at runtime (tidyr requires whole non-negative numbers — a
-    silent truncate would fabricate data).  ``id=`` adds a 1-based copy
-    index.  Shuffle-free: one ``explode(sequence(1, w))`` flatMap-shaped
-    projection; at 100 TB the only cost is the output row fan-out itself.
+    zero weights drop the row; NULL, negative, or fractional weights
+    raise at runtime (tidyr errors on missing weights and requires whole
+    non-negative numbers — silently shrinking or truncating would
+    fabricate data).  ``id=`` adds a 1-based copy index and must not
+    collide with a kept column.  Shuffle-free: one
+    ``explode(sequence(1, w))`` flatMap-shaped projection; at 100 TB the
+    only cost is the output row fan-out itself.
 
     Examples
     --------
@@ -1298,18 +1300,24 @@ def uncount(tbl: SparkTbl, weights, remove: bool = True,
     node = strip_symbolic(weights)
     w, _k = lower(node, LowerCtx(tbl.group_by, tbl.order_by))
     # whole-number gate: raise_error inside the plan, no extra pass
-    wl = F.when(w.isNull(), F.lit(None).cast("long")).otherwise(
-        F.when((w < 0) | (w != F.floor(w)),
-               F.raise_error(F.concat(
-                   F.lit("uncount: weights must be whole non-negative "
-                         "numbers, got "), w.cast("string"))).cast("long")
-               ).otherwise(w.cast("long")))
+    # (NULL weights raise too — tidyr errors on missing weights, and a
+    # silent row drop would shrink the output without a trace)
+    wl = F.when(w.isNull() | (w < 0) | (w != F.floor(w)),
+                F.raise_error(F.concat(
+                    F.lit("uncount: weights must be whole non-negative "
+                          "numbers (no NULLs), got "),
+                    F.coalesce(w.cast("string"), F.lit("NULL"))))
+                .cast("long")).otherwise(w.cast("long"))
     seq = F.when(wl >= 1, F.sequence(F.lit(1).cast("long"), wl)) \
         .otherwise(F.array().cast("array<long>"))
     keep = [c for c in tbl.columns
             if not (remove and isinstance(node, GetAttr)
                     and isinstance(node.obj, MetaArg)
                     and c == node.name)]
+    if id is not None and id in keep:
+        raise TranslationError(
+            f"uncount: id={id!r} collides with a kept column; pick a "
+            "fresh name (or remove/rename the existing column first)")
     out = tbl.df.select(*keep, F.explode(seq).alias(id or "__uncount_id"))
     if id is None:
         out = out.drop("__uncount_id")

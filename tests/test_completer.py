@@ -22,6 +22,18 @@ def test_find_tbl_name_most_recent_mention_wins():
     assert find_tbl_name([], ["zzz"]) is None
 
 
+def test_find_tbl_name_word_boundary_not_substring():
+    """A short name must not match inside an unrelated identifier or
+    string literal (ADVICE r9: 'item' inside 'lineitems_raw')."""
+    hist = ["lineitems_raw = load('x')", "orders >> count()"]
+    assert find_tbl_name(["item", "orders"], hist) == "orders"
+    # a real word-boundary mention still wins over recency of substrings
+    hist2 = ["item = tbl(spark, 'part')", "lineitems_raw.show()"]
+    assert find_tbl_name(["item"], hist2) == "item"
+    # attribute/method punctuation counts as a boundary
+    assert find_tbl_name(["item"], ["item.count()"]) == "item"
+
+
 def test_rank_columns_first_is_stable():
     out = rank_columns_first(["zz", "l_qty", "aa"], {"l_qty"})
     assert out == ["l_qty", "aa", "zz"]

@@ -731,3 +731,20 @@ def test_symbolic_dispatch_warns_on_override(spark):
 
     t = data_frame(spark, x=[1])
     assert (t >> mutate(y=_two(_.x))).df.collect()[0].y == 3
+
+
+def test_str_join_null_element_yields_null(spark):
+    """pandas str.join returns NaN when the list contains NaN; bare
+    array_join would silently skip the element (ADVICE r9).  A NULL row
+    stays NULL; clean lists join normally."""
+    from pyspark.sql import functions as F
+    t = data_frame(spark, s=["a b", "c", None]).evolve(
+        df=data_frame(spark, s=["a b", "c", None]).df.select(
+            F.when(F.col("s") == "c",
+                   F.array(F.lit("c"), F.lit(None).cast("string")))
+            .otherwise(F.split(F.col("s"), " ")).alias("parts")))
+    out = t >> mutate(j=_.parts.str.join("|"))
+    got = out.df.toPandas().j
+    assert got[0] == "a|b"
+    assert pd.isna(got[1])   # list containing NULL -> NULL, not "c"
+    assert pd.isna(got[2])   # NULL row stays NULL

@@ -595,12 +595,13 @@ def test_hoist_paths(spark):
 
 
 def test_uncount_edges(spark):
-    """tidyr uncount: zero/NULL weights drop rows, remove=False keeps the
+    """tidyr uncount: zero weights drop rows, remove=False keeps the
     weight column, expression weights never remove a column, id is
-    1-based."""
+    1-based, NULL weights raise (tidyr errors on missing weights), and
+    an id colliding with a kept column raises at the verb."""
     from siuba_spark import _, collect, tbl, uncount
     t = tbl(spark.createDataFrame(
-        [("a", 2), ("b", 0), ("c", None)], "g string, n long"))
+        [("a", 2), ("b", 0)], "g string, n long"))
     out = t >> uncount(_.n) >> collect()
     assert out.g.tolist() == ["a", "a"]
     assert list(out.columns) == ["g"]            # weights column removed
@@ -610,6 +611,25 @@ def test_uncount_edges(spark):
     expr = t >> uncount(_.n + 1) >> collect()    # expression: nothing removed
     assert list(expr.columns) == ["g", "n"]
     assert sorted(expr.g.tolist()) == ["a", "a", "a", "b"]
+
+
+def test_uncount_null_weight_and_id_collision_raise(spark):
+    """NULL weights raise at runtime (parity with tidyr's missing-weight
+    error — ADVICE r9); id= colliding with a kept column raises a
+    TranslationError at the verb instead of emitting duplicate columns."""
+    import pytest
+    from siuba_spark import _, collect, tbl, uncount
+    from siuba_spark.functions.lowering import TranslationError
+    t = tbl(spark.createDataFrame(
+        [("a", 2), ("c", None)], "g string, n long"))
+    with pytest.raises(Exception, match="whole non-negative"):
+        t >> uncount(_.n) >> collect()
+    ok = tbl(spark.createDataFrame([("a", 2)], "g string, n long"))
+    with pytest.raises(TranslationError, match="collides"):
+        ok >> uncount(_.n, id="g")
+    # remove=False keeps the weight column, so its name collides too
+    with pytest.raises(TranslationError, match="collides"):
+        ok >> uncount(_.n, remove=False, id="n")
 
 
 def test_case_match_null_and_grouped(spark):
