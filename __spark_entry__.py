@@ -5263,6 +5263,216 @@ FROM c
 """
 
 
+def q_slice_weighted_gate(spark, sf):
+    """HARD pass/fail gate for ``slice_sample(weight_by=)`` (operators/
+    core.py A-Res weighted sampling — VERDICT r9 item 2: seeded rand has
+    no cross-engine replay, so like ``simhash_prod_gate`` the oracle is a
+    constant row over pinned invariants).  A 16-seed sweep of grouped
+    weighted samples (n=8 per o_orderpriority) over a three-band weight
+    fixture (zero / unit / 1e9) checks:
+
+    - ``exact_n``: every (seed, group) draw returns exactly
+      min(n, eligible-in-group) rows — exact sample size, never
+      approximate;
+    - ``no_dups``: sampling is WITHOUT replacement (distinct ids per
+      draw);
+    - ``zero_excluded``: a zero-weight row is never selected;
+    - ``heavier_wins``: across the seed sweep the per-row inclusion RATE
+      of the 1e9-weight class strictly exceeds the unit-weight class
+      (inclusion frequency is monotone in weight — with a 1e9:1 ratio
+      the A-Res keys u^(1/w) separate the classes by construction, so
+      this is deterministic in practice for any fixed seed set).
+
+    All four are deterministic under the fixed seeds, so the oracle is
+    the constant (1, 1, 1, 1) row."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import slice_sample
+    n_take, seeds = 8, range(1, 17)
+    base = (_t(spark, sf, "orders")
+            >> filter(_.o_custkey < 1000)
+            >> mutate(w=if_else(_.o_orderkey % 7 == 0, 0.0,
+                                if_else(_.o_orderkey % 5 == 0, 1.0e9,
+                                        1.0))))
+    samp = None
+    for s in seeds:
+        d = ((base >> group_by(_.o_orderpriority)
+              >> slice_sample(n=n_take, seed=s, weight_by=_.w)).df
+             .select("o_orderpriority", "o_orderkey", "w")
+             .withColumn("seed", F.lit(s)))
+        samp = d if samp is None else samp.unionByName(d)
+    elig = (base.df.filter(F.col("w") > 0).groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("elig")))
+    per = (samp.groupBy("seed", "o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.countDistinct("o_orderkey").alias("dcnt"),
+                F.sum((F.col("w") <= 0).cast("int")).alias("zeros"))
+           .join(elig, "o_orderpriority"))
+    draws = per.agg(
+        F.bool_and(F.col("cnt") == F.least(F.lit(n_take), F.col("elig")))
+         .alias("exact_n"),
+        F.bool_and(F.col("dcnt") == F.col("cnt")).alias("no_dups"),
+        (F.sum("zeros") == 0).alias("zero_excluded"))
+    pool = (base.df.filter(F.col("w") > 0)
+            .groupBy((F.col("w") > 1.0).cast("int").alias("heavy"))
+            .agg(F.count(F.lit(1)).alias("pool")))
+    sel = (samp.groupBy((F.col("w") > 1.0).cast("int").alias("heavy"))
+           .agg(F.count(F.lit(1)).alias("sel")))
+    rate = (pool.join(sel, "heavy", "left")
+            .select("heavy", (F.coalesce(F.col("sel"), F.lit(0))
+                              / (F.col("pool") * len(list(seeds))))
+                    .alias("rate")))
+    mono = rate.agg(
+        (F.max(F.when(F.col("heavy") == 1, F.col("rate"))) >
+         F.coalesce(F.max(F.when(F.col("heavy") == 0, F.col("rate"))),
+                    F.lit(0.0))).alias("heavier_wins"))
+    return (draws.crossJoin(mono)
+            .select(F.col("exact_n").cast("int").alias("exact_n"),
+                    F.col("no_dups").cast("int").alias("no_dups"),
+                    F.col("zero_excluded").cast("int")
+                     .alias("zero_excluded"),
+                    F.col("heavier_wins").cast("int")
+                     .alias("heavier_wins")))
+
+
+SQL_SLICE_WEIGHTED_GATE = """
+SELECT CAST(1 AS INT) AS exact_n, CAST(1 AS INT) AS no_dups,
+       CAST(1 AS INT) AS zero_excluded, CAST(1 AS INT) AS heavier_wins
+"""
+
+
+def q_cluster_by_roundtrip(spark, sf):
+    """``cluster_by`` graded end-to-end (plans/tbl.py — VERDICT r9 item
+    3): range-cluster orders on o_orderdate into 8 files, write parquet,
+    re-read, then emit (a) a per-priority roundtrip summary whose
+    counts/extrema/sums change if the layout shuffle loses, duplicates,
+    or corrupts ANY row (row-set identity vs the oracle computed
+    straight from the source table) and (b) a swept layout contract —
+    ``pruned_ok`` is 1 iff a one-month point filter touches at most HALF
+    of the written files (measured via distinct input_file_name on the
+    filtered scan; range clustering puts ~300-day spans in each of 8
+    files, so a 31-day window lands in 1–2; an unclustered layout
+    touches all 8).  The write path is pid-suffixed so concurrent
+    graders never read each other's half-written files."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from siuba_spark import cluster_by
+    from siuba_spark.plans.tbl import write_parquet
+
+    out_path = os.path.join(tempfile.gettempdir(),
+                            f"siuba_spark_cluster_grade_{os.getpid()}")
+    (_t(spark, sf, "orders")
+     >> cluster_by(_.o_orderdate, n_partitions=8)
+     >> write_parquet(out_path))
+    back = spark.read.parquet(out_path)
+    nf = (back.select(F.input_file_name().alias("f")).distinct()
+          .agg(F.count(F.lit(1)).alias("nf")))
+    tf = (back.filter(F.col("o_orderdate")
+                      .between("1995-03-01", "1995-03-31"))
+          .select(F.input_file_name().alias("f")).distinct()
+          .agg(F.count(F.lit(1)).alias("tf")))
+    summary = (tbl(back)
+               >> group_by(_.o_orderpriority)
+               >> summarize(n_rows=n(), min_k=_.o_orderkey.min(),
+                            max_k=_.o_orderkey.max(),
+                            total=_.o_totalprice.sum().round(2))
+               >> ungroup()).df
+    return (summary.crossJoin(nf).crossJoin(tf)
+            .select("o_orderpriority", "n_rows", "min_k", "max_k",
+                    "total",
+                    ((F.col("tf") * 2) <= F.col("nf")).cast("int")
+                    .alias("pruned_ok")))
+
+
+SQL_CLUSTER_BY_ROUNDTRIP = """
+SELECT o_orderpriority, COUNT(*) AS n_rows, MIN(o_orderkey) AS min_k,
+       MAX(o_orderkey) AS max_k, ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(1 AS INT) AS pruned_ok
+FROM orders GROUP BY 1
+"""
+
+
+def q_semantic_store_compact(spark, sf):
+    """Store-maintenance chain graded end-to-end (corpus/similarity.py
+    semantic_store_compact — VERDICT r9 item 7): snapshot A trains the
+    epoch-1 sample quantizer (first 8 ids of A) and emits intra-cell
+    pairs; snapshot B assigns incrementally at the SAME centroids;
+    COMPACTION then retrains on the accumulated A∪B store at n_lists=12
+    (epoch 2: first 12 ids of the store) and rebuilds every assignment;
+    snapshot C runs incrementally against the compacted store.  Epoch
+    semantics make the oracle exact and cheap: the union of everything
+    emitted equals (intra-cell pairs at epoch-1 centroids over A∪B) ∪
+    (pairs at epoch-2 centroids with ≥1 endpoint in C) — the two parts
+    are disjoint by id range, and DuckDB replays both assignments."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import (
+        semantic_dedup_incremental, semantic_store_compact)
+
+    emb = _t(spark, sf, "embeddings")
+    a = emb.evolve(df=emb.df.filter(F.col("vec_id") < 200))
+    b = emb.evolve(df=emb.df.filter((F.col("vec_id") >= 200)
+                                    & (F.col("vec_id") < 350)))
+    c = emb.evolve(df=emb.df.filter(F.col("vec_id") >= 350))
+    kw = dict(threshold=0.35, n_lists=8, centroids="sample")
+    p1, s1, cents = semantic_dedup_incremental(a, **kw)
+    p2, s2, _c2 = semantic_dedup_incremental(b, s1, cents, **kw)
+    s3, cents2, did = semantic_store_compact(
+        s2, n_lists=12, centroids="sample")
+    if not did:
+        raise RuntimeError("semantic_store_compact: expected a forced "
+                           "compaction (no p99_limit given)")
+    p3, _s4, _c3 = semantic_dedup_incremental(
+        c, s3, cents2, threshold=0.35, n_lists=12, centroids="sample")
+    return p1.df.unionByName(p2.df).unionByName(p3.df)
+
+
+SQL_SEMANTIC_STORE_COMPACT = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c1 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+       FROM (SELECT vec_id, v FROM e WHERE vec_id < 200
+             ORDER BY vec_id ASC LIMIT 8)),
+d1 AS (SELECT e.vec_id, e.v, c1.cell,
+         list_reduce(list_transform(range(1, len(e.v) + 1),
+           j -> (e.v[j] - c1.c[j]) * (e.v[j] - c1.c[j])),
+           (a, b) -> a + b) AS d2
+       FROM e CROSS JOIN c1 WHERE e.vec_id < 350),
+a1 AS (SELECT vec_id, v, cell FROM
+       (SELECT vec_id, v, cell,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cell ASC) AS rn FROM d1)
+       WHERE rn = 1),
+c2 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+       FROM (SELECT vec_id, v FROM e WHERE vec_id < 350
+             ORDER BY vec_id ASC LIMIT 12)),
+d2t AS (SELECT e.vec_id, e.v, c2.cell,
+          list_reduce(list_transform(range(1, len(e.v) + 1),
+            j -> (e.v[j] - c2.c[j]) * (e.v[j] - c2.c[j])),
+            (a, b) -> a + b) AS d2
+        FROM e CROSS JOIN c2),
+a2 AS (SELECT vec_id, v, cell FROM
+       (SELECT vec_id, v, cell,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cell ASC) AS rn FROM d2t)
+       WHERE rn = 1)
+SELECT id_a, id_b, score FROM (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         ROUND(list_cosine_similarity(x.v, y.v), 4) AS score
+  FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.35
+  UNION ALL
+  SELECT x.vec_id, y.vec_id,
+         ROUND(list_cosine_similarity(x.v, y.v), 4)
+  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                      AND y.vec_id >= 350
+  WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.35
+)
+"""
+
+
 def q_stream_semantic_store(spark, sf):
     """THE streaming SemDeDup code path, driver-graded (VERDICT r8 item
     3): the embeddings table split into two parquet files becomes a
@@ -5543,37 +5753,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uncount_weights": q_uncount_weights,
         "pack_unpack": q_pack_unpack,
         "chop_unchop": q_chop_unchop,
+        # new in r10
+        "slice_weighted_gate": q_slice_weighted_gate,
+        "cluster_by_roundtrip": q_cluster_by_roundtrip,
+        "semantic_store_compact": q_semantic_store_compact,
     })
-    # Driver grades the FIRST 50 entries only.  Round-9 window: the two
-    # new r9 entries (the streaming SemDeDup path + the tidyr 1.3
-    # longer-separators), then the four r8 additions that never received
-    # a driver grade, then the entries whose LAST driver grade is oldest
-    # (all of r4, all of r5, then the r6 head alphabetical) — the
-    # rotation VERDICT r6 item 5 established.  Everything else keeps its
-    # prior (green) grade and stays covered by tools/oracle_sweep.py.
+    # Driver grades the FIRST 50 entries only.  Round-10 window: the
+    # three new r10 entries (the slice_sample weight gate, the
+    # cluster_by layout roundtrip, the store-compaction chain), then the
+    # four r9 additions that never received a driver grade
+    # (case_match_bands, uncount_weights, pack_unpack, chop_unchop),
+    # then the entries whose LAST driver grade is oldest (the 25
+    # remaining r6 grades, then the r7 head alphabetical) — the rotation
+    # VERDICT r6 item 5 established.  Everything else keeps its prior
+    # (green) grade and stays covered by tools/oracle_sweep.py.
     front = [
-        # new in r9
-        "stream_semantic_store", "separate_longer", "semantic_dedup_int8",
-        # never driver-graded (added below the r8 window)
-        "bpe_arrow", "quantize_embeddings",
-        "unnest_longer_tokens", "unnest_wider_hoist",
-        # last graded r4 (all 15)
-        "cube_agg", "dedup_clusters", "dedup_exact", "dedup_segments",
-        "embedding_near_dups", "fuzzy_pairs", "knn_label_vote",
-        "multimodal_headers", "ngram_contamination", "quality_signals",
-        "rollup_agg", "scrub_pii", "stratified_sample", "unigram_logprob",
-        "video_meta",
-        # last graded r5 (all 4)
-        "grouping_sets", "jaccard_pairs", "separate_rows", "tpch_q1",
-        # last graded r6 (alphabetical head; the rest rotate in r10)
-        "approx_aggs", "by_grouping", "cat_codes_dynamic",
-        "cat_codes_static", "consecutive_runs", "drop_near_dups",
-        "dropna_replacena", "embedding_near_dups_lsh", "fct_infreq_codes",
-        "fill_downup", "gopher_filter", "group_apply",
-        "ivf_kmeans_recall_gate", "ivf_pq_topk", "ivf_topk",
-        "ivf_topk_lloyd", "lsh_ann", "minhash_near_dups",
-        "multimodal_decode", "nest_join_sizes", "pack_sequences",
-        "pq_topk", "reframe_quantiles", "rename_relocate",
+        # new in r10
+        "slice_weighted_gate", "cluster_by_roundtrip",
+        "semantic_store_compact",
+        # never driver-graded (added below the r9 window)
+        "case_match_bands", "uncount_weights", "pack_unpack",
+        "chop_unchop",
+        # last graded r6 (all 25 remaining)
+        "rolling_stats", "rows_family", "separate_wider", "set_ops",
+        "simhash", "simhash_prod_gate", "stratified_mixture",
+        "tally_if_any", "tfidf_topk", "token_budget_sample",
+        "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
+        "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q19",
+        "tpch_q20", "tpch_q21", "tpch_q22",
+        "vocab_topk", "write_shards_roundtrip",
+        # last graded r7 (alphabetical head; the rest rotate in r11)
+        "add_count", "agg_stats", "arrange_limit", "bpe_token_count_true",
+        "case_when_bands", "complete_grid", "corpus_prep", "count_sorted",
+        "cumsum_running", "distinct_pairs", "dt_functions",
+        "events_sessionize", "events_total_seconds", "events_tumbling",
+        "exact_dedup_incremental", "extract_regex", "fct_infreq_arrange",
+        "fct_lump",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -5770,4 +5985,7 @@ def oracle_sql() -> dict[str, str]:
         "uncount_weights": SQL_UNCOUNT_WEIGHTS,
         "pack_unpack": SQL_PACK_UNPACK,
         "chop_unchop": SQL_CHOP_UNCHOP,
+        "slice_weighted_gate": SQL_SLICE_WEIGHTED_GATE,
+        "cluster_by_roundtrip": SQL_CLUSTER_BY_ROUNDTRIP,
+        "semantic_store_compact": SQL_SEMANTIC_STORE_COMPACT,
     }
