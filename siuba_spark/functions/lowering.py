@@ -453,6 +453,14 @@ def _lower_call(node, ctx: LowerCtx):
         lc, lk = lower(node.left, ctx)
         rc, rk = lower(node.right, ctx)
         kind = AGGED if AGGED in (lk, rk) else SCALAR
+        # pandas `+` on string Series concatenates; Spark's numeric `+`
+        # rejects strings.  A str-literal operand pins the intent
+        # statically (`_.repo + " suffix"`, including chained
+        # `a + ":" + b`), so lower to concat there — col+col string
+        # concat has no static type and stays `str_c`.
+        if node.op == "__add__" and (_is_stringy(node.left)
+                                     or _is_stringy(node.right)):
+            return F.concat(lc, rc), kind
         return _apply_binop(node.op, lc, rc), kind
 
     if isinstance(node, UnaryOp):
@@ -491,6 +499,16 @@ def _lower_call(node, ctx: LowerCtx):
         return out, SCALAR
 
     raise TranslationError(f"cannot lower node {node!r}")
+
+
+def _is_stringy(node):
+    """Statically string-typed expression: a str literal, or a `+` chain
+    that already contains one (`_.a + ":" + _.b`)."""
+    if isinstance(node, Lit):
+        return isinstance(node.value, str)
+    if isinstance(node, BinaryOp) and node.op == "__add__":
+        return _is_stringy(node.left) or _is_stringy(node.right)
+    return False
 
 
 def _apply_binop(op, lc, rc):

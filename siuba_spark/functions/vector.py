@@ -653,8 +653,20 @@ cummean = _fn("cummean")
 json_extract = _fn("json_extract")
 
 
-def case_when(mapping):
-    """Expression form: ``mutate(x=case_when({_.a > 1: "hi", True: "lo"}))``."""
+def case_when(mapping, _mapping=None):
+    """Expression form: ``mutate(x=case_when({_.a > 1: "hi", True: "lo"}))``.
+
+    The reference's explicit-placeholder spelling ``case_when(_, {...})``
+    (examples-dplyr-funcs.ipynb) is accepted too — a bare leading ``_``
+    is the piped-expression placeholder, not a condition map."""
+    if _mapping is not None:
+        from ..siu.calls import MetaArg, strip_symbolic
+        if not isinstance(strip_symbolic(mapping), MetaArg):
+            raise TypeError(
+                "case_when takes a condition dict (optionally after a "
+                "bare `_` placeholder); the eager data-first form has no "
+                "meaning in a lazy engine — use it inside mutate()")
+        mapping = _mapping
     return Symbolic(FnCall("case_when", (mapping,), {}))
 
 

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame
 class Pipe:
     __slots__ = ("fn", "name")
 
-    def __init__(self, fn, name="pipe"):
+    def __init__(self, fn=None, name="pipe", *, f=None):
+        # ``f=`` is the reference Pipeable's keyword spelling
+        # (examples-dplyr-funcs.ipynb: ``Pipeable(f = lambda x: x + 1)``)
+        if fn is None:
+            fn = f
+        if fn is None:
+            raise TypeError("Pipe needs a callable (positional or f=)")
         self.fn = fn
         self.name = name
 
@@ -28,7 +34,14 @@ class Pipe:
         return Pipe(lambda t: other.fn(self.fn(t)), f"{self.name}>>{other.name}")
 
     def __call__(self, data):
-        return self.fn(wrap_table(data))
+        # direct application: tables are wrapped; any other value passes
+        # through raw so generic-lambda pipes compose over plain Python
+        # data like the reference's Pipeable (``(Pipeable(f=...) >>
+        # Pipeable(f=...))(2)``)
+        from .tbl import SparkTbl
+        if isinstance(data, (SparkTbl, DataFrame)):
+            return self.fn(wrap_table(data))
+        return self.fn(data)
 
     def __repr__(self):
         return f"<Pipe {self.name}>"

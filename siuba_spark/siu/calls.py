@@ -39,6 +39,16 @@ class Call:
     def _parts(self):
         return ()
 
+    def __call__(self, x):
+        """Evaluate the call tree against a plain Python object (reference:
+        siuba/siu/calls.py:158 ``Call.__call__`` — symbols double as plain
+        lambdas, e.g. ``list(map(~~_.x, points))`` or
+        ``strip_symbolic(_['a'] + _['b'])({'a': 1, 'b': 2})``).
+
+        This is the EAGER escape for driver-side Python values; inside
+        query verbs the same tree lowers to Spark Columns instead."""
+        return _evaluate(self, x)
+
     def op_vars(self, attr_calls: bool = True) -> set:
         """Set of all variable names used in the expression (reference:
         siuba/siu/calls.py:267 ``Call.op_vars`` — the programming-surface
@@ -183,6 +193,60 @@ class RawCallable(Call):
 
 
 # --------------------------------------------------------------------------
+# plain-Python evaluation of Call trees (the reference's Call.__call__)
+# --------------------------------------------------------------------------
+
+
+def _eval_key(key, x):
+    if isinstance(key, Symbolic):
+        key = key._call
+    if isinstance(key, Call):
+        return _evaluate(key, x)
+    if isinstance(key, slice):
+        return slice(_eval_key(key.start, x), _eval_key(key.stop, x),
+                     _eval_key(key.step, x))
+    return key
+
+
+def _evaluate(node, x):
+    """Recursive eager evaluator for Call trees over plain Python data.
+    FnCall nodes are NOT evaluable — their names key into the Spark
+    lowering registry, not Python builtins (lowering is where they mean
+    something)."""
+    import operator
+
+    if not isinstance(node, Call):
+        return node
+    if isinstance(node, MetaArg):
+        return x
+    if isinstance(node, Lit):
+        return node.value
+    if isinstance(node, Lazy):
+        return node.args[0]
+    if isinstance(node, BinaryOp):
+        return getattr(operator, node.op)(
+            _evaluate(node.left, x), _evaluate(node.right, x))
+    if isinstance(node, UnaryOp):
+        fn = abs if node.op == "__abs__" else getattr(operator, node.op)
+        return fn(_evaluate(node.operand, x))
+    if isinstance(node, GetAttr):
+        return getattr(_evaluate(node.obj, x), node.name)
+    if isinstance(node, GetItem):
+        return _evaluate(node.obj, x)[_eval_key(node.key, x)]
+    if isinstance(node, MethodCall):
+        fn = getattr(_evaluate(node.obj, x), node.name)
+        return fn(*[_evaluate(a, x) for a in node.args],
+                  **{k: _evaluate(v, x) for k, v in node.kwargs.items()})
+    if isinstance(node, RawCallable):
+        return node.func(*[_evaluate(a, x) for a in node.args],
+                         **{k: _evaluate(v, x) for k, v in node.kwargs.items()})
+    raise TypeError(
+        f"cannot evaluate {type(node).__name__} against plain Python data"
+        + (f" — '{node.name}' keys into the Spark lowering registry; use "
+           "it inside a query verb" if isinstance(node, FnCall) else ""))
+
+
+# --------------------------------------------------------------------------
 # Symbolic: the user-facing ``_`` object
 # --------------------------------------------------------------------------
 
@@ -257,21 +321,21 @@ def _node(x):
 
 def _make_binary(op):
     def method(self, other):
-        return Symbolic(BinaryOp(op, self._call, _node(other)))
+        return Symbolic(BinaryOp(op, self._call, _node(other)), ready=True)
     method.__name__ = op
     return method
 
 
 def _make_rbinary(rop, op):
     def method(self, other):
-        return Symbolic(BinaryOp(op, _node(other), self._call))
+        return Symbolic(BinaryOp(op, _node(other), self._call), ready=True)
     method.__name__ = rop
     return method
 
 
 def _make_unary(op):
     def method(self):
-        return Symbolic(UnaryOp(op, self._call))
+        return Symbolic(UnaryOp(op, self._call), ready=True)
     method.__name__ = op
     return method
 
@@ -279,10 +343,16 @@ def _make_unary(op):
 class Symbolic:
     """Builds Call trees from natural Python syntax: ``_.x + 1``."""
 
-    __slots__ = ("_call",)
+    __slots__ = ("_call", "_ready")
 
-    def __init__(self, call: Call | None = None):
+    def __init__(self, call: Call | None = None, ready: bool = False):
+        # ``ready`` mirrors the reference's ready_to_call flag
+        # (siuba/siu/symbolic.py:30): an expression whose outermost node
+        # is an operator / index / completed method call EVALUATES when
+        # called — symbols double as plain lambdas (``map(_ * 2, xs)``);
+        # a dangling attribute access instead builds a method call.
         object.__setattr__(self, "_call", call if call is not None else MetaArg())
+        object.__setattr__(self, "_ready", ready)
 
     # -- structure builders ------------------------------------------------
     def __getattr__(self, name):
@@ -291,16 +361,22 @@ class Symbolic:
         return Symbolic(GetAttr(self._call, name))
 
     def __getitem__(self, key):
-        return Symbolic(GetItem(self._call, key))
+        return Symbolic(GetItem(self._call, key), ready=True)
 
     def __call__(self, *args, **kwargs):
         call = self._call
+        if self._ready:
+            if kwargs or len(args) != 1:
+                raise TypeError(
+                    "evaluating a symbolic expression takes exactly one "
+                    "positional argument (the data context)")
+            return call(args[0])
         if isinstance(call, GetAttr):
             return Symbolic(MethodCall(
                 call.obj, call.name,
                 tuple(_node(a) for a in args),
                 {k: _node(v) for k, v in kwargs.items()},
-            ))
+            ), ready=True)
         raise TypeError(f"cannot call expression of type {type(call).__name__}")
 
     # -- pipes -------------------------------------------------------------
@@ -352,3 +428,17 @@ for _rop, _op in _RSWAP.items():
     setattr(Symbolic, _rop, _make_rbinary(_rop, _op))
 for _op in UNARY_OPS:
     setattr(Symbolic, _op, _make_unary(_op))
+
+
+def _sym_invert(self):
+    """``~expr`` negates; ``~~expr`` ESCAPES — returns the raw Call so the
+    expression can be handed to plain-Python machinery like ``map``
+    (reference siuba/siu/symbolic.py:71; e.g. ``map(~~_.x, points)``
+    reads the ``x`` attribute instead of building a method call)."""
+    call = self._call
+    if isinstance(call, UnaryOp) and call.op == "__invert__":
+        return call.operand
+    return Symbolic(UnaryOp("__invert__", call), ready=True)
+
+
+Symbolic.__invert__ = _sym_invert
