@@ -985,6 +985,17 @@ def semantic_store_compact(store, id_col: str = "vec_id",
     and store atomically together; a ``stream_semantic_dedup`` stream
     must be stopped across the swap.
 
+    Centroid-mode choice matters here more than at first training:
+    ``"sample"``/``"lloyd"`` take their seed/training slice from the
+    FIRST-N-BY-ID rows — in an append-only store that is the OLDEST
+    data, so a retrain can be blind to exactly the drift that triggered
+    it (the fat new cells contribute nothing to the new centroids).
+    For drift-driven compaction use ``centroids="kmeans"`` (MLlib
+    k-means||, trains distributed on the whole store, density-adaptive
+    — dense drift regions earn proportionally many cells); keep
+    "sample"/"lloyd" for the oracle-replayable paths and for stores
+    whose id order is not arrival order.
+
     Returns ``(new_store, new_cents, did_compact)``; ``new_cents`` is
     ``None`` when no compaction ran."""
     store_df = store.df if isinstance(store, SparkTbl) else store

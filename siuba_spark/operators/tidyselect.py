@@ -72,10 +72,11 @@ def _match_one(node, columns):
         raise TidySelectError(f"cannot select with key {key!r}")
 
     if isinstance(node, MethodCall) and isinstance(node.obj, MetaArg):
-        pat = node.args[0]
         from ..siu.calls import Lit
-        if isinstance(pat, Lit):
-            pat = pat.value
+
+        def _val(a):
+            return a.value if isinstance(a, Lit) else a
+        pat = _val(node.args[0])
         if node.name == "startswith":
             return [c for c in columns if c.startswith(pat)], False
         if node.name == "endswith":
@@ -85,6 +86,18 @@ def _match_one(node, columns):
         if node.name == "matches":
             rx = re.compile(pat)
             return [c for c in columns if rx.search(c)], False
+        if node.name == "num_range":
+            # dplyr num_range("V", 3, 5) / num_range("V", range(3, 6)):
+            # numbered-column selection in NUMERIC order (the reference
+            # notebook case-iris-select.ipynb notes it lacks this).
+            # Missing members are skipped like dplyr's default.
+            if len(node.args) == 3:
+                lo, hi = _val(node.args[1]), _val(node.args[2])
+                nums = range(int(lo), int(hi) + 1)
+            else:
+                nums = [int(x) for x in _val(node.args[1])]
+            wanted = [f"{pat}{i}" for i in nums]
+            return [c for c in wanted if c in columns], False
         raise TidySelectError(f"unknown selection helper _.{node.name}()")
 
     raise TidySelectError(f"cannot resolve selection {node!r}")

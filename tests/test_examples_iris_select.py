@@ -77,3 +77,16 @@ def test_group_rename_is_an_error(iris):
     # the strict way: renaming a multi-column match raises
     with pytest.raises(TidySelectError):
         iris >> select(_.obs == _.startswith("s"))
+
+
+def test_num_range(spark):
+    # the notebook notes "no num_range capability" — this engine adds
+    # the dplyr helper: numeric-order selection of numbered columns,
+    # missing members skipped
+    names = [f"V{i}" for i in (3, 4, 7, 1, 9, 8, 5, 2, 6, 10)]
+    df = spark.createDataFrame([tuple(range(10))], names)
+    t = tbl(df)
+    assert (t >> select(_.num_range("V", 3, 5))).columns == ["V3", "V4", "V5"]
+    assert (t >> select(_.num_range("V", range(9, 12)))).columns == \
+        ["V9", "V10"]                       # V11 missing -> skipped
+    assert (t >> select(-_.num_range("V", 1, 8))).columns == ["V9", "V10"]

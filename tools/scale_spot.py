@@ -188,6 +188,110 @@ def main():
         p2, _s2, _c2 = semantic_dedup_incremental(b, store, cents, **kw)
         return p1.df.unionByName(p2.df)
 
+    def _semantic_768(d, prefilter):
+        # VERDICT r9 item 4: the int8 ADC prefilter lost ~25% at dim=64
+        # (interpreted int folds cost the same as double folds, and the
+        # survivor join-back adds two joins).  dim=768 is where the 8x
+        # pair-stage payload cut (768 tinyints vs 768 doubles) applies to
+        # a much larger absolute volume — this pair of ops measures
+        # whether that ever makes the prefilter a WALL win single-node,
+        # or only a shuffle win (the cluster-relevant column either way).
+        from siuba_spark.corpus.similarity import semantic_dedup
+        vec = F.transform(F.sequence(F.lit(1), F.lit(768)),
+                          lambda j: F.sin(F.col("doc_id") * j * 0.1))
+        emb = SparkTbl(d.df.select(F.col("doc_id").alias("vec_id"),
+                                   vec.alias("embedding")))
+        n = max(16, int(emb.df.count() ** 0.5))
+        return semantic_dedup(emb, threshold=0.999, n_lists=n,
+                              centroids="sample", prefilter=prefilter).df
+
+    def semantic_768(d):
+        return _semantic_768(d, None)
+
+    def semantic_int8_768(d):
+        return _semantic_768(d, "int8")
+
+    def _tight(df, spread=0.1):
+        # one dense cluster around sin(j/10): intra-cluster cosines land
+        # ~0.99 (below the 0.999 emit threshold, so the OUTPUT stays
+        # small while the intra-cell candidate count explodes — the cost
+        # being measured), and the whole cluster shares a cell under
+        # centroids trained on uniform data
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: F.sin(j * 0.1)
+            + F.lit(spread) * F.sin(F.col("vec_id") * j * 0.001))
+        return df.select("vec_id", vec.alias("embedding"))
+
+    def _uniform64(df):
+        vec = F.transform(F.sequence(F.lit(1), F.lit(64)),
+                          lambda j: F.sin(F.col("vec_id") * j * 0.1))
+        return df.select("vec_id", vec.alias("embedding"))
+
+    def semantic_skew_64(d):
+        # VERDICT r9 item 8a: deliberately skewed corpus — 10% of rows in
+        # ONE tight cluster (one hot cell), 90% uniform.  Compare wall +
+        # shuffle against semantic_dedup_64 at the same N: the delta is
+        # the hot cell's |cell|^2 term, and whether AQE's skew-join
+        # splitting keeps the 32 cores busy on it.
+        from siuba_spark.corpus.similarity import semantic_dedup
+        ids = d.df.select(F.col("doc_id").alias("vec_id"))
+        hot = (F.col("vec_id") % 10) == 0
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: F.when(
+                hot,
+                F.sin(j * 0.1)
+                + F.lit(0.1) * F.sin(F.col("vec_id") * j * 0.001))
+            .otherwise(F.sin(F.col("vec_id") * j * 0.1)))
+        emb = SparkTbl(ids.select("vec_id", vec.alias("embedding")))
+        n = max(16, int(emb.df.count() ** 0.5))
+        return semantic_dedup(emb, threshold=0.999, n_lists=n,
+                              centroids="sample").df
+
+    def _drift_rig(d, compact):
+        # VERDICT r9 item 8b: distribution drift vs the compaction
+        # trigger.  A (60%, uniform) trains the epoch-1 quantizer; B
+        # (20%) arrives as ONE tight drift cluster (fattening one stale
+        # cell); C (20%) continues the drifted distribution.  Without
+        # compaction, C pairs against the fat stale cell (the
+        # incremental new x store term degrades toward |C| x |B|); with
+        # k-means compaction after B, the dense region splits across
+        # cells and C's term shrinks.  20% id-subset keeps the candidate
+        # counts tractable at 10x.
+        from siuba_spark.corpus.similarity import (
+            semantic_dedup_incremental, semantic_store_compact)
+        ids = d.df.filter(F.col("doc_id") % 5 == 0) \
+            .select(F.col("doc_id").alias("vec_id"))
+        c1, c2 = ids.agg(
+            F.expr("approx_percentile(vec_id, array(0.6, 0.8))")
+        ).first()[0]
+        a = SparkTbl(_uniform64(ids.filter(F.col("vec_id") < c1)))
+        b = SparkTbl(_tight(ids.filter((F.col("vec_id") >= c1)
+                                       & (F.col("vec_id") < c2))))
+        c = SparkTbl(_tight(ids.filter(F.col("vec_id") >= c2)))
+        nl = max(16, int(ids.count() ** 0.5))
+        kw = dict(threshold=0.999, n_lists=nl, centroids="sample")
+        p1, s1, cents = semantic_dedup_incremental(a, **kw)
+        p2, s2, _c2 = semantic_dedup_incremental(b, s1, cents, **kw)
+        if compact:
+            # k-means retraining is the point: it is density-adaptive,
+            # so the drift cluster (now 20% of the store's mass) earns
+            # many cells.  The id-ordered "sample"/"lloyd" slices would
+            # never SEE the drift (they train on the id-head = A) — the
+            # drift-blind spot semantic_store_compact's docstring warns
+            # about.
+            s2, cents, _did = semantic_store_compact(
+                s2, n_lists=nl, centroids="kmeans")
+        p3, _s4, _c3 = semantic_dedup_incremental(c, s2, cents, **kw)
+        return p1.df.unionByName(p2.df).unionByName(p3.df)
+
+    def semantic_drift_stale_64(d):
+        return _drift_rig(d, compact=False)
+
+    def semantic_drift_compact_64(d):
+        return _drift_rig(d, compact=True)
+
     def quantize_emb_64(d):
         # int8 quantize + dequantize roundtrip: two map-only projections
         from siuba_spark.corpus.similarity import (
@@ -254,6 +358,11 @@ def main():
         "semantic_dedup_64": semantic_dedup_64,
         "semantic_int8_64": semantic_int8_64,
         "semantic_incr_64": semantic_incr_64,
+        "semantic_768": semantic_768,
+        "semantic_int8_768": semantic_int8_768,
+        "semantic_skew_64": semantic_skew_64,
+        "semantic_drift_stale_64": semantic_drift_stale_64,
+        "semantic_drift_compact_64": semantic_drift_compact_64,
         "quantize_emb_64": quantize_emb_64,
         "quality_chain": quality_chain,
         "simhash": lambda d: add_simhash(d, bits=16, id_col="doc_id").df,
