@@ -704,6 +704,30 @@ def ivf_pq_topk(tbl: SparkTbl, queries, k: int = 10, id_col: str = "vec_id",
     return SparkTbl(out)
 
 
+def _spread_cells(df):
+    """Explicit hash-partitioning by ``__cell`` with a PINNED partition
+    count, applied to both sides of every intra-cell pair join.
+
+    The pair stage is CPU-dense but byte-light: a few MB of vectors fan
+    out into Σ|cell|² cosine folds.  AQE's BYTE-based partition
+    coalescing sees the small shuffle and collapses the stage onto one
+    task, serializing the fold work (measured in the r10 dim-768 spot
+    rig: a 5k-row corpus -> ~30 MB pair shuffle -> 1 task -> minutes on
+    one core while 31 idle).  A ``repartition(n, col)`` with an explicit
+    count is never coalesced by AQE, so every core stays on the fold
+    work; the join consumes the partitioning directly (no second
+    exchange).  A single fat cell still serializes by construction —
+    preventing that is the BLOCKING's job (semantic_store_compact
+    ``p99_limit``), not the join's."""
+    spark = df.sparkSession
+    try:
+        conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        conf_p = 0
+    p = max(conf_p, spark.sparkContext.defaultParallelism)
+    return df.repartition(p, "__cell")
+
+
 def _int8_prefiltered_pairs(assigned, threshold, round_to):
     """Intra-cell pair stage with an int8 ADC prefilter (VERDICT r8 item
     5 — classic quantize-prune-rerank): the cell self-join carries ONLY
@@ -775,7 +799,7 @@ def _int8_prefiltered_pairs(assigned, threshold, round_to):
            + F.size(F.col("__qa")).cast("double") / 4.0),
         F.sqrt(F.col("__na") * F.col("__nb")))
     cutoff = threshold - 0.5 * 10.0 ** (-round_to) - 1e-9
-    survivors = (qa.join(qb, ["__cell"])
+    survivors = (_spread_cells(qa).join(_spread_cells(qb), ["__cell"])
                  .filter(F.col("id_a") < F.col("id_b"))
                  .filter(bound >= F.lit(cutoff))
                  .select("id_a", "id_b"))
@@ -839,12 +863,14 @@ def semantic_dedup(tbl: SparkTbl, threshold: float = 0.95,
         # measured, persisting it here costs MORE than the recompute at
         # bench scale (extra caching job + pin lifetime) — left
         # unpersisted on purpose
-        a = assigned.select(F.col("nbr_id").alias("id_a"),
-                            F.col("nbr_vec").alias("vec_a"),
-                            F.col("__nn").alias("__na"), "__cell")
-        b = assigned.select(F.col("nbr_id").alias("id_b"),
-                            F.col("nbr_vec").alias("vec_b"),
-                            F.col("__nn").alias("__nb"), "__cell")
+        a = _spread_cells(assigned.select(
+            F.col("nbr_id").alias("id_a"),
+            F.col("nbr_vec").alias("vec_a"),
+            F.col("__nn").alias("__na"), "__cell"))
+        b = _spread_cells(assigned.select(
+            F.col("nbr_id").alias("id_b"),
+            F.col("nbr_vec").alias("vec_b"),
+            F.col("__nn").alias("__nb"), "__cell"))
         pairs = (a.join(b, ["__cell"])
                  .filter(F.col("id_a") < F.col("id_b"))
                  .withColumn("score", F.round(_cosine_pre(
@@ -936,7 +962,7 @@ def semantic_dedup_incremental(
     nb = new_asg.withColumn("__new", F.lit(True))
     all_b = nb if store_df is None else \
         nb.unionByName(store_df.withColumn("__new", F.lit(False)))
-    l, r = nb.alias("l"), all_b.alias("r")
+    l, r = _spread_cells(nb).alias("l"), _spread_cells(all_b).alias("r")
     pairs = (l.join(r, [F.col("l.__cell") == F.col("r.__cell"),
                         (~F.col("r.__new"))
                         | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))])

@@ -196,13 +196,23 @@ def main():
         # a much larger absolute volume — this pair of ops measures
         # whether that ever makes the prefilter a WALL win single-node,
         # or only a shuffle win (the cluster-relevant column either way).
+        #
+        # Synthesis is CLUSTERED, not iid-sin: at dim 768, distance
+        # concentration makes argmin over iid-sin vectors collapse into
+        # the smallest-norm centroid's cell (measured: 4793/5000 rows in
+        # one cell — that degenerate shape is the semantic_skew_64 rig's
+        # subject, not this one).  64 well-separated centers + 15% row
+        # noise give balanced cells under the first-64-ids sample rule
+        # (doc_id % 64 cycles cover all centers).
         from siuba_spark.corpus.similarity import semantic_dedup
-        vec = F.transform(F.sequence(F.lit(1), F.lit(768)),
-                          lambda j: F.sin(F.col("doc_id") * j * 0.1))
+        g = F.col("doc_id") % 64
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(768)),
+            lambda j: F.sin((j + g * 13) * 0.5)
+            + F.lit(0.15) * F.sin(F.col("doc_id") * j * 0.11))
         emb = SparkTbl(d.df.select(F.col("doc_id").alias("vec_id"),
                                    vec.alias("embedding")))
-        n = max(16, int(emb.df.count() ** 0.5))
-        return semantic_dedup(emb, threshold=0.999, n_lists=n,
+        return semantic_dedup(emb, threshold=0.999, n_lists=64,
                               centroids="sample", prefilter=prefilter).df
 
     def semantic_768(d):
