@@ -718,14 +718,26 @@ def _spread_cells(df):
     work; the join consumes the partitioning directly (no second
     exchange).  A single fat cell still serializes by construction —
     preventing that is the BLOCKING's job (semantic_store_compact
-    ``p99_limit``), not the join's."""
+    ``p99_limit``), not the join's.
+
+    The SHUFFLE_MERGE hint closes the second half of the same stats
+    blindspot: the planner's size estimate for the assignment subtree
+    comes from the narrow parquet columns it scans, not the wide vector
+    arrays the transform produces, so the STATIC planner happily
+    broadcasts the whole (unmaterialized, CPU-expensive) assignment
+    subtree and recomputes it inside ONE broadcast-build task (measured
+    in the same rig: a 20k-row dim-768 assignment ground 10+ minutes
+    single-core as a BHJ build side).  The hint pins the static plan to
+    sort-merge over the explicit partitioning; AQE may still demote to a
+    runtime broadcast AFTER the shuffle materializes — that reads the
+    shuffled rows, never recomputes the subtree, and is safe."""
     spark = df.sparkSession
     try:
         conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         conf_p = 0
     p = max(conf_p, spark.sparkContext.defaultParallelism)
-    return df.repartition(p, "__cell")
+    return df.repartition(p, "__cell").hint("SHUFFLE_MERGE")
 
 
 def _int8_prefiltered_pairs(assigned, threshold, round_to):
@@ -767,6 +779,17 @@ def _int8_prefiltered_pairs(assigned, threshold, round_to):
     is the bottleneck (network-bound clusters, wide embeddings, fat
     cells), not for single-node throughput — which is why the default
     stays ``prefilter=None``."""
+    # The plan references ``assigned`` THREE times (codes, va, vb) and
+    # its static size estimate reflects the narrow source scan, not the
+    # wide vectors it produces — so without materialization the planner
+    # happily broadcasts an UNMATERIALIZED copy and recomputes the whole
+    # assignment single-threaded inside each broadcast-build task
+    # (measured in the r10 dim-768 rig: 4 concurrent 1-task builds, 20+
+    # minutes, 28 cores idle).  localCheckpoint materializes it ONCE in
+    # parallel, truncates the lineage, and hands the planner TRUE sizes.
+    # (On a real cluster swap for .checkpoint() — same note as
+    # dedup_clusters.)
+    assigned = assigned.localCheckpoint()
     q_codes = F.transform(
         F.col("__vd"), lambda x: F.when(
             F.col("__s") == 0, F.lit(0)).otherwise(
@@ -803,12 +826,19 @@ def _int8_prefiltered_pairs(assigned, threshold, round_to):
                  .filter(F.col("id_a") < F.col("id_b"))
                  .filter(bound >= F.lit(cutoff))
                  .select("id_a", "id_b"))
+    # SHUFFLE_MERGE on the vector sides: their static size estimate
+    # reflects the narrow parquet scan, not the wide vectors, so the
+    # static planner would otherwise BROADCAST the unmaterialized
+    # assignment subtree and recompute it single-threaded (see
+    # _spread_cells).  AQE still runtime-converts to broadcast from the
+    # TRUE materialized sizes when the surviving pair set is small — the
+    # SemDeDup regime — without ever recomputing the subtree.
     va = assigned.select(F.col("nbr_id").alias("id_a"),
                          F.col("nbr_vec").alias("vec_a"),
-                         F.col("__nn").alias("__na"))
+                         F.col("__nn").alias("__na")).hint("SHUFFLE_MERGE")
     vb = assigned.select(F.col("nbr_id").alias("id_b"),
                          F.col("nbr_vec").alias("vec_b"),
-                         F.col("__nn").alias("__nb"))
+                         F.col("__nn").alias("__nb")).hint("SHUFFLE_MERGE")
     return (survivors.join(va, ["id_a"]).join(vb, ["id_b"])
             .withColumn("score", F.round(_cosine_pre(
                 F.col("vec_a"), F.col("vec_b"),
