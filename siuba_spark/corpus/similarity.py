@@ -770,15 +770,20 @@ def _int8_prefiltered_pairs(assigned, threshold, round_to):
     surviving pair set is small (the SemDeDup regime: near-dups are a
     thin fraction of intra-cell pairs).
 
-    MEASURED tradeoff (SCALE.md, decade run at sf0.1 base): the payload
-    cut is real (pair-stage shuffle −29% at 1x) but on a CPU-bound
-    single node the variant is ~25% SLOWER — Spark's interpreted
-    zip_with/aggregate folds cost the same per element for int as for
-    double, so the prune pass doesn't save CPU, and quantization +
-    survivor join-back add overhead.  Opt in when the pair-stage shuffle
-    is the bottleneck (network-bound clusters, wide embeddings, fat
-    cells), not for single-node throughput — which is why the default
-    stays ``prefilter=None``."""
+    MEASURED tradeoff (SCALE.md rounds 9-10, decade/4x runs at sf0.1
+    base): the prefilter does NOT win single-node at EITHER width.  At
+    dim=64 it is ~25% slower (interpreted zip_with/aggregate folds cost
+    the same per element for int as for double, so the prune pass saves
+    no CPU while quantization + join-back add work).  At dim=768 — the
+    width where the 8x pair-payload cut was hypothesized to dominate —
+    it is 1.77x slower at 4x scale AND shuffles MORE in total (291 vs
+    248 MB): the survivor join-back re-shuffles the full double vectors,
+    which at high thresholds outweighs the pair-stage savings.  Concrete
+    advice: keep ``prefilter=None`` unless (a) the intra-cell pair
+    shuffle is the PROVEN network bottleneck (fat cells on a
+    network-bound cluster), AND (b) survivors are rare enough that the
+    join-back broadcast-demotes — or the corpus is already stored as
+    int8 codes so quantization is free.  Default stays ``None``."""
     # The plan references ``assigned`` THREE times (codes, va, vb) and
     # its static size estimate reflects the narrow source scan, not the
     # wide vectors it produces — so without materialization the planner
