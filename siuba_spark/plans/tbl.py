@@ -459,12 +459,44 @@ def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
     Returns ``{"counts": {node: n}, "flags": [human-readable warnings]}``.
     Flags: any CartesianProduct; a row-at-a-time Python eval
     (BatchEvalPython — use py_func/built-ins instead); an unpartitioned
-    global Window (Exchange SinglePartition feeding a Window).  With
-    ``raise_on_flags=True`` raises ValueError listing them (CI gate).
+    global Window (Exchange SinglePartition feeding a Window); a
+    BroadcastExchange whose build subtree COMPUTES wide arrays
+    (higher-order transform/zip_with/aggregate) — the r10 stats
+    blindspot: size estimates reflect the narrow source scan, not the
+    arrays the transform produces, so the planner broadcasts an
+    unmaterialized subtree and recomputes it single-threaded inside the
+    one-task broadcast build (fix: localCheckpoint the subtree or hint
+    SHUFFLE_MERGE).  With ``raise_on_flags=True`` raises ValueError
+    listing them (CI gate).
     """
     import re as _re
 
     plan = tbl.df._jdf.queryExecution().executedPlan().toString()
+
+    def _broadcast_builds_computed_arrays(text):
+        """True if any BroadcastExchange subtree contains a higher-order
+        array expression.  Subtree = following lines with deeper tree
+        indentation (Spark's toString encodes depth in the ':- / +-'
+        prefix length)."""
+        lines = text.splitlines()
+
+        def depth(ln):
+            m = _re.match(r"^([: +\-*(\d)]*?)[A-Za-z]", ln)
+            return len(m.group(1)) if m else 0
+
+        hof = _re.compile(r"\btransform\(|\bzip_with\(|\baggregate\(")
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            d = depth(ln)
+            for nxt in lines[i + 1:]:
+                if not nxt.strip():
+                    continue
+                if depth(nxt) <= d and _re.search(r"[A-Za-z]", nxt):
+                    break
+                if hof.search(nxt):
+                    return True
+        return False
     nodes = {
         "exchanges": r"Exchange hashpartitioning",
         "single_partition_exchanges": r"Exchange SinglePartition",
@@ -495,6 +527,13 @@ def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
         flags.append("Exchange SinglePartition + Window: possible "
                      "unpartitioned window funneling all rows through one "
                      "reducer — partition the window or pre-aggregate")
+    if _broadcast_builds_computed_arrays(plan):
+        flags.append("BroadcastExchange over a subtree that COMPUTES "
+                     "arrays (transform/zip_with/aggregate): the size "
+                     "estimate saw only the narrow source scan, and the "
+                     "one-task broadcast build will recompute the wide "
+                     "arrays single-threaded — localCheckpoint the "
+                     "subtree or hint('SHUFFLE_MERGE') the join")
     if raise_on_flags and flags:
         raise ValueError("plan lint failed:\n- " + "\n- ".join(flags))
     return {"counts": counts, "flags": flags}

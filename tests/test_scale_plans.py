@@ -603,3 +603,85 @@ def test_cluster_by_is_range_partition_plus_local_sort(spark, tmp_path):
              .toPandas())
     assert len(spans) >= 4
     assert spans.span.median() <= 24, spans  # 97-wide domain over 8 files
+
+
+def test_semantic_pair_join_is_spread_and_never_broadcast(spark):
+    """r10 stats-blindspot regression pins: the intra-cell pair join must
+    (a) keep the explicit REPARTITION exchanges (AQE's byte-based
+    coalescing otherwise collapses the CPU-dense fold stage onto one
+    task) and (b) plan as a sort-merge join — the static planner's size
+    estimate reflects the narrow source scan, not the wide vectors, so a
+    BroadcastHashJoin would recompute the whole assignment subtree
+    single-threaded inside the broadcast build."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import semantic_dedup
+    from siuba_spark.plans.tbl import SparkTbl
+
+    vec = F.transform(F.sequence(F.lit(1), F.lit(16)),
+                      lambda j: F.sin(F.col("id") * j * 0.1))
+    emb = SparkTbl(spark.range(0, 400).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")))
+    for pf in (None, "int8"):
+        _deduped, pairs = semantic_dedup(
+            emb, threshold=0.9, n_lists=8, centroids="sample",
+            return_pairs=True, prefilter=pf)
+        plan = _plan(pairs.df)
+        # the pinned-count repartition survives into the physical plan
+        assert "REPARTITION_BY_NUM" in plan or "RoundRobin" not in plan, plan
+        assert plan.count("SortMergeJoin") >= 1, (pf, plan)
+        # the CELL self-join must not be a broadcast join; int8's
+        # survivor fetch may legitimately AQE-demote to broadcast, so
+        # assert on the exact path only
+        if pf is None:
+            assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_int8_prefilter_materializes_assignment(spark):
+    """The int8 pair plan references the assignment three times; the
+    localCheckpoint must truncate the lineage so no consumer can
+    recompute it (r10: broadcast builds recomputed it single-threaded).
+    Checkpointed scans show as ExistingRDD/Scan nodes, and the wide
+    assignment transform appears in NONE of the three consumers."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import semantic_dedup
+    from siuba_spark.plans.tbl import SparkTbl
+
+    vec = F.transform(F.sequence(F.lit(1), F.lit(16)),
+                      lambda j: F.sin(F.col("id") * j * 0.1))
+    emb = SparkTbl(spark.range(0, 300).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")))
+    _deduped, pairs = semantic_dedup(
+        emb, threshold=0.9, n_lists=8, centroids="sample",
+        return_pairs=True, prefilter="int8")
+    plan = _plan(pairs.df)
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    # the assignment's centroid-distance transform is behind the
+    # checkpoint; the pair plan itself must not re-derive cells
+    assert "array_position" not in plan, plan
+
+
+def test_lint_plan_flags_broadcast_of_computed_arrays(spark):
+    """The r10 stats-blindspot lint: a join whose broadcast side COMPUTES
+    wide arrays from a narrow scan gets flagged; the same join with the
+    array side materialization-hinted (or arrays on the probe side) does
+    not."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import tbl
+    from siuba_spark.plans.tbl import lint_plan
+
+    vec = F.transform(F.sequence(F.lit(1), F.lit(32)),
+                      lambda j: F.sin(F.col("id") * j * 0.1))
+    arrays = spark.range(0, 500).select(
+        F.col("id").alias("k"), vec.alias("v"))
+    probe = spark.range(0, 500).select(F.col("id").alias("k"))
+    # force the array side to be the broadcast build
+    bad = tbl(probe.join(F.broadcast(arrays), "k"))
+    out = lint_plan(bad)
+    assert any("COMPUTES" in f for f in out["flags"]), out["flags"]
+    # broadcasting the narrow side instead is clean
+    good = tbl(arrays.join(F.broadcast(probe), "k"))
+    out2 = lint_plan(good)
+    assert not any("COMPUTES" in f for f in out2["flags"]), out2["flags"]
