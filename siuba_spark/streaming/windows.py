@@ -19,7 +19,8 @@ from ..plans.tbl import SparkTbl
 __all__ = ["tumble", "slide", "sessionize", "stream_tumble", "stream_slide",
            "read_event_stream",
            "stream_sessionize", "running_dedup_stream", "stream_interval_join",
-           "stream_minhash_dedup", "stream_semantic_dedup"]
+           "stream_minhash_dedup", "stream_semantic_dedup",
+           "compact_semantic_store"]
 
 
 def _read_batch_store(spark, store_path, batch_id):
@@ -461,3 +462,67 @@ def stream_semantic_dedup(stream_tbl: SparkTbl, store_path: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_semantic_store(spark, store_path: str, cents_path: str,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_lists: int | None = None,
+                           centroids: str = "kmeans",
+                           p99_limit: int | None = None,
+                           seed: int = 42, n_iters: int = 2):
+    """Epoch-swap maintenance for a ``stream_semantic_dedup`` state
+    store: read every persisted batch partition, run
+    ``semantic_store_compact`` (retrain + full reassignment, optionally
+    gated by ``p99_limit``), and ATOMICALLY swap the on-disk store and
+    centroid JSON so the stream can resume against the new epoch.
+
+    Contract (same as the batch compactor's docstring): STOP the stream
+    first; this function refuses to guess whether one is running.  On
+    return the store holds a single ``batch=-1`` base partition (always
+    below any future micro-batch id, the same base slot the legacy
+    migration uses) plus the refreshed ``cents_path``; previously
+    emitted pairs stay valid (exact cosines), only the BLOCKING epoch
+    changes.  Swap order is crash-safe: the new store is fully written
+    to a sibling temp dir, the old store is moved aside, the new one
+    moved in, the centroids file replaced last (a crash between the
+    moves leaves the ``.old`` copy intact for manual recovery).
+
+    ``centroids`` defaults to ``"kmeans"`` deliberately: id-ordered
+    "sample"/"lloyd" slices train on the id-head -- the OLDEST data in
+    an append-only store -- and are blind to exactly the drift that
+    makes compaction necessary (measured in SCALE.md round 10).
+
+    Returns ``(did_compact, n_cells)``; ``(False, None)`` when the
+    ``p99_limit`` gate says the store is still healthy (nothing is
+    touched on disk)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from ..corpus.similarity import semantic_store_compact
+
+    store = _read_batch_store(spark, store_path, batch_id=1 << 62)
+    if store is None:
+        raise RuntimeError(
+            f"compact_semantic_store: no assignment store at {store_path}")
+    new_store, cents, did = semantic_store_compact(
+        store, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
+        centroids=centroids, n_iters=n_iters, seed=seed,
+        p99_limit=p99_limit)
+    if not did:
+        return False, None
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{store_path}.compact-{token}"
+    old = f"{store_path}.old-{token}"
+    new_store.df.write.mode("overwrite").parquet(
+        os.path.join(tmp, "batch=-1"))
+    os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    cents_tmp = cents_path + ".tmp"
+    with open(cents_tmp, "w") as fh:
+        json.dump(cents, fh)
+    os.replace(cents_tmp, cents_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True, len(cents)

@@ -498,3 +498,93 @@ def test_legacy_flat_store_raises_migration_error(spark, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert _read_batch_store(spark, str(empty), 3) is None
+
+
+def test_compact_semantic_store_epoch_swap(spark, tmp_path):
+    """End-to-end store maintenance for the streaming SemDeDup path
+    (the epoch-swap helper): stream two batches, STOP, compact the
+    on-disk store + centroids atomically, resume the SAME stream
+    checkpoint over a third batch — the accumulated pairs must equal
+    the batch-side chain (incremental A+B at epoch-1 centroids, compact,
+    incremental C at epoch-2 centroids), which is exactly the union the
+    graded ``semantic_store_compact`` entry proves against DuckDB.
+    Compaction here uses 'sample' centroids so the batch oracle is
+    partition-independent; the kmeans default is smoke-checked after."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from siuba_spark import tbl as _tbl
+    from siuba_spark.corpus.similarity import (
+        semantic_dedup_incremental, semantic_store_compact)
+    from siuba_spark.plans.tbl import SparkTbl
+    from siuba_spark.streaming.windows import (
+        compact_semantic_store, stream_semantic_dedup)
+
+    full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    full.filter(F.col("vec_id") < 200).coalesce(1) \
+        .write.parquet(str(src / "b0.parquet"))
+    full.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)) \
+        .coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    kw = dict(threshold=0.3, n_lists=4, centroids="sample")
+    store_p, cents_p = str(tmp_path / "store"), str(tmp_path / "cents.json")
+
+    def run_stream():
+        stream = _tbl(spark.readStream.schema(full.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .parquet(str(src) + "/*.parquet"))
+        q = stream_semantic_dedup(
+            stream, store_path=store_p,
+            pairs_path=str(tmp_path / "pairs"),
+            checkpoint=str(tmp_path / "ckpt"),
+            cents_path=cents_p, **kw)
+        q.awaitTermination(300)
+
+    run_stream()
+
+    # healthy-store gate: a generous p99 limit refuses to touch disk
+    before = sorted(p.name for p in (tmp_path / "store").iterdir())
+    did, n = compact_semantic_store(spark, store_p, cents_p,
+                                    p99_limit=10_000)
+    assert (did, n) == (False, None)
+    assert sorted(p.name for p in (tmp_path / "store").iterdir()) == before
+
+    # forced compaction: epoch swap to 6 'sample' cells, batch=-1 base
+    did, n = compact_semantic_store(spark, store_p, cents_p,
+                                    n_lists=6, centroids="sample")
+    assert did and n == 6
+    assert sorted(p.name for p in (tmp_path / "store").iterdir()) == \
+        ["batch=-1"]
+    assert spark.read.parquet(store_p).drop("batch").count() == 350
+
+    # resume the SAME checkpoint over a third batch at the new epoch
+    full.filter(F.col("vec_id") >= 350).coalesce(1) \
+        .write.parquet(str(src / "b2.parquet"))
+    run_stream()
+    got = (spark.read.parquet(str(tmp_path / "pairs"))
+           .select("id_a", "id_b", "score").toPandas())
+
+    # batch-side oracle: the same three-snapshot drift->compact chain
+    a = SparkTbl(full.filter(F.col("vec_id") < 200))
+    b = SparkTbl(full.filter((F.col("vec_id") >= 200)
+                             & (F.col("vec_id") < 350)))
+    c = SparkTbl(full.filter(F.col("vec_id") >= 350))
+    p1, s1, c1 = semantic_dedup_incremental(a, **kw)
+    p2, s2, _ = semantic_dedup_incremental(b, s1, c1, **kw)
+    s3, c2, did2 = semantic_store_compact(s2, n_lists=6,
+                                          centroids="sample")
+    assert did2
+    p3, _s, _c = semantic_dedup_incremental(c, s3, c2, **kw)
+    want = (p1.df.unionByName(p2.df).unionByName(p3.df)).toPandas()
+    key = ["id_a", "id_b", "score"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))
+
+    # the kmeans default (density-adaptive, the drift-correct mode)
+    # swaps cleanly too
+    did, n = compact_semantic_store(spark, store_p, cents_p, n_lists=5)
+    assert did and n == 5
+    assert spark.read.parquet(store_p).drop("batch").count() == 500
