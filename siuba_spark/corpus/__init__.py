@@ -5,6 +5,9 @@ set so pipelines can ``from siuba_spark.corpus import minhash_near_dups,
 gopher_filter, lsh_topk, ...`` without memorizing the file layout.
 """
 
+from .bpe import (  # noqa: F401
+    bpe_encode, bpe_token_count, bpe_tokens_col, bpe_train,
+)
 from .dedup import (  # noqa: F401
     MD5_64_SQL, add_minhash, add_shingles, add_simhash, dedup_clusters,
     drop_near_dups, exact_dedup, fuzzy_pairs, hash64_col, jaccard_pairs,

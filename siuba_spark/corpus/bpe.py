@@ -51,8 +51,8 @@ from ..plans.pipe import verb
 from ..plans.tbl import SparkTbl
 
 __all__ = ["DEFAULT_MERGES", "BROADCAST_MERGES_THRESHOLD",
-           "ARROW_MERGES_THRESHOLD",
-           "bpe_token_count", "bpe_encode", "bpe_tokens_col"]
+           "ARROW_MERGES_THRESHOLD", "MAX_TRAIN_VOCAB_BYTES",
+           "bpe_token_count", "bpe_encode", "bpe_tokens_col", "bpe_train"]
 
 # the GPT-2-ish pre-tokenizer pattern token_count_bpe already uses
 from .text import _BPE_RE  # noqa: E402
@@ -347,6 +347,136 @@ def bpe_encode(tbl: SparkTbl, merges=None, col: str = "text",
           .withColumn(out, F.coalesce(F.col(out),
                                       F.array().cast("array<string>"))))
     return tbl.evolve(df=df)
+
+
+#: hard ceiling on the bytes the trainer may pull to the driver (the same
+#: bounded-collect contract as the IVF Lloyd training slice): the word
+#: HISTOGRAM is collected, never the corpus, and its top-N cut must fit here
+MAX_TRAIN_VOCAB_BYTES = 32 << 20
+
+
+def _train_on_histogram(hist, n_merges, min_freq):
+    """Classic BPE merge learning over a ``[(word, count)]`` histogram —
+    the driver-side half of ``bpe_train`` (the corpus never gets here,
+    only its word frequencies).  Deterministic: each step merges the
+    adjacent symbol pair with the highest corpus count, ties broken by
+    the lexicographically smallest ``(left, right)`` pair; stops early
+    when the best pair's count drops below ``min_freq``.
+
+    Incremental bookkeeping (the heap holds ``(-count, pair)`` entries,
+    stale ones are skipped on pop by re-checking the live count): each
+    chosen merge re-segments ONLY the words containing that pair, so a
+    training step costs O(affected words x word length), not O(vocab).
+    Parity with the recount-from-scratch formulation is pinned in
+    test_bpe."""
+    import heapq
+
+    words = [list(w) for w, _n in hist]
+    counts = [n for _w, n in hist]
+    pair_counts: dict = {}
+    pair_words: dict = {}
+
+    def add_word(wi):
+        syms = words[wi]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + counts[wi]
+            pair_words.setdefault((a, b), set()).add(wi)
+
+    def drop_word(wi):
+        syms = words[wi]
+        for a, b in zip(syms, syms[1:]):
+            left = pair_counts[(a, b)] - counts[wi]
+            if left:
+                pair_counts[(a, b)] = left
+            else:
+                del pair_counts[(a, b)]
+            s = pair_words.get((a, b))
+            if s is not None:
+                s.discard(wi)
+                if not s:
+                    del pair_words[(a, b)]
+
+    for wi in range(len(words)):
+        add_word(wi)
+    heap = [(-n, p) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges = []
+    while len(merges) < n_merges and heap:
+        neg, pair = heapq.heappop(heap)
+        live = pair_counts.get(pair, 0)
+        if -neg != live:          # stale entry: count changed since push
+            if live:
+                heapq.heappush(heap, (-live, pair))
+            continue
+        if live < min_freq:
+            break
+        merges.append(pair)
+        a, b = pair
+        ab = a + b
+        for wi in sorted(pair_words.get(pair, ())):
+            drop_word(wi)
+            syms, out, i = words[wi], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            add_word(wi)
+            for p2 in set(zip(out, out[1:])):
+                heapq.heappush(heap, (-pair_counts.get(p2, 0), p2))
+    return merges
+
+
+def bpe_train(tbl, col: str = "text", n_merges: int = 256,
+              min_freq: int = 2, max_vocab_words: int = 1 << 16,
+              max_word_len: int = 16):
+    """Learn a BPE merges table FROM the corpus (the training half of the
+    tokenizer lifecycle; ``bpe_encode``/``bpe_token_count`` are the apply
+    half and consume the returned ``[(left, right)]`` list unchanged).
+
+    Spark-first split, sized for 100 TB:
+
+    - the ONE pass over the corpus is a word-frequency aggregation
+      (pre-tokenize with the same ``_BPE_RE``/lowercase/``max_word_len``
+      truncation the apply tiers use, explode, groupBy word) — a single
+      map-side-combined shuffle whose output is the VOCABULARY, which
+      Heaps' law keeps sublinear in corpus size;
+    - the histogram is cut to the top ``max_vocab_words`` words by
+      (count desc, word asc) — a deterministic bound, enforced against
+      ``MAX_TRAIN_VOCAB_BYTES`` before collect (the same explicit
+      driver-slice contract as the IVF Lloyd trainer) — and merge
+      learning runs on those frequencies driver-side, exactly how
+      single-node BPE trainers work on a word-count table.  Rare words
+      below the cut contribute no pair counts (standard practice;
+      they still ENCODE fine — apply-side coverage does not depend on
+      training-side membership).
+
+    Deterministic end to end: the cut and the tie-breaks are total
+    orders, so the same corpus always yields the same merges
+    (``bpe_train_gate`` pins this plus an independent Spark-side
+    recomputation of the first merge)."""
+    df = tbl.df if isinstance(tbl, SparkTbl) else tbl
+    words = F.regexp_extract_all(F.lower(F.col(col)), F.lit(_BPE_RE), 0)
+    hist = (df.select(F.explode(words).alias("__w"))
+            .select(F.substring("__w", 1, max_word_len).alias("__w"))
+            .groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= min_freq))
+    cut = hist.orderBy(F.col("__n").desc(), F.col("__w")) \
+              .limit(max_vocab_words)
+    stats = cut.agg(F.sum(F.length("__w")).alias("chars"),
+                    F.count(F.lit(1)).alias("n")).first()
+    approx = (stats["chars"] or 0) + 16 * stats["n"]
+    if approx > MAX_TRAIN_VOCAB_BYTES:
+        raise ValueError(
+            f"training vocabulary slice ~{approx >> 20} MiB exceeds the "
+            f"{MAX_TRAIN_VOCAB_BYTES >> 20} MiB driver bound; lower "
+            "max_vocab_words (rare-word pair counts are negligible)")
+    pairs = sorted(((r["__w"], r["__n"]) for r in cut.collect()),
+                   key=lambda wn: (-wn[1], wn[0]))
+    return _train_on_histogram(pairs, n_merges, min_freq)
 
 
 def _bind(col, fn):

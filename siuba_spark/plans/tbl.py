@@ -475,9 +475,16 @@ def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
 
     def _broadcast_builds_computed_arrays(text):
         """True if any BroadcastExchange subtree contains a higher-order
-        array expression.  Subtree = following lines with deeper tree
+        array expression that the one-task broadcast build would itself
+        recompute.  Subtree = following lines with deeper tree
         indentation (Spark's toString encodes depth in the ':- / +-'
-        prefix length)."""
+        prefix length).  A shuffle Exchange inside the subtree is a
+        materialization boundary: everything BELOW it ran distributed
+        and the broadcast build only reads the (post-aggregation, small)
+        shuffle output — so the walk skips the shuffle's children
+        instead of flagging them (e.g. ngram_contamination's benchmark
+        side explodes zip_with n-grams distributed, distinct-aggregates,
+        THEN broadcasts the tiny set: healthy, not the blindspot)."""
         lines = text.splitlines()
 
         def depth(ln):
@@ -485,15 +492,24 @@ def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
             return len(m.group(1)) if m else 0
 
         hof = _re.compile(r"\btransform\(|\bzip_with\(|\baggregate\(")
+        shuffle = _re.compile(r"\bExchange (hash|range|Single|RoundRobin)")
         for i, ln in enumerate(lines):
             if "BroadcastExchange" not in ln:
                 continue
             d = depth(ln)
+            cut = None  # depth of the nearest enclosing shuffle Exchange
             for nxt in lines[i + 1:]:
                 if not nxt.strip():
                     continue
-                if depth(nxt) <= d and _re.search(r"[A-Za-z]", nxt):
+                nd = depth(nxt)
+                if nd <= d and _re.search(r"[A-Za-z]", nxt):
                     break
+                if cut is not None and nd > cut:
+                    continue            # below a shuffle: ran distributed
+                cut = None
+                if shuffle.search(nxt):
+                    cut = nd
+                    continue
                 if hof.search(nxt):
                     return True
         return False

@@ -217,3 +217,136 @@ def test_bpe_arrow_auto_at_gpt2_scale(spark):
     big = bpe_token_count(t, merges=merges).df.collect()[0].n_bpe_tokens
     small = bpe_token_count(t).df.collect()[0].n_bpe_tokens
     assert big == small
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: merge LEARNING (corpus/bpe.py bpe_train / _train_on_histogram)
+# ---------------------------------------------------------------------------
+
+def _naive_train(hist, n_merges, min_freq):
+    """Recount-from-scratch reference trainer: every step rebuilds the
+    full pair-count table from the current segmentations and picks
+    (max count, lexicographically smallest pair)."""
+    words = [list(w) for w, _ in hist]
+    counts = [n for _, n in hist]
+    merges = []
+    while len(merges) < n_merges:
+        pc = {}
+        for syms, n in zip(words, counts):
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        if pc[best] < min_freq:
+            break
+        merges.append(best)
+        a, b = best
+        for wi, syms in enumerate(words):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+    return merges
+
+
+def test_bpe_train_incremental_equals_naive():
+    from siuba_spark.corpus.bpe import _train_on_histogram
+    hist = [("low", 5), ("lower", 2), ("lowest", 2), ("newer", 6),
+            ("wider", 3), ("new", 7), ("a", 9), ("bb", 1)]
+    for n_merges in (1, 3, 8, 32):
+        for min_freq in (1, 2, 5):
+            assert (_train_on_histogram(hist, n_merges, min_freq)
+                    == _naive_train(hist, n_merges, min_freq)), \
+                (n_merges, min_freq)
+
+
+def test_bpe_train_hypothesis_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from siuba_spark.corpus.bpe import _train_on_histogram
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=10)
+    hist_s = st.dictionaries(word, st.integers(1, 9),
+                             min_size=1, max_size=12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(hist_s, st.integers(1, 12), st.integers(1, 3))
+    def check(hist, n_merges, min_freq):
+        items = sorted(hist.items())
+        assert (_train_on_histogram(items, n_merges, min_freq)
+                == _naive_train(items, n_merges, min_freq))
+
+    check()
+
+
+def test_bpe_train_end_to_end(spark):
+    """Distributed histogram + driver merge loop: learned merges feed the
+    apply tiers unchanged and compress the corpus; training is
+    deterministic across invocations."""
+    from siuba_spark.corpus.bpe import bpe_train
+
+    rows = [(i, t) for i, t in enumerate(TEXTS * 3)]
+    t = tbl(spark.createDataFrame(rows, "doc_id long, text string"))
+    merges = bpe_train(t, n_merges=12, min_freq=2)
+    assert len(merges) == 12
+    assert merges == bpe_train(t, n_merges=12, min_freq=2)
+    # learned merges encode: total tokens strictly below character count
+    enc = bpe_encode(t, merges=merges).df.collect()
+    n_tok = sum(len(r.bpe_tokens) for r in enc)
+    n_chr = sum(len(w) for _, txt in rows
+                for w in _WORD_RE.findall(txt.lower()))
+    assert 0 < n_tok < n_chr
+    # first merge = the corpus's most frequent adjacent character pair,
+    # recomputed naively from the histogram
+    from collections import Counter
+    pc = Counter()
+    for _, txt in rows:
+        for w in _WORD_RE.findall(txt.lower()):
+            for p in zip(w[:16], w[1:16]):
+                pc[p] += 1
+    best = min(pc, key=lambda p: (-pc[p], p))
+    assert merges[0] == best
+
+
+def test_bpe_train_min_freq_stops_early(spark):
+    from siuba_spark.corpus.bpe import bpe_train
+    t = tbl(spark.createDataFrame([(0, "ab ab cd")],
+                                  "doc_id long, text string"))
+    # (a,b) count 2 passes min_freq=2; (c,d) count 1 does not
+    assert bpe_train(t, n_merges=10, min_freq=2) == [("a", "b")]
+
+
+def test_bpe_train_driver_bound_enforced(spark):
+    import pytest as _pytest
+
+    import siuba_spark.corpus.bpe as bpe_mod
+    t = tbl(spark.createDataFrame([(0, "aa bb cc dd ee ff gg hh")],
+                                  "doc_id long, text string"))
+    old = bpe_mod.MAX_TRAIN_VOCAB_BYTES
+    bpe_mod.MAX_TRAIN_VOCAB_BYTES = 8
+    try:
+        with _pytest.raises(ValueError, match="driver bound"):
+            bpe_mod.bpe_train(t, min_freq=1)
+    finally:
+        bpe_mod.MAX_TRAIN_VOCAB_BYTES = old
+
+
+def test_bpe_train_truncation_matches_apply(spark):
+    """Words longer than max_word_len train on the SAME truncated form
+    the apply tiers tokenize, so train/apply stay consistent."""
+    from siuba_spark.corpus.bpe import bpe_train
+    long_word = "abcdefghijklmnopqrstuvwxyz"
+    t = tbl(spark.createDataFrame([(0, f"{long_word} {long_word}")],
+                                  "doc_id long, text string"))
+    merges = bpe_train(t, n_merges=100, min_freq=2, max_word_len=4)
+    # only pairs inside the 4-char prefix can be learned
+    assert set("".join(a + b for a, b in merges)) <= set("abcd")
+    enc = bpe_encode(t, merges=merges, max_word_len=4).df.collect()[0]
+    assert list(enc.bpe_tokens) == ["abcd", "abcd"]

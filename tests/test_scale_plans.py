@@ -685,3 +685,14 @@ def test_lint_plan_flags_broadcast_of_computed_arrays(spark):
     good = tbl(arrays.join(F.broadcast(probe), "k"))
     out2 = lint_plan(good)
     assert not any("COMPUTES" in f for f in out2["flags"]), out2["flags"]
+    # a shuffle between the array computation and the broadcast is a
+    # materialization boundary: the arrays were computed DISTRIBUTED and
+    # only the small aggregated output is broadcast (the
+    # ngram_contamination benchmark-side shape) — must NOT flag
+    small = (spark.range(0, 500)
+             .select(F.explode(vec).alias("x"))
+             .select(F.round("x", 1).alias("x")).distinct())
+    agg_build = tbl(probe.join(F.broadcast(small),
+                               probe.k == small.x.cast("long"), "left"))
+    out3 = lint_plan(agg_build)
+    assert not any("COMPUTES" in f for f in out3["flags"]), out3["flags"]
