@@ -5521,6 +5521,189 @@ def q_stream_semantic_store(spark, sf):
 SQL_STREAM_SEMANTIC_STORE = SQL_SEMANTIC_DEDUP_INCR
 
 
+def q_bpe_train_gate(spark, sf):
+    """HARD pass/fail gate for ``bpe_train`` (corpus/bpe.py — the merge
+    LEARNING half of the tokenizer lifecycle; training is iterative over
+    a driver-bounded word histogram, so like the k-means recall gate it
+    has no SQL replay and grades through pinned invariants):
+
+    - ``n_ok``: training returns exactly the requested 24 merges (the
+      corpus vocabulary supports them at min_freq=2 at every sweep SF);
+    - ``first_ok``: the FIRST learned merge equals the corpus's most
+      frequent adjacent character pair recomputed by an INDEPENDENT pure
+      Spark aggregation (explode words → symbol pairs → count → argmax
+      with the same (count desc, pair asc) tie-break) — this
+      cross-checks the distributed histogram, the driver slice, and the
+      trainer's priority rule against a second implementation;
+    - ``compresses``: encoding the corpus with the learned merges yields
+      strictly fewer tokens than the character baseline (training must
+      actually compress what it trained on);
+    - ``det_ok``: a second training run returns the identical merges
+      (the cut and tie-breaks are total orders).
+
+    All four are deterministic, so the oracle is the constant row."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.bpe import _word_rows, bpe_token_count, bpe_train
+
+    docs = _td(spark, sf)
+    kw = dict(n_merges=24, min_freq=2)
+    merges = bpe_train(docs, **kw)
+    n_ok = len(merges) == 24
+    det_ok = merges == bpe_train(docs, **kw)
+
+    rows = _word_rows(docs.df, "text", "doc_id", 16)
+    pair = (rows.filter(F.size("__s") >= 2)
+            .select(F.explode(F.arrays_zip(
+                F.expr("slice(__s, 1, size(__s) - 1)"),
+                F.expr("slice(__s, 2, size(__s) - 1)"))).alias("p"))
+            .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b").first())
+    first_ok = (pair["a"], pair["b"]) == merges[0]
+
+    agg = (bpe_token_count(docs, merges=merges, engine="expr").df
+           .agg(F.sum("n_bpe_tokens").alias("tok")).first())
+    chars = (rows.agg(F.sum(F.size("__s")).alias("c")).first())
+    compresses = 0 < agg["tok"] < chars["c"]
+
+    return spark.createDataFrame(
+        [(int(n_ok), int(first_ok), int(compresses), int(det_ok))],
+        "n_ok int, first_ok int, compresses int, det_ok int")
+
+
+SQL_BPE_TRAIN_GATE = """
+SELECT CAST(1 AS INT) AS n_ok, CAST(1 AS INT) AS first_ok,
+       CAST(1 AS INT) AS compresses, CAST(1 AS INT) AS det_ok
+"""
+
+
+def q_bucketed_join_roundtrip(spark, sf):
+    """Bucketed-table lifecycle graded end-to-end (plans/tbl.py
+    write_parquet(bucket_by=) — the shuffle-free co-located-join
+    affordance at 100 TB): write orders AND customer as 8-bucket tables
+    on the join key, re-read through the catalog, sort-merge-join them,
+    and emit (a) a per-mktsegment summary whose counts/extrema/exact
+    decimal sums change if bucketing loses, duplicates, or corrupts any
+    row, and (b) ``shuffle_free`` — 1 iff the join's physical plan
+    contains a SortMergeJoin and ZERO Exchange (the bucketed scans
+    already satisfy the join's required distribution, so neither side
+    shuffles; the merge hint keeps AQE from broadcasting the small sweep
+    SFs, where the bucketing win would be invisible).  Table names and
+    paths are pid-suffixed so concurrent graders never collide; the
+    unit test (test_scale_plans.py) proves the plan shape once — this
+    entry makes it a swept, value-graded contract."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from siuba_spark.plans.tbl import write_parquet
+
+    pid = os.getpid()
+    base = os.path.join(tempfile.gettempdir(), f"siuba_spark_bkt_{pid}")
+    t_o, t_c = f"ss_bkt_orders_{pid}", f"ss_bkt_customer_{pid}"
+    (_t(spark, sf, "orders")
+     >> write_parquet(os.path.join(base, "orders"),
+                      bucket_by=["o_custkey"], n_buckets=8,
+                      table_name=t_o))
+    (_t(spark, sf, "customer")
+     >> write_parquet(os.path.join(base, "customer"),
+                      bucket_by=["c_custkey"], n_buckets=8,
+                      table_name=t_c))
+    bo = spark.table(t_o).hint("merge")
+    bc = (spark.table(t_c).withColumnRenamed("c_custkey", "o_custkey")
+          .hint("merge"))
+    joined = bo.join(bc, "o_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    ok = int("SortMergeJoin" in plan and "Exchange" not in plan)
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_orderkey").alias("min_k"),
+                 F.max("o_orderkey").alias("max_k"),
+                 F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                  .cast("double").alias("total"))
+            .withColumn("shuffle_free", F.lit(ok).cast("int")))
+
+
+SQL_BUCKETED_JOIN_ROUNDTRIP = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+       CAST(1 AS INT) AS shuffle_free
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_lang_id_ngram(spark, sf):
+    """Cavnar–Trenkle n-gram language ID graded end-to-end (corpus/
+    text.py lang_profile_train + lang_id): train per-language top-32
+    character-trigram rank profiles from the labeled documents table,
+    classify every document against them, and emit (doc_id, lang_pred,
+    lang_pred_dist).  The out-of-place distance is ALL-INTEGER (rank
+    deltas, absent grams charged k), so DuckDB replays the whole
+    train+classify pipeline value-exactly — no float rounding anywhere.
+    Scale shape: profiles and the language list broadcast; the corpus
+    side is doc-keyed shuffles bounded by docs x k x languages rows."""
+    from siuba_spark.corpus.text import lang_id, lang_profile_train
+
+    docs = _td(spark, sf)
+    prof = lang_profile_train(docs, "lang", "text", n=3, k=32)
+    out = lang_id(docs, prof, n=3, k=32)
+    return out.df.select("doc_id", "lang_pred", "lang_pred_dist")
+
+
+SQL_LANG_ID_NGRAM = """
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+lg AS (
+  SELECT lang, g, COUNT(*) AS cnt FROM (
+    SELECT lang,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> substr(t, CAST(i AS INT), 3))) AS g
+    FROM d)
+  GROUP BY 1, 2),
+lp AS (
+  SELECT lang, g, rn FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM lg) WHERE rn <= 32),
+dg AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> substr(t, CAST(i AS INT), 3))) AS g
+    FROM d)
+  GROUP BY 1, 2),
+dp AS (
+  SELECT doc_id, g, rn FROM (
+    SELECT doc_id, g,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM dg) WHERE rn <= 32),
+langs AS (SELECT DISTINCT lang FROM lp),
+sc AS (
+  SELECT dp.doc_id, l.lang,
+         SUM(COALESCE(ABS(dp.rn - lp.rn), 32)) AS dist
+  FROM dp CROSS JOIN langs l
+  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+  GROUP BY 1, 2),
+pred AS (
+  SELECT doc_id, lang, dist FROM (
+    SELECT doc_id, lang, dist,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY dist ASC, lang ASC) AS rn
+    FROM sc) WHERE rn = 1)
+SELECT d.doc_id, p.lang AS lang_pred,
+       CAST(p.dist AS BIGINT) AS lang_pred_dist
+FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -5757,6 +5940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_weighted_gate": q_slice_weighted_gate,
         "cluster_by_roundtrip": q_cluster_by_roundtrip,
         "semantic_store_compact": q_semantic_store_compact,
+        # new in r10, below the window (sweep-covered; driver-graded r11)
+        "bpe_train_gate": q_bpe_train_gate,
+        "bucketed_join_roundtrip": q_bucketed_join_roundtrip,
+        "lang_id_ngram": q_lang_id_ngram,
     })
     # Driver grades the FIRST 50 entries only.  Round-10 window: the
     # three new r10 entries (the slice_sample weight gate, the
@@ -5988,4 +6175,7 @@ def oracle_sql() -> dict[str, str]:
         "slice_weighted_gate": SQL_SLICE_WEIGHTED_GATE,
         "cluster_by_roundtrip": SQL_CLUSTER_BY_ROUNDTRIP,
         "semantic_store_compact": SQL_SEMANTIC_STORE_COMPACT,
+        "bpe_train_gate": SQL_BPE_TRAIN_GATE,
+        "bucketed_join_roundtrip": SQL_BUCKETED_JOIN_ROUNDTRIP,
+        "lang_id_ngram": SQL_LANG_ID_NGRAM,
     }

@@ -63,6 +63,7 @@ def main():
         "exact_dedup_incremental", "semantic_dedup_incr",
         # round-10 additions: the maintenance/layout surface
         "semantic_store_compact", "cluster_by_roundtrip",
+        "bucketed_join_roundtrip", "bpe_train_gate", "lang_id_ngram",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

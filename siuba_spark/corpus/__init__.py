@@ -26,6 +26,6 @@ from .similarity import (  # noqa: F401
     cosine_sim_col, ivf_pq_topk, ivf_topk, lsh_topk, pq_topk,
 )
 from .text import (  # noqa: F401
-    fingerprint, hash_features, lang_score, text_stats, tf_idf, token_count_bpe,
-    tokenize, vocab_topk,
+    fingerprint, hash_features, lang_id, lang_profile_train, lang_score,
+    text_stats, tf_idf, token_count_bpe, tokenize, vocab_topk,
 )

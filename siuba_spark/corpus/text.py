@@ -16,6 +16,7 @@ from ..plans.tbl import SparkTbl
 __all__ = [
     "tokenize", "text_stats", "lang_score", "fingerprint", "token_count_bpe",
     "vocab_topk", "tf_idf", "hash_features", "EN_MARKERS",
+    "lang_profile_train", "lang_id",
 ]
 
 # small English marker/stopword list for the language-score heuristic
@@ -202,3 +203,117 @@ def hash_features(tbl: SparkTbl, col: str = "text", dim: int = 64,
             yield pdf
 
     return tbl.evolve(df=tbl.df.mapInPandas(batches, out_schema))
+
+
+# ---------------------------------------------------------------------------
+# n-gram-profile language identification (Cavnar & Trenkle 1994,
+# "N-Gram-Based Text Categorization" — the textcat/langid family)
+# ---------------------------------------------------------------------------
+
+
+def _char_ngrams(col, n):
+    """Character n-grams of whitespace-normalized lowercase text (texts
+    shorter than ``n`` produce an empty array — guarded because
+    ``sequence(1, 0)`` would count DOWN, not produce nothing)."""
+    norm = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    grams = F.expr(
+        f"transform(sequence(1, length(__norm) - {n - 1}), "
+        f"i -> substring(__norm, i, {n}))")
+    return norm, grams
+
+
+def _ranked_grams(df, part_col, col, n, k):
+    """Top-``k`` character n-grams per ``part_col`` key, ranked 1..k by
+    (count desc, gram asc) — the CT out-of-place profile."""
+    from pyspark.sql import Window
+
+    norm, grams = _char_ngrams(F.col(col), n)
+    rows = (df
+            .withColumn("__norm", norm)
+            .select(part_col,
+                    F.explode(F.when(F.length("__norm") >= n, grams)
+                              .otherwise(F.array().cast("array<string>")))
+                    .alias("__g"))
+            .groupBy(part_col, "__g")
+            .agg(F.count(F.lit(1)).alias("__cnt")))
+    w = (Window.partitionBy(part_col)
+         .orderBy(F.col("__cnt").desc(), F.col("__g").asc()))
+    return (rows.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .drop("__cnt"))
+
+
+def lang_profile_train(tbl, label_col: str = "lang", col: str = "text",
+                       n: int = 3, k: int = 64):
+    """Train per-language character-n-gram rank profiles from a LABELED
+    corpus (Cavnar–Trenkle): per language, the top-``k`` n-grams ranked
+    1..k by frequency.  Returns a small DataFrame
+    ``(lang, gram, rank)`` — at most ``languages x k`` rows — that
+    ``lang_id`` broadcast-joins; persist it with ``.write.parquet`` to
+    reuse across jobs.
+
+    Scale shape: ONE (lang, gram) count shuffle over the corpus with
+    map-side combine (distinct-gram cardinality per language is bounded,
+    not corpus-sized), then a per-language top-k window on the tiny
+    aggregate.  No driver collect anywhere.  All-integer ranks: the
+    classifier is exactly replayable cross-engine (no floating-point
+    log-probabilities to round)."""
+    df = tbl.df if isinstance(tbl, SparkTbl) else tbl
+    prof = _ranked_grams(df.select(F.col(label_col).alias("__lang"), col),
+                         "__lang", col, n, k)
+    return prof.select(F.col("__lang").alias("lang"),
+                       F.col("__g").alias("gram"),
+                       F.col("__r").alias("rank"))
+
+
+@verb
+def lang_id(tbl: SparkTbl, profiles, col: str = "text",
+            id_col: str = "doc_id", n: int = 3, k: int = 64,
+            out: str = "lang_pred"):
+    """Classify each document's language against trained n-gram rank
+    profiles (``lang_profile_train``) using the Cavnar–Trenkle
+    out-of-place distance: build the document's own top-``k`` gram
+    ranking, then for every language sum |doc rank − language rank| over
+    the document's grams, charging ``k`` for grams absent from the
+    language profile; predict the language with the smallest distance
+    (ties broken on the language name).  Adds ``out`` and
+    ``<out>_dist``; documents with no grams (text shorter than ``n``)
+    get NULLs.
+
+    Scale shape: the corpus side is doc-keyed end to end — a
+    (doc, gram) count shuffle, the per-doc top-k window, and the
+    per-(doc, language) distance aggregation are all bounded by
+    ``docs x k x languages`` rows; the profile table (languages x k
+    rows) and the language list are explicitly ``broadcast()``, so the
+    100 TB side never joins against anything that shuffles.  Integer
+    arithmetic throughout — cross-engine value-exact."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from .quality import wrap_tbl
+
+    prof = wrap_tbl(profiles).df.select(
+        F.col("lang").alias("__plang"), F.col("gram").alias("__pg"),
+        F.col("rank").alias("__pr"))
+    langs = prof.select(F.col("__plang").alias("__cand")).distinct()
+    doc = _ranked_grams(tbl.df.select(id_col, col), id_col, col, n, k)
+    scored = (doc.join(broadcast(langs))
+              .join(broadcast(prof),
+                    (F.col("__g") == F.col("__pg"))
+                    & (F.col("__cand") == F.col("__plang")),
+                    "left")
+              .groupBy(id_col, "__cand")
+              .agg(F.sum(F.coalesce(
+                  F.abs(F.col("__r") - F.col("__pr")),
+                  F.lit(k)).cast("long")).alias("__dist")))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("__dist").asc(), F.col("__cand").asc()))
+    best = (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col).alias("__id"),
+                    F.col("__cand").alias(out),
+                    F.col("__dist").alias(f"{out}_dist")))
+    df = (tbl.df.drop(out, f"{out}_dist")
+          .join(best, F.col(id_col) == F.col("__id"), "left")
+          .drop("__id"))
+    return tbl.evolve(df=df)
