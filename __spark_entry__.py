@@ -5704,6 +5704,41 @@ FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
 """
 
 
+def q_embedding_clusters(spark, sf):
+    """``assign_clusters`` graded end-to-end (corpus/similarity.py — the
+    public face of the coarse quantizer): cluster the embeddings table
+    at 8 sample-mode centroids and emit every row's (vec_id,
+    cluster_id).  Deterministic: sample centroids are the first 8
+    vectors by id, assignment is argmin squared euclidean with
+    first-index tie-break — DuckDB replays both exactly (the same CTE
+    pattern the semantic_dedup oracles use).  Map-only assignment: the
+    centroid table broadcasts as one literal row; no shuffle anywhere
+    in the graded plan."""
+    from siuba_spark.corpus.similarity import assign_clusters
+
+    emb = _te(spark, sf)
+    out = assign_clusters(emb, n_clusters=8, centroids="sample")
+    return out.df.select("vec_id", "cluster_id")
+
+
+SQL_EMBEDDING_CLUSTERS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 8)),
+d AS (SELECT e.vec_id, c.cell,
+             list_reduce(list_transform(range(1, len(e.v) + 1),
+               j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])),
+               (a, b) -> a + b) AS d2
+      FROM e CROSS JOIN c)
+SELECT vec_id, CAST(cell AS INT) AS cluster_id FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, cell ASC) AS rn
+  FROM d) WHERE rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -5944,6 +5979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_gate": q_bpe_train_gate,
         "bucketed_join_roundtrip": q_bucketed_join_roundtrip,
         "lang_id_ngram": q_lang_id_ngram,
+        "embedding_clusters": q_embedding_clusters,
     })
     # Driver grades the FIRST 50 entries only.  Round-10 window: the
     # three new r10 entries (the slice_sample weight gate, the
@@ -6178,4 +6214,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_gate": SQL_BPE_TRAIN_GATE,
         "bucketed_join_roundtrip": SQL_BUCKETED_JOIN_ROUNDTRIP,
         "lang_id_ngram": SQL_LANG_ID_NGRAM,
+        "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
     }

@@ -64,6 +64,7 @@ def main():
         # round-10 additions: the maintenance/layout surface
         "semantic_store_compact", "cluster_by_roundtrip",
         "bucketed_join_roundtrip", "bpe_train_gate", "lang_id_ngram",
+        "embedding_clusters",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

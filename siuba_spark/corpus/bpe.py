@@ -458,6 +458,12 @@ def bpe_train(tbl, col: str = "text", n_merges: int = 256,
     orders, so the same corpus always yields the same merges
     (``bpe_train_gate`` pins this plus an independent Spark-side
     recomputation of the first merge)."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    if min_freq < 1:
+        # min_freq=0 would let the trainer emit pairs whose live count
+        # already dropped to zero (merged away) — never meaningful
+        raise ValueError("min_freq must be >= 1")
     df = tbl.df if isinstance(tbl, SparkTbl) else tbl
     words = F.regexp_extract_all(F.lower(F.col(col)), F.lit(_BPE_RE), 0)
     hist = (df.select(F.explode(words).alias("__w"))

@@ -21,7 +21,7 @@ from ..plans.tbl import SparkTbl
 __all__ = ["cosine_sim_col", "brute_force_topk", "lsh_topk", "add_hyperplane_bucket",
            "cosine_near_dups", "ivf_topk", "pq_topk", "ivf_pq_topk",
            "semantic_dedup", "semantic_dedup_incremental",
-           "semantic_store_compact", "vector_mean",
+           "semantic_store_compact", "vector_mean", "assign_clusters",
            "quantize_embeddings", "dequantize_embeddings"]
 
 
@@ -1075,6 +1075,56 @@ def semantic_store_compact(store, id_col: str = "vec_id",
         F.col("nbr_id").alias(id_col), F.col("nbr_vec").alias(vec_col),
         "__nn", "__cell")
     return SparkTbl(new_store), [c for _i, c in centers], True
+
+
+@verb
+def assign_clusters(tbl: SparkTbl, n_clusters: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: str = "sample", n_iters: int = 2,
+                    seed: int = 42, train_limit: int | None = None,
+                    out: str = "cluster_id"):
+    """Cluster the corpus in embedding space and add a ``cluster_id``
+    column — the PUBLIC face of the coarse quantizer that ``ivf_topk``
+    and ``semantic_dedup`` already use internally (same training modes,
+    same argmin-first-index assignment, same oracle-replayability
+    contracts; see ``ivf_topk`` for the three ``centroids=`` modes).
+    Use it for corpus analysis, mixture design (sample per cluster), or
+    persisting a partitioning (``write_parquet(partition_by=[out])``).
+
+    Column-preserving.  Scale shape: training is driver-bounded
+    (sample/lloyd slices) or MLlib k-means|| (``"kmeans"``); the
+    assignment itself is MAP-ONLY for sample/lloyd — the centroid table
+    broadcasts as one literal row and every input row computes its
+    argmin distance in place, no join key, no shuffle.  The kmeans mode
+    joins MLlib's own predictions back on ``id_col`` (one AQE-sized
+    narrow join) so the assignment is exactly the model's."""
+    assigned, centers = _cells_and_centers(
+        tbl, id_col, vec_col, n_clusters, centroids, n_iters, seed,
+        train_limit)
+    if centroids == "kmeans":
+        cells = assigned.select(F.col("nbr_id").alias("__aid"),
+                                F.col("__cell").alias(out))
+        df = (tbl.df.drop(out)
+              .join(cells, F.col(id_col) == F.col("__aid"), "left")
+              .drop("__aid"))
+        return tbl.evolve(df=df)
+    cents = [c for _i, c in centers]
+    if not cents:
+        return tbl.evolve(
+            df=tbl.df.withColumn(out, F.lit(None).cast("int")))
+    spark = tbl.df.sparkSession
+    cpk = (spark.createDataFrame([(cents,)],
+                                 "__cents: array<array<double>>")
+           .withColumn("__jk", F.lit(1)))
+    vd = _to_double(F.col(vec_col))
+    d2 = F.transform(F.col("__cents"), lambda c: F.aggregate(
+        F.zip_with(vd, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cell = (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+    df = (tbl.df.drop(out).withColumn("__jk", F.lit(1))
+          .join(F.broadcast(cpk), "__jk")
+          .withColumn(out, cell).drop("__jk", "__cents"))
+    return tbl.evolve(df=df)
 
 
 @verb

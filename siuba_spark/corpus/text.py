@@ -278,7 +278,9 @@ def lang_id(tbl: SparkTbl, profiles, col: str = "text",
     language profile; predict the language with the smallest distance
     (ties broken on the language name).  Adds ``out`` and
     ``<out>_dist``; documents with no grams (text shorter than ``n``)
-    get NULLs.
+    get NULLs.  ``id_col`` must identify rows uniquely — duplicate ids
+    would pool their gram counts into one ranking and every duplicate
+    row would receive that pooled prediction.
 
     Scale shape: the corpus side is doc-keyed end to end — a
     (doc, gram) count shuffle, the per-doc top-k window, and the

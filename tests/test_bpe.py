@@ -350,3 +350,16 @@ def test_bpe_train_truncation_matches_apply(spark):
     assert set("".join(a + b for a, b in merges)) <= set("abcd")
     enc = bpe_encode(t, merges=merges, max_word_len=4).df.collect()[0]
     assert list(enc.bpe_tokens) == ["abcd", "abcd"]
+
+
+def test_bpe_train_validates_params(spark):
+    import pytest as _pytest
+
+    from siuba_spark.corpus.bpe import bpe_train
+    t = tbl(spark.createDataFrame([(0, "ab ab")],
+                                  "doc_id long, text string"))
+    with _pytest.raises(ValueError, match="min_freq"):
+        bpe_train(t, min_freq=0)
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(t, n_merges=-1)
+    assert bpe_train(t, n_merges=0) == []

@@ -330,3 +330,63 @@ def test_semantic_store_compact_rebalances_and_preserves_contract(spark):
         .reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# assign_clusters: the public face of the coarse quantizer
+# ---------------------------------------------------------------------------
+
+def test_assign_clusters_matches_internal_quantizer(spark):
+    """assign_clusters(sample) assigns exactly the cells that
+    _cells_and_centers computes for semantic_dedup/ivf_topk."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import (
+        _cells_and_centers, assign_clusters)
+
+    emb = tbl(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    got = {r.vec_id: r.cluster_id
+           for r in assign_clusters(emb, n_clusters=8, centroids="sample")
+           .df.select("vec_id", "cluster_id").collect()}
+    assigned, _c = _cells_and_centers(
+        emb, "vec_id", "embedding", 8, "sample", 2, 42, None)
+    want = {r["nbr_id"]: r["__cell"]
+            for r in assigned.select("nbr_id", "__cell").collect()}
+    assert got == want
+    # every cluster id is in range and the corpus splits across them
+    assert set(got.values()) <= set(range(8))
+    assert len(set(got.values())) > 1
+
+
+def test_assign_clusters_column_preserving_and_map_only(spark):
+    from siuba_spark.corpus.similarity import assign_clusters
+
+    emb = tbl(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    out = assign_clusters(emb, n_clusters=4, centroids="sample")
+    assert out.df.columns == ["vec_id", "embedding", "label", "cluster_id"]
+    # sample/lloyd assignment is map-only: no hash shuffle in the plan
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_assign_clusters_kmeans_mode(spark):
+    from siuba_spark.corpus.similarity import assign_clusters
+
+    emb = tbl(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    out = assign_clusters(emb, n_clusters=4, centroids="kmeans")
+    rows = out.df.select("vec_id", "cluster_id").collect()
+    assert len(rows) == 500
+    assert all(r.cluster_id is not None and 0 <= r.cluster_id < 4
+               for r in rows)
+
+
+def test_assign_clusters_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.similarity import assign_clusters
+
+    emb = tbl(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    empty = emb.evolve(df=emb.df.filter(F.col("vec_id") < 0))
+    out = assign_clusters(empty, n_clusters=4, centroids="sample")
+    assert out.df.count() == 0
+    assert "cluster_id" in out.df.columns

@@ -120,6 +120,11 @@ def main():
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         rows.append((tag, plain_t, plain_b, bkt_t, bkt_b, write_t, write_b))
 
+    # absorb JVM/codegen startup so the x1 plain join isn't measured cold
+    (orders.join(cust.withColumnRenamed("c_custkey", "o_custkey"),
+                 "o_custkey")
+     .groupBy("c_mktsegment").count().collect())
+
     run("x1", orders, cust)
     run(f"x{mult}", blow_up(orders, "o_custkey"), blow_up(cust, "c_custkey"))
 
