@@ -65,6 +65,8 @@ def main():
         "semantic_store_compact", "cluster_by_roundtrip",
         "bucketed_join_roundtrip", "bpe_train_gate", "lang_id_ngram",
         "embedding_clusters",
+        # round-10b additions: ExactSubstr span dedup + byte cleanup
+        "substring_dedup", "normalize_text",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

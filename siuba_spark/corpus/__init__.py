@@ -11,7 +11,7 @@ from .bpe import (  # noqa: F401
 from .dedup import (  # noqa: F401
     MD5_64_SQL, add_minhash, add_shingles, add_simhash, dedup_clusters,
     drop_near_dups, exact_dedup, fuzzy_pairs, hash64_col, jaccard_pairs,
-    lsh_candidate_pairs, minhash_near_dups, simhash_pairs,
+    lsh_candidate_pairs, minhash_near_dups, simhash_pairs, substring_dedup,
 )
 from .multimodal import (  # noqa: F401
     decode_audio, decode_images, decode_video,
@@ -27,5 +27,6 @@ from .similarity import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     fingerprint, hash_features, lang_id, lang_profile_train, lang_score,
-    text_stats, tf_idf, token_count_bpe, tokenize, vocab_topk,
+    normalize_text, text_stats, tf_idf, token_count_bpe, tokenize,
+    vocab_topk,
 )

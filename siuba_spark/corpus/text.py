@@ -16,7 +16,7 @@ from ..plans.tbl import SparkTbl
 __all__ = [
     "tokenize", "text_stats", "lang_score", "fingerprint", "token_count_bpe",
     "vocab_topk", "tf_idf", "hash_features", "EN_MARKERS",
-    "lang_profile_train", "lang_id",
+    "lang_profile_train", "lang_id", "normalize_text",
 ]
 
 # small English marker/stopword list for the language-score heuristic
@@ -319,3 +319,46 @@ def lang_id(tbl: SparkTbl, profiles, col: str = "text",
           .join(best, F.col(id_col) == F.col("__id"), "left")
           .drop("__id"))
     return tbl.evolve(df=df)
+
+
+@verb
+def normalize_text(tbl: SparkTbl, col: str = "text", out: str | None = None,
+                   *, form: str | None = None, lower: bool = False,
+                   strip_control: bool = True,
+                   collapse_whitespace: bool = True, trim: bool = True):
+    """Canonical text cleanup for corpus prep (the C4/RefinedWeb
+    "fix the bytes before you filter" step): optionally Unicode-normalize,
+    strip C0/DEL control characters (TAB/LF/CR are spared — they are
+    whitespace and fall to the collapse step), collapse whitespace runs to
+    a single space, trim, and optionally lowercase.  Pure projection —
+    zero shuffle, and with ``form=None`` (the default) every step is a
+    built-in JVM regexp/string expression inside whole-stage codegen.
+
+    ``form`` ("NFC"/"NFD"/"NFKC"/"NFKD") applies ``unicodedata.normalize``
+    via an Arrow-batched pandas UDF — the sanctioned Python escape hatch
+    (Spark has no built-in Unicode normalizer); it is the FIRST step so
+    the byte-level cleanups above operate on canonical code points.
+
+    ``out=None`` rewrites ``col`` in place; pass a name to keep both.
+    """
+    c = F.col(col)
+    if form is not None:
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+        def _unorm_batch(s):
+            import unicodedata
+            return s.map(lambda x: None if x is None
+                         else unicodedata.normalize(form, x))
+        # explicit returnType (no type hints): the module-wide
+        # `from __future__ import annotations` stringifies hints, which
+        # pandas_udf's signature inference cannot resolve
+        c = F.pandas_udf(_unorm_batch, "string")(c)
+    if strip_control:
+        c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    if collapse_whitespace:
+        c = F.regexp_replace(c, "\\s+", " ")
+    if trim:
+        c = F.trim(c)
+    if lower:
+        c = F.lower(c)
+    return tbl.evolve(df=tbl.df.withColumn(out or col, c))

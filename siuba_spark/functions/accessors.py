@@ -94,10 +94,26 @@ def _str_findall(col, pat):
     return F.regexp_extract_all(col, F.lit(pat), min(n_groups, 1))
 
 
+def _str_normalize(col, form):
+    """pandas Series.str.normalize(form): unicodedata.normalize per
+    element.  No Spark builtin exists; Arrow-batched pandas UDF (pure
+    map, no shuffle) — the same sanctioned escape hatch
+    corpus.text.normalize_text uses for its ``form=`` step."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+
+    def _batch(s):
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize(form, x))
+    return F.pandas_udf(_batch, "string")(col)
+
+
 STR_METHODS = {
     "lower": lambda col: F.lower(col),
     "upper": lambda col: F.upper(col),
     "len": lambda col: F.length(col),
+    "normalize": _str_normalize,
     "strip": lambda col: F.trim(col),
     "lstrip": lambda col: F.ltrim(col),
     "rstrip": lambda col: F.rtrim(col),

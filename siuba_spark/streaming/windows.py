@@ -20,6 +20,7 @@ __all__ = ["tumble", "slide", "sessionize", "stream_tumble", "stream_slide",
            "read_event_stream",
            "stream_sessionize", "running_dedup_stream", "stream_interval_join",
            "stream_minhash_dedup", "stream_semantic_dedup",
+           "stream_substring_dedup",
            "compact_semantic_store"]
 
 
@@ -526,3 +527,61 @@ def compact_semantic_store(spark, store_path: str, cents_path: str,
     os.replace(cents_tmp, cents_path)
     shutil.rmtree(old, ignore_errors=True)
     return True, len(cents)
+
+
+def stream_substring_dedup(stream_tbl: SparkTbl, store_path: str,
+                           out_path: str, checkpoint: str,
+                           col: str = "text", id_col: str = "doc_id",
+                           k: int = 16, sep: str = " ", key: str = "hash",
+                           trigger_available_now: bool = True):
+    """Streaming ExactSubstr span dedup over a document stream, backed by
+    an APPEND-ONLY parquet gram-fingerprint store — the Structured-
+    Streaming twin of ``corpus.dedup.substring_dedup_incremental`` and
+    the third member of the incremental-store trilogy (exact keys →
+    ``stream_minhash_dedup`` signatures → this verb's gram store).
+
+    Per micro-batch (``foreachBatch``, external-table state):
+
+    1. read the gram store (prior batches' partitions only — a retried
+       batch never sees its own partial attempt, ``_read_batch_store``);
+    2. run the incremental cut: windows duplicated WITHIN the batch or
+       present in the store are removed, first occurrences survive;
+    3. ``overwrite`` the deduped documents into
+       ``{out_path}/batch=<batch_id>/``;
+    4. ``overwrite`` ONLY the batch's own new first-occurrence grams into
+       ``{store_path}/batch=<batch_id>/`` (schema ``(h, id, pos)``) —
+       the store grows strictly by |new grams| per batch.
+
+    Because duplicate decisions only look backward by ``(id, pos)``, a
+    stream whose batches arrive in id order emits EXACTLY the
+    from-scratch ``substring_dedup`` cut over everything seen — the
+    parity pinned in tests/test_streaming.py.  Idempotency: per-batch
+    ``batch=<id>`` overwrite partitions, same at-least-once contract as
+    the other two stores.  Returns the ``StreamingQuery``.
+    """
+    import os
+
+    from ..corpus.dedup import substring_dedup_incremental
+
+    def handle(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        store = _read_batch_store(spark, store_path, batch_id)
+        out, new_store = substring_dedup_incremental(
+            SparkTbl(batch_df), store, col=col, id_col=id_col,
+            k=k, sep=sep, key=key)
+        batch_ids = batch_df.select(id_col).distinct()
+        new_grams = new_store.df.join(F.broadcast(batch_ids), id_col,
+                                      "left_semi")
+        out.df.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={int(batch_id)}"))
+        new_grams.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch={int(batch_id)}"))
+
+    writer = (stream_tbl.df.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

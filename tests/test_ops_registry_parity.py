@@ -97,7 +97,9 @@ NOT_SUPPORTED = {
     }),
     # str.slice here is the step= example (str.slice with start/stop IS
     # supported); str.translate is the yml's 0-arg degenerate form (the
-    # dict form IS supported)
+    # dict form IS supported); str.normalize likewise is the yml's 0-arg
+    # degenerate form (pandas itself raises) — str.normalize('NFC') IS
+    # supported via the Arrow-batched unicodedata path
     "str-unsupported": frozenset({
         "str.extractall", "str.get_dummies", "str.index",
         "str.normalize", "str.partition", "str.rindex",

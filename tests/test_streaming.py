@@ -588,3 +588,66 @@ def test_compact_semantic_store_epoch_swap(spark, tmp_path):
     did, n = compact_semantic_store(spark, store_p, cents_p, n_lists=5)
     assert did and n == 5
     assert spark.read.parquet(store_p).drop("batch").count() == 500
+
+
+def test_stream_substring_dedup_matches_batch(spark, tmp_path):
+    """Stream/batch parity for the incremental span-dedup pipeline: a
+    document stream processed file-by-file (batches in id order) through
+    stream_substring_dedup emits EXACTLY the from-scratch
+    substring_dedup cut over everything seen."""
+    import pandas as pd
+
+    from siuba_spark import tbl as _tbl
+    from siuba_spark.corpus.dedup import substring_dedup
+    from siuba_spark.streaming.windows import stream_substring_dedup
+
+    docs = [
+        (0, "a b c d e f g h tail one"),
+        (1, "head two a b c d e f g h xx"),      # in-batch copy of doc0
+        (2, "completely different text here now yes ok fine"),
+        (10, "pre a b c d e f g h post"),         # cross-batch copy
+        (11, "short doc"),
+        (12, "completely different text here now yes ok fine"),  # x-batch
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(docs[:3], schema).coalesce(1) \
+        .write.parquet(str(src / "b0.parquet"))
+    spark.createDataFrame(docs[3:], schema).coalesce(1) \
+        .write.parquet(str(src / "b1.parquet"))
+
+    stream = _tbl(spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src) + "/*.parquet"))
+    q = stream_substring_dedup(
+        stream, store_path=str(tmp_path / "store"),
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"), k=8)
+    q.awaitTermination(300)
+
+    key = ["doc_id", "text"]
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    want = substring_dedup(
+        _tbl(spark.createDataFrame(docs, schema)), k=8).df.toPandas()
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))
+    # cross-batch copies were cut against the STORE
+    got_map = dict(zip(got.doc_id, got.text))
+    assert got_map[10] == "pre post"
+    assert 12 not in got_map or got_map[12] == ""  # fully dup doc vanishes
+    assert 12 not in got_map
+
+    # at-least-once idempotency: full replay with a fresh checkpoint
+    import shutil
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    q2 = stream_substring_dedup(
+        stream, store_path=str(tmp_path / "store"),
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"), k=8)
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    pd.testing.assert_frame_equal(
+        got2[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))

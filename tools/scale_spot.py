@@ -82,6 +82,7 @@ def main():
 
     from siuba_spark.corpus.dedup import (
         drop_near_dups, exact_dedup, minhash_near_dups, add_simhash,
+        substring_dedup,
     )
     from siuba_spark.corpus.quality import (
         dedup_segments, ngram_contamination, quality_signals, unigram_logprob,
@@ -378,6 +379,13 @@ def main():
         "simhash": lambda d: add_simhash(d, bits=16, id_col="doc_id").df,
         "quality_signals": lambda d: quality_signals(d).df,
         "dedup_segments": lambda d: dedup_segments(d, sep=" ").df,
+        # ExactSubstr span dedup: the scale rig's id-shifted copies are a
+        # deliberately ADVERSARIAL corpus (every copy duplicates ~the whole
+        # base doc, so ~90% of windows are dup starts and the covered-
+        # position explode runs at its k× worst case) — the decade ratio
+        # still has to stay ~linear because every stage is a projection or
+        # a linear shuffle
+        "substring_dedup": lambda d: substring_dedup(d, k=16).df,
         "ngram_contamination": lambda d: ngram_contamination(
             d, bench_docs(d), n=5).df,
         "unigram_logprob": lambda d: unigram_logprob(d).df,
