@@ -5881,6 +5881,34 @@ def q_stream_substring_store(spark, sf):
 SQL_STREAM_SUBSTRING_STORE = SQL_SUBSTRING_DEDUP
 
 
+def q_dedup_segments_doc(spark, sf):
+    """Intra-document segment dedup (corpus/quality.py dedup_segments
+    scope='doc' — the RefinedWeb within-doc repetition-removal pass) in
+    word mode: each document keeps only its own first occurrence of each
+    token; cross-document copies survive.  ZERO-shuffle projection —
+    split/filter/array_distinct/concat_ws on the row, scan-speed at any
+    corpus size (the plan contains no Exchange; the corpus-scope twin
+    `dedup_segments` is the one-shuffle variant)."""
+    from siuba_spark.corpus.quality import dedup_segments
+
+    return (dedup_segments(_t(spark, sf, "documents"), sep=" ",
+                           scope="doc")
+            .df.select("doc_id", "text"))
+
+
+SQL_DEDUP_SEGMENTS_DOC = """
+WITH seg AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) rn
+  FROM seg WHERE length(trim(seg)) > 0)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -6126,6 +6154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "substring_dedup_incr": q_substring_dedup_incr,
         "stream_substring_store": q_stream_substring_store,
+        "dedup_segments_doc": q_dedup_segments_doc,
     })
     # Driver grades the FIRST 50 entries only.  Round-10 window: the
     # three new r10 entries (the slice_sample weight gate, the
@@ -6365,4 +6394,5 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": SQL_NORMALIZE_TEXT,
         "substring_dedup_incr": SQL_SUBSTRING_DEDUP_INCR,
         "stream_substring_store": SQL_STREAM_SUBSTRING_STORE,
+        "dedup_segments_doc": SQL_DEDUP_SEGMENTS_DOC,
     }

@@ -554,27 +554,52 @@ def unigram_logprob(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
 
 @verb
 def dedup_segments(tbl: SparkTbl, col: str = "text", sep: str = "\n",
-                   id_col: str = "doc_id", keep: str = "first"):
-    """Corpus-WIDE segment-level dedup (CCNet / RefinedWeb line dedup):
-    split every document on ``sep``, keep each distinct segment's first
-    occurrence across the whole corpus (ordered by (id, position)), and
-    reassemble documents from their surviving segments.
+                   id_col: str = "doc_id", keep: str = "first",
+                   scope: str = "corpus"):
+    """Segment-level dedup (CCNet / RefinedWeb line dedup): split every
+    document on ``sep``, keep each distinct segment's first occurrence,
+    and reassemble documents from their surviving segments.
 
-    Scale shape: posexplode -> ONE shuffle keyed on the segment text for
-    the first-occurrence window (near-unique keys, so no skew funnel;
-    boilerplate segments that DO repeat millions of times are exactly the
-    ones a min-aggregate handles with map-side partial combine) -> one
-    shuffle on ``id_col`` to reassemble with ``concat_ws`` over
-    position-sorted ``collect_list``.  Never materializes a pair join;
-    cost is O(total segments), the same as the CCNet hash-shard design.
+    ``scope="corpus"`` (default) dedups across the WHOLE corpus (a
+    boilerplate line survives only in the earliest document carrying it,
+    ordered by (id, position)).  ``scope="doc"`` dedups WITHIN each
+    document only — the RefinedWeb intra-document repetition-removal
+    pass — and is a ZERO-SHUFFLE projection: the whole operation is
+    array functions on the row (split → filter empties →
+    ``array_distinct``/self-count → ``concat_ws``), so it runs at scan
+    speed at any corpus size.
+
+    Corpus-scope scale shape: posexplode -> ONE shuffle keyed on the
+    segment text for the first-occurrence window (near-unique keys, so
+    no skew funnel; boilerplate segments that DO repeat millions of
+    times are exactly the ones a min-aggregate handles with map-side
+    partial combine) -> one shuffle on ``id_col`` to reassemble with
+    ``concat_ws`` over position-sorted ``collect_list``.  Never
+    materializes a pair join; cost is O(total segments), the same as
+    the CCNet hash-shard design.
 
     ``keep="first"`` keeps the earliest occurrence; ``keep="none"`` drops
     every segment that occurs more than once (the aggressive CCNet mode).
     Documents whose every segment is dropped vanish (their text would be
-    empty), matching CCNet's behavior.
+    empty), matching CCNet's behavior — in both scopes.
     """
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
+    if scope not in ("corpus", "doc"):
+        raise ValueError("scope must be 'corpus' or 'doc'")
+    if scope == "doc":
+        arr = F.filter(F.split(F.col(col), F.lit(sep), -1),
+                       lambda s: F.length(F.trim(s)) > 0)
+        if keep == "first":
+            kept_arr = F.array_distinct(arr)
+        else:
+            kept_arr = F.filter(
+                arr, lambda s: F.size(
+                    F.filter(arr, lambda y: y == s)) == 1)
+        out = (tbl.df.withColumn(col, F.concat_ws(sep, kept_arr))
+               .filter(F.size(kept_arr) > 0)
+               .select(*tbl.df.columns))
+        return tbl.evolve(df=out)
     others = [c for c in tbl.df.columns if c != col]
     seg = (tbl.df
            .select(*others, F.posexplode(F.split(F.col(col), F.lit(sep), -1))

@@ -691,3 +691,29 @@ def test_token_budget_sample_budget_bound(spark):
     assert sorted(out.doc_id) == sorted(out2.doc_id)
     with pytest.raises(ValueError, match="strata"):
         token_budget_sample(t, budget=10)
+
+
+def test_dedup_segments_doc_scope(spark):
+    """scope='doc': intra-document dedup only — cross-doc copies survive,
+    and the plan is a zero-shuffle projection."""
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3],
+        text=["a\nb\na\nc", "a\nb", "x\nx\nx"],
+    )
+    out = dedup_segments(t, scope="doc").df.orderBy("doc_id").toPandas()
+    # doc1 loses its second 'a'; doc2 keeps 'a' (cross-doc copies stay)
+    assert out.text.tolist() == ["a\nb\nc", "a\nb", "x"]
+
+    none = dedup_segments(t, scope="doc", keep="none") \
+        .df.orderBy("doc_id").toPandas()
+    # doc3 (all segments repeated) vanishes under keep='none'
+    assert none.doc_id.tolist() == [1, 2]
+    assert none.text.tolist() == ["b\nc", "a\nb"]
+
+    plan = dedup_segments(t, scope="doc").df._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError):
+        dedup_segments(t, scope="line")
