@@ -6145,7 +6145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_weighted_gate": q_slice_weighted_gate,
         "cluster_by_roundtrip": q_cluster_by_roundtrip,
         "semantic_store_compact": q_semantic_store_compact,
-        # new in r10, below the window (sweep-covered; driver-graded r11)
+        # new in r10 (r10a/r10b additions; all hoisted into the r10
+        # grading window below — never-graded entries lead the rotation)
         "bpe_train_gate": q_bpe_train_gate,
         "bucketed_join_roundtrip": q_bucketed_join_roundtrip,
         "lang_id_ngram": q_lang_id_ngram,
@@ -6156,22 +6157,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_substring_store": q_stream_substring_store,
         "dedup_segments_doc": q_dedup_segments_doc,
     })
-    # Driver grades the FIRST 50 entries only.  Round-10 window: the
-    # three new r10 entries (the slice_sample weight gate, the
-    # cluster_by layout roundtrip, the store-compaction chain), then the
-    # four r9 additions that never received a driver grade
-    # (case_match_bands, uncount_weights, pack_unpack, chop_unchop),
-    # then the entries whose LAST driver grade is oldest (the 25
-    # remaining r6 grades, then the r7 head alphabetical) — the rotation
-    # VERDICT r6 item 5 established.  Everything else keeps its prior
-    # (green) grade and stays covered by tools/oracle_sweep.py.
+    # Driver grades the FIRST 50 entries only.  Round-10 window: every
+    # entry with NO driver grade yet leads — the three r10 gates
+    # (slice_sample weights, cluster_by roundtrip, store compaction),
+    # the four r9 below-window additions (case_match_bands,
+    # uncount_weights, pack_unpack, chop_unchop), the four r10a
+    # additions (bpe_train_gate, bucketed_join_roundtrip, lang_id_ngram,
+    # embedding_clusters) and the five r10b additions (the ExactSubstr
+    # span-dedup family, normalize_text, doc-scope segment dedup) — then
+    # the entries whose LAST driver grade is oldest (the 25 remaining r6
+    # grades, then the r7 head alphabetical; the rest of the r7 block
+    # rotates in r11) — the rotation VERDICT r6 item 5 established.
+    # Everything else keeps its prior (green) grade and stays covered by
+    # tools/oracle_sweep.py.
     front = [
-        # new in r10
+        # new in r10 (window gates)
         "slice_weighted_gate", "cluster_by_roundtrip",
         "semantic_store_compact",
         # never driver-graded (added below the r9 window)
         "case_match_bands", "uncount_weights", "pack_unpack",
         "chop_unchop",
+        # never driver-graded (r10a additions)
+        "bpe_train_gate", "bucketed_join_roundtrip", "lang_id_ngram",
+        "embedding_clusters",
+        # never driver-graded (r10b additions)
+        "substring_dedup", "substring_dedup_incr",
+        "stream_substring_store", "normalize_text", "dedup_segments_doc",
         # last graded r6 (all 25 remaining)
         "rolling_stats", "rows_family", "separate_wider", "set_ops",
         "simhash", "simhash_prod_gate", "stratified_mixture",
@@ -6183,10 +6194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # last graded r7 (alphabetical head; the rest rotate in r11)
         "add_count", "agg_stats", "arrange_limit", "bpe_token_count_true",
         "case_when_bands", "complete_grid", "corpus_prep", "count_sorted",
-        "cumsum_running", "distinct_pairs", "dt_functions",
-        "events_sessionize", "events_total_seconds", "events_tumbling",
-        "exact_dedup_incremental", "extract_regex", "fct_infreq_arrange",
-        "fct_lump",
+        "cumsum_running",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]

@@ -66,7 +66,7 @@ def main():
         "bucketed_join_roundtrip", "bpe_train_gate", "lang_id_ngram",
         "embedding_clusters",
         # round-10b additions: ExactSubstr span dedup + byte cleanup
-        "substring_dedup", "normalize_text",
+        "substring_dedup", "normalize_text", "dedup_segments_doc",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

@@ -169,6 +169,15 @@ def main():
         return semantic_dedup(emb, threshold=0.999, n_lists=n,
                               centroids="sample", prefilter="int8").df
 
+    def substring_incr(d):
+        from siuba_spark.corpus.dedup import substring_dedup_incremental
+        cut = d.df.agg(F.expr("approx_percentile(doc_id, 0.5)")).first()[0]
+        a = SparkTbl(d.df.filter(F.col("doc_id") < cut))
+        b = SparkTbl(d.df.filter(F.col("doc_id") >= cut))
+        out_a, store = substring_dedup_incremental(a, k=16)
+        out_b, _s2 = substring_dedup_incremental(b, store, k=16)
+        return out_a.df.unionByName(out_b.df)
+
     def semantic_incr_64(d):
         # snapshot-over-snapshot SemDeDup: halves by id, snapshot B
         # paired only against new x (new + store-in-cell) — the store is
@@ -386,6 +395,11 @@ def main():
         # still has to stay ~linear because every stage is a projection or
         # a linear shuffle
         "substring_dedup": lambda d: substring_dedup(d, k=16).df,
+        # snapshot path: halves by id through the gram store — the two-
+        # snapshot total should track the from-scratch cost (each gram is
+        # windowed once in whichever snapshot first carries it; the store
+        # join is linear), not exceed it
+        "substring_incr": substring_incr,
         "ngram_contamination": lambda d: ngram_contamination(
             d, bench_docs(d), n=5).df,
         "unigram_logprob": lambda d: unigram_logprob(d).df,
