@@ -239,3 +239,91 @@ def test_unigram_logprob_matches_graded_oracle_property(spark, docs):
     a = got.sort_values("doc_id").reset_index(drop=True)
     b = want.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# --- r10: ExactSubstr span dedup vs a pure-Python reference ---------------
+
+docs_tokens_st = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10),
+    min_size=1, max_size=8,
+)
+
+
+def _py_substring_dedup(texts, k):
+    """Direct transcription of the verb's contract: first corpus
+    occurrence of each k-gram wins (ordered by (id, pos)); every token
+    covered by a later duplicate window is cut; empty docs vanish."""
+    toks = {i: t.split(" ") if t else [""] for i, t in texts}
+    seen = set()
+    covered = {i: set() for i, _ in texts}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            g = tuple(ts[p:p + k])
+            if g in seen:
+                covered[i].update(range(p, p + k))
+            else:
+                seen.add(g)
+    out = {}
+    for i in sorted(toks):
+        kept = [t for p, t in enumerate(toks[i]) if p not in covered[i]]
+        if kept:
+            out[i] = " ".join(kept)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_tokens_st)
+def test_substring_dedup_matches_python_reference(spark, docs):
+    from siuba_spark.corpus.dedup import substring_dedup
+
+    texts = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    t = SparkTbl(spark.createDataFrame(texts, "doc_id long, text string"))
+    got = substring_dedup(t, k=3).df.toPandas()
+    got_map = dict(zip(got.doc_id, got.text))
+    want = _py_substring_dedup(texts, 3)
+    assert got_map == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_tokens_st)
+def test_substring_incremental_equals_scratch_property(spark, docs):
+    from siuba_spark.corpus.dedup import (
+        substring_dedup, substring_dedup_incremental)
+
+    texts = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    mid = len(texts) // 2 or 1
+    schema = "doc_id long, text string"
+    a = SparkTbl(spark.createDataFrame(texts[:mid], schema))
+    out_a, store = substring_dedup_incremental(a, k=3)
+    frames = [out_a.df]
+    if texts[mid:]:
+        b = SparkTbl(spark.createDataFrame(texts[mid:], schema))
+        out_b, _s = substring_dedup_incremental(b, store, k=3)
+        frames.append(out_b.df)
+    inc = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+    got = dict(zip(*(lambda p: (p.doc_id, p.text))(inc.toPandas())))
+    t_all = SparkTbl(spark.createDataFrame(texts, schema))
+    scratch = substring_dedup(t_all, k=3).df.toPandas()
+    assert got == dict(zip(scratch.doc_id, scratch.text))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_tokens_st)
+def test_dedup_segments_doc_matches_python_reference(spark, docs):
+    from siuba_spark.corpus.quality import dedup_segments
+
+    texts = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    t = SparkTbl(spark.createDataFrame(texts, "doc_id long, text string"))
+    got = dedup_segments(t, sep=" ", scope="doc").df.toPandas()
+    got_map = dict(zip(got.doc_id, got.text))
+    want = {}
+    for i, txt in texts:
+        segs = [s for s in txt.split(" ") if s.strip()]
+        kept = list(dict.fromkeys(segs))
+        if kept:
+            want[i] = " ".join(kept)
+    assert got_map == want
