@@ -67,6 +67,7 @@ def main():
         "embedding_clusters",
         # round-10b additions: ExactSubstr span dedup + byte cleanup
         "substring_dedup", "normalize_text", "dedup_segments_doc",
+        "zorder_roundtrip",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

@@ -404,18 +404,35 @@ def coalesce_partitions(tbl: SparkTbl, n: int):
 
 
 @verb
-def cluster_by(tbl: SparkTbl, *cols, n_partitions: int | None = None):
-    """Data-layout clustering before a write: RANGE-partition on the
-    given columns, then sort WITHIN each partition — so every output
-    parquet file covers a narrow key range and its row-group min/max
+def cluster_by(tbl: SparkTbl, *cols, n_partitions: int | None = None,
+               method: str = "range", bits: int = 4):
+    """Data-layout clustering before a write: co-locate rows with nearby
+    keys into the same output parquet files so their row-group min/max
     statistics let later scans skip whole files (the Delta/Iceberg
     ``CLUSTER BY`` idea, expressed with vanilla Spark primitives;
     beyond the reference, which has no physical-layout control).
 
-    One range shuffle (sampled boundaries) + an in-partition sort that
-    never spills across partitions.  Chain with ``write_parquet``::
+    ``method="range"`` (default) RANGE-partitions on the columns in
+    order, then sorts within each partition — ideal when filters target
+    the LEADING column.  One range shuffle (sampled boundaries) + an
+    in-partition sort that never spills across partitions.
+
+    ``method="zorder"`` interleaves the bits of per-column
+    equal-frequency bucket ranks (``bits`` per column, default 16
+    buckets) into a Z-value and range-clusters on THAT — so point
+    filters on ANY of the clustered columns prune files, not just the
+    leading one (the Delta OSS ``OPTIMIZE ZORDER BY`` idea).  Columns
+    must be numeric/date/timestamp (orderable with a quantile sketch);
+    bucket boundaries come from one bounded ``approxQuantile`` action
+    (2^bits - 1 scalars per column on an approximate sketch — the same
+    bounded-driver-action contract as the Lloyd trainer), the Z-value
+    itself is pure integer bit arithmetic inside codegen, and NULLs
+    land deterministically in bucket 0.
+
+    Chain with ``write_parquet``::
 
         big >> cluster_by(_.event_date, _.user_id) >> write_parquet(path)
+        big >> cluster_by(_.custkey, _.price, method="zorder") >> ...
 
     ``n_partitions=`` overrides the output file count (default: the
     session's shuffle partitions).  This is a LAYOUT verb: the table's
@@ -423,6 +440,8 @@ def cluster_by(tbl: SparkTbl, *cols, n_partitions: int | None = None):
     use ``arrange`` for result ordering."""
     if not cols:
         raise ValueError("cluster_by needs at least one column")
+    if method not in ("range", "zorder"):
+        raise ValueError("method must be 'range' or 'zorder'")
     names = []
     for c in cols:
         from ..siu.calls import GetAttr, MetaArg, strip_symbolic
@@ -436,6 +455,52 @@ def cluster_by(tbl: SparkTbl, *cols, n_partitions: int | None = None):
                 "cluster_by takes plain column references (the layout key "
                 "must exist in the written schema)")
     from pyspark.sql import functions as F
+    if method == "zorder":
+        from ..functions.lowering import TranslationError
+        if bits < 1 or bits * len(names) > 60:
+            raise ValueError("zorder needs 1 <= bits and "
+                             "bits * n_cols <= 60 (long Z-value)")
+        dtypes = dict(tbl.df.dtypes)
+        nbuckets = 1 << bits
+        dcols = []
+        for nm in names:
+            dt = dtypes[nm]
+            if dt == "date":
+                dcols.append(F.col(nm).cast("timestamp").cast("double"))
+            elif dt.startswith(("string", "binary", "boolean", "array",
+                                "map", "struct")):
+                raise TranslationError(
+                    f"zorder clustering needs numeric/date/timestamp "
+                    f"columns; {nm} is {dt} — use method='range'")
+            else:
+                dcols.append(F.col(nm).cast("double"))
+        probe = tbl.df.select(*[d.alias(f"__zc{i}")
+                                for i, d in enumerate(dcols)])
+        probs = [i / nbuckets for i in range(1, nbuckets)]
+        bounds = probe.approxQuantile(
+            [f"__zc{i}" for i in range(len(dcols))], probs, 0.001)
+        def _bucket(arr, d):
+            # factory scope: a fresh closure per column (a default-arg
+            # capture would make the lambda binary, which pyspark's
+            # higher-order filter reads as (element, index))
+            return F.size(F.filter(arr, lambda b: d >= b)).cast("long")
+
+        z = F.lit(0).cast("long")
+        for i, (d, bs) in enumerate(zip(dcols, bounds)):
+            if bs:
+                bucket = _bucket(
+                    F.array(*[F.lit(float(b)) for b in bs]), d)
+            else:  # all-NULL or empty input: one bucket
+                bucket = F.lit(0).cast("long")
+            for bit in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * len(dcols) + i)
+        zc = "__zorder"
+        zdf = tbl.df.withColumn(zc, z)
+        zdf = (zdf.repartitionByRange(n_partitions, F.col(zc))
+               if n_partitions else zdf.repartitionByRange(F.col(zc)))
+        return tbl.evolve(df=zdf.sortWithinPartitions(zc).drop(zc))
     fcols = [F.col(n) for n in names]
     df = (tbl.df.repartitionByRange(n_partitions, *fcols)
           if n_partitions else tbl.df.repartitionByRange(*fcols))

@@ -696,3 +696,40 @@ def test_lint_plan_flags_broadcast_of_computed_arrays(spark):
                                probe.k == small.x.cast("long"), "left"))
     out3 = lint_plan(agg_build)
     assert not any("COMPUTES" in f for f in out3["flags"]), out3["flags"]
+
+
+def test_cluster_by_zorder_prunes_on_every_column(spark, tmp_path):
+    """cluster_by(method='zorder'): interleaved bucket-rank bits mean a
+    narrow filter on ANY clustered column touches a minority of files —
+    the multi-column layout a leading-column range sort cannot give."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark import _, cluster_by, tbl, write_parquet
+    from siuba_spark.functions.lowering import TranslationError
+
+    t = tbl(spark.range(0, 20000).select(
+        (F.col("id") % 100).alias("a"),
+        ((F.col("id") * 7919) % 100).alias("b")))
+    out = t >> cluster_by(_.a, _.b, method="zorder", n_partitions=16)
+    # layout verb: row set unchanged
+    assert out.df.count() == 20000
+    path = str(tmp_path / "z")
+    out >> write_parquet(path)
+    back = spark.read.parquet(path)
+    nf = back.select(F.input_file_name()).distinct().count()
+    assert nf >= 8
+    fa = back.filter((F.col("a") >= 40) & (F.col("a") < 45)) \
+        .select(F.input_file_name()).distinct().count()
+    fb = back.filter((F.col("b") >= 40) & (F.col("b") < 45)) \
+        .select(F.input_file_name()).distinct().count()
+    assert fa * 2 <= nf, (fa, nf)
+    assert fb * 2 <= nf, (fb, nf)
+
+    # validation: strings need method='range'; bit budget bounded
+    ts = tbl(spark.createDataFrame([("x", 1)], "s string, v long"))
+    with pytest.raises(TranslationError):
+        ts >> cluster_by(_.s, _.v, method="zorder")
+    with pytest.raises(ValueError):
+        t >> cluster_by(_.a, _.b, method="zorder", bits=40)
+    with pytest.raises(ValueError):
+        t >> cluster_by(_.a, method="diagonal")
