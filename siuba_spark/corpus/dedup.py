@@ -709,12 +709,16 @@ def substring_dedup(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     by a LATER duplicate window that overlaps it (tandem repeats like
     ``"r " * 16`` keep only the head tokens no duplicate window reaches) —
     deterministic, and the same greedy-cover behavior the paper's
-    span-merging produces on self-overlapping repeats.
+    span-merging produces on self-overlapping repeats.  ``sep`` is a
+    LITERAL string (escaped before the split, so ``sep="|"`` round-trips);
+    rows whose ``col`` is NULL yield no tokens and vanish like
+    fully-covered docs (the same contract as ``dedup_segments`` — filter
+    NULLs first to keep them).
     """
     _span_validate(k, key)
     toks, grams = _span_grams(tbl.df, col, id_col, k, sep, key)
-    w = Window.partitionBy("h").orderBy(F.col(id_col).asc(),
-                                        F.col("pos").asc())
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(),
+                                          F.col("__pos").asc())
     dup_starts = (grams.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") > 1))
     out = _span_cut(tbl.df, toks, dup_starts, col, id_col, k, sep)
@@ -730,8 +734,13 @@ def _span_validate(k, key):
 
 def _span_grams(df, col, id_col, k, sep, key):
     """(toks_df, grams_df): the token-array frame and the exploded
-    ``(id, pos, h)`` sliding-window fingerprints (pure projections)."""
-    toks = df.withColumn("__toks", F.split(F.col(col), sep, -1))
+    ``(id, __pos, __h)`` sliding-window fingerprints (pure projections).
+    Working columns are ``__``-prefixed so user columns named ``pos``/
+    ``h`` survive the verb; ``sep`` is regex-escaped (literal split,
+    symmetric with the literal ``concat_ws`` reassembly)."""
+    import re as _re
+
+    toks = df.withColumn("__toks", F.split(F.col(col), _re.escape(sep), -1))
     n = F.size("__toks")
 
     def _fp(i):
@@ -745,8 +754,8 @@ def _span_grams(df, col, id_col, k, sep, key):
                          lambda i: F.struct(i.alias("pos"),
                                             _fp(i).alias("h"))))
                          .otherwise(F.array())).alias("g"))
-             .select(id_col, F.col("g.pos").alias("pos"),
-                     F.col("g.h").alias("h")))
+             .select(id_col, F.col("g.pos").alias("__pos"),
+                     F.col("g.h").alias("__h")))
     return toks, grams
 
 
@@ -756,21 +765,47 @@ def _span_cut(df, toks, dup_starts, col, id_col, k, sep):
     others = [c for c in df.columns if c != col]
     covered = (dup_starts
                .select(id_col, F.explode(
-                   F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1)))
-                   .alias("pos"))
+                   F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1)))
+                   .alias("__pos"))
                .distinct())
     tok_rows = toks.select(*others,
-                           F.posexplode("__toks").alias("pos", "__tok"))
-    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+                           F.posexplode("__toks").alias("__pos", "__tok"))
+    kept = tok_rows.join(covered, [id_col, "__pos"], "left_anti")
     return (kept.groupBy(*[F.col(c) for c in others])
             .agg(F.concat_ws(
                 sep,
                 F.transform(
                     F.array_sort(F.collect_list(
-                        F.struct(F.col("pos").alias("p"),
+                        F.struct(F.col("__pos").alias("p"),
                                  F.col("__tok").alias("t")))),
                     lambda st: st["t"])).alias(col))
             .select(*[F.col(c) for c in df.columns]))
+
+
+def _span_incremental(df, store_df, col, id_col, k, sep, key):
+    """Shared core of the incremental/streaming span dedup: returns
+    ``(out_df, firsts_df)`` where ``firsts`` holds ONLY this snapshot's
+    new first-occurrence grams (public store schema ``(h, id, pos)``) —
+    callers that maintain an append-only store write ``firsts`` directly
+    instead of re-deriving it from a full-store union."""
+    toks, grams = _span_grams(df, col, id_col, k, sep, key)
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(),
+                                          F.col("__pos").asc())
+    g = grams.withColumn("__rn", F.row_number().over(w))
+    if store_df is not None:
+        sh = (store_df.select(F.col("h").alias("__h"))
+              .withColumn("__hit", F.lit(True)))
+        g = g.join(sh, "__h", "left")
+        dup_starts = g.filter((F.col("__rn") > 1)
+                              | F.col("__hit").isNotNull())
+        firsts = g.filter((F.col("__rn") == 1) & F.col("__hit").isNull())
+    else:
+        dup_starts = g.filter(F.col("__rn") > 1)
+        firsts = g.filter(F.col("__rn") == 1)
+    firsts = firsts.select(F.col("__h").alias("h"), F.col(id_col),
+                           F.col("__pos").alias("pos"))
+    out = _span_cut(df, toks, dup_starts, col, id_col, k, sep)
+    return out, firsts
 
 
 def substring_dedup_incremental(tbl: SparkTbl, store=None, col: str = "text",
@@ -809,24 +844,10 @@ def substring_dedup_incremental(tbl: SparkTbl, store=None, col: str = "text",
     row under hashing.
     """
     _span_validate(k, key)
-    toks, grams = _span_grams(tbl.df, col, id_col, k, sep, key)
-    w = Window.partitionBy("h").orderBy(F.col(id_col).asc(),
-                                        F.col("pos").asc())
-    g = grams.withColumn("__rn", F.row_number().over(w))
-    if store is not None:
-        store_df = store.df if isinstance(store, SparkTbl) else store
-        sh = store_df.select("h").withColumn("__hit", F.lit(True))
-        g = g.join(sh, "h", "left")
-        dup_starts = g.filter((F.col("__rn") > 1)
-                              | F.col("__hit").isNotNull())
-        firsts = (g.filter((F.col("__rn") == 1) & F.col("__hit").isNull())
-                  .select("h", id_col, "pos"))
-        new_store = (store_df.select("h", id_col, "pos")
-                     .unionByName(firsts))
-    else:
-        dup_starts = g.filter(F.col("__rn") > 1)
-        firsts = (g.filter(F.col("__rn") == 1)
-                  .select("h", id_col, "pos"))
-        new_store = firsts
-    out = _span_cut(tbl.df, toks, dup_starts, col, id_col, k, sep)
+    store_df = None if store is None else (
+        store.df if isinstance(store, SparkTbl) else store)
+    out, firsts = _span_incremental(tbl.df, store_df, col, id_col,
+                                    k, sep, key)
+    new_store = firsts if store_df is None else (
+        store_df.select("h", id_col, "pos").unionByName(firsts))
     return tbl.evolve(df=out), SparkTbl(new_store)

@@ -564,10 +564,13 @@ def dedup_segments(tbl: SparkTbl, col: str = "text", sep: str = "\n",
     boilerplate line survives only in the earliest document carrying it,
     ordered by (id, position)).  ``scope="doc"`` dedups WITHIN each
     document only — the RefinedWeb intra-document repetition-removal
-    pass — and is a ZERO-SHUFFLE projection: the whole operation is
-    array functions on the row (split → filter empties →
-    ``array_distinct``/self-count → ``concat_ws``), so it runs at scan
-    speed at any corpus size.
+    pass; with ``keep="first"`` (the common mode) it is a ZERO-SHUFFLE
+    projection (split → filter empties → ``array_distinct`` →
+    ``concat_ws``), so it runs at scan speed at any corpus size, and
+    with ``keep="none"`` it takes the exploded path below with the
+    window keyed per-document — one doc-keyed linear shuffle (a per-row
+    self-count would be O(segments²) inside a single pathological
+    document's task).
 
     Corpus-scope scale shape: posexplode -> ONE shuffle keyed on the
     segment text for the first-occurrence window (near-unique keys, so
@@ -581,39 +584,41 @@ def dedup_segments(tbl: SparkTbl, col: str = "text", sep: str = "\n",
     ``keep="first"`` keeps the earliest occurrence; ``keep="none"`` drops
     every segment that occurs more than once (the aggressive CCNet mode).
     Documents whose every segment is dropped vanish (their text would be
-    empty), matching CCNet's behavior — in both scopes.
+    empty), matching CCNet's behavior — in both scopes; so do rows whose
+    ``col`` is NULL (no segments).  ``sep`` is a LITERAL string (escaped
+    before the split, symmetric with the literal reassembly join).
     """
+    import re as _re
+
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
     if scope not in ("corpus", "doc"):
         raise ValueError("scope must be 'corpus' or 'doc'")
-    if scope == "doc":
-        arr = F.filter(F.split(F.col(col), F.lit(sep), -1),
+    if scope == "doc" and keep == "first":
+        arr = F.filter(F.split(F.col(col), _re.escape(sep), -1),
                        lambda s: F.length(F.trim(s)) > 0)
-        if keep == "first":
-            kept_arr = F.array_distinct(arr)
-        else:
-            kept_arr = F.filter(
-                arr, lambda s: F.size(
-                    F.filter(arr, lambda y: y == s)) == 1)
+        kept_arr = F.array_distinct(arr)
         out = (tbl.df.withColumn(col, F.concat_ws(sep, kept_arr))
                .filter(F.size(kept_arr) > 0)
                .select(*tbl.df.columns))
         return tbl.evolve(df=out)
     others = [c for c in tbl.df.columns if c != col]
     seg = (tbl.df
-           .select(*others, F.posexplode(F.split(F.col(col), F.lit(sep), -1))
+           .select(*others,
+                   F.posexplode(F.split(F.col(col), _re.escape(sep), -1))
                    .alias("__pos", "__seg"))
            .filter(F.length(F.trim(F.col("__seg"))) > 0))
 
-    w = (Window.partitionBy(F.col("__seg"))
-         .orderBy(F.col(id_col).asc(), F.col("__pos").asc()))
+    part = ([F.col("__seg")] if scope == "corpus"
+            else [F.col(id_col), F.col("__seg")])
+    w = Window.partitionBy(*part).orderBy(F.col(id_col).asc(),
+                                          F.col("__pos").asc())
     if keep == "first":
         ranked = seg.withColumn("__rn", F.row_number().over(w))
         kept = ranked.filter(F.col("__rn") == 1).drop("__rn")
     else:
         counted = seg.withColumn(
-            "__n", F.count("*").over(Window.partitionBy(F.col("__seg"))))
+            "__n", F.count("*").over(Window.partitionBy(*part)))
         kept = counted.filter(F.col("__n") == 1).drop("__n")
 
     out = (kept.groupBy(*[F.col(c) for c in others])

@@ -343,16 +343,10 @@ def normalize_text(tbl: SparkTbl, col: str = "text", out: str | None = None,
     """
     c = F.col(col)
     if form is not None:
-        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
-            raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
-        def _unorm_batch(s):
-            import unicodedata
-            return s.map(lambda x: None if x is None
-                         else unicodedata.normalize(form, x))
-        # explicit returnType (no type hints): the module-wide
-        # `from __future__ import annotations` stringifies hints, which
-        # pandas_udf's signature inference cannot resolve
-        c = F.pandas_udf(_unorm_batch, "string")(c)
+        # single Unicode-normalization implementation, shared with the
+        # _.x.str.normalize(form) accessor
+        from ..functions.accessors import _str_normalize
+        c = _str_normalize(c, form)
     if strip_control:
         c = F.regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     if collapse_whitespace:

@@ -561,23 +561,29 @@ def stream_substring_dedup(stream_tbl: SparkTbl, store_path: str,
     """
     import os
 
-    from ..corpus.dedup import substring_dedup_incremental
+    from ..corpus.dedup import _span_incremental, _span_validate
+
+    _span_validate(k, key)
 
     def handle(batch_df, batch_id):
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
         store = _read_batch_store(spark, store_path, batch_id)
-        out, new_store = substring_dedup_incremental(
-            SparkTbl(batch_df), store, col=col, id_col=id_col,
-            k=k, sep=sep, key=key)
-        batch_ids = batch_df.select(id_col).distinct()
-        new_grams = new_store.df.join(F.broadcast(batch_ids), id_col,
-                                      "left_semi")
-        out.df.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"batch={int(batch_id)}"))
-        new_grams.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch={int(batch_id)}"))
+        # the private core returns the batch's NEW first-occurrence grams
+        # directly — the store sink never re-derives them from a
+        # full-store union (no store re-scan per batch).  The batch is
+        # pinned because the two sinks share its gram lineage.
+        batch_df = batch_df.persist()
+        try:
+            out, firsts = _span_incremental(
+                batch_df, store, col, id_col, k, sep, key)
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch={int(batch_id)}"))
+            firsts.write.mode("overwrite").parquet(
+                os.path.join(store_path, f"batch={int(batch_id)}"))
+        finally:
+            batch_df.unpersist()
 
     writer = (stream_tbl.df.writeStream
               .foreachBatch(handle)

@@ -717,3 +717,15 @@ def test_dedup_segments_doc_scope(spark):
 
     with pytest.raises(ValueError):
         dedup_segments(t, scope="line")
+
+
+def test_dedup_segments_doc_none_is_windowed_not_quadratic(spark):
+    """doc-scope keep='none' routes through the per-doc windowed path
+    (linear, one doc-keyed shuffle) rather than a per-row O(n^2)
+    self-count; metachar seps are literal."""
+    t = data_frame(spark, doc_id=[1], text=["a|b|a|c"])
+    out = dedup_segments(t, sep="|", scope="doc", keep="none").df.toPandas()
+    assert out.text.tolist() == ["b|c"]
+    plan = dedup_segments(t, sep="|", scope="doc", keep="none") \
+        .df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan or "window" in plan

@@ -636,8 +636,7 @@ def test_stream_substring_dedup_matches_batch(spark, tmp_path):
     # cross-batch copies were cut against the STORE
     got_map = dict(zip(got.doc_id, got.text))
     assert got_map[10] == "pre post"
-    assert 12 not in got_map or got_map[12] == ""  # fully dup doc vanishes
-    assert 12 not in got_map
+    assert 12 not in got_map  # fully dup doc vanishes
 
     # at-least-once idempotency: full replay with a fresh checkpoint
     import shutil

@@ -159,3 +159,23 @@ def test_incremental_store_schema_and_reuse(spark):
     # doc2's copied 8-run is cut against the STORE (cross-snapshot)
     assert out2.df.first().text == "z q"
     assert store2.df.count() > store.df.count()
+
+
+def test_user_pos_column_survives(spark):
+    """Working columns are __-prefixed: an input table with its own
+    'pos' (and 'h') column round-trips through the verb."""
+    t = data_frame(
+        spark, doc_id=[1, 2], pos=[7, 9], h=[1, 2],
+        text=["a b c d e f g h tail", "x a b c d e f g h y"],
+    )
+    out = substring_dedup(t, k=8).df.orderBy("doc_id").toPandas()
+    assert list(out.columns) == ["doc_id", "pos", "h", "text"]
+    assert out.pos.tolist() == [7, 9]
+    assert out.text.tolist() == ["a b c d e f g h tail", "x y"]
+
+
+def test_regex_metachar_sep_is_literal(spark):
+    """sep is a literal string: '|' must round-trip unchanged."""
+    t = data_frame(spark, doc_id=[1], text=["hello|world|now"])
+    out = substring_dedup(t, k=2, sep="|").df.toPandas()
+    assert out.text.tolist() == ["hello|world|now"]
