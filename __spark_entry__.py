@@ -5915,12 +5915,15 @@ def q_zorder_roundtrip(spark, sf):
     re-read, then emit (a) the same per-priority roundtrip summary as
     the range-layout twin (row-set identity vs the oracle) and (b) the
     MULTI-column layout contract — ``pruned_ok`` is 1 iff a narrow band
-    filter on EACH clustered column independently touches at most half
-    the files (interleaved bucket-rank bits; a leading-column range sort
-    passes the custkey half but touches every file for the totalprice
-    band).  Bands are narrower than one 1/16 bucket at both grading SFs
-    (equal-frequency boundaries adapt per SF).  pid-suffixed write path,
-    same as the range twin."""
+    filter on EACH clustered column independently touches at most 3/4
+    of the files.  3/4, not 1/2: a 1-bucket band along one axis of a
+    Morton curve touches ~2*sqrt(P) of P partitions (measured 4-5 of 8
+    across RangePartitioner sampling jitter, never more — the 1/2 gate
+    flaked on a 5-draw), so <=6/8 is the honest Z-order bound, vs ALL
+    files for the non-leading column under a range layout, which is the
+    claim being graded.  Bands are narrower than one 1/16 bucket at both
+    grading SFs (equal-frequency boundaries adapt per SF).
+    pid-suffixed write path, same as the range twin."""
     import os
     import tempfile
 
@@ -5953,8 +5956,8 @@ def q_zorder_roundtrip(spark, sf):
     return (summary.crossJoin(nf).crossJoin(f_cust).crossJoin(f_price)
             .select("o_orderpriority", "n_rows", "min_k", "max_k",
                     "total",
-                    (((F.col("fc") * 2) <= F.col("nf"))
-                     & ((F.col("fp") * 2) <= F.col("nf"))).cast("int")
+                    (((F.col("fc") * 4) <= F.col("nf") * 3)
+                     & ((F.col("fp") * 4) <= F.col("nf") * 3)).cast("int")
                     .alias("pruned_ok")))
 
 
