@@ -327,3 +327,24 @@ def test_dedup_segments_doc_matches_python_reference(spark, docs):
         if kept:
             want[i] = " ".join(kept)
     assert got_map == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_tokens_st)
+def test_dedup_segments_doc_none_matches_python_reference(spark, docs):
+    """doc-scope keep='none' (the windowed per-doc path) drops every
+    within-doc repeat; cross-doc copies survive."""
+    from siuba_spark.corpus.quality import dedup_segments
+
+    texts = [(i, " ".join(ts)) for i, ts in enumerate(docs)]
+    t = SparkTbl(spark.createDataFrame(texts, "doc_id long, text string"))
+    got = dedup_segments(t, sep=" ", scope="doc", keep="none").df.toPandas()
+    got_map = dict(zip(got.doc_id, got.text))
+    want = {}
+    for i, txt in texts:
+        segs = [s for s in txt.split(" ") if s.strip()]
+        kept = [s for s in segs if segs.count(s) == 1]
+        if kept:
+            want[i] = " ".join(kept)
+    assert got_map == want
