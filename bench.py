@@ -30,6 +30,10 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
+        # console progress bars interleave carriage returns with stdout;
+        # the r10 driver failed to regex the result line out of that mess
+        # (BENCH_r10.json "parsed": null) — keep the stream clean
+        .config("spark.ui.showConsoleProgress", "false")
         .appName("siuba_spark-bench")
         .getOrCreate()
     )
@@ -169,14 +173,20 @@ def main():
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "aa_rerun_ratio": aa,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    })
+    # flush both streams and start the result at column 0 of a fresh line
+    # so any stray progress/log carriage returns can't truncate it
+    # (BENCH_r10.json recorded "parsed": null from exactly that)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print("\n" + line, flush=True)
     spark.stop()
 
 

@@ -681,9 +681,13 @@ def substring_dedup(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
 
     1. per-doc sliding ``k``-gram fingerprints via ``transform(sequence)``
        — a pure projection, zero shuffle;
-    2. ONE shuffle keyed on the gram fingerprint for the first-occurrence
-       ``row_number`` (near-unique keys; boilerplate grams that repeat
-       millions of times are absorbed the same way CCNet's hash shards do);
+    2. ONE partial-aggregating ``groupBy`` on the gram fingerprint for the
+       first occurrence (``min(struct(id, pos))`` combines hot
+       boilerplate/tandem-repeat grams map-side — deliberately NOT a
+       ``row_number`` window, which would funnel every occurrence of one
+       hot gram into a single unsplittable task AQE cannot split), then a
+       LEFT ANTI join of the grams against the firsts on the near-unique
+       ``(h, id, pos)`` composite to mark duplicate starts;
     3. duplicate window starts expand to covered positions
        (``explode(sequence(pos, pos+k-1))``, a k× projection of the DUP
        rows only), distinct-ed with one doc-keyed shuffle;
@@ -717,12 +721,28 @@ def substring_dedup(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     """
     _span_validate(k, key)
     toks, grams = _span_grams(tbl.df, col, id_col, k, sep, key)
-    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(),
-                                          F.col("__pos").asc())
-    dup_starts = (grams.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") > 1))
+    firsts = _span_firsts(grams, id_col)
+    dup_starts = grams.join(firsts, ["__h", id_col, "__pos"], "left_anti")
     out = _span_cut(tbl.df, toks, dup_starts, col, id_col, k, sep)
     return tbl.evolve(df=out)
+
+
+def _span_firsts(grams, id_col):
+    """Each gram fingerprint's earliest ``(id, pos)`` occurrence as a
+    ``(__h, id_col, __pos)`` frame — via ONE partial-aggregating
+    ``groupBy``, deliberately NOT a ``row_number`` window: a hot gram
+    (tandem repeat, boilerplate 16-gram across a corpus fraction) would
+    concentrate every occurrence into a single Window task that AQE's
+    skew handling cannot split (it splits join partitions only), while
+    ``min(struct)`` collapses each hot key map-side so reducers see at
+    most one candidate per gram per map task.  ``min`` over a struct
+    orders lexicographically by ``(id, pos)`` — identical to the
+    ``orderBy(id.asc, pos.asc)`` the window form used."""
+    m = F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("__pos").alias("p"))).alias("__m")
+    return (grams.groupBy("__h").agg(m)
+            .select("__h", F.col("__m.i").alias(id_col),
+                    F.col("__m.p").alias("__pos")))
 
 
 def _span_validate(k, key):
@@ -789,21 +809,22 @@ def _span_incremental(df, store_df, col, id_col, k, sep, key):
     callers that maintain an append-only store write ``firsts`` directly
     instead of re-deriving it from a full-store union."""
     toks, grams = _span_grams(df, col, id_col, k, sep, key)
-    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(),
-                                          F.col("__pos").asc())
-    g = grams.withColumn("__rn", F.row_number().over(w))
+    cand = _span_firsts(grams, id_col)
     if store_df is not None:
-        sh = (store_df.select(F.col("h").alias("__h"))
-              .withColumn("__hit", F.lit(True)))
-        g = g.join(sh, "__h", "left")
-        dup_starts = g.filter((F.col("__rn") > 1)
-                              | F.col("__hit").isNotNull())
-        firsts = g.filter((F.col("__rn") == 1) & F.col("__hit").isNull())
+        # cand is one row per __h, the store side near-unique per h (at
+        # worst a few snapshot-overlap duplicates) — no skew either side,
+        # and left_anti tolerates duplicate store hashes.
+        sh = store_df.select(F.col("h").alias("__h"))
+        true_firsts = cand.join(sh, "__h", "left_anti")
     else:
-        dup_starts = g.filter(F.col("__rn") > 1)
-        firsts = g.filter(F.col("__rn") == 1)
-    firsts = firsts.select(F.col("__h").alias("h"), F.col(id_col),
-                           F.col("__pos").alias("pos"))
+        true_firsts = cand
+    # Everything that is not a genuinely-new first occurrence is a
+    # duplicate start: anti-join on the near-unique (h, id, pos)
+    # composite — AQE-splittable and skew-free even for hot grams.
+    dup_starts = grams.join(true_firsts, ["__h", id_col, "__pos"],
+                            "left_anti")
+    firsts = true_firsts.select(F.col("__h").alias("h"), F.col(id_col),
+                                F.col("__pos").alias("pos"))
     out = _span_cut(df, toks, dup_starts, col, id_col, k, sep)
     return out, firsts
 
@@ -837,7 +858,7 @@ def substring_dedup_incremental(tbl: SparkTbl, store=None, col: str = "text",
     from-scratch answer byte-for-byte — the parity test's subject.
 
     Cost per snapshot: the new snapshot's O(tokens·k) projection, one
-    gram-keyed window shuffle over the NEW grams only, one linear
+    partial-aggregating gram-keyed shuffle over the NEW grams only, one linear
     equi-join against the store on ``h`` (co-shuffled; the store is never
     re-windowed), and the covered-cut joins — the store is the sharded
     "suffix array" this design trades for, append-only and 16 bytes a

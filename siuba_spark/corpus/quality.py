@@ -568,18 +568,22 @@ def dedup_segments(tbl: SparkTbl, col: str = "text", sep: str = "\n",
     projection (split → filter empties → ``array_distinct`` →
     ``concat_ws``), so it runs at scan speed at any corpus size, and
     with ``keep="none"`` it takes the exploded path below with the
-    window keyed per-document — one doc-keyed linear shuffle (a per-row
-    self-count would be O(segments²) inside a single pathological
-    document's task).
+    aggregate keyed per-(document, segment) — one linear shuffle (a
+    per-row self-count would be O(segments²) inside a single
+    pathological document's task).
 
-    Corpus-scope scale shape: posexplode -> ONE shuffle keyed on the
-    segment text for the first-occurrence window (near-unique keys, so
-    no skew funnel; boilerplate segments that DO repeat millions of
-    times are exactly the ones a min-aggregate handles with map-side
-    partial combine) -> one shuffle on ``id_col`` to reassemble with
-    ``concat_ws`` over position-sorted ``collect_list``.  Never
-    materializes a pair join; cost is O(total segments), the same as
-    the CCNet hash-shard design.
+    Corpus-scope scale shape: posexplode -> ONE ``groupBy(segment)``
+    aggregation (``min_by`` carries the earliest row, ``count`` the
+    multiplicity) -> one shuffle on ``id_col`` to reassemble with
+    ``concat_ws`` over position-sorted ``collect_list``.  Deliberately
+    an AGGREGATE, not a ``row_number`` window: a boilerplate line
+    present in 1% of a web-scale corpus funnels every occurrence into a
+    single unsplittable Window task (AQE skew handling splits join
+    partitions, never Window partitions), whereas hash-aggregate
+    partial combine collapses each hot key map-side before the shuffle
+    — every reducer sees at most one candidate row per segment per map
+    task.  Never materializes a pair join; cost is O(total segments),
+    the same as the CCNet hash-shard design.
 
     ``keep="first"`` keeps the earliest occurrence; ``keep="none"`` drops
     every segment that occurs more than once (the aggressive CCNet mode).
@@ -609,17 +613,22 @@ def dedup_segments(tbl: SparkTbl, col: str = "text", sep: str = "\n",
                    .alias("__pos", "__seg"))
            .filter(F.length(F.trim(F.col("__seg"))) > 0))
 
-    part = ([F.col("__seg")] if scope == "corpus"
-            else [F.col(id_col), F.col("__seg")])
-    w = Window.partitionBy(*part).orderBy(F.col(id_col).asc(),
-                                          F.col("__pos").asc())
-    if keep == "first":
-        ranked = seg.withColumn("__rn", F.row_number().over(w))
-        kept = ranked.filter(F.col("__rn") == 1).drop("__rn")
-    else:
-        counted = seg.withColumn(
-            "__n", F.count("*").over(Window.partitionBy(*part)))
-        kept = counted.filter(F.col("__n") == 1).drop("__n")
+    # ONE hash-aggregate keyed on the segment (plus the doc id under
+    # scope="doc").  min_by carries the earliest occurrence's whole row,
+    # so no join-back is needed; count gates keep="none".  Both partial-
+    # aggregate, so a boilerplate segment repeated across a large corpus
+    # fraction collapses map-side — each reducer sees at most one
+    # candidate per segment per map task — where the previous
+    # row_number() Window funneled every occurrence into one
+    # unsplittable task (AQE cannot split Window partitions).
+    keys = (["__seg"] if scope == "corpus" else [id_col, "__seg"])
+    ord_ = F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
+    row = F.struct(*[F.col(c) for c in others], F.col("__pos"))
+    agg = seg.groupBy(*keys).agg(F.min_by(row, ord_).alias("__w"),
+                                 F.count(F.lit(1)).alias("__n"))
+    if keep == "none":
+        agg = agg.filter(F.col("__n") == 1)
+    kept = agg.select("__seg", "__w.*")
 
     out = (kept.groupBy(*[F.col(c) for c in others])
            .agg(F.concat_ws(

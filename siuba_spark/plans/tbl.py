@@ -425,7 +425,9 @@ def cluster_by(tbl: SparkTbl, *cols, n_partitions: int | None = None,
     must be numeric/date/timestamp (orderable with a quantile sketch);
     bucket boundaries come from one bounded ``approxQuantile`` action
     (2^bits - 1 scalars per column on an approximate sketch — the same
-    bounded-driver-action contract as the Lloyd trainer), the Z-value
+    bounded-driver-action contract as the Lloyd trainer; because those
+    boundaries are driver-materialized, ``bits`` is capped at 16
+    independently of the 60-bit Z-value product bound), the Z-value
     itself is pure integer bit arithmetic inside codegen, and NULLs
     land deterministically in bucket 0.
 
@@ -457,9 +459,17 @@ def cluster_by(tbl: SparkTbl, *cols, n_partitions: int | None = None,
     from pyspark.sql import functions as F
     if method == "zorder":
         from ..functions.lowering import TranslationError
-        if bits < 1 or bits * len(names) > 60:
-            raise ValueError("zorder needs 1 <= bits and "
-                             "bits * n_cols <= 60 (long Z-value)")
+        if not 1 <= bits <= 16 or bits * len(names) > 60:
+            # bits itself is capped (not just the product): bucket
+            # boundaries are materialized DRIVER-side as 2^bits - 1
+            # approxQuantile probes and literal array elements, so a
+            # single-column bits=30 call would build a billion-element
+            # probs list — 16 bits = 65k buckets is already far past any
+            # useful file-pruning resolution.
+            raise ValueError("zorder needs 1 <= bits <= 16 and "
+                             "bits * n_cols <= 60 (long Z-value; "
+                             "boundaries are driver-materialized, so "
+                             "bits is capped independently)")
         dtypes = dict(tbl.df.dtypes)
         nbuckets = 1 << bits
         dcols = []
@@ -514,6 +524,101 @@ def cache(tbl: SparkTbl):
     return tbl.evolve(df=tbl.df.cache())
 
 
+def _window_skew_watch(jdf):
+    """Advisory skew watch: list every Window whose partition key is
+    derived from high-cardinality CONTENT — a raw string/binary column
+    or a hash (xxhash64/murmur3/md5/sha/crc32) of one.  A hot content
+    key (boilerplate segment, tandem-repeat gram) funnels every one of
+    its rows into a single Window task that AQE's skew handling cannot
+    split (it splits join/aggregate partitions, never Windows) — the
+    r10 SemDeDup skew study's failure class, and the exact shape the
+    r11 min_by rewrite removed from the dedup verbs.  First-occurrence
+    patterns (``row_number()==1`` / ``count()==1`` over the key) should
+    be ``groupBy(key).agg(min_by/count)`` instead: partial aggregation
+    combines hot keys map-side.
+
+    Implemented over the OPTIMIZED LOGICAL plan's JSON serialization
+    (the physical string drops expression types): Alias definitions are
+    indexed by exprId so a partition key that is merely an
+    AttributeReference to an upstream ``xxhash64(...)`` projection still
+    resolves to its hash provenance.
+    """
+    import json as _json
+
+    try:
+        nodes = _json.loads(jdf.queryExecution().optimizedPlan().toJSON())
+    except Exception:                                  # pragma: no cover
+        return []
+
+    HASHES = ("XxHash64", "Murmur3Hash", "HiveHash", "Crc32", "Md5",
+              "Sha1", "Sha2")
+
+    def _cls(d):
+        return d.get("class", "").rsplit(".", 1)[-1]
+
+    def _expr_trees(val):
+        """Yield flattened expression trees (lists of node dicts) from an
+        arbitrary plan-node field value."""
+        if isinstance(val, list):
+            if val and isinstance(val[0], dict) and "class" in val[0]:
+                yield val
+            else:
+                for v in val:
+                    yield from _expr_trees(v)
+
+    # exprId.id -> the flattened definition tree of every Alias root
+    defs = {}
+    windows = []
+    for node in nodes:
+        is_window = node.get("class", "").endswith(".Window")
+        for fld, val in node.items():
+            if fld == "class":
+                continue
+            for tree in _expr_trees(val):
+                root = tree[0]
+                if _cls(root) == "Alias":
+                    eid = root.get("exprId", {}).get("id")
+                    if eid is not None:
+                        defs[eid] = tree
+                if is_window and fld == "partitionSpec":
+                    windows.append(tree)
+
+    watches = []
+    for tree in windows:
+        root = tree[0]
+        seen, frontier = set(), [tree]
+        classes, types = set(), set()
+        hops = 0
+        while frontier and hops < 32:
+            hops += 1
+            t = frontier.pop()
+            for nd in t:
+                classes.add(_cls(nd))
+                dt = nd.get("dataType")
+                if isinstance(dt, str):
+                    types.add(dt)
+                if _cls(nd) == "AttributeReference":
+                    eid = nd.get("exprId", {}).get("id")
+                    if eid in defs and eid not in seen:
+                        seen.add(eid)
+                        frontier.append(defs[eid])
+        name = root.get("name", "<expr>")
+        root_dt = root.get("dataType", "")
+        if root_dt in ("string", "binary"):
+            watches.append(
+                f"Window partitioned by raw {root_dt} key '{name}': a hot "
+                f"content value funnels into ONE unsplittable Window task "
+                f"(AQE cannot split Windows) — for first-occurrence "
+                f"patterns use groupBy(key).agg(min_by(...)) instead")
+        elif any(h in classes for h in HASHES):
+            watches.append(
+                f"Window partitioned by hash-of-content key '{name}': hot "
+                f"hashed content (boilerplate/tandem repeats) funnels into "
+                f"ONE unsplittable Window task — rewrite first-occurrence "
+                f"logic as a partial-combining aggregate")
+    return watches
+
+
 @verb
 def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
     """Scale-health lint of the physical plan: counts the node types that
@@ -533,6 +638,16 @@ def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
     one-task broadcast build (fix: localCheckpoint the subtree or hint
     SHUFFLE_MERGE).  With ``raise_on_flags=True`` raises ValueError
     listing them (CI gate).
+
+    The result also carries ``"skew_watch"``: ADVISORY (never raises)
+    warnings for any Window whose partition key is derived from
+    high-cardinality content — a raw string/binary column, or a hash of
+    one traced through Alias provenance in the optimized logical plan.
+    A hot content key funnels every occurrence into a single Window
+    task AQE cannot split; advisory because grouped window semantics
+    over a user-chosen string key are sometimes exactly what was asked
+    for — but first-occurrence patterns should be partial-combining
+    aggregates (``min_by``) instead.
     """
     import re as _re
 
@@ -617,4 +732,5 @@ def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
                      "subtree or hint('SHUFFLE_MERGE') the join")
     if raise_on_flags and flags:
         raise ValueError("plan lint failed:\n- " + "\n- ".join(flags))
-    return {"counts": counts, "flags": flags}
+    return {"counts": counts, "flags": flags,
+            "skew_watch": _window_skew_watch(tbl.df._jdf)}

@@ -719,13 +719,17 @@ def test_dedup_segments_doc_scope(spark):
         dedup_segments(t, scope="line")
 
 
-def test_dedup_segments_doc_none_is_windowed_not_quadratic(spark):
-    """doc-scope keep='none' routes through the per-doc windowed path
-    (linear, one doc-keyed shuffle) rather than a per-row O(n^2)
-    self-count; metachar seps are literal."""
+def test_dedup_segments_none_is_aggregated_not_windowed(spark):
+    """keep='none' (both scopes) routes through a partial-combining
+    hash aggregate (linear, one keyed shuffle, map-side combine for hot
+    segments) — NOT a per-row O(n^2) self-count and NOT a content-keyed
+    Window (a hot boilerplate segment would funnel into one unsplittable
+    Window task); metachar seps are literal."""
     t = data_frame(spark, doc_id=[1], text=["a|b|a|c"])
     out = dedup_segments(t, sep="|", scope="doc", keep="none").df.toPandas()
     assert out.text.tolist() == ["b|c"]
-    plan = dedup_segments(t, sep="|", scope="doc", keep="none") \
-        .df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan or "window" in plan
+    for scope in ("doc", "corpus"):
+        plan = dedup_segments(t, sep="|", scope=scope, keep="none") \
+            .df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan

@@ -734,5 +734,57 @@ def test_cluster_by_zorder_prunes_on_every_column(spark, tmp_path):
         ts >> cluster_by(_.s, _.v, method="zorder")
     with pytest.raises(ValueError):
         t >> cluster_by(_.a, _.b, method="zorder", bits=40)
+    # bits is capped INDEPENDENTLY of the 60-bit product: boundaries are
+    # driver-materialized (2^bits - 1 quantile probes), so a one-column
+    # bits=30 call must fail validation, not OOM the driver
+    with pytest.raises(ValueError):
+        t >> cluster_by(_.a, method="zorder", bits=30)
     with pytest.raises(ValueError):
         t >> cluster_by(_.a, method="diagonal")
+
+
+def test_lint_plan_skew_watch_content_keyed_windows(spark):
+    """The r11 skew-watch lint: a Window partitioned by a raw string
+    column or by a hash-of-content (traced through Alias provenance)
+    gets an ADVISORY skew_watch entry — the SemDeDup-skew failure class:
+    one hot content key funnels every occurrence into a single Window
+    task AQE cannot split.  Numeric-id windows and the rewritten
+    first-occurrence dedup verbs stay clean, and watches never trip
+    raise_on_flags."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from siuba_spark import tbl
+    from siuba_spark.corpus.dedup import substring_dedup
+    from siuba_spark.corpus.quality import dedup_segments
+    from siuba_spark.plans.tbl import lint_plan
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)], ["seg", "pos", "id"])
+
+    raw = tbl(df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("seg").orderBy("pos"))))
+    r = lint_plan(raw)
+    assert any("raw string" in w for w in r["skew_watch"]), r["skew_watch"]
+    # advisory only: the CI gate is for flags, not watches
+    lint_plan(raw, raise_on_flags=True)
+
+    hashed = tbl(df.withColumn("h", F.xxhash64("seg")).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("h").orderBy("pos"))))
+    r2 = lint_plan(hashed)
+    assert any("hash-of-content" in w for w in r2["skew_watch"]), \
+        r2["skew_watch"]
+
+    numeric = tbl(df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("id").orderBy("pos"))))
+    assert lint_plan(numeric)["skew_watch"] == []
+
+    # the min_by rewrites removed exactly this shape from the dedup verbs
+    docs = tbl(spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]))
+    for scope in ("corpus", "doc"):
+        for keep in ("first", "none"):
+            out = dedup_segments(docs, sep=" ", scope=scope, keep=keep)
+            assert lint_plan(out)["skew_watch"] == [], (scope, keep)
+    span = substring_dedup(docs, k=2)
+    assert lint_plan(span)["skew_watch"] == []

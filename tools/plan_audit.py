@@ -48,6 +48,7 @@ def main():
 
     import __spark_entry__ as entry
     from siuba_spark import release_all_pins
+    from siuba_spark.plans.tbl import _window_skew_watch
 
     out = {}
     for name, fn in sorted(entry.queries().items()):
@@ -55,6 +56,10 @@ def main():
             df = fn(spark, sf)
             plan = df._jdf.queryExecution().executedPlan().toString()
             stats = {k: len(re.findall(p, plan)) for k, p in NODES.items()}
+            watch = _window_skew_watch(df._jdf)
+            stats["content_keyed_windows"] = len(watch)
+            if watch:
+                stats["skew_watch"] = sorted({w.split(":")[0] for w in watch})
             out[name] = stats
         except Exception as exc:
             out[name] = {"error": str(exc)[:200]}
@@ -67,10 +72,12 @@ def main():
 
     cart = [n for n, s in out.items() if s.get("cartesian_products")]
     bnlj = [n for n, s in out.items() if s.get("broadcast_nested_loop_joins")]
+    skew = [n for n, s in out.items() if s.get("content_keyed_windows")]
     errs = [n for n, s in out.items() if "error" in s]
     print(f"{len(out)} plans audited -> {path}")
     print("cartesian products:", cart or "none")
     print("nested-loop joins (expect only 1-row theta joins):", bnlj)
+    print("content-keyed windows (skew watch):", skew or "none")
     print("errors:", errs or "none")
     sys.exit(1 if cart or errs else 0)
 
