@@ -97,6 +97,23 @@ def _dsum(col_expr):
     return col_expr.astype("decimal(30,6)").sum().astype("double")
 
 
+def _stage_batch_order(src, *subdirs):
+    """Pin strictly increasing mtimes on the staged stream-source files:
+    FileStreamSource orders micro-batches by file modification time, and
+    two parquet writes landing in the same coarse filesystem tick could
+    reorder the batches — silently breaking the monotone-id contract the
+    incremental stores' from-scratch exactness relies on (ADVICE r10)."""
+    import os
+    import time
+
+    base_ts = time.time() - 60 * len(subdirs)
+    for i, sub in enumerate(subdirs):
+        ts = base_ts + 30 * i
+        for root, _dirs, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+
+
 # ===========================================================================
 # core parity queries (SURVEY.md §2)
 # ===========================================================================
@@ -4967,6 +4984,7 @@ def q_stream_minhash_store(spark, sf):
             .write.parquet(os.path.join(src, "b0.parquet"))
         docs.filter(F.col("doc_id") >= 250).coalesce(1) \
             .write.parquet(os.path.join(src, "b1.parquet"))
+        _stage_batch_order(src, "b0.parquet", "b1.parquet")
         stream = tbl(spark.readStream.schema(docs.schema)
                      .option("maxFilesPerTrigger", 1)
                      .parquet(src + "/*.parquet"))
@@ -4975,7 +4993,9 @@ def q_stream_minhash_store(spark, sf):
             pairs_path=os.path.join(base, "pairs"),
             checkpoint=os.path.join(base, "ckpt"),
             threshold=0.3, hash="md5_64", bucket="key")
-        q.awaitTermination(600)
+        # a False return means timeout: fail loudly instead of grading a
+        # partially-written output directory (ADVICE r10)
+        assert q.awaitTermination(600), "stream did not drain in 600s"
         out = (spark.read.parquet(os.path.join(base, "pairs"))
                .select("id_a", "id_b", "jaccard").toPandas())
         return spark.createDataFrame(
@@ -5500,6 +5520,7 @@ def q_stream_semantic_store(spark, sf):
             .write.parquet(os.path.join(src, "b0.parquet"))
         emb.filter(F.col("vec_id") >= 250).coalesce(1) \
             .write.parquet(os.path.join(src, "b1.parquet"))
+        _stage_batch_order(src, "b0.parquet", "b1.parquet")
         stream = tbl(spark.readStream.schema(emb.schema)
                      .option("maxFilesPerTrigger", 1)
                      .parquet(src + "/*.parquet"))
@@ -5509,7 +5530,9 @@ def q_stream_semantic_store(spark, sf):
             checkpoint=os.path.join(base, "ckpt"),
             cents_path=os.path.join(base, "cents.json"),
             threshold=0.35, n_lists=8, centroids="sample")
-        q.awaitTermination(600)
+        # a False return means timeout: fail loudly instead of grading a
+        # partially-written output directory (ADVICE r10)
+        assert q.awaitTermination(600), "stream did not drain in 600s"
         out = (spark.read.parquet(os.path.join(base, "pairs"))
                .select("id_a", "id_b", "score").toPandas())
         return spark.createDataFrame(
@@ -5863,6 +5886,7 @@ def q_stream_substring_store(spark, sf):
             .write.parquet(os.path.join(src, "b0.parquet"))
         docs.filter(F.col("doc_id") >= 250).coalesce(1) \
             .write.parquet(os.path.join(src, "b1.parquet"))
+        _stage_batch_order(src, "b0.parquet", "b1.parquet")
         stream = tbl(spark.readStream.schema(docs.schema)
                      .option("maxFilesPerTrigger", 1)
                      .parquet(src + "/*.parquet"))
@@ -5870,7 +5894,9 @@ def q_stream_substring_store(spark, sf):
             stream, store_path=os.path.join(base, "store"),
             out_path=os.path.join(base, "out"),
             checkpoint=os.path.join(base, "ckpt"), k=8)
-        q.awaitTermination(600)
+        # a False return means timeout: fail loudly instead of grading a
+        # partially-written output directory (ADVICE r10)
+        assert q.awaitTermination(600), "stream did not drain in 600s"
         out = (spark.read.parquet(os.path.join(base, "out"))
                .select("doc_id", "text").toPandas())
         return spark.createDataFrame(out, "doc_id long, text string")

@@ -24,7 +24,7 @@ __all__ = [
     "dedup_clusters", "simhash_pairs", "drop_near_dups",
     "exact_dedup_incremental", "minhash_near_dups_incremental",
     "hash64_col", "MD5_64_SQL", "substring_dedup",
-    "substring_dedup_incremental",
+    "substring_dedup_incremental", "substring_store_compact",
 ]
 
 
@@ -707,7 +707,10 @@ def substring_dedup(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     collision could mark a non-duplicate window as duplicate; at 10^13
     windows (~100 TB) the birthday bound expects a handful of collisions —
     acceptable for corpus prep, and ``key="exact"`` keys on the window's
-    own token text when exactness matters more than shuffle width.
+    own token ARRAY when exactness matters more than shuffle width.
+    Both modes fingerprint the token slice itself (never a
+    separator-joined string), so tokens containing any byte — including
+    would-be separator bytes — can never alias two distinct windows.
 
     Edge semantics: a FIRST-occurrence window's tokens can still be covered
     by a LATER duplicate window that overlaps it (tandem repeats like
@@ -764,7 +767,12 @@ def _span_grams(df, col, id_col, k, sep, key):
     n = F.size("__toks")
 
     def _fp(i):
-        gram = F.concat_ws("\x1f", F.slice("__toks", i + 1, k))
+        # fingerprint the token SLICE itself (xxhash64 hashes arrays
+        # element-wise; exact mode keys on the array) — a separator-join
+        # like concat_ws('\\x1f', ...) would alias distinct windows when
+        # a token itself contains the separator byte (['a\\x1fb','c'] vs
+        # ['a','b\\x1fc']), silently over-cutting a real-bytes corpus
+        gram = F.slice("__toks", i + 1, k)
         return F.xxhash64(gram) if key == "hash" else gram
 
     grams = (toks
@@ -845,7 +853,7 @@ def substring_dedup_incremental(tbl: SparkTbl, store=None, col: str = "text",
       fingerprint's FIRST corpus occurrence (provenance included so
       audits can point at the surviving copy).  Persist it with
       ``write_parquet`` between snapshots and pass it back in.  ``h`` is
-      ``bigint`` under ``key="hash"``, the window text under
+      ``bigint`` under ``key="hash"``, the window's token array under
       ``key="exact"`` — a store must be reused with the same ``key``/
       ``k``/``sep`` it was built with.
 
@@ -872,3 +880,42 @@ def substring_dedup_incremental(tbl: SparkTbl, store=None, col: str = "text",
     new_store = firsts if store_df is None else (
         store_df.select("h", id_col, "pos").unionByName(firsts))
     return tbl.evolve(df=out), SparkTbl(new_store)
+
+
+def substring_store_compact(store, id_col: str = "doc_id"):
+    """Maintenance pass for a :func:`substring_dedup_incremental` /
+    ``stream_substring_dedup`` gram store: collapse to ONE row per gram
+    fingerprint, keeping the earliest ``(id, pos)`` provenance — the
+    span-dedup member of the store-maintenance trilogy
+    (``exact_dedup`` stores are distinct-by-construction,
+    ``semantic_store_compact`` retrains centroids, this one distincts).
+
+    Why duplicates accumulate: the store is APPEND-ONLY (each snapshot /
+    micro-batch writes only its own new first-occurrence grams), so under
+    the monotone-id contract it stays duplicate-free — but re-processing
+    an overlapping snapshot (a backfill, a source that replays rows, two
+    pipelines sharing one store) appends a second ``(h, id, pos)`` row
+    for grams the store already holds.  Duplicate rows never change CUT
+    DECISIONS (the incremental core consumes only the distinct ``h``
+    membership, via an anti-join that tolerates duplicates) — they just
+    inflate the store linearly with the overlap, so compaction is a
+    size/scan-cost optimization, not a correctness fix; the equivalence
+    test pins that.
+
+    Growth bound: a compacted store is EXACTLY one row per distinct
+    k-gram in the corpus — sub-linear in tokens by Heaps'-style gram
+    re-use, 16 bytes + id/pos per row under ``key="hash"`` — and one
+    partial-aggregating shuffle produces it (``min(struct(id, pos))``
+    per ``h``; hot grams combine map-side like everywhere else in this
+    family).
+
+    Returns the compacted store as a ``SparkTbl`` with the public
+    ``(h, id_col, pos)`` schema.
+    """
+    store_df = store.df if isinstance(store, SparkTbl) else store
+    m = F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("__m")
+    out = (store_df.groupBy("h").agg(m)
+           .select("h", F.col("__m.i").alias(id_col),
+                   F.col("__m.p").alias("pos")))
+    return SparkTbl(out)

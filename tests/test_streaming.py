@@ -14,6 +14,20 @@ from siuba_spark.streaming.windows import (
     read_event_stream, sessionize, stream_tumble, tumble,
 )
 
+def _order_batches(src_dir):
+    """Pin b0 strictly older than b1: FileStreamSource orders files by
+    mtime, and back-to-back writes can tie on a coarse filesystem tick,
+    reordering the micro-batches the monotone-id parity relies on."""
+    import os
+    import time
+    now = time.time()
+    for i, sub in enumerate(("b0.parquet", "b1.parquet")):
+        ts = now - 120 + 30 * i
+        for root, _d, files in os.walk(str(src_dir / sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+
+
 
 @pytest.fixture(scope="module")
 def event_dir(spark):
@@ -381,6 +395,7 @@ def test_stream_minhash_dedup_matches_batch(spark, tmp_path):
         .coalesce(1).write.parquet(str(src / "b0.parquet"))
     spark.createDataFrame(docs[3:], "doc_id long, text string") \
         .coalesce(1).write.parquet(str(src / "b1.parquet"))
+    _order_batches(src)
 
     schema = "doc_id long, text string"
     stream = _tbl(spark.readStream.schema(schema)
@@ -444,6 +459,7 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
         .write.parquet(str(src / "b0.parquet"))
     full.filter(F.col("vec_id") >= 250).coalesce(1) \
         .write.parquet(str(src / "b1.parquet"))
+    _order_batches(src)
 
     kw = dict(threshold=0.3, n_lists=4, centroids="sample")
 
@@ -527,6 +543,7 @@ def test_compact_semantic_store_epoch_swap(spark, tmp_path):
         .write.parquet(str(src / "b0.parquet"))
     full.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)) \
         .coalesce(1).write.parquet(str(src / "b1.parquet"))
+    _order_batches(src)
 
     kw = dict(threshold=0.3, n_lists=4, centroids="sample")
     store_p, cents_p = str(tmp_path / "store"), str(tmp_path / "cents.json")
@@ -616,6 +633,7 @@ def test_stream_substring_dedup_matches_batch(spark, tmp_path):
         .write.parquet(str(src / "b0.parquet"))
     spark.createDataFrame(docs[3:], schema).coalesce(1) \
         .write.parquet(str(src / "b1.parquet"))
+    _order_batches(src)
 
     stream = _tbl(spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1)
@@ -650,3 +668,72 @@ def test_stream_substring_dedup_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got2[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True))
+
+
+def test_compact_substring_store_epoch_swap(spark, tmp_path):
+    """Store maintenance for the streaming span-dedup path: stream two
+    batches, pollute the gram store with a duplicate overlapping-write
+    partition, STOP, compact (atomic swap to a single batch=-1 base),
+    resume the SAME checkpoint over a third batch — the union of the
+    per-batch outputs must still equal the from-scratch cut, because
+    duplicate store rows never change cut decisions and compaction only
+    drops them."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from siuba_spark import tbl as _tbl
+    from siuba_spark.corpus.dedup import substring_dedup
+    from siuba_spark.plans.tbl import SparkTbl
+    from siuba_spark.streaming.windows import (
+        compact_substring_store, stream_substring_dedup)
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    full.filter(F.col("doc_id") < 200).coalesce(1) \
+        .write.parquet(str(src / "b0.parquet"))
+    full.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)) \
+        .coalesce(1).write.parquet(str(src / "b1.parquet"))
+    _order_batches(src)
+
+    store_p = str(tmp_path / "store")
+
+    def run_stream():
+        stream = _tbl(spark.readStream.schema(full.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .parquet(str(src) + "/*.parquet"))
+        q = stream_substring_dedup(
+            stream, store_path=store_p,
+            out_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ckpt"), k=8)
+        assert q.awaitTermination(300)
+
+    run_stream()
+
+    # overlapping-write pollution: re-append every gram under later ids
+    raw = spark.read.parquet(store_p).drop("batch")
+    n_grams = raw.count()
+    raw.withColumn("doc_id", F.col("doc_id") + 10_000) \
+        .write.parquet(f"{store_p}/batch=5")
+    assert spark.read.parquet(store_p).count() == 2 * n_grams
+
+    before, after = compact_substring_store(spark, store_p)
+    assert (before, after) == (2 * n_grams, n_grams)
+    assert sorted(p.name for p in (tmp_path / "store").iterdir()) == \
+        ["batch=-1"]
+    base = spark.read.parquet(store_p).drop("batch")
+    assert base.filter(F.col("doc_id") >= 10_000).count() == 0
+
+    # resume the SAME checkpoint over a third batch (naturally newer
+    # mtime: written after _order_batches pinned b0/b1 in the past)
+    full.filter(F.col("doc_id") >= 350).coalesce(1) \
+        .write.parquet(str(src / "b2.parquet"))
+    run_stream()
+
+    got = (spark.read.parquet(str(tmp_path / "out"))
+           .select("doc_id", "text").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (substring_dedup(SparkTbl(full), k=8).df
+            .select("doc_id", "text").toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)

@@ -179,3 +179,54 @@ def test_regex_metachar_sep_is_literal(spark):
     t = data_frame(spark, doc_id=[1], text=["hello|world|now"])
     out = substring_dedup(t, k=2, sep="|").df.toPandas()
     assert out.text.tolist() == ["hello|world|now"]
+
+
+def test_separator_byte_in_tokens_never_aliases(spark):
+    """Fingerprints hash the token SLICE, not a separator-joined string:
+    tokens containing \\x1f (the old join byte) must not alias distinct
+    windows (['a\\x1fb','c'] vs ['a','b\\x1fc']) — ADVICE r10."""
+    t = data_frame(spark, doc_id=[1, 2],
+                   text=["a\x1fb c", "a b\x1fc"])
+    for key in ("hash", "exact"):
+        out = substring_dedup(t, k=2, key=key).df.orderBy("doc_id") \
+            .toPandas()
+        assert out.doc_id.tolist() == [1, 2], key
+        assert out.text.tolist() == ["a\x1fb c", "a b\x1fc"], key
+
+
+def test_store_compact_equivalence_and_shape(spark):
+    """substring_store_compact: one row per gram with the earliest
+    (id, pos) provenance, and a store polluted with duplicate h rows
+    (overlapping snapshot writes) yields the IDENTICAL cut after
+    compaction — duplicates never changed decisions, compaction never
+    changes them either."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import (
+        substring_dedup_incremental, substring_store_compact,
+    )
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    a = SparkTbl(docs.filter(docs.doc_id < 250))
+    b = SparkTbl(docs.filter(docs.doc_id >= 250))
+    _out_a, store = substring_dedup_incremental(a, k=8)
+
+    # simulate an overlapping re-write: every gram appears twice, the
+    # duplicate carrying LATER provenance that compaction must not keep
+    dup = store.df.unionByName(
+        store.df.withColumn("doc_id", F.col("doc_id") + 10_000))
+    n_grams = store.df.count()
+    assert dup.count() == 2 * n_grams
+
+    compacted = substring_store_compact(dup)
+    assert compacted.df.columns == ["h", "doc_id", "pos"]
+    assert compacted.df.count() == n_grams
+    # earliest provenance survives: no synthetic +10k ids remain
+    assert compacted.df.filter(F.col("doc_id") >= 10_000).count() == 0
+
+    out_dup = substring_dedup_incremental(b, dup, k=8)[0].df \
+        .select("doc_id", "text").orderBy("doc_id").toPandas()
+    out_cmp = substring_dedup_incremental(b, compacted, k=8)[0].df \
+        .select("doc_id", "text").orderBy("doc_id").toPandas()
+    assert out_dup.equals(out_cmp)
