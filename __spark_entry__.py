@@ -5995,6 +5995,125 @@ FROM orders GROUP BY 1
 """
 
 
+def q_substring_store_compact(spark, sf):
+    """Gram-store maintenance graded end-to-end (corpus/dedup.py
+    substring_store_compact, the span-dedup member of the store-
+    maintenance trilogy): snapshot A (doc_id < 250) builds the gram
+    store, which is then POLLUTED with a duplicate overlapping write
+    (every gram re-appended under shifted ids — the backfill/replay
+    failure mode), compacted back to one earliest-provenance row per
+    gram (one partial-aggregating min(struct(id, pos)) shuffle), and
+    snapshot B is cut against the COMPACTED store.  The union of the two
+    incremental outputs must equal the from-scratch cut over the whole
+    corpus — proving compaction drops only redundant rows, never a
+    decision; the oracle IS the from-scratch SQL replay."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import (
+        substring_dedup_incremental, substring_store_compact,
+    )
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _t(spark, sf, "documents").df
+    a = SparkTbl(docs.filter(docs.doc_id < 250))
+    b = SparkTbl(docs.filter(docs.doc_id >= 250))
+    out_a, store = substring_dedup_incremental(a, k=8)
+    dup = store.df.unionByName(
+        store.df.withColumn("doc_id", F.col("doc_id") + 10_000))
+    compacted = substring_store_compact(SparkTbl(dup))
+    out_b, _store2 = substring_dedup_incremental(b, compacted, k=8)
+    return out_a.df.unionByName(out_b.df).select("doc_id", "text")
+
+
+SQL_SUBSTRING_STORE_COMPACT = SQL_SUBSTRING_DEDUP
+
+
+def q_lang_id_split(spark, sf):
+    """The persisted-profile production path for Cavnar-Trenkle language
+    ID (VERDICT r10 item 9 — the r10 grade trained and classified the
+    SAME table): train rank profiles on corpus A (doc_id < 250), persist
+    them to parquet, RE-READ them from disk, and classify corpus B
+    (doc_id >= 250) against the re-read profiles — the train-once /
+    apply-many split a production pipeline runs, proving the
+    (lang, gram, rank) profile table round-trips through storage.
+    All-integer distances; the oracle replays the identical split."""
+    import os
+    import shutil
+    import tempfile
+
+    from siuba_spark.corpus.text import lang_id, lang_profile_train
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    base = tempfile.mkdtemp(prefix="langid_entry_")
+    try:
+        prof = lang_profile_train(
+            SparkTbl(docs.filter(docs.doc_id < 250)), "lang", "text",
+            n=3, k=32)
+        pp = os.path.join(base, "profiles")
+        prof.write.parquet(pp)
+        out = lang_id(SparkTbl(docs.filter(docs.doc_id >= 250)),
+                      spark.read.parquet(pp), n=3, k=32)
+        res = out.df.select("doc_id", "lang_pred",
+                            "lang_pred_dist").toPandas()
+        return spark.createDataFrame(
+            res, "doc_id long, lang_pred string, lang_pred_dist long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_LANG_ID_SPLIT = """
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+lg AS (
+  SELECT lang, g, COUNT(*) AS cnt FROM (
+    SELECT lang,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> substr(t, CAST(i AS INT), 3))) AS g
+    FROM d WHERE doc_id < 250)
+  GROUP BY 1, 2),
+lp AS (
+  SELECT lang, g, rn FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM lg) WHERE rn <= 32),
+dg AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> substr(t, CAST(i AS INT), 3))) AS g
+    FROM d WHERE doc_id >= 250)
+  GROUP BY 1, 2),
+dp AS (
+  SELECT doc_id, g, rn FROM (
+    SELECT doc_id, g,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM dg) WHERE rn <= 32),
+langs AS (SELECT DISTINCT lang FROM lp),
+sc AS (
+  SELECT dp.doc_id, l.lang,
+         SUM(COALESCE(ABS(dp.rn - lp.rn), 32)) AS dist
+  FROM dp CROSS JOIN langs l
+  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+  GROUP BY 1, 2),
+pred AS (
+  SELECT doc_id, lang, dist FROM (
+    SELECT doc_id, lang, dist,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY dist ASC, lang ASC) AS rn
+    FROM sc) WHERE rn = 1)
+SELECT d.doc_id, p.lang AS lang_pred,
+       CAST(p.dist AS BIGINT) AS lang_pred_dist
+FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id
+WHERE d.doc_id >= 250
+"""
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -6243,45 +6362,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_substring_store": q_stream_substring_store,
         "dedup_segments_doc": q_dedup_segments_doc,
         "zorder_roundtrip": q_zorder_roundtrip,
+        # new in r11: store maintenance for the span-dedup trilogy + the
+        # persisted-profile lang-id split
+        "substring_store_compact": q_substring_store_compact,
+        "lang_id_split": q_lang_id_split,
     })
-    # Driver grades the FIRST 50 entries only.  Round-10 window: every
-    # entry with NO driver grade yet leads — the three r10 gates
-    # (slice_sample weights, cluster_by roundtrip, store compaction),
-    # the four r9 below-window additions (case_match_bands,
-    # uncount_weights, pack_unpack, chop_unchop), the four r10a
-    # additions (bpe_train_gate, bucketed_join_roundtrip, lang_id_ngram,
-    # embedding_clusters) and the five r10b additions (the ExactSubstr
-    # span-dedup family, normalize_text, doc-scope segment dedup) — then
-    # the entries whose LAST driver grade is oldest (the 25 remaining r6
-    # grades, then the r7 head alphabetical; the rest of the r7 block
-    # rotates in r11) — the rotation VERDICT r6 item 5 established.
+    # Driver grades the FIRST 50 entries only.  Round-11 window
+    # (VERDICT r10 item 2): the two never-graded r11 additions lead
+    # (substring_store_compact, lang_id_split), then every entry whose
+    # LAST driver grade is r7 (the full 42-entry remainder — computed
+    # from the CORRECTNESS_r{1..10} artifacts, not eyeballed), then the
+    # alphabetical head of the r8-aged block fills the window.
     # Everything else keeps its prior (green) grade and stays covered by
     # tools/oracle_sweep.py.
     front = [
-        # new in r10 (window gates)
-        "slice_weighted_gate", "cluster_by_roundtrip",
-        "semantic_store_compact",
-        # never driver-graded (added below the r9 window)
-        "case_match_bands", "uncount_weights", "pack_unpack",
-        "chop_unchop",
-        # never driver-graded (r10a additions)
-        "bpe_train_gate", "bucketed_join_roundtrip", "lang_id_ngram",
-        "embedding_clusters",
-        # never driver-graded (r10b additions)
-        "substring_dedup", "substring_dedup_incr",
-        "stream_substring_store", "normalize_text", "dedup_segments_doc",
-        "zorder_roundtrip",
-        # last graded r6 (all 25 remaining)
-        "rolling_stats", "rows_family", "separate_wider", "set_ops",
-        "simhash", "simhash_prod_gate", "stratified_mixture",
-        "tally_if_any", "tfidf_topk", "token_budget_sample",
-        "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9",
-        "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q19",
-        "tpch_q20", "tpch_q21", "tpch_q22",
-        "vocab_topk", "write_shards_roundtrip",
-        # last graded r7 (alphabetical head; the rest rotate in r11)
-        "add_count", "agg_stats", "arrange_limit", "bpe_token_count_true",
-        "case_when_bands", "complete_grid", "corpus_prep", "count_sorted",
+        # new in r11 (never driver-graded)
+        "substring_store_compact", "lang_id_split",
+        # last graded r7 (all 42)
+        "cumsum_running", "distinct_pairs", "dt_functions",
+        "events_sessionize", "events_total_seconds", "events_tumbling",
+        "exact_dedup_incremental", "extract_regex", "fct_infreq_arrange",
+        "fct_lump", "fct_lump_prop", "fct_reorder_arrange", "ffill_gaps",
+        "filter_compound", "fingerprint", "full_join_coalesce",
+        "gather_long", "grouped_filter", "grouped_mutate_zscore",
+        "join_inner", "join_left_agg", "lang_score", "lead_lag",
+        "minhash_incremental", "minhash_prod_gate", "mutate_arith",
+        "nest_unnest", "ntile_quartiles", "null_semantics",
+        "nunique_window", "offsets_family", "pivot_longer", "pivot_wider",
+        "pivot_wider_glue", "rank_methods", "revenue_by_nation",
+        "salted_join_agg", "select_rename", "semantic_dedup", "semi_anti",
+        "sql_raw_mutate", "token_count_bpe",
+        # last graded r8 (alphabetical head; the rest rotate in r12)
+        "across_agg", "agg_moments", "ann_topk", "asof_last_purchase",
+        "audio_meta", "bind_rows_slices",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -6486,6 +6599,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": SQL_LANG_ID_NGRAM,
         "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
         "substring_dedup": SQL_SUBSTRING_DEDUP,
+        "substring_store_compact": SQL_SUBSTRING_STORE_COMPACT,
+        "lang_id_split": SQL_LANG_ID_SPLIT,
         "normalize_text": SQL_NORMALIZE_TEXT,
         "substring_dedup_incr": SQL_SUBSTRING_DEDUP_INCR,
         "stream_substring_store": SQL_STREAM_SUBSTRING_STORE,
