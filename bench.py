@@ -72,6 +72,9 @@ def main():
         # round-10b additions: ExactSubstr span dedup + byte cleanup
         "substring_dedup", "normalize_text", "dedup_segments_doc",
         "zorder_roundtrip",
+        # round-11 additions: gram-store compaction chain + persisted-
+        # profile lang-id split
+        "substring_store_compact", "lang_id_split",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

@@ -31,17 +31,27 @@ __all__ = [
 @verb
 def exact_dedup(tbl: SparkTbl, cols=("text",), id_col: str = "doc_id",
                 keep: str = "min"):
-    """Keep one row per duplicate group (lowest id wins) and record the
-    group size.  One shuffle on the dedup key."""
+    """Keep one row per duplicate group (lowest id wins under
+    ``keep="min"``, highest under ``"max"``) and record the group size as
+    ``n_dups``.  ONE partial-combining hash-aggregate on the dedup key —
+    ``min_by``/``max_by`` carries the winning row, ``count`` the group
+    size — deliberately NOT a ``row_number`` Window: the dedup key IS
+    document content, and a boilerplate duplicate present in 1% of a
+    web-scale corpus would funnel every copy into a single Window task
+    AQE cannot split (the r11 skew finding); the aggregate collapses hot
+    keys map-side instead."""
     cols = list(cols)
-    w = Window.partitionBy(*cols)
-    w_rank = w.orderBy(F.col(id_col).asc() if keep == "min" else F.col(id_col).desc())
-    df = (tbl.df
-          .withColumn("n_dups", F.count(F.lit(1)).over(w))
-          .withColumn("__rn", F.row_number().over(w_rank))
-          .filter(F.col("__rn") == 1)
-          .drop("__rn"))
-    return tbl.evolve(df=df)
+    others = [c for c in tbl.df.columns if c not in cols]
+    picker = F.min_by if keep == "min" else F.max_by
+    aggs = [F.count(F.lit(1)).alias("n_dups")]
+    if others:
+        aggs.insert(0, picker(F.struct(*[F.col(c) for c in others]),
+                              F.col(id_col)).alias("__w"))
+    agg = tbl.df.groupBy(*[F.col(c) for c in cols]).agg(*aggs)
+    out_cols = [F.col(c) if c in cols
+                else F.col("__w").getField(c).alias(c)
+                for c in tbl.df.columns] + [F.col("n_dups")]
+    return tbl.evolve(df=agg.select(*out_cols))
 
 
 def shingles_col(toks, k: int = 3):

@@ -325,6 +325,83 @@ def main():
         return dequantize_embeddings(
             SparkTbl(q.df.drop("embedding")), out="embedding").df
 
+    def _hot_boiler(d, reps=2048):
+        """VERDICT r10 item 1: ONE boilerplate token planted in 10% of
+        docs, repeated ``reps`` times per hot doc — a single segment key
+        carrying a macroscopic fraction of all exploded segment rows
+        (at 10x: ~10M rows under ONE key, vs ~6M rows of everything
+        else).  The SemDeDup skew recipe, aimed at the first-occurrence
+        verbs: a row_number Window puts all ~10M in one task; the min_by
+        aggregate collapses them map-side."""
+        hot = (F.col("doc_id") % 10) == 0
+        boiler = F.concat_ws(" ", F.array_repeat(
+            F.lit("boilerplate-boilerplate-boilerplate"), reps))
+        return SparkTbl(d.df.withColumn(
+            "text",
+            F.when(hot, F.concat(boiler, F.lit(" "), F.col("text")))
+            .otherwise(F.col("text"))))
+
+    def segdedup_hot(d):
+        # the shipped min_by AGGREGATE path on the hot-key corpus
+        return dedup_segments(_hot_boiler(d), sep=" ").df
+
+    def segdedup_hot_window(d):
+        """COUNTERFACTUAL: the r10 row_number()-Window implementation
+        (quality.py pre-r11), reconstructed here so the decade ratio of
+        the unsplittable hot Window partition is measured against the
+        aggregate rewrite on identical data."""
+        import re as _re
+
+        from pyspark.sql import Window
+        df = _hot_boiler(d).df
+        others = [c for c in df.columns if c != "text"]
+        seg = (df.select(*others,
+                         F.posexplode(F.split(F.col("text"),
+                                              _re.escape(" "), -1))
+                         .alias("__pos", "__seg"))
+               .filter(F.length(F.trim(F.col("__seg"))) > 0))
+        w = Window.partitionBy("__seg").orderBy(F.col("doc_id").asc(),
+                                                F.col("__pos").asc())
+        kept = (seg.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+        return (kept.groupBy(*[F.col(c) for c in others])
+                .agg(F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("__pos").alias("p"),
+                                     F.col("__seg").alias("s")))),
+                        lambda st: st["s"])).alias("text"))
+                .select(*[F.col(c) for c in df.columns]))
+
+    def _hot_phrase(d, reps=16, k=16):
+        """One fixed k-token phrase tandem-repeated in 10% of docs: the
+        cyclic k-grams of the repeat are the hot fingerprint keys."""
+        hot = (F.col("doc_id") % 10) == 0
+        words = " ".join(f"hot{i}" for i in range(k))
+        phrase = F.concat_ws(" ", F.array_repeat(F.lit(words), reps))
+        return SparkTbl(d.df.withColumn(
+            "text",
+            F.when(hot, F.concat(phrase, F.lit(" "), F.col("text")))
+            .otherwise(F.col("text"))))
+
+    def span_hot(d):
+        # the shipped min(struct) + anti-join path on hot grams
+        return substring_dedup(_hot_phrase(d), k=16).df
+
+    def span_hot_window(d):
+        """COUNTERFACTUAL: the r10 gram-keyed row_number Window."""
+        from pyspark.sql import Window
+
+        from siuba_spark.corpus.dedup import _span_cut, _span_grams
+        df = _hot_phrase(d).df
+        toks, grams = _span_grams(df, "text", "doc_id", 16, " ", "hash")
+        w = Window.partitionBy("__h").orderBy(F.col("doc_id").asc(),
+                                              F.col("__pos").asc())
+        dup = (grams.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") > 1))
+        return _span_cut(df, toks, dup, "text", "doc_id", 16, " ")
+
     def quality_chain(d):
         # the composed training-data quality path (VERDICT r6 item 10):
         # gopher filter -> PII scrub -> unigram logprob -> token budget
@@ -388,6 +465,11 @@ def main():
         "simhash": lambda d: add_simhash(d, bits=16, id_col="doc_id").df,
         "quality_signals": lambda d: quality_signals(d).df,
         "dedup_segments": lambda d: dedup_segments(d, sep=" ").df,
+        # r11 hot-key rigs: new aggregate vs the r10 Window counterfactual
+        "segdedup_hot": segdedup_hot,
+        "segdedup_hot_window": segdedup_hot_window,
+        "span_hot": span_hot,
+        "span_hot_window": span_hot_window,
         # ExactSubstr span dedup: the scale rig's id-shifted copies are a
         # deliberately ADVERSARIAL corpus (every copy duplicates ~the whole
         # base doc, so ~90% of windows are dup starts and the covered-
