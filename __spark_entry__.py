@@ -1206,9 +1206,12 @@ FROM t
 
 
 def q_fingerprint(spark, sf):
+    # method="join": the count key is CONTENT (an md5 fingerprint), so
+    # the scale-safe lowering is aggregate+join-back, not a window a hot
+    # mass-duplicate fingerprint would funnel (r11 skew watch)
     return (
         fingerprint(_t(spark, sf, "documents"))
-        >> add_count(_.fingerprint, name="fp_count")
+        >> add_count(_.fingerprint, name="fp_count", method="join")
         >> select(_.doc_id, _.fingerprint, _.fp_count)
     ).df
 
@@ -5771,9 +5774,11 @@ def q_substring_dedup(spark, sf):
     Graded with the default ``key="hash"`` (the 100 TB path: 8-byte
     xxhash64 fingerprint shuffle keys) against a text-keyed SQL oracle —
     proving the fingerprint path reproduces the exact-substring answer.
-    Plan: zero-shuffle sliding fingerprints, ONE gram-keyed window
-    shuffle, covered-position distinct, co-partitioned LEFT ANTI join,
-    doc-keyed reassembly — never a pair join, O(tokens·k) map work."""
+    Plan: zero-shuffle sliding fingerprints, ONE partial-combining
+    gram-keyed min-aggregate + a skew-free (h,id,pos) anti-join (r11 —
+    no content-keyed Window), covered-position distinct, co-partitioned
+    LEFT ANTI cut, doc-keyed reassembly — never a pair join,
+    O(tokens·k) map work."""
     from siuba_spark.corpus.dedup import substring_dedup
 
     return (substring_dedup(_t(spark, sf, "documents"), k=8)

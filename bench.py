@@ -101,10 +101,14 @@ def main():
     # rolling_time_window / interval_join_events added r9: run-b sat
     # 1.37x/1.28x over the r8 artifact with no code cause in the r9
     # diff (clean-JVM min-of-7 = r7 levels); r10 watch set
+    # set_ops added r11 (VERDICT r10 item 8): third consecutive round on
+    # watch; two back-to-back clean JVMs measured 0.535 vs 0.341 min-of-7
+    # on identical code (r8/r9 recordings: 0.339/0.311) — adjudicated
+    # noise, pinned with extra reps so the driver number stays honest
     EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3",
                   "tpch_q4", "rolling_stats", "ivf_topk_lloyd",
                   "pack_sequences", "rolling_time_window",
-                  "interval_join_events"}
+                  "interval_join_events", "set_ops"}
     # ivf_topk_lloyd has flip-flopped three rounds (1.48-2.8 s, run-b and
     # run-c flagging OPPOSITE directions); VERDICT r9 item 5 escalates it
     # to min-of-7 so the r10 compare adjudicates it finally

@@ -11,7 +11,6 @@ All transformations are built-in array functions — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..plans.pipe import verb

@@ -300,10 +300,23 @@ def count(tbl: SparkTbl, *args, wt=None, sort: bool = False, name: str | None = 
 
 @verb
 def add_count(tbl: SparkTbl, *args, wt=None, sort: bool = False,
-              name: str | None = None, **kwargs):
+              name: str | None = None, method: str = "window", **kwargs):
     """Like count but joined back as a column — implemented as a window
-    aggregate, exactly the reference's AggOver(count) approach
-    (siuba/sql/verbs/count.py:58-86)."""
+    aggregate by default, exactly the reference's AggOver(count) approach
+    (siuba/sql/verbs/count.py:58-86).
+
+    ``method="join"`` (beyond the reference) lowers instead to
+    ``groupBy(keys).count`` + an equi-join back — the scale-safe shape
+    when the count key is high-cardinality CONTENT (a document text or
+    fingerprint column): the window form funnels every occurrence of one
+    hot key into a single Window task AQE cannot split, while the
+    aggregate partial-combines hot keys map-side and the join back is
+    AQE-skew-splittable.  Same rows, same values, one extra (small,
+    pre-aggregated) shuffle — choose it when ``lint_plan``'s skew watch
+    flags the window.  NULL keys count together in both lowerings (the
+    join uses null-safe equality, matching window partitioning)."""
+    if method not in ("window", "join"):
+        raise ValueError("method must be 'window' or 'join'")
     work = mutate(tbl, **kwargs) if kwargs else tbl
     names = list(tbl.group_by)
     for nm in _names_from_args(args) + list(kwargs):
@@ -315,6 +328,19 @@ def add_count(tbl: SparkTbl, *args, wt=None, sort: bool = False,
     else:
         ctx = work.row_ctx()
         agg = F.sum(lower(strip_symbolic(wt), ctx)[0])
+    if method == "join" and names:
+        counts = (work.df.groupBy(*[F.col(c) for c in names])
+                  .agg(agg.alias(out_name))
+                  .select(*[F.col(c).alias(f"__ac_{c}") for c in names],
+                          out_name))
+        cond = None
+        for c in names:
+            eq = F.col(c).eqNullSafe(F.col(f"__ac_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        df = (work.df.join(counts, cond, "left")
+              .drop(*[f"__ac_{c}" for c in names])
+              .select(*work.df.columns, out_name))
+        return work.evolve(df=df)
     w = Window.partitionBy(*[F.col(c) for c in names])
     df = work.df.withColumn(out_name, agg.over(w))
     return work.evolve(df=df)
@@ -331,10 +357,11 @@ def tally(tbl: SparkTbl, wt=None, sort: bool = False, name: str | None = None):
 
 @verb
 def add_tally(tbl: SparkTbl, wt=None, sort: bool = False,
-              name: str | None = None):
+              name: str | None = None, method: str = "window"):
     """dplyr ``add_tally``: the current group's size joined back as a
-    column (window aggregate — no join-back, like add_count)."""
-    return add_count(tbl, wt=wt, sort=sort, name=name)
+    column (window aggregate by default; ``method="join"`` lowers to the
+    AQE-splittable aggregate+join like add_count)."""
+    return add_count(tbl, wt=wt, sort=sort, name=name, method=method)
 
 
 @verb

@@ -136,3 +136,33 @@ def test_exact_incremental_rejects_keep_max(spark):
     a = _docs(spark, [(0, "x"), (1, "x")])
     with pytest.raises(ValueError, match="keep='min'"):
         exact_dedup_incremental(a, None, cols=["text"], keep="max")
+
+
+def test_exact_dedup_keep_modes_and_plan_shape(spark):
+    """The r11 aggregate rewrite: keep='min'/'max' pick the lowest/
+    highest id per duplicate group with the full row carried through
+    min_by/max_by (no Window in the plan — the dedup key is content, a
+    Window over it is the hot-key funnel), n_dups counts the group, and
+    the all-columns-are-keys edge degrades to a pure count."""
+    rows = [(1, "a", "x"), (3, "a", "y"), (2, "a", "z"), (5, "b", "w")]
+    t = tbl(spark.createDataFrame(rows, "doc_id long, text string, extra string"))
+
+    lo = exact_dedup(t, cols=["text"]).df.orderBy("text").collect()
+    assert [(r.doc_id, r.text, r.extra, r.n_dups) for r in lo] == \
+        [(1, "a", "x", 3), (5, "b", "w", 1)]
+
+    hi = exact_dedup(t, cols=["text"], keep="max").df.orderBy("text").collect()
+    assert [(r.doc_id, r.text, r.extra, r.n_dups) for r in hi] == \
+        [(3, "a", "y", 3), (5, "b", "w", 1)]
+
+    plan = exact_dedup(t, cols=["text"]).df._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+    # every column a key: nothing left to carry, just count per group
+    allkeys = exact_dedup(
+        t, cols=["doc_id", "text", "extra"]).df
+    assert allkeys.count() == 4
+    assert allkeys.filter("n_dups != 1").count() == 0
+    assert allkeys.columns == ["doc_id", "text", "extra", "n_dups"]

@@ -350,3 +350,33 @@ def test_count_name_clears_factor_entry(spark):
     t2 = t >> mutate(f=fct_inorder(_.f))
     out = t2 >> count(_.g, name="f")
     assert "f" not in out.factors
+
+
+def test_add_count_join_method_matches_window(spark):
+    """add_count(method='join'): the scale-safe lowering for content
+    keys — identical rows/values to the window form (including NULL keys
+    counting together via null-safe join equality), no Window node in
+    the plan, weighted counts supported."""
+    t = data_frame(spark, g=["a", "a", "b", None, None], x=[1, 2, 3, 4, 5])
+
+    win = (t >> add_count(_.g)).df.orderBy("x").toPandas()
+    jn = (t >> add_count(_.g, method="join")).df.orderBy("x").toPandas()
+    pd.testing.assert_frame_equal(win, jn)
+    assert jn.n.tolist() == [2, 2, 1, 2, 2]
+
+    wv = (t >> add_count(_.g, wt=_.x)).df.orderBy("x").toPandas()
+    jv = (t >> add_count(_.g, wt=_.x, method="join")).df.orderBy("x").toPandas()
+    pd.testing.assert_frame_equal(wv, jv)
+
+    plan = (t >> add_count(_.g, method="join")).df._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+
+    # the join lowering keeps grouped state + column order like the
+    # window form
+    g = t >> group_by(_.g) >> add_count(method="join")
+    assert g.group_by == ("g",)
+    assert g.df.columns == ["g", "x", "n"]
+
+    with pytest.raises(ValueError):
+        t >> add_count(_.g, method="broadcast")
