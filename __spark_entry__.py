@@ -3589,6 +3589,51 @@ FROM ranked WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_dedup_segments_none(spark, sf):
+    """Corpus-WIDE segment dedup in the aggressive CCNet keep='none'
+    mode, word edition: any token occurring MORE THAN ONCE anywhere in
+    the corpus is dropped from every document; documents whose every
+    token repeats vanish.  Grades the r11 rewrite's second branch: ONE
+    partial-combining groupBy(segment).agg(min_by, count) with the
+    count==1 gate (no content-keyed Window), then doc-keyed reassembly.
+    The graded corpus is manufactured non-degenerate: each document is
+    cut to its first 12 words plus a per-doc unique token, so survivors
+    are the unique token plus whichever head words are corpus-unique —
+    raw word-mode keep='none' on the full table drops every row (all
+    common words repeat), which would grade an empty result."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import dedup_segments
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _t(spark, sf, "documents").df
+    head12 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " ", -1),
+                                      1, 12))
+    t2 = docs.withColumn(
+        "text", F.concat(head12, F.lit(" uniq"),
+                         F.col("doc_id").cast("string")))
+    return (dedup_segments(SparkTbl(t2), sep=" ", keep="none")
+            .df.select("doc_id", "text"))
+
+
+SQL_DEDUP_SEGMENTS_NONE = """
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:12], ' ')
+           || ' uniq' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents),
+seg AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM d),
+nz AS (SELECT * FROM seg WHERE length(trim(seg)) > 0),
+uniq AS (SELECT seg FROM nz GROUP BY seg HAVING COUNT(*) = 1)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+FROM nz JOIN uniq USING (seg) GROUP BY doc_id
+"""
+
+
+
 def q_slice_minmax(spark, sf):
     """dplyr slice_max: top-3 orders by price per priority class, ties
     kept (rank-based single window)."""
@@ -6371,6 +6416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # persisted-profile lang-id split
         "substring_store_compact": q_substring_store_compact,
         "lang_id_split": q_lang_id_split,
+        "dedup_segments_none": q_dedup_segments_none,
     })
     # Driver grades the FIRST 50 entries only.  Round-11 window
     # (VERDICT r10 item 2): the two never-graded r11 additions lead
@@ -6382,7 +6428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/oracle_sweep.py.
     front = [
         # new in r11 (never driver-graded)
-        "substring_store_compact", "lang_id_split",
+        "substring_store_compact", "lang_id_split", "dedup_segments_none",
         # last graded r7 (all 42)
         "cumsum_running", "distinct_pairs", "dt_functions",
         "events_sessionize", "events_total_seconds", "events_tumbling",
@@ -6399,7 +6445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_raw_mutate", "token_count_bpe",
         # last graded r8 (alphabetical head; the rest rotate in r12)
         "across_agg", "agg_moments", "ann_topk", "asof_last_purchase",
-        "audio_meta", "bind_rows_slices",
+        "audio_meta",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -6606,6 +6652,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": SQL_SUBSTRING_DEDUP,
         "substring_store_compact": SQL_SUBSTRING_STORE_COMPACT,
         "lang_id_split": SQL_LANG_ID_SPLIT,
+        "dedup_segments_none": SQL_DEDUP_SEGMENTS_NONE,
         "normalize_text": SQL_NORMALIZE_TEXT,
         "substring_dedup_incr": SQL_SUBSTRING_DEDUP_INCR,
         "stream_substring_store": SQL_STREAM_SUBSTRING_STORE,

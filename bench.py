@@ -73,8 +73,8 @@ def main():
         "substring_dedup", "normalize_text", "dedup_segments_doc",
         "zorder_roundtrip",
         # round-11 additions: gram-store compaction chain + persisted-
-        # profile lang-id split
-        "substring_store_compact", "lang_id_split",
+        # profile lang-id split + keep='none' corpus segment dedup
+        "substring_store_compact", "lang_id_split", "dedup_segments_none",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

@@ -533,7 +533,8 @@ def stream_substring_dedup(stream_tbl: SparkTbl, store_path: str,
                            out_path: str, checkpoint: str,
                            col: str = "text", id_col: str = "doc_id",
                            k: int = 16, sep: str = " ", key: str = "hash",
-                           trigger_available_now: bool = True):
+                           trigger_available_now: bool = True,
+                           enforce_id_order: bool = False):
     """Streaming ExactSubstr span dedup over a document stream, backed by
     an APPEND-ONLY parquet gram-fingerprint store — the Structured-
     Streaming twin of ``corpus.dedup.substring_dedup_incremental`` and
@@ -561,9 +562,14 @@ def stream_substring_dedup(stream_tbl: SparkTbl, store_path: str,
     order, and the result degrades to approximate dedup (every window is
     still cut at most once, but WHICH occurrence survives can differ
     from the from-scratch answer) — stage source files with strictly
-    increasing mtimes, as the graded harness does.  Idempotency:
-    per-batch ``batch=<id>`` overwrite partitions, same at-least-once
-    contract as the other two stores.  Returns the ``StreamingQuery``.
+    increasing mtimes, as the graded harness does.
+    ``enforce_id_order=True`` turns the contract into a CHECK: each
+    batch's min id is compared against the store's max id (two tiny
+    aggregations per batch) and an out-of-order batch raises instead of
+    silently degrading — retry-safe, because a retried batch never sees
+    its own partial store partition.  Idempotency: per-batch
+    ``batch=<id>`` overwrite partitions, same at-least-once contract as
+    the other two stores.  Returns the ``StreamingQuery``.
     """
     import os
 
@@ -576,6 +582,18 @@ def stream_substring_dedup(stream_tbl: SparkTbl, store_path: str,
             return
         spark = batch_df.sparkSession
         store = _read_batch_store(spark, store_path, batch_id)
+        if enforce_id_order and store is not None:
+            store_max = store.agg(F.max(F.col(id_col))).first()[0]
+            batch_min = batch_df.agg(F.min(F.col(id_col))).first()[0]
+            if (store_max is not None and batch_min is not None
+                    and batch_min <= store_max):
+                raise RuntimeError(
+                    f"stream_substring_dedup: batch {int(batch_id)} min "
+                    f"{id_col}={batch_min!r} <= store max {store_max!r} — "
+                    "batches arrived out of id order, so the from-scratch "
+                    "equivalence no longer holds (stage source files with "
+                    "strictly increasing mtimes, or pass "
+                    "enforce_id_order=False to accept approximate dedup)")
         # the private core returns the batch's NEW first-occurrence grams
         # directly — the store sink never re-derives them from a
         # full-store union (no store re-scan per batch).  The batch is

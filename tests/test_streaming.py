@@ -737,3 +737,61 @@ def test_compact_substring_store_epoch_swap(spark, tmp_path):
             .select("doc_id", "text").toPandas()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_substring_enforce_id_order(spark, tmp_path):
+    """enforce_id_order=True turns the monotone-id contract into a check:
+    an out-of-order batch (later-mtime file carrying LOWER ids) fails the
+    query instead of silently degrading to approximate dedup; an
+    in-order stream with the flag on still matches from-scratch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from siuba_spark import tbl as _tbl
+    from siuba_spark.corpus.dedup import substring_dedup
+    from siuba_spark.plans.tbl import SparkTbl
+    from siuba_spark.streaming.windows import stream_substring_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i} " + "a b c d e f g h") for i in range(6)],
+        "doc_id long, text string")
+    schema = "doc_id long, text string"
+
+    def stage(src, first, second):
+        src.mkdir()
+        first.coalesce(1).write.parquet(str(src / "b0.parquet"))
+        second.coalesce(1).write.parquet(str(src / "b1.parquet"))
+        _order_batches(src)  # b0 strictly older -> processed first
+
+    def run(src, base, enforce):
+        q = stream_substring_dedup(
+            _tbl(spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1)
+                 .parquet(str(src) + "/*.parquet")),
+            store_path=str(base / "store"), out_path=str(base / "out"),
+            checkpoint=str(base / "ckpt"), k=8,
+            enforce_id_order=enforce)
+        assert q.awaitTermination(120)
+
+    # in-order: enforce on, exact from-scratch parity
+    ok = tmp_path / "ok"
+    ok.mkdir()
+    stage(ok / "src", docs.filter(F.col("doc_id") < 3),
+          docs.filter(F.col("doc_id") >= 3))
+    run(ok / "src", ok, enforce=True)
+    got = (spark.read.parquet(str(ok / "out"))
+           .select("doc_id", "text").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (substring_dedup(SparkTbl(docs), k=8).df
+            .select("doc_id", "text").toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # out-of-order: the HIGH-id half staged older (processed first) —
+    # enforce raises through awaitTermination
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    stage(bad / "src", docs.filter(F.col("doc_id") >= 3),
+          docs.filter(F.col("doc_id") < 3))
+    with pytest.raises(Exception, match="out of id order"):
+        run(bad / "src", bad, enforce=True)
