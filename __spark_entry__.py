@@ -6163,6 +6163,118 @@ WHERE d.doc_id >= 250
 """
 
 
+def q_domain_cap(spark, sf):
+    """Per-source document cap (corpus/quality.py cap_per_key — the
+    RefinedWeb "max N docs per domain" mixture step) graded end-to-end:
+    keep the 10 lowest doc_ids of each source via the SALTED two-phase
+    lowering (bounded (source, salt) cells, then a <= n*salts-row
+    re-rank per key), whose output must equal the oracle's single
+    row_number-per-source window exactly.  Salting never changes the
+    OUTPUT — only where the work happens — and this grade pins that
+    equivalence, which is what the hot-domain scale story rests on."""
+    from siuba_spark.corpus.quality import cap_per_key
+
+    return (cap_per_key(_td(spark, sf), "source", n=10, order_by="doc_id")
+            .df.select("doc_id", "source"))
+
+
+SQL_DOMAIN_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
+def q_url_parts_extract(spark, sf):
+    """URL decomposition (corpus/text.py url_parts — JVM try_parse_url
+    inside whole-stage codegen + the registrable-domain heuristic)
+    across the four shapes a crawl contains: ordinary hosts (domain =
+    last two labels), 2-level public suffixes (src3/src7 on .co.uk ->
+    last THREE labels), IP-literal hosts (pass through unchanged), and
+    malformed URLs (src9: try_parse_url yields NULL, never an ANSI
+    error).  Pure zero-shuffle projection; the oracle re-derives every
+    component with independent string logic."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.text import url_parts
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    url = (F.when(docs.source == "src9",
+                  F.concat(F.lit("doc "), docs.doc_id.cast("string")))
+           .when(docs.source == "src5",
+                 F.concat(F.lit("http://192.168.10."),
+                          (docs.doc_id % 250).cast("string"), F.lit("/x")))
+           .otherwise(F.concat(
+               F.lit("https://"), docs.lang, F.lit("."), docs.source,
+               F.when(docs.source.isin("src3", "src7"), F.lit(".co.uk"))
+               .otherwise(F.lit(".example.com")),
+               F.lit("/d/"), docs.doc_id.cast("string"),
+               F.lit("?lang="), docs.lang)))
+    out = url_parts(SparkTbl(docs.withColumn("url", url)), "url",
+                    parts=("host", "path", "query"))
+    return out.df.select("doc_id", "host", "path",
+                         F.col("query").alias("url_query"), "domain")
+
+
+SQL_URL_PARTS_EXTRACT = """
+SELECT doc_id,
+  CASE WHEN source = 'src9' THEN NULL
+       WHEN source = 'src5'
+         THEN '192.168.10.' || CAST(doc_id % 250 AS VARCHAR)
+       WHEN source IN ('src3', 'src7') THEN lang || '.' || source || '.co.uk'
+       ELSE lang || '.' || source || '.example.com' END AS host,
+  CASE WHEN source = 'src9' THEN NULL
+       WHEN source = 'src5' THEN '/x'
+       ELSE '/d/' || CAST(doc_id AS VARCHAR) END AS path,
+  CASE WHEN source IN ('src9', 'src5') THEN NULL
+       ELSE 'lang=' || lang END AS url_query,
+  CASE WHEN source = 'src9' THEN NULL
+       WHEN source = 'src5'
+         THEN '192.168.10.' || CAST(doc_id % 250 AS VARCHAR)
+       WHEN source IN ('src3', 'src7') THEN source || '.co.uk'
+       ELSE 'example.com' END AS domain
+FROM documents
+"""
+
+
+def q_blocklist_filter(spark, sf):
+    """Blocklist filtering (corpus/text.py filter_blocklist — the
+    UT1-style domain-blocklist step): hosts derived per document, one
+    entry blocks a registrable DOMAIN (src3.co.uk — every language
+    subdomain of src3 must fall), one blocks an EXACT host
+    (en.src5.example.com — only the English src5 rows fall).  Both
+    lower to EQUI anti-joins (domain mode probes the registrable-domain
+    expression), never an endswith theta join over the corpus; AQE
+    broadcasts the tiny list.  Returns survivor counts per source."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.text import filter_blocklist
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    host = F.concat(docs.lang, F.lit("."), docs.source,
+                    F.when(docs.source.isin("src3", "src7"),
+                           F.lit(".co.uk"))
+                    .otherwise(F.lit(".example.com")))
+    t = SparkTbl(docs.withColumn("host", host))
+    dom_bl = spark.createDataFrame([("src3.co.uk",)], "blocked string")
+    host_bl = spark.createDataFrame([("en.src5.example.com",)],
+                                    "blocked string")
+    t = filter_blocklist(t, dom_bl, col="host", mode="domain")
+    t = filter_blocklist(t, host_bl, col="host", mode="exact")
+    return (t.df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("source", "n_docs"))
+
+
+SQL_BLOCKLIST_FILTER = """
+SELECT source, COUNT(*) AS n_docs FROM documents
+WHERE source <> 'src3' AND NOT (source = 'src5' AND lang = 'en')
+GROUP BY source
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -6417,18 +6529,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_store_compact": q_substring_store_compact,
         "lang_id_split": q_lang_id_split,
         "dedup_segments_none": q_dedup_segments_none,
+        # new in r11 (session 2): the web-corpus URL surface — salted
+        # per-domain caps, URL decomposition, blocklist filtering
+        "domain_cap": q_domain_cap,
+        "url_parts_extract": q_url_parts_extract,
+        "blocklist_filter": q_blocklist_filter,
     })
     # Driver grades the FIRST 50 entries only.  Round-11 window
-    # (VERDICT r10 item 2): the two never-graded r11 additions lead
-    # (substring_store_compact, lang_id_split), then every entry whose
-    # LAST driver grade is r7 (the full 42-entry remainder — computed
-    # from the CORRECTNESS_r{1..10} artifacts, not eyeballed), then the
+    # (VERDICT r10 item 2): the six never-graded r11 additions lead
+    # (store compaction, lang-id split, keep='none' segment dedup, and
+    # the URL surface: domain_cap / url_parts_extract /
+    # blocklist_filter), then every entry whose LAST driver grade is r7
+    # (the full 42-entry remainder — computed from the
+    # CORRECTNESS_r{1..10} artifacts, not eyeballed), then the
     # alphabetical head of the r8-aged block fills the window.
     # Everything else keeps its prior (green) grade and stays covered by
     # tools/oracle_sweep.py.
     front = [
         # new in r11 (never driver-graded)
         "substring_store_compact", "lang_id_split", "dedup_segments_none",
+        "domain_cap", "url_parts_extract", "blocklist_filter",
         # last graded r7 (all 42)
         "cumsum_running", "distinct_pairs", "dt_functions",
         "events_sessionize", "events_total_seconds", "events_tumbling",
@@ -6444,8 +6564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg", "select_rename", "semantic_dedup", "semi_anti",
         "sql_raw_mutate", "token_count_bpe",
         # last graded r8 (alphabetical head; the rest rotate in r12)
-        "across_agg", "agg_moments", "ann_topk", "asof_last_purchase",
-        "audio_meta",
+        "across_agg", "agg_moments",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -6653,6 +6772,9 @@ def oracle_sql() -> dict[str, str]:
         "substring_store_compact": SQL_SUBSTRING_STORE_COMPACT,
         "lang_id_split": SQL_LANG_ID_SPLIT,
         "dedup_segments_none": SQL_DEDUP_SEGMENTS_NONE,
+        "domain_cap": SQL_DOMAIN_CAP,
+        "url_parts_extract": SQL_URL_PARTS_EXTRACT,
+        "blocklist_filter": SQL_BLOCKLIST_FILTER,
         "normalize_text": SQL_NORMALIZE_TEXT,
         "substring_dedup_incr": SQL_SUBSTRING_DEDUP_INCR,
         "stream_substring_store": SQL_STREAM_SUBSTRING_STORE,

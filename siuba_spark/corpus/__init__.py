@@ -17,16 +17,17 @@ from .multimodal import (  # noqa: F401
     decode_audio, decode_images, decode_video,
 )
 from .quality import (  # noqa: F401
-    GOPHER_DEFAULTS, chunk_tokens, dedup_segments, gopher_filter,
-    ngram_contamination, pack_sequences, quality_signals, scrub_pii,
-    stratified_sample, token_budget_sample, unigram_logprob,
+    GOPHER_DEFAULTS, cap_per_key, chunk_tokens, dedup_segments,
+    gopher_filter, ngram_contamination, pack_sequences, quality_signals,
+    scrub_pii, stratified_sample, token_budget_sample, unigram_logprob,
 )
 from .similarity import (  # noqa: F401
     add_hyperplane_bucket, brute_force_topk, cosine_near_dups,
     cosine_sim_col, ivf_pq_topk, ivf_topk, lsh_topk, pq_topk,
 )
 from .text import (  # noqa: F401
-    fingerprint, hash_features, lang_id, lang_profile_train, lang_score,
-    normalize_text, text_stats, tf_idf, token_count_bpe, tokenize,
+    filter_blocklist, fingerprint, hash_features, lang_id,
+    lang_profile_train, lang_score, normalize_text, registrable_domain_col,
+    text_stats, tf_idf, token_count_bpe, tokenize, url_parts,
     vocab_topk,
 )

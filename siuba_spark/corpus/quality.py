@@ -27,7 +27,7 @@ __all__ = [
     "quality_signals", "scrub_pii", "stratified_sample", "dedup_segments",
     "ngram_contamination", "unigram_logprob", "chunk_tokens",
     "pack_sequences", "gopher_filter", "token_budget_sample",
-    "GOPHER_DEFAULTS", "PII_PATTERNS",
+    "cap_per_key", "GOPHER_DEFAULTS", "PII_PATTERNS",
 ]
 
 
@@ -236,9 +236,10 @@ def stratified_sample(tbl: SparkTbl, *strata, n: int | None = None,
 
     ``n=``     keeps exactly n rows per stratum: rank by md5 inside each
     stratum (one window shuffle on the strata key).  Strata are whatever
-    columns are passed (or the current group_by); per-stratum cardinality
-    is user-chosen, so skew is the caller's knob — the md5 sort key
-    itself is uniform.
+    columns are passed (or the current group_by); the rank-limit shape
+    gets a map-side Partial WindowGroupLimit (SPARK-37099), so even a
+    hot stratum's reduce partition is bounded at n * map_partitions
+    rows — the md5 sort key itself is uniform.
     """
     keys = [str(s) for s in strata] or list(tbl.group_by)
     if (n is None) == (frac is None):
@@ -399,6 +400,50 @@ def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
           .withColumn("__before", before)
           .filter(F.col("__before") < budget)
           .drop("__before"))
+    return tbl.evolve(df=df)
+
+
+@verb
+def cap_per_key(tbl: SparkTbl, *keys, n: int, order_by: str = "doc_id",
+                ascending: bool = True):
+    """Keep at most ``n`` rows per key — the RefinedWeb / C4 "max N
+    documents per domain" mixture cap.  Keeps the n smallest (or largest,
+    ``ascending=False``) ``order_by`` values per key, ties broken
+    deterministically by the remaining columns.
+
+    Scale story: this lowers to ONE ``row_number`` window + a ``<= n``
+    rank filter, a shape Spark's InferWindowGroupLimit rule (3.5+,
+    SPARK-37099) rewrites with a map-side PARTIAL top-n pass per key
+    BEFORE the exchange — every map partition forwards at most n rows
+    per key, so the reduce-side partition of a hot domain is bounded at
+    n * num_map_partitions rows no matter how hot the key.  The
+    hand-salted two-phase rewrite this replaced (salt the key, top-n per
+    (key, salt) cell, re-rank the survivors) measured 2.2x SLOWER on a
+    10M-page hot-domain rig (tools/scale_spot.py domain_cap_hot_salted)
+    because it pays a second full exchange for a bound WindowGroupLimit
+    already provides; SCALE.md records the negative result, and
+    tests/test_url_corpus.py pins the Partial WindowGroupLimit in the
+    physical plan so a regression to an unbounded window cannot land
+    silently.  NOTE this bound is specific to rank-LIMIT windows —
+    general first-occurrence windows (``row_number() == 1`` keyed on
+    segment/gram CONTENT) stay rewritten as min_by aggregates
+    (dedup_segments, substring_dedup): their downstream consumes the
+    non-kept rows too, which WindowGroupLimit cannot prune.
+    """
+    keys = [str(k) for k in keys] or list(tbl.group_by)
+    if not keys:
+        raise ValueError("cap_per_key needs key columns (or a grouped tbl)")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    oc = F.col(order_by)
+    head = oc.asc_nulls_last() if ascending else oc.desc_nulls_last()
+    # deterministic total order: order_by, then every other column
+    # (slice_min's with_ties=False tie-break precedent)
+    order = [head] + [F.col(c).asc_nulls_last() for c in tbl.columns
+                      if c != order_by and c not in keys]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    df = (tbl.df.withColumn("__rn", F.row_number().over(w))
+          .filter(F.col("__rn") <= n).drop("__rn"))
     return tbl.evolve(df=df)
 
 

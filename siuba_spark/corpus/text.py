@@ -17,6 +17,8 @@ __all__ = [
     "tokenize", "text_stats", "lang_score", "fingerprint", "token_count_bpe",
     "vocab_topk", "tf_idf", "hash_features", "EN_MARKERS",
     "lang_profile_train", "lang_id", "normalize_text",
+    "url_parts", "filter_blocklist", "registrable_domain_col",
+    "TWO_LEVEL_SUFFIXES", "URL_PART_NAMES",
 ]
 
 # small English marker/stopword list for the language-score heuristic
@@ -356,3 +358,100 @@ def normalize_text(tbl: SparkTbl, col: str = "text", out: str | None = None,
     if lower:
         c = F.lower(c)
     return tbl.evolve(df=tbl.df.withColumn(out or col, c))
+
+
+# Common 2-level public suffixes for the registrable-domain heuristic.
+# NOT the full Mozilla Public Suffix List (no data files in this build) —
+# the long tail (city suffixes, private registries) falls back to the
+# last-two-labels rule; the docstring on registrable_domain_col says so.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr", "co.in", "net.in", "org.in",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.nz", "net.nz", "org.nz", "co.za", "com.my", "com.ph",
+)
+
+
+def registrable_domain_col(host):
+    """Registrable domain ("example.co.uk" -> "example.co.uk",
+    "a.b.example.com" -> "example.com") as a pure codegen expression:
+    last two host labels, or last three when the last two are a known
+    2-level public suffix (TWO_LEVEL_SUFFIXES — a curated subset, not
+    the full PSL; unknown multi-level registries fall back to the
+    last-two rule).  NULL/IP-literal hosts pass through unchanged."""
+    parts = F.split(host, r"\.")
+    npart = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3),
+                        F.element_at(parts, -2), F.element_at(parts, -1))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (F.when(host.isNull() | is_ip | (npart <= 2), host)
+            .when(F.lower(last2).isin(*TWO_LEVEL_SUFFIXES), last3)
+            .otherwise(last2))
+
+
+URL_PART_NAMES = ("protocol", "host", "path", "query", "ref",
+                  "userinfo", "authority", "file")
+
+
+@verb
+def url_parts(tbl: SparkTbl, col: str = "url",
+              parts=("host", "path", "query"), prefix: str = "",
+              domain: bool = True):
+    """Decompose a URL column into components — the first step of every
+    web-corpus pipeline (per-domain caps, blocklist filtering, source
+    attribution).  Each part is the JVM ``try_parse_url`` expression
+    (whole-stage codegen, zero Python, NULL on malformed URLs instead of
+    an ANSI error); ``domain=True`` adds ``{prefix}domain``, the
+    registrable domain of the host (registrable_domain_col heuristic).
+
+    Part names (Spark parse_url vocabulary, case-insensitive):
+    protocol host path query ref userinfo authority file.
+    Pure projection — zero shuffle at any corpus size.
+    """
+    bad = [p for p in parts if p.lower() not in URL_PART_NAMES]
+    if bad:
+        raise ValueError(f"unknown URL parts {bad}; "
+                         f"choose from {URL_PART_NAMES}")
+    df = tbl.df
+    for p in parts:
+        df = df.withColumn(prefix + p.lower(),
+                           F.try_parse_url(F.col(col), F.lit(p.upper())))
+    if domain:
+        host = F.try_parse_url(F.col(col), F.lit("HOST"))
+        df = df.withColumn(prefix + "domain", registrable_domain_col(host))
+    return tbl.evolve(df=df)
+
+
+@verb
+def filter_blocklist(tbl: SparkTbl, blocklist, col: str = "host",
+                     block_col: str | None = None, mode: str = "exact"):
+    """Drop rows whose ``col`` matches a blocklist table — the UT1/
+    adult-domain filtering step of C4/RefinedWeb-style pipelines.
+
+    ``mode="exact"`` anti-joins on the lowercased value; ``mode="domain"``
+    anti-joins the REGISTRABLE DOMAIN of ``col`` (registrable_domain_col),
+    so subdomains of a blocked domain are dropped too — while staying an
+    EQUI anti-join (never a per-row endswith theta join, which would be a
+    BroadcastNestedLoopJoin over the whole corpus).  AQE picks broadcast
+    when the list is small (typical blocklists are 1e5-1e6 rows) and
+    falls back to a shuffled hash join when it is not — no forced
+    broadcast() to OOM on a huge list.
+    """
+    if mode not in ("exact", "domain"):
+        raise ValueError("mode must be 'exact' or 'domain'")
+    from ..plans.pipe import wrap_table
+    bdf = wrap_table(blocklist).df
+    bcol = block_col or bdf.columns[0]
+    probe = F.lower(F.col(col))
+    if mode == "domain":
+        probe = F.lower(registrable_domain_col(F.col(col)))
+    block = bdf.select(F.lower(F.col(bcol)).alias("__blocked")).distinct()
+    out = (tbl.df.withColumn("__probe", probe)
+           .join(block, F.col("__probe") == F.col("__blocked"), "left_anti")
+           .drop("__probe"))
+    return tbl.evolve(df=out)

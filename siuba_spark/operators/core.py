@@ -595,7 +595,11 @@ def _slice_by_rank(tbl, rank_col, n):
 def slice_head(tbl: SparkTbl, n: int = 5, order_by=None):
     """First n rows per group in the current (or given) order — dplyr
     slice_head. One window shuffle on the group keys; ungrouped it is a
-    rank-limit that AQE executes as a TopK, not a full sort.
+    rank-limit that AQE executes as a TopK, not a full sort.  Grouped,
+    the rank-limit shape gets a map-side Partial WindowGroupLimit
+    (SPARK-37099): each map partition forwards at most n rows per key,
+    so a hot key's reduce partition stays bounded (plan-gated in
+    tests/test_scale_plans.py).
 
     Examples
     --------

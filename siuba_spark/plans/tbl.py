@@ -537,6 +537,11 @@ def _window_skew_watch(jdf):
     be ``groupBy(key).agg(min_by/count)`` instead: partial aggregation
     combines hot keys map-side.
 
+    Windows the optimizer bounds with a ``WindowGroupLimit`` node
+    (rank-limit shapes, SPARK-37099 — e.g. cap_per_key, slice_head) are
+    NOT flagged: the map-side Partial top-n caps a hot key's reduce
+    partition at limit * map_partitions rows, so the task is bounded.
+
     Implemented over the OPTIMIZED LOGICAL plan's JSON serialization
     (the physical string drops expression types): Alias definitions are
     indexed by exprId so a partition key that is merely an
@@ -569,8 +574,15 @@ def _window_skew_watch(jdf):
     # exprId.id -> the flattened definition tree of every Alias root
     defs = {}
     windows = []
+    # partition keys whose Window is bounded by a WindowGroupLimit node
+    # (InferWindowGroupLimit, SPARK-37099): a rank-limit window gets a
+    # map-side Partial top-n per key before the exchange, so a hot key's
+    # reduce partition is capped at limit * map_partitions rows — not
+    # the unsplittable-task shape this watch exists for
+    wgl_ids, wgl_names = set(), set()
     for node in nodes:
         is_window = node.get("class", "").endswith(".Window")
+        is_wgl = node.get("class", "").endswith(".WindowGroupLimit")
         for fld, val in node.items():
             if fld == "class":
                 continue
@@ -582,10 +594,19 @@ def _window_skew_watch(jdf):
                         defs[eid] = tree
                 if is_window and fld == "partitionSpec":
                     windows.append(tree)
+                if is_wgl and fld == "partitionSpec":
+                    eid = root.get("exprId", {}).get("id")
+                    if eid is not None:
+                        wgl_ids.add(eid)
+                    wgl_names.add(root.get("name"))
 
     watches = []
     for tree in windows:
         root = tree[0]
+        rid = root.get("exprId", {}).get("id")
+        if (rid is not None and rid in wgl_ids) or \
+                (rid is None and root.get("name") in wgl_names):
+            continue  # WindowGroupLimit-bounded: not unsplittable
         seen, frontier = set(), [tree]
         classes, types = set(), set()
         hops = 0
@@ -647,7 +668,8 @@ def lint_plan(tbl: SparkTbl, raise_on_flags: bool = False):
     task AQE cannot split; advisory because grouped window semantics
     over a user-chosen string key are sometimes exactly what was asked
     for — but first-occurrence patterns should be partial-combining
-    aggregates (``min_by``) instead.
+    aggregates (``min_by``) instead.  Rank-limit windows the optimizer
+    bounds with WindowGroupLimit (SPARK-37099) are exempt.
     """
     import re as _re
 

@@ -788,3 +788,36 @@ def test_lint_plan_skew_watch_content_keyed_windows(spark):
             assert lint_plan(out)["skew_watch"] == [], (scope, keep)
     span = substring_dedup(docs, k=2)
     assert lint_plan(span)["skew_watch"] == []
+
+
+def test_rank_limit_verbs_get_window_group_limit(spark):
+    """Every rank-limit verb (slice family, top_n, stratified_sample(n=),
+    cap_per_key) relies on InferWindowGroupLimit (SPARK-37099) injecting
+    a map-side Partial top-n per key before the exchange — that is what
+    bounds a hot key's reduce partition at n * map_partitions rows.  Pin
+    the physical shape for the whole family: if a future projection or
+    filter rewrite slips between the window and its rank filter and
+    defeats the rule, these windows silently become unsplittable under a
+    hot key (SCALE.md r11 per-domain cap study)."""
+    from siuba_spark import group_by, slice_head, slice_max, tbl, top_n
+    from siuba_spark.corpus.quality import cap_per_key, stratified_sample
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 7)) for i in range(50)]
+        + [("b", i, float(i % 5)) for i in range(50)],
+        ["doc_id_str", "doc_id", "x"])
+    t = tbl(df)
+
+    shapes = {
+        "slice_head": (t >> group_by(_.doc_id_str)
+                       >> slice_head(3, order_by=_.doc_id)),
+        "slice_max": (t >> group_by(_.doc_id_str) >> slice_max(_.x, n=3)),
+        "top_n": (t >> group_by(_.doc_id_str) >> top_n(3, _.x)),
+        "cap_per_key": (t >> cap_per_key("doc_id_str", n=3,
+                                         order_by="doc_id")),
+        "stratified_sample_n": (t >> stratified_sample("doc_id_str", n=3)),
+    }
+    for name, out in shapes.items():
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, (name, plan)
+        assert "Partial" in plan, (name, plan)

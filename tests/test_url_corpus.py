@@ -1,0 +1,186 @@
+"""Tests for the web-corpus URL surface: cap_per_key (salted per-domain
+caps), url_parts / registrable_domain_col, and filter_blocklist.
+
+cap_per_key's scale contract is that its single row_number window + rank
+filter is executed with Spark's map-side Partial WindowGroupLimit
+(SPARK-37099) — the plan test below pins that physical shape, and the
+output must equal the plain ``group_by >> slice_head`` semantics.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siuba_spark import SparkTbl, _, group_by, slice_head, tbl
+from siuba_spark.corpus.quality import cap_per_key
+from siuba_spark.corpus.text import (
+    filter_blocklist, registrable_domain_col, url_parts,
+)
+
+from .conftest import SF_SMALL
+from .helpers import collect_sorted, data_frame
+
+
+def _docs(spark):
+    return tbl(spark.read.parquet(f"{SF_SMALL}/documents.parquet"))
+
+
+# ---------------------------------------------------------------- cap_per_key
+
+def test_cap_per_key_matches_slice_head(spark):
+    docs = _docs(spark)
+    got = (docs >> cap_per_key("source", n=7, order_by="doc_id")).df
+    want = (docs >> group_by(_.source)
+            >> slice_head(7, order_by=_.doc_id)).df
+    assert got.count() == want.count()
+    assert got.select("doc_id").exceptAll(want.select("doc_id")).count() == 0
+    assert want.select("doc_id").exceptAll(got.select("doc_id")).count() == 0
+
+
+def test_cap_per_key_hot_key(spark):
+    # one key holds 90% of the rows: the salted lowering must still keep
+    # exactly the n smallest order values of the hot key
+    rows = [("hot", i) for i in range(900)] + [("cold", i) for i in range(100)]
+    t = SparkTbl(spark.createDataFrame(rows, "k string, v long"))
+    out = (cap_per_key(t, "k", n=5, order_by="v")
+           .df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                F.max("v").alias("mx"))
+           .orderBy("k").collect())
+    assert [(r.k, r.n, r.mx) for r in out] == [("cold", 5, 4), ("hot", 5, 4)]
+
+
+def test_cap_per_key_descending_and_grouped_tbl(spark):
+    docs = _docs(spark)
+    got = (docs >> group_by(_.source)
+           >> cap_per_key(n=3, order_by="doc_id", ascending=False)).df
+    # per source: the 3 LARGEST doc_ids
+    want = (docs.df.withColumn(
+        "rn", F.row_number().over(
+            __import__("pyspark").sql.Window.partitionBy("source")
+            .orderBy(F.col("doc_id").desc())))
+        .filter(F.col("rn") <= 3).drop("rn"))
+    assert got.count() == want.count()
+    assert got.select("doc_id").exceptAll(want.select("doc_id")).count() == 0
+
+
+def test_cap_per_key_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="key columns"):
+        docs >> cap_per_key(n=5)
+    with pytest.raises(ValueError, match="n must be"):
+        docs >> cap_per_key("source", n=0)
+
+
+def test_cap_per_key_has_partial_window_group_limit(spark):
+    # the scale contract: InferWindowGroupLimit must inject a map-side
+    # Partial top-n per key BEFORE the exchange, bounding a hot key's
+    # reduce partition at n * map_partitions rows.  If this physical
+    # shape ever regresses (e.g. an extra projection between the window
+    # and the rank filter defeats the rule), the window becomes
+    # unsplittable under a hot domain — fail loudly here.
+    docs = _docs(spark)
+    plan = (docs >> cap_per_key("source", n=7, order_by="doc_id")
+            ).df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    # and the skew watch recognizes the bound: a rank-limit window on a
+    # raw string key is exempt (the Partial pass caps the hot task)
+    from siuba_spark.plans.tbl import lint_plan
+    r = docs >> cap_per_key("source", n=7, order_by="doc_id") >> lint_plan()
+    assert r["skew_watch"] == []
+
+
+# ------------------------------------------------------------------ url_parts
+
+def test_url_parts_components(spark):
+    t = data_frame(
+        spark,
+        url=[
+            "https://a.b.example.com/x/y?q=1#frag",
+            "http://192.168.0.1/root",
+            "https://news.bbc.co.uk/uk",
+            "not a url",
+            None,
+        ],
+    )
+    out = (url_parts(t, "url", parts=("protocol", "host", "path", "query",
+                                      "ref"))
+           .df.toPandas())
+    assert out.protocol.tolist() == ["https", "http", "https", None, None]
+    assert out.host.tolist() == ["a.b.example.com", "192.168.0.1",
+                                 "news.bbc.co.uk", None, None]
+    assert out.path.tolist() == ["/x/y", "/root", "/uk", None, None]
+    assert out["query"].tolist() == ["q=1", None, None, None, None]
+    assert out.ref.tolist() == ["frag", None, None, None, None]
+    assert out.domain.tolist() == ["example.com", "192.168.0.1",
+                                   "bbc.co.uk", None, None]
+
+
+def test_url_parts_unknown_part_raises(spark):
+    t = data_frame(spark, url=["https://x.com/"])
+    with pytest.raises(ValueError, match="unknown URL parts"):
+        url_parts(t, "url", parts=("hostname",))
+
+
+def test_registrable_domain_cases(spark):
+    t = data_frame(
+        spark,
+        host=["example.com", "a.b.c.example.com", "shop.amazon.co.jp",
+              "co.uk", "localhost", "10.0.0.7", None],
+    )
+    out = (t.df.withColumn("d", registrable_domain_col(F.col("host")))
+           .toPandas())
+    assert out.d.tolist() == [
+        "example.com", "example.com", "amazon.co.jp",
+        "co.uk",       # 2 labels: passthrough, even though it IS a suffix
+        "localhost", "10.0.0.7", None,
+    ]
+
+
+def test_url_parts_is_zero_shuffle(spark):
+    docs = _docs(spark)
+    with_url = docs.df.withColumn(
+        "url", F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example.com/d/"),
+                        F.col("doc_id").cast("string")))
+    plan = (url_parts(SparkTbl(with_url), "url")
+            .df._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------- filter_blocklist
+
+def test_filter_blocklist_exact_and_domain(spark):
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3, 4, 5],
+        host=["en.bad.com", "de.bad.com", "Bad.com", "good.com",
+              "bad.com.good.org"],
+    )
+    bl = spark.createDataFrame([("bad.com",)], "d string")
+    exact = collect_sorted(filter_blocklist(t, bl, col="host", mode="exact"))
+    # only the exact (case-insensitive) host match falls
+    assert exact.doc_id.tolist() == [1, 2, 4, 5]
+    dom = collect_sorted(filter_blocklist(t, bl, col="host", mode="domain"))
+    # every subdomain of bad.com falls; bad.com.good.org survives (its
+    # registrable domain is good.org — no endswith false positive)
+    assert dom.doc_id.tolist() == [4, 5]
+
+
+def test_filter_blocklist_validation(spark):
+    t = data_frame(spark, host=["x.com"])
+    bl = spark.createDataFrame([("x.com",)], "d string")
+    with pytest.raises(ValueError, match="mode"):
+        filter_blocklist(t, bl, col="host", mode="suffix")
+
+
+def test_filter_blocklist_no_bnlj(spark):
+    # the domain mode must stay an equi join — never a BroadcastNestedLoop
+    t = _docs(spark)
+    with_host = t.df.withColumn(
+        "host", F.concat(F.col("lang"), F.lit("."), F.col("source"),
+                         F.lit(".example.com")))
+    bl = spark.createDataFrame([("example.com",)], "d string")
+    plan = (filter_blocklist(SparkTbl(with_host), bl, col="host",
+                             mode="domain")
+            .df._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoop" not in plan

@@ -402,6 +402,55 @@ def main():
                .filter(F.col("__rn") > 1))
         return _span_cut(df, toks, dup, "text", "doc_id", 16, " ")
 
+    def _hot_domain(d, fanout=200):
+        """One domain carrying 10% of all pages, the rest spread over
+        ~50k cold domains — the crawl shape the per-domain cap runs
+        against.  Docs are fanned out x200 (a crawl has pages, not docs:
+        ~1M rows at 1x, ~10M at 10x, so the hot key alone holds ~1M rows
+        at 10x) — enough mass that an unsplittable hot task is visible
+        on a 32-core box."""
+        page = d.df.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(fanout - 1)))
+            .alias("__rep"))
+        page = page.select(
+            (F.col("doc_id") * fanout + F.col("__rep")).alias("page_id"))
+        hot = (F.col("page_id") % 10) == 0
+        dom = (F.when(hot, F.lit("hot.example.com"))
+               .otherwise(F.concat(F.lit("d"),
+                                   (F.col("page_id") % 50_000).cast("string"),
+                                   F.lit(".example.com"))))
+        return SparkTbl(page.withColumn("__dom", dom))
+
+    def domain_cap_hot(d):
+        # the shipped cap (quality.py cap_per_key): one row_number window
+        # + rank filter, which InferWindowGroupLimit (SPARK-37099)
+        # executes with a map-side Partial top-n per key before the
+        # exchange — the hot domain's reduce partition is bounded at
+        # n * map_partitions rows
+        from siuba_spark.corpus.quality import cap_per_key
+        return cap_per_key(_hot_domain(d), "__dom", n=100,
+                           order_by="page_id").df
+
+    def domain_cap_hot_salted(d):
+        """COUNTERFACTUAL (r11 negative result): the hand-salted
+        two-phase cap — top-n per (domain, salt) cell, then re-rank the
+        <= n*salts survivors per domain.  Textbook hot-key salting, but
+        measured ~2.2x SLOWER than the shipped single window: cold keys
+        with under n*salts rows survive phase 1 uncut, so phase 2 pays a
+        second full exchange of ~everything for a bound the engine's
+        WindowGroupLimit already provides map-side."""
+        from pyspark.sql import Window
+        df = _hot_domain(d).df
+        salt = F.pmod(F.xxhash64(F.col("page_id").cast("string")), F.lit(16))
+        order = [F.col("page_id").asc()]
+        w1 = Window.partitionBy("__dom", "__salt").orderBy(*order)
+        w2 = Window.partitionBy("__dom").orderBy(*order)
+        return (df.withColumn("__salt", salt)
+                .withColumn("__rn", F.row_number().over(w1))
+                .filter(F.col("__rn") <= 100).drop("__salt", "__rn")
+                .withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") <= 100).drop("__rn"))
+
     def quality_chain(d):
         # the composed training-data quality path (VERDICT r6 item 10):
         # gopher filter -> PII scrub -> unigram logprob -> token budget
@@ -470,6 +519,8 @@ def main():
         "segdedup_hot_window": segdedup_hot_window,
         "span_hot": span_hot,
         "span_hot_window": span_hot_window,
+        "domain_cap_hot": domain_cap_hot,
+        "domain_cap_hot_salted": domain_cap_hot_salted,
         # ExactSubstr span dedup: the scale rig's id-shifted copies are a
         # deliberately ADVERSARIAL corpus (every copy duplicates ~the whole
         # base doc, so ~90% of windows are dup starts and the covered-
