@@ -557,8 +557,25 @@ def exact_dedup_incremental(tbl: SparkTbl, store=None, cols=("text",),
     merge keeps the oldest) — so that combination raises instead of
     silently producing an inconsistent store.  Cost per snapshot: one
     shuffle on ``cols`` for the new snapshot's self-dedup + one
-    null-safe equi-join against the store — the store is never
-    re-deduped against itself.
+    equi-join against the store — the store is never re-deduped
+    against itself.
+
+    Store locality (the 100 TB lever): persist the store BUCKETED on
+    the key columns (``write_parquet(store, path, bucket_by=cols,
+    n_buckets=..., table_name=...)``) and pass ``spark.table(name)``
+    back in — the merge join then reads the store bucket-local with NO
+    store-side Exchange, so each snapshot shuffles only ITSELF, never
+    the accumulated corpus-sized store.  To keep that possible the
+    merge joins on PLAIN column equality (bucketing-compatible; a
+    null-safe ``<=>`` join compiles to coalesce/isnull keys and
+    disables bucket pruning), with rows whose key contains a NULL
+    handled by a separate null-safe join — exact, because a null-safe
+    match requires identical null patterns, so the two classes never
+    match each other; the null-key class is at most one row per null
+    pattern after self-dedup.  Size ``n_buckets`` to the merge job's
+    target parallelism: on a bucket-count/shuffle-partition mismatch
+    the planner exchanges both sides instead of adopting the store's
+    layout.  Plan-gated in test_incremental_dedup.
     """
     if keep != "min":
         raise ValueError(
@@ -572,20 +589,38 @@ def exact_dedup_incremental(tbl: SparkTbl, store=None, cols=("text",),
     if store is None:
         return SparkTbl(newd), SparkTbl(new_keys)
     store_df = store.df if isinstance(store, SparkTbl) else store
-    n, s = new_keys.alias("n"), store_df.alias("s")
-    cond = None
+
+    any_null = None
     for c in cols:
-        eq = F.col(f"n.{c}").eqNullSafe(F.col(f"s.{c}"))
-        cond = eq if cond is None else (cond & eq)
-    j = n.join(s, cond, "full_outer")
-    merged = j.select(
-        *[F.coalesce(F.col(f"s.{c}"), F.col(f"n.{c}")).alias(c) for c in cols],
-        F.coalesce(F.col(f"s.{id_col}"), F.col(f"n.{id_col}")).alias(id_col),
-        (F.coalesce(F.col(f"s.n_dups"), F.lit(0))
-         + F.coalesce(F.col(f"n.n_dups"), F.lit(0))).alias("n_dups"))
-    fresh_ids = (j.filter(F.col(f"s.{id_col}").isNull())
+        isn = F.col(c).isNull()
+        any_null = isn if any_null is None else (any_null | isn)
+
+    def _merge(new_part, store_part, cond_builder):
+        n, s = new_part.alias("n"), store_part.alias("s")
+        cond = None
+        for c in cols:
+            eq = cond_builder(F.col(f"n.{c}"), F.col(f"s.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        j = n.join(s, cond, "full_outer")
+        merged = j.select(
+            *[F.coalesce(F.col(f"s.{c}"), F.col(f"n.{c}")).alias(c)
+              for c in cols],
+            F.coalesce(F.col(f"s.{id_col}"), F.col(f"n.{id_col}"))
+            .alias(id_col),
+            (F.coalesce(F.col(f"s.n_dups"), F.lit(0))
+             + F.coalesce(F.col(f"n.n_dups"), F.lit(0))).alias("n_dups"))
+        fresh = (j.filter(F.col(f"s.{id_col}").isNull())
                  .select(F.col(f"n.{id_col}").alias(id_col)))
-    kept = newd.join(fresh_ids, id_col, "left_semi")
+        return merged, fresh
+
+    m_nn, f_nn = _merge(new_keys.filter(~any_null),
+                        store_df.filter(~any_null),
+                        lambda a, b: a == b)
+    m_nul, f_nul = _merge(new_keys.filter(any_null),
+                          store_df.filter(any_null),
+                          lambda a, b: a.eqNullSafe(b))
+    merged = m_nn.unionByName(m_nul)
+    kept = newd.join(f_nn.unionByName(f_nul), id_col, "left_semi")
     return SparkTbl(kept), SparkTbl(merged)
 
 

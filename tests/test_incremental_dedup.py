@@ -166,3 +166,43 @@ def test_exact_dedup_keep_modes_and_plan_shape(spark):
     assert allkeys.count() == 4
     assert allkeys.filter("n_dups != 1").count() == 0
     assert allkeys.columns == ["doc_id", "text", "extra", "n_dups"]
+
+
+def test_exact_incremental_bucketed_store_no_store_exchange(spark, tmp_path):
+    """The 100 TB store-locality contract: a store persisted BUCKETED on
+    the key columns merges with the next snapshot bucket-local — the
+    store-side scan reads `Bucketed: true` with no Exchange above it, so
+    each snapshot shuffles only itself, never the accumulated store.
+    This is why the merge joins on plain equality (a null-safe <=> join
+    compiles to coalesce/isnull keys and disables bucketing); the
+    null-key rows take the separate null-safe join, and the outputs must
+    equal the unbucketed path exactly (NULL keys included)."""
+    import os
+
+    from siuba_spark.plans.tbl import write_parquet
+
+    rows_a = [(0, "alpha"), (1, "alpha"), (2, "beta"), (3, None)]
+    rows_b = [(10, "alpha"), (11, "gamma"), (12, None), (13, "gamma")]
+    a, b = _docs(spark, rows_a), _docs(spark, rows_b)
+
+    kept_a, store = exact_dedup_incremental(a, None, cols=["text"])
+    kept_u, store_u = exact_dedup_incremental(b, store, cols=["text"])
+
+    name = f"ss_dedup_store_{os.getpid()}"
+    # bucket count matches the session's shuffle partitions: a mismatch
+    # makes the planner exchange BOTH sides to its preferred parallelism
+    # instead of adopting the store's bucketing (size your production
+    # store's n_buckets to the merge job's target parallelism)
+    write_parquet(store, str(tmp_path / "store"), bucket_by=["text"],
+                  n_buckets=8, table_name=name)
+    back = spark.table(name)
+    kept_b, store_b = exact_dedup_incremental(b, back, cols=["text"])
+
+    plan = store_b.df._jdf.queryExecution().executedPlan().toString()
+    # the non-null branch's store scan is bucket-local; only the tiny
+    # null-pattern branch may fall back to an exchanged scan
+    assert "Bucketed: true" in plan, plan
+    for got, want in ((kept_b.df, kept_u.df), (store_b.df, store_u.df)):
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
