@@ -230,3 +230,41 @@ def test_store_compact_equivalence_and_shape(spark):
     out_cmp = substring_dedup_incremental(b, compacted, k=8)[0].df \
         .select("doc_id", "text").orderBy("doc_id").toPandas()
     assert out_dup.equals(out_cmp)
+
+
+def test_gram_store_is_bucketing_compatible(spark, tmp_path):
+    """The gram-store join is plain equality on ``h``, so a store
+    persisted ``bucket_by=["h"]`` merges bucket-local with no store-side
+    Exchange — the same store-locality contract exact_dedup_incremental
+    got in r11, verified here rather than asserted (the store rename
+    h -> __h must project the bucketing through the alias).  Output must
+    equal the unbucketed path exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from siuba_spark import tbl
+    from siuba_spark.corpus.dedup import substring_dedup_incremental
+    from siuba_spark.plans.tbl import write_parquet
+
+    from .conftest import SF_SMALL
+
+    docs = tbl(spark.read.parquet(f"{SF_SMALL}/documents.parquet"))
+    a = tbl(docs.df.filter(F.col("doc_id") < 250))
+    b = tbl(docs.df.filter(F.col("doc_id") >= 250))
+    _out_a, store = substring_dedup_incremental(a, k=8)
+
+    name = f"ss_gram_store_{os.getpid()}"
+    write_parquet(store, str(tmp_path / "gstore"), bucket_by=["h"],
+                  n_buckets=8, table_name=name)
+    back = spark.table(name)
+
+    out_u, _su = substring_dedup_incremental(b, store, k=8)
+    out_b, _sb = substring_dedup_incremental(b, back, k=8)
+    plan = out_b.df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    got = out_b.df.select("doc_id", "text")
+    want = out_u.df.select("doc_id", "text")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
