@@ -20,7 +20,8 @@ __all__ = ["tumble", "slide", "sessionize", "stream_tumble", "stream_slide",
            "read_event_stream",
            "stream_sessionize", "running_dedup_stream", "stream_interval_join",
            "stream_minhash_dedup", "stream_semantic_dedup",
-           "stream_substring_dedup",
+           "stream_substring_dedup", "stream_token_budget_sample",
+           "stream_cap_per_key",
            "compact_semantic_store", "compact_substring_store"]
 
 
@@ -182,7 +183,7 @@ def stream_sessionize(tbl: SparkTbl, ts: str, by, gap: str = "30 minutes",
 
 def running_dedup_stream(tbl: SparkTbl, key_col: str, ts: str,
                          watermark: str = "1 hour",
-                         state_timeout_minutes: int = 120):
+                         state_timeout_minutes: int | None = 120):
     """Custom stateful operator via ``applyInPandasWithState``: emit only
     the FIRST event per key across the whole stream (streaming exact
     dedup).  Spark's built-in ``dropDuplicates`` on streams keys state the
@@ -190,7 +191,12 @@ def running_dedup_stream(tbl: SparkTbl, key_col: str, ts: str,
     engine exposes for operators Spark lacks.
 
     State per key is one boolean; ``GroupStateTimeout.ProcessingTimeTimeout``
-    plus the timeout evicts idle keys, bounding state at scale."""
+    plus the timeout evicts idle keys, bounding state at scale.
+    ``state_timeout_minutes=None`` disables eviction (NoTimeout) — note a
+    processing-time timer keeps the query permanently "busy", so a
+    ``trigger(availableNow=True)`` run only TERMINATES with ``None``;
+    24/7 streams should keep the timeout (r11 finding, shared by all
+    three stateful operators here)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
@@ -210,23 +216,26 @@ def running_dedup_stream(tbl: SparkTbl, key_col: str, ts: str,
                 first = pdf.sort_values(ts).head(1)
                 seen = True
         state.update((True,))
-        state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        if state_timeout_minutes is not None:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
         if first is not None:
             yield first
 
+    timeout = (GroupStateTimeout.NoTimeout if state_timeout_minutes is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     out = (tbl.df.withWatermark(ts, watermark)
            .groupBy(key_col)
            .applyInPandasWithState(fn, outputStructType=out_schema,
                                    stateStructType=state_schema,
                                    outputMode="append",
-                                   timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                                   timeoutConf=timeout))
     return SparkTbl(out)
 
 
 def stream_token_budget_sample(tbl: SparkTbl, *strata, budget: int,
                                col: str = "text",
                                n_tokens_col: str | None = None,
-                               state_timeout_minutes: int = 120):
+                               state_timeout_minutes: int | None = 120):
     """Streaming twin of ``token_budget_sample`` (corpus/quality.py): admit
     documents per stratum until the running TOKEN total reaches ``budget``
     — a doc is kept while the total BEFORE it is under budget (overshoot ≤
@@ -237,7 +246,10 @@ def stream_token_budget_sample(tbl: SparkTbl, *strata, budget: int,
     The batch verb admits in deterministic md5(id) order; a stream can
     only admit in ARRIVAL order (the causal option) — so the admitted SET
     differs from batch, while the budget contract is identical.  Idle
-    strata evict via processing-time timeout, bounding state at scale."""
+    strata evict via processing-time timeout, bounding state at scale;
+    ``state_timeout_minutes=None`` disables eviction (NoTimeout), which
+    is also what lets a ``trigger(availableNow=True)`` run terminate —
+    a processing-time timer keeps the query permanently busy."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
@@ -267,13 +279,73 @@ def stream_token_budget_sample(tbl: SparkTbl, *strata, budget: int,
             if keep.any():
                 yield pdf[keep]
         state.update((used,))
-        state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        if state_timeout_minutes is not None:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
 
+    timeout = (GroupStateTimeout.NoTimeout if state_timeout_minutes is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     out = (tbl.df.groupBy(*keys)
            .applyInPandasWithState(fn, outputStructType=out_schema,
                                    stateStructType=state_schema,
                                    outputMode="append",
-                                   timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                                   timeoutConf=timeout))
+    return SparkTbl(out)
+
+
+def stream_cap_per_key(tbl: SparkTbl, *keys, n: int,
+                       order_by: str | None = None,
+                       state_timeout_minutes: int | None = 120):
+    """Streaming twin of ``cap_per_key`` (corpus/quality.py): admit at
+    most ``n`` rows per key across the whole stream — the per-domain cap
+    applied while the crawl is still arriving.
+
+    A cross-stream count is genuinely stateful, so this is an
+    ``applyInPandasWithState`` operator: state per key is ONE bigint.
+    Same arrival-order caveat as ``stream_token_budget_sample``: the
+    batch verb keeps the n SMALLEST ``order_by`` values per key, a
+    stream can only keep the first n to ARRIVE (the causal option) —
+    pass ``order_by=`` to at least make admission deterministic within
+    each Arrow chunk of a micro-batch (a hot key's group may span
+    chunks; across chunks and batches arrival order rules).  Under the
+    monotone-id
+    snapshot discipline the two coincide — the parity test's subject.
+    Idle keys evict via processing-time timeout, bounding state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    keys = [str(k) for k in keys] or list(tbl.group_by)
+    if not keys:
+        raise ValueError("stream_cap_per_key needs key columns")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    out_schema = tbl.df.schema
+    state_schema = T.StructType([T.StructField("taken", T.LongType())])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        taken = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf) and taken < n:
+                if order_by is not None:
+                    pdf = pdf.sort_values(order_by, kind="mergesort")
+                admit = pdf.head(n - taken)
+                if len(admit):
+                    yield admit
+            taken += len(pdf)
+        state.update((min(taken, n),))
+        if state_timeout_minutes is not None:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+
+    timeout = (GroupStateTimeout.NoTimeout if state_timeout_minutes is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    out = (tbl.df.groupBy(*keys)
+           .applyInPandasWithState(fn, outputStructType=out_schema,
+                                   stateStructType=state_schema,
+                                   outputMode="append",
+                                   timeoutConf=timeout))
     return SparkTbl(out)
 
 

@@ -102,11 +102,15 @@ def test_stream_sessionize_native(spark, event_dir):
 def test_running_dedup_stream(spark, event_dir):
     from siuba_spark.streaming.windows import running_dedup_stream
     stream = read_event_stream(spark, event_dir, max_files=1)
+    # NoTimeout so availableNow can terminate (pending processing-time
+    # timers keep the query busy forever; the old blind 180 s wait here
+    # never actually drained)
     ded = running_dedup_stream(stream, key_col="user_id", ts="ts",
-                               watermark="2 hours")
+                               watermark="2 hours",
+                               state_timeout_minutes=None)
     q = (ded.df.writeStream.format("memory").queryName("dedup_stream")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     got = spark.sql("select * from dedup_stream").toPandas()
     # at most one surviving event per user, never zero for seen users
     n_users = spark.read.parquet(event_dir).select("user_id").distinct().count()
@@ -344,11 +348,16 @@ def test_stream_token_budget_sample_contract(spark):
 
         budget = 500
         stream = SparkTbl(spark.readStream.schema(docs.schema).parquet(tmp))
-        kept = stream_token_budget_sample(stream, "lang", budget=budget)
+        # NoTimeout so availableNow can actually terminate (a pending
+        # processing-time timer keeps the query busy forever — the old
+        # form of this test never drained and only worked because it
+        # read the sink after a blind 120 s wait)
+        kept = stream_token_budget_sample(stream, "lang", budget=budget,
+                                          state_timeout_minutes=None)
         assert kept.df.isStreaming
         q = (kept.df.writeStream.format("memory").queryName("budget_stream")
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not drain in 300s"
         got = spark.sql("SELECT * FROM budget_stream").toPandas()
         assert len(got) > 0
 
@@ -795,3 +804,55 @@ def test_stream_substring_enforce_id_order(spark, tmp_path):
           docs.filter(F.col("doc_id") < 3))
     with pytest.raises(Exception, match="out of id order"):
         run(bad / "src", bad, enforce=True)
+
+
+def test_stream_cap_per_key_matches_batch(spark):
+    """Stream/batch parity for the per-domain cap: files streamed in
+    doc_id order through stream_cap_per_key admit EXACTLY the rows the
+    batch cap_per_key keeps (first n doc_ids per source), because under
+    the monotone-id snapshot discipline arrival order IS the batch
+    order.  State is one bigint per key."""
+    import os
+    import shutil
+    import tempfile
+
+    from siuba_spark import SparkTbl
+    from siuba_spark.corpus.quality import cap_per_key
+    from siuba_spark.streaming.windows import stream_cap_per_key
+
+    tmp = tempfile.mkdtemp(prefix="docs_cap_stream_")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        # two id-ordered files = two micro-batches, mtimes staged apart
+        # so FileStreamSource preserves the id order
+        a = os.path.join(tmp, "a")
+        b = os.path.join(tmp, "b")
+        docs.filter("doc_id < 250").coalesce(1).write.parquet(a)
+        docs.filter("doc_id >= 250").coalesce(1).write.parquet(b)
+        now = __import__("time").time()
+        for i, d in enumerate((a, b)):
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (now + i, now + i))
+
+        stream = SparkTbl(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(tmp + "/*"))
+        # state_timeout_minutes=None: a ProcessingTimeTimeout keeps the
+        # query permanently busy (pending timers), so availableNow never
+        # terminates with one — NoTimeout is what makes a bounded run
+        # drainable (the op docstring documents the trade)
+        kept = stream_cap_per_key(stream, "source", n=7, order_by="doc_id",
+                                  state_timeout_minutes=None)
+        assert kept.df.isStreaming
+        q = (kept.df.writeStream.format("memory").queryName("cap_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(300), "stream did not drain in 300s"
+        got = spark.sql("SELECT doc_id FROM cap_stream").toPandas()
+
+        want = (cap_per_key(SparkTbl(docs), "source", n=7,
+                            order_by="doc_id")
+                .df.select("doc_id").toPandas())
+        assert sorted(got.doc_id) == sorted(want.doc_id)
+    finally:
+        spark.sql("DROP VIEW IF EXISTS cap_stream")
+        shutil.rmtree(tmp, ignore_errors=True)

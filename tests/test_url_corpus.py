@@ -1,5 +1,5 @@
-"""Tests for the web-corpus URL surface: cap_per_key (salted per-domain
-caps), url_parts / registrable_domain_col, and filter_blocklist.
+"""Tests for the web-corpus URL surface: cap_per_key (per-domain caps),
+url_parts / registrable_domain_col, and filter_blocklist.
 
 cap_per_key's scale contract is that its single row_number window + rank
 filter is executed with Spark's map-side Partial WindowGroupLimit
@@ -184,3 +184,49 @@ def test_filter_blocklist_no_bnlj(spark):
                              mode="domain")
             .df._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_url_parts_matches_urllib_on_generated_urls(spark):
+    """Matrix parity vs Python's own URL parser: 240 seeded-random URLs
+    (labelled hosts incl. hyphens/digits, 0-4 path segments, 0-2 query
+    pairs, optional fragment) parsed by Spark's try_parse_url must agree
+    with urllib.parse component-for-component.  One Spark job for the
+    whole matrix (a hypothesis-per-example loop would pay a Spark job
+    per draw for the same coverage; the seed makes this reproducible)."""
+    import random
+    from urllib.parse import urlsplit
+
+    rng = random.Random(42)
+    urls = []
+    for _i in range(240):
+        scheme = rng.choice(["http", "https"])
+        labels = [
+            "".join(rng.choice("abcz09-") for _ in range(rng.randint(1, 6)))
+            .strip("-") or "x"
+            for _ in range(rng.randint(1, 4))] + [rng.choice(["com", "org",
+                                                              "co", "io"])]
+        host = ".".join(labels)
+        path = "".join("/" + "".join(rng.choice("abc123._-")
+                                     for _ in range(rng.randint(1, 5)))
+                       for _ in range(rng.randint(1, 4)))
+        query = "&".join(f"k{j}={rng.randint(0, 99)}"
+                         for j in range(rng.randint(0, 2)))
+        frag = rng.choice(["", "top", "s2"])
+        u = f"{scheme}://{host}{path}"
+        if query:
+            u += "?" + query
+        if frag:
+            u += "#" + frag
+        urls.append((u,))
+
+    t = SparkTbl(spark.createDataFrame(urls, "url string"))
+    out = (url_parts(t, "url", parts=("protocol", "host", "path", "query",
+                                      "ref"), domain=False)
+           .df.toPandas())
+    for row in out.itertuples(index=False):
+        want = urlsplit(row.url)
+        assert row.protocol == want.scheme, row.url
+        assert row.host == want.hostname, row.url
+        assert row.path == want.path, row.url
+        assert (row.query or "") == want.query, row.url
+        assert (row.ref or "") == want.fragment, row.url
