@@ -6166,12 +6166,13 @@ WHERE d.doc_id >= 250
 def q_domain_cap(spark, sf):
     """Per-source document cap (corpus/quality.py cap_per_key — the
     RefinedWeb "max N docs per domain" mixture step) graded end-to-end:
-    keep the 10 lowest doc_ids of each source via the SALTED two-phase
-    lowering (bounded (source, salt) cells, then a <= n*salts-row
-    re-rank per key), whose output must equal the oracle's single
-    row_number-per-source window exactly.  Salting never changes the
-    OUTPUT — only where the work happens — and this grade pins that
-    equivalence, which is what the hot-domain scale story rests on."""
+    keep the 10 lowest doc_ids of each source.  The lowering is ONE
+    rank-limit window that Spark's InferWindowGroupLimit (SPARK-37099)
+    executes with a map-side Partial top-n per key before the exchange,
+    bounding a hot domain's reduce partition — the hand-salted two-phase
+    variant was measured slower and rejected (SCALE.md negative result).
+    The oracle replays the same semantics as a plain row_number window;
+    the plan contract lives in tests/test_url_corpus.py."""
     from siuba_spark.corpus.quality import cap_per_key
 
     return (cap_per_key(_td(spark, sf), "source", n=10, order_by="doc_id")

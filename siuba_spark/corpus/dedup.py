@@ -585,10 +585,18 @@ def exact_dedup_incremental(tbl: SparkTbl, store=None, cols=("text",),
             "rule for keep='max'.")
     cols = list(cols)
     newd = exact_dedup(tbl, cols=cols, id_col=id_col, keep=keep).df
-    new_keys = newd.select(*cols, id_col, "n_dups")
     if store is None:
-        return SparkTbl(newd), SparkTbl(new_keys)
+        return SparkTbl(newd), SparkTbl(newd.select(*cols, id_col, "n_dups"))
     store_df = store.df if isinstance(store, SparkTbl) else store
+    # the snapshot's self-dedup aggregate feeds both merge branches plus
+    # the kept-rows semi join — truncate its lineage once (snapshot-
+    # sized, NOT store-sized) so the agg shuffle runs once, not three
+    # times.  The STORE is deliberately never cached: its two branch
+    # scans are pushdown-pruned IO (isnull/isnotnull reach the parquet
+    # scan) and, bucketed, exchange-free — cheaper than materializing a
+    # corpus-sized table per merge.
+    newd = newd.localCheckpoint()
+    new_keys = newd.select(*cols, id_col, "n_dups")
 
     any_null = None
     for c in cols:

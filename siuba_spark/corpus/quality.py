@@ -435,12 +435,16 @@ def cap_per_key(tbl: SparkTbl, *keys, n: int, order_by: str = "doc_id",
         raise ValueError("cap_per_key needs key columns (or a grouped tbl)")
     if n < 1:
         raise ValueError("n must be >= 1")
+    from ..operators.core import orderable_tiebreak_cols
+
     oc = F.col(order_by)
     head = oc.asc_nulls_last() if ascending else oc.desc_nulls_last()
-    # deterministic total order: order_by, then every other column
-    # (slice_min's with_ties=False tie-break precedent)
-    order = [head] + [F.col(c).asc_nulls_last() for c in tbl.columns
-                      if c != order_by and c not in keys]
+    # deterministic total order: order_by, then every other orderable
+    # column (the slice family's shared with_ties=False tie-break —
+    # map/UDT columns are excluded, they cannot appear in an ORDER BY)
+    order = [head] + [
+        F.col(c).asc_nulls_last()
+        for c in orderable_tiebreak_cols(tbl, exclude=(order_by, *keys))]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     df = (tbl.df.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") <= n).drop("__rn"))

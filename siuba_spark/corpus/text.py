@@ -381,7 +381,11 @@ def registrable_domain_col(host):
     last two host labels, or last three when the last two are a known
     2-level public suffix (TWO_LEVEL_SUFFIXES — a curated subset, not
     the full PSL; unknown multi-level registries fall back to the
-    last-two rule).  NULL/IP-literal hosts pass through unchanged."""
+    last-two rule).  A trailing root-dot FQDN ("example.com." — browser-
+    equivalent to "example.com") is canonicalized first, so the dot is
+    not a one-character blocklist evasion.  NULL/IP-literal hosts pass
+    through unchanged."""
+    host = F.regexp_replace(host, r"\.$", "")
     parts = F.split(host, r"\.")
     npart = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2),
@@ -434,23 +438,35 @@ def filter_blocklist(tbl: SparkTbl, blocklist, col: str = "host",
     adult-domain filtering step of C4/RefinedWeb-style pipelines.
 
     ``mode="exact"`` anti-joins on the lowercased value; ``mode="domain"``
-    anti-joins the REGISTRABLE DOMAIN of ``col`` (registrable_domain_col),
+    anti-joins the REGISTRABLE DOMAIN of BOTH sides (registrable_domain_col),
     so subdomains of a blocked domain are dropped too — while staying an
     EQUI anti-join (never a per-row endswith theta join, which would be a
-    BroadcastNestedLoopJoin over the whole corpus).  AQE picks broadcast
-    when the list is small (typical blocklists are 1e5-1e6 rows) and
-    falls back to a shuffled hash join when it is not — no forced
-    broadcast() to OOM on a huge list.
+    BroadcastNestedLoopJoin over the whole corpus).  Normalizing the
+    blocklist side matters for real UT1-style lists, which mix domain-
+    and host-granularity entries: an entry like ``ads.tracker.co.uk``
+    blocks its whole registrable domain (``tracker.co.uk``) — a
+    deliberate conservative over-block, because the equi-join can only
+    probe one granularity and an un-normalized host entry would
+    otherwise match NOTHING silently (the dangerous failure mode for a
+    content filter).  Use ``mode="exact"`` when host-granularity
+    precision matters more than subdomain coverage.  Trailing root-dot
+    FQDNs are canonicalized on both sides in both modes.  AQE picks
+    broadcast when the list is small (typical blocklists are 1e5-1e6
+    rows) and falls back to a shuffled hash join when it is not — no
+    forced broadcast() to OOM on a huge list.
     """
     if mode not in ("exact", "domain"):
         raise ValueError("mode must be 'exact' or 'domain'")
     from ..plans.pipe import wrap_table
     bdf = wrap_table(blocklist).df
     bcol = block_col or bdf.columns[0]
-    probe = F.lower(F.col(col))
+    strip_root = lambda c: F.regexp_replace(c, r"\.$", "")  # noqa: E731
+    probe = F.lower(strip_root(F.col(col)))
+    bkey = F.lower(strip_root(F.col(bcol)))
     if mode == "domain":
         probe = F.lower(registrable_domain_col(F.col(col)))
-    block = bdf.select(F.lower(F.col(bcol)).alias("__blocked")).distinct()
+        bkey = F.lower(registrable_domain_col(F.col(bcol)))
+    block = bdf.select(bkey.alias("__blocked")).distinct()
     out = (tbl.df.withColumn("__probe", probe)
            .join(block, F.col("__probe") == F.col("__blocked"), "left_anti")
            .drop("__probe"))

@@ -591,6 +591,26 @@ def _slice_by_rank(tbl, rank_col, n):
     return tbl.evolve(df=df)
 
 
+def orderable_tiebreak_cols(tbl, exclude=()):
+    """Column names usable as deterministic sort tie-breaks: map-typed
+    (or map/UDT-nested) columns are not orderable in Spark and would
+    fail analysis if blindly appended to an ORDER BY.  Shared by the
+    slice family's with_ties=False tie-break and corpus cap_per_key."""
+    from pyspark.sql import types as T
+
+    def ok(dt):
+        if isinstance(dt, T.MapType) or isinstance(dt, T.UserDefinedType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return [f.name for f in tbl.df.schema.fields
+            if f.name not in exclude and ok(f.dataType)]
+
+
 @verb
 def slice_head(tbl: SparkTbl, n: int = 5, order_by=None):
     """First n rows per group in the current (or given) order — dplyr
@@ -651,8 +671,9 @@ def _slice_minmax(tbl, col, n, with_ties, asc):
     c, _ = lower(node, tbl.row_ctx())
     order = [c.asc_nulls_last() if asc else c.desc_nulls_last()]
     if not with_ties:
-        # deterministic tie-break on every other column
-        order += [F.col(x).asc_nulls_last() for x in tbl.columns]
+        # deterministic tie-break on every other (orderable) column
+        order += [F.col(x).asc_nulls_last()
+                  for x in orderable_tiebreak_cols(tbl)]
     w = Window.partitionBy(*[F.col(g) for g in tbl.group_by]).orderBy(*order)
     rank = F.rank() if with_ties else F.row_number()
     return _slice_by_rank(tbl, rank.over(w), n)

@@ -574,15 +574,19 @@ def _window_skew_watch(jdf):
     # exprId.id -> the flattened definition tree of every Alias root
     defs = {}
     windows = []
-    # partition keys whose Window is bounded by a WindowGroupLimit node
-    # (InferWindowGroupLimit, SPARK-37099): a rank-limit window gets a
-    # map-side Partial top-n per key before the exchange, so a hot key's
-    # reduce partition is capped at limit * map_partitions rows — not
-    # the unsplittable-task shape this watch exists for
-    wgl_ids, wgl_names = set(), set()
-    for node in nodes:
+    for i, node in enumerate(nodes):
         is_window = node.get("class", "").endswith(".Window")
-        is_wgl = node.get("class", "").endswith(".WindowGroupLimit")
+        # A Window whose DIRECT child is a WindowGroupLimit is a bounded
+        # rank-limit shape (InferWindowGroupLimit, SPARK-37099): the
+        # map-side Partial top-n caps a hot key's reduce partition at
+        # limit * map_partitions rows — not the unsplittable-task shape
+        # this watch exists for.  toJSON serializes the plan preorder
+        # and Window has exactly one child, so the child is nodes[i+1];
+        # matching by adjacency (not by partition key) keeps a SECOND,
+        # unbounded window over the same key flagged.
+        bounded = (is_window and i + 1 < len(nodes)
+                   and nodes[i + 1].get("class", "")
+                   .endswith(".WindowGroupLimit"))
         for fld, val in node.items():
             if fld == "class":
                 continue
@@ -592,21 +596,12 @@ def _window_skew_watch(jdf):
                     eid = root.get("exprId", {}).get("id")
                     if eid is not None:
                         defs[eid] = tree
-                if is_window and fld == "partitionSpec":
+                if is_window and fld == "partitionSpec" and not bounded:
                     windows.append(tree)
-                if is_wgl and fld == "partitionSpec":
-                    eid = root.get("exprId", {}).get("id")
-                    if eid is not None:
-                        wgl_ids.add(eid)
-                    wgl_names.add(root.get("name"))
 
     watches = []
     for tree in windows:
         root = tree[0]
-        rid = root.get("exprId", {}).get("id")
-        if (rid is not None and rid in wgl_ids) or \
-                (rid is None and root.get("name") in wgl_names):
-            continue  # WindowGroupLimit-bounded: not unsplittable
         seen, frontier = set(), [tree]
         classes, types = set(), set()
         hops = 0

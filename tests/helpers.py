@@ -49,3 +49,39 @@ def assert_equal_query(result, expected: pd.DataFrame, check_row_order=False):
         got = got.reset_index(drop=True)
         expected = expected.reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def assert_scan_joins_without_exchange(plan: str, scan_marker: str):
+    """Assert the scan line containing ``scan_marker`` (e.g. a bucketed
+    table name) reaches its join with NO Exchange ancestor in between —
+    the bucketed-store locality contract.  Walks the executed plan's
+    indentation tree upward from the scan line: an ancestor is the
+    nearest line above with strictly smaller tree depth."""
+    lines = plan.splitlines()
+
+    def depth(line):
+        for i, ch in enumerate(line):
+            if ch not in " :+-*(":
+                return i
+        return len(line)
+
+    idx = [i for i, l in enumerate(lines)
+           if scan_marker in l and "Scan" in l and "Bucketed: true" in l]
+    assert idx, f"no bucketed scan line for {scan_marker!r} in plan:\n{plan}"
+    for start in idx:
+        d = depth(lines[start])
+        for j in range(start - 1, -1, -1):
+            dj = depth(lines[j])
+            if dj < d:
+                d = dj
+                node = lines[j].strip()
+                # only SHUFFLE exchanges break the locality contract; a
+                # BroadcastExchange means AQE chose to broadcast the
+                # (test-SF-tiny) store, which is strictly cheaper — at
+                # scale it reverts to the bucket-local SMJ
+                assert not ("Exchange" in node
+                            and "BroadcastExchange" not in node), (
+                    f"shuffle Exchange above the bucketed scan:\n"
+                    f"{lines[j]}\nscan: {lines[start]}")
+                if "Join" in node:
+                    break

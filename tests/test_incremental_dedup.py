@@ -199,9 +199,12 @@ def test_exact_incremental_bucketed_store_no_store_exchange(spark, tmp_path):
     kept_b, store_b = exact_dedup_incremental(b, back, cols=["text"])
 
     plan = store_b.df._jdf.queryExecution().executedPlan().toString()
-    # the non-null branch's store scan is bucket-local; only the tiny
-    # null-pattern branch may fall back to an exchanged scan
+    # the non-null branch's store scan is bucket-local AND reaches its
+    # join with no Exchange above it; only the tiny null-pattern branch
+    # may fall back to an exchanged scan
     assert "Bucketed: true" in plan, plan
+    from .helpers import assert_scan_joins_without_exchange
+    assert_scan_joins_without_exchange(plan, name)
     for got, want in ((kept_b.df, kept_u.df), (store_b.df, store_u.df)):
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0

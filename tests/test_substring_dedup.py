@@ -263,6 +263,8 @@ def test_gram_store_is_bucketing_compatible(spark, tmp_path):
     out_b, _sb = substring_dedup_incremental(b, back, k=8)
     plan = out_b.df._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan, plan
+    from .helpers import assert_scan_joins_without_exchange
+    assert_scan_joins_without_exchange(plan, name)
     got = out_b.df.select("doc_id", "text")
     want = out_u.df.select("doc_id", "text")
     assert got.exceptAll(want).count() == 0

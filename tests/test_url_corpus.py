@@ -37,8 +37,8 @@ def test_cap_per_key_matches_slice_head(spark):
 
 
 def test_cap_per_key_hot_key(spark):
-    # one key holds 90% of the rows: the salted lowering must still keep
-    # exactly the n smallest order values of the hot key
+    # one key holds 90% of the rows: the cap must still keep exactly
+    # the n smallest order values of the hot key
     rows = [("hot", i) for i in range(900)] + [("cold", i) for i in range(100)]
     t = SparkTbl(spark.createDataFrame(rows, "k string, v long"))
     out = (cap_per_key(t, "k", n=5, order_by="v")
@@ -230,3 +230,59 @@ def test_url_parts_matches_urllib_on_generated_urls(spark):
         assert row.path == want.path, row.url
         assert (row.query or "") == want.query, row.url
         assert (row.ref or "") == want.fragment, row.url
+
+
+def test_filter_blocklist_host_granularity_entry_blocks_its_domain(spark):
+    """Review fix: a host-granularity blocklist entry in domain mode
+    must block its REGISTRABLE DOMAIN (conservative over-block), not
+    silently match nothing — the equi-join probes registrable domains,
+    so an un-normalized 'ads.tracker.co.uk' entry used to block zero
+    rows."""
+    t = data_frame(
+        spark,
+        doc_id=[1, 2, 3],
+        host=["cdn.tracker.co.uk", "tracker.co.uk", "safe.co.uk"],
+    )
+    bl = spark.createDataFrame([("ads.tracker.co.uk",)], "d string")
+    dom = collect_sorted(filter_blocklist(t, bl, col="host", mode="domain"))
+    assert dom.doc_id.tolist() == [3]
+
+
+def test_trailing_root_dot_is_not_an_evasion(spark):
+    """'bad.example.com.' (trailing root dot — browser-equivalent FQDN)
+    must yield the same registrable domain as without the dot, and a
+    domain blocklist on 'example.com' must drop it."""
+    t = data_frame(spark, doc_id=[1, 2],
+                   host=["bad.example.com.", "ok.other.org"])
+    out = (t.df.withColumn("d", registrable_domain_col(F.col("host")))
+           .orderBy("doc_id").toPandas())
+    assert out.d.tolist() == ["example.com", "other.org"]
+    bl = spark.createDataFrame([("example.com",)], "d string")
+    kept = collect_sorted(filter_blocklist(t, bl, col="host", mode="domain"))
+    assert kept.doc_id.tolist() == [2]
+
+
+def test_cap_per_key_tolerates_unorderable_columns(spark):
+    # a map-typed column must not break the deterministic tie-break
+    # (maps are not orderable in Spark) — shared fix with slice_min
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1}), ("a", 2, {"y": 2}), ("b", 3, {"z": 3})],
+        "k string, v long, m map<string,int>")
+    out = cap_per_key(SparkTbl(df), "k", n=1, order_by="v").df
+    assert sorted(r.v for r in out.collect()) == [1, 3]
+
+
+def test_skew_watch_adjacency_not_key_based(spark):
+    """Review fix: the WindowGroupLimit exemption must apply ONLY to the
+    bounded rank-limit window itself — a SECOND, unbounded window over
+    the same string key in the same plan stays flagged."""
+    from pyspark.sql import Window
+
+    from siuba_spark.plans.tbl import lint_plan
+
+    docs = _docs(spark)
+    capped = (docs >> cap_per_key("source", n=7, order_by="doc_id")).df
+    w = Window.partitionBy("source").orderBy("doc_id")
+    both = SparkTbl(capped.withColumn("csum", F.sum("n_chars").over(w)))
+    r = both >> lint_plan()
+    assert any("raw string" in x for x in r["skew_watch"]), r["skew_watch"]
