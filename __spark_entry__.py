@@ -6277,6 +6277,63 @@ GROUP BY source
 """
 
 
+def q_lm_logprob_split(spark, sf):
+    """Interpolated-bigram LM perplexity scoring (corpus/quality.py
+    lm_train + lm_logprob — the CCNet quality-filter step, bigram
+    edition of unigram_logprob) in the train/apply SPLIT a production
+    pipeline runs: the profile is trained on corpus A (doc_id < 250)
+    and scores corpus B (doc_id >= 250), so out-of-vocabulary tokens
+    and unseen bigram contexts are exercised (Laplace floor, zero
+    bigram term).  Three equi joins against the one-row-per-gram
+    profile + one per-doc mean shuffle — no windows; the oracle
+    replays the identical mixture.  round(4) display on top of the
+    verb's internal round(6), the unigram entry's precedent."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import lm_logprob, lm_train
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    prof = lm_train(SparkTbl(docs.filter(docs.doc_id < 250)))
+    out = lm_logprob(SparkTbl(docs.filter(docs.doc_id >= 250)), prof)
+    return out.df.select("doc_id",
+                         F.round(F.col("lm_logprob"), 4).alias("lm_lp"))
+
+
+SQL_LM_LOGPROB_SPLIT = r"""
+WITH d AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> length(t) > 0) AS toks
+  FROM documents),
+uni AS (SELECT t AS gram, count(*) AS c
+        FROM (SELECT unnest(toks) AS t FROM d WHERE doc_id < 250) GROUP BY 1),
+bi AS (SELECT g, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(toks)-1,0)+1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM d WHERE doc_id < 250) GROUP BY 1),
+tot AS (SELECT sum(c) AS s, count(*) AS v FROM uni),
+pos AS (SELECT doc_id, toks, unnest(toks) AS cur,
+               generate_subscripts(toks, 1) AS p
+        FROM d WHERE doc_id >= 250),
+sc AS (SELECT doc_id, cur,
+              CASE WHEN p > 1 THEN toks[p-1] END AS prev FROM pos),
+lp AS (SELECT sc.doc_id,
+         CASE WHEN prev IS NULL THEN ln((coalesce(cu.c,0)+1) / (t.s + t.v))
+              ELSE ln(0.75 * (CASE WHEN pu.c IS NOT NULL AND b.c IS NOT NULL
+                                   THEN b.c / pu.c ELSE 0 END)
+                      + 0.25 * ((coalesce(cu.c,0)+1) / (t.s + t.v)))
+         END AS l
+       FROM sc LEFT JOIN uni cu ON cu.gram = sc.cur
+               LEFT JOIN uni pu ON pu.gram = sc.prev
+               LEFT JOIN bi b ON b.g = sc.prev || ' ' || sc.cur
+               CROSS JOIN tot t),
+per AS (SELECT doc_id, round(round(avg(l), 6), 4) AS lm_lp
+        FROM lp GROUP BY 1)
+SELECT d.doc_id, per.lm_lp FROM d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id >= 250
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -6535,6 +6592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "url_parts_extract": q_url_parts_extract,
         "blocklist_filter": q_blocklist_filter,
+        "lm_logprob_split": q_lm_logprob_split,
     })
     # Driver grades the FIRST 50 entries only.  Round-11 window
     # (VERDICT r10 item 2): the six never-graded r11 additions lead
@@ -6550,6 +6608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r11 (never driver-graded)
         "substring_store_compact", "lang_id_split", "dedup_segments_none",
         "domain_cap", "url_parts_extract", "blocklist_filter",
+        "lm_logprob_split",
         # last graded r7 (all 42)
         "cumsum_running", "distinct_pairs", "dt_functions",
         "events_sessionize", "events_total_seconds", "events_tumbling",
@@ -6565,7 +6624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg", "select_rename", "semantic_dedup", "semi_anti",
         "sql_raw_mutate", "token_count_bpe",
         # last graded r8 (alphabetical head; the rest rotate in r12)
-        "across_agg", "agg_moments",
+        "across_agg",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -6776,6 +6835,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": SQL_DOMAIN_CAP,
         "url_parts_extract": SQL_URL_PARTS_EXTRACT,
         "blocklist_filter": SQL_BLOCKLIST_FILTER,
+        "lm_logprob_split": SQL_LM_LOGPROB_SPLIT,
         "normalize_text": SQL_NORMALIZE_TEXT,
         "substring_dedup_incr": SQL_SUBSTRING_DEDUP_INCR,
         "stream_substring_store": SQL_STREAM_SUBSTRING_STORE,

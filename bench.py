@@ -75,8 +75,10 @@ def main():
         # round-11 additions: gram-store compaction chain + persisted-
         # profile lang-id split + keep='none' corpus segment dedup
         "substring_store_compact", "lang_id_split", "dedup_segments_none",
-        # round-11 session-2 additions: the web-corpus URL surface
+        # round-11 session-2 additions: the web-corpus URL surface +
+        # the bigram LM quality scorer
         "domain_cap", "url_parts_extract", "blocklist_filter",
+        "lm_logprob_split",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

@@ -18,8 +18,9 @@ from .multimodal import (  # noqa: F401
 )
 from .quality import (  # noqa: F401
     GOPHER_DEFAULTS, cap_per_key, chunk_tokens, dedup_segments,
-    gopher_filter, ngram_contamination, pack_sequences, quality_signals,
-    scrub_pii, stratified_sample, token_budget_sample, unigram_logprob,
+    gopher_filter, lm_logprob, lm_train, ngram_contamination,
+    pack_sequences, quality_signals, scrub_pii, stratified_sample,
+    token_budget_sample, unigram_logprob,
 )
 from .similarity import (  # noqa: F401
     add_hyperplane_bucket, brute_force_topk, cosine_near_dups,

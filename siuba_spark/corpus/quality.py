@@ -25,7 +25,8 @@ from .text import tokens_col
 
 __all__ = [
     "quality_signals", "scrub_pii", "stratified_sample", "dedup_segments",
-    "ngram_contamination", "unigram_logprob", "chunk_tokens",
+    "ngram_contamination", "unigram_logprob", "lm_train", "lm_logprob",
+    "chunk_tokens",
     "pack_sequences", "gopher_filter", "token_budget_sample",
     "cap_per_key", "GOPHER_DEFAULTS", "PII_PATTERNS",
 ]
@@ -596,6 +597,98 @@ def unigram_logprob(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
                                         / F.col("__tot"))))
     per_doc = (scored.groupBy("__id")
                .agg(F.round(F.avg("__lp"), 6).alias(out)))
+    joined = (tbl.df.join(per_doc, tbl.df[id_col] == per_doc["__id"], "left")
+              .drop("__id"))
+    return tbl.evolve(df=joined)
+
+
+def lm_train(tbl, col: str = "text"):
+    """Train an interpolated-bigram language-model profile over a corpus
+    — the distributed stand-in for CCNet's KenLM training step (Wenzek
+    et al. 2020 filter corpora by LM perplexity; a bigram
+    Jelinek-Mercer + Laplace mixture is the public-knowledge shape that
+    fits one profile table).  Returns a DataFrame ``(gram, kind, cnt)``
+    with ``kind`` in {'uni', 'bi'} (bigrams space-joined — unambiguous,
+    tokens cannot contain whitespace).  Persist with ``write_parquet``
+    and apply to later corpora with :func:`lm_logprob` — the
+    train-once / apply-many split.
+
+    Scale: two partial-combining count shuffles (Zipf skew absorbed
+    map-side; reducers see one row per distinct gram); the profile is
+    one row per distinct uni/bi-gram, never corpus-sized."""
+    t = wrap_tbl(tbl).df
+    toks = F.filter(tokens_col(F.col(col)), lambda x: F.length(x) > 0)
+    base = t.select(toks.alias("__toks"))
+    uni = (base.select(F.explode("__toks").alias("gram"))
+           .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+           .withColumn("kind", F.lit("uni")))
+    bi = (base.select(F.explode(_bigrams(F.col("__toks"))).alias("gram"))
+          .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+          .withColumn("kind", F.lit("bi")))
+    return uni.unionByName(bi).select("gram", "kind", "cnt")
+
+
+@verb
+def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
+               id_col: str = "doc_id", out: str = "lm_logprob",
+               lam: float = 0.75):
+    """Interpolated-bigram LM quality score — the bigram edition of
+    :func:`unigram_logprob` and the apply side of :func:`lm_train`:
+    each document's mean token log-probability under
+
+        lam * P(cur | prev) + (1 - lam) * P_laplace(cur)
+
+    where ``P(cur|prev) = cnt(prev cur) / cnt(prev)`` (0 when the
+    context is unseen) and ``P_laplace = (cnt(cur)+1) / (total+V)`` so
+    out-of-vocabulary tokens in a NEW corpus score finitely instead of
+    -inf; a document's first token is scored by the Laplace unigram
+    term alone.  Both perplexity tails get filtered in real pipelines
+    (gibberish scores low, boilerplate scores high).
+
+    Scale: the profile is pre-aggregated one-row-per-gram; scoring is
+    three EQUI joins (cur-unigram, prev-unigram, bigram) — AQE
+    broadcasts a small profile and falls back to shuffled hash joins
+    keyed on the gram otherwise — plus one per-doc mean shuffle on
+    ``id_col``.  No windows, no driver state."""
+    from pyspark.sql.functions import broadcast
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    prof = wrap_tbl(profile).df
+    uni = (prof.filter(F.col("kind") == "uni")
+           .select("gram", F.col("cnt").cast("long").alias("__uc")))
+    bi = (prof.filter(F.col("kind") == "bi")
+          .select(F.col("gram").alias("__bg"),
+                  F.col("cnt").cast("long").alias("__bc")))
+    consts = uni.agg(F.sum("__uc").alias("__tot"),
+                     F.count(F.lit(1)).alias("__v"))
+
+    toks = F.filter(tokens_col(F.col(col)), lambda x: F.length(x) > 0)
+    ex = (tbl.df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+          .select("__id", "__toks",
+                  F.posexplode("__toks").alias("__pos", "__cur")))
+    prev = F.when(F.col("__pos") > 0,
+                  F.try_element_at("__toks", F.col("__pos")))
+    ex = ex.select("__id", "__cur", prev.alias("__prev"))
+    ex = ex.withColumn(
+        "__bg", F.when(F.col("__prev").isNotNull(),
+                       F.concat(F.col("__prev"), F.lit(" "),
+                                F.col("__cur"))))
+    j = (ex.join(uni.withColumnRenamed("gram", "__cur")
+                 .withColumnRenamed("__uc", "__cuc"), "__cur", "left")
+         .join(uni.withColumnRenamed("gram", "__prev")
+               .withColumnRenamed("__uc", "__puc"), "__prev", "left")
+         .join(bi, "__bg", "left")
+         .crossJoin(broadcast(consts)))
+    lap = ((F.coalesce(F.col("__cuc"), F.lit(0)) + 1)
+           / (F.col("__tot") + F.col("__v")))
+    pbi = (F.when(F.col("__puc").isNotNull() & F.col("__bc").isNotNull(),
+                  F.col("__bc") / F.col("__puc"))
+           .otherwise(F.lit(0.0)))
+    lp = (F.when(F.col("__prev").isNull(), F.log(lap))
+          .otherwise(F.log(F.lit(lam) * pbi + F.lit(1.0 - lam) * lap)))
+    per_doc = (j.withColumn("__lp", lp)
+               .groupBy("__id").agg(F.round(F.avg("__lp"), 6).alias(out)))
     joined = (tbl.df.join(per_doc, tbl.df[id_col] == per_doc["__id"], "left")
               .drop("__id"))
     return tbl.evolve(df=joined)

@@ -733,3 +733,39 @@ def test_dedup_segments_none_is_aggregated_not_windowed(spark):
             .df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_lm_logprob_interpolated_bigram_formula(spark):
+    """lm_train + lm_logprob against a hand-computed mixture on a tiny
+    corpus: train 'a b a' (uni a=2 b=1, total=3, V=2; bi 'a b'=1
+    'b a'=1), score docs exercising every branch — seen bigram, unseen
+    bigram with seen context, fully OOV token, OOV context, first-token
+    Laplace, empty doc (NULL)."""
+    import math
+
+    from siuba_spark.corpus.quality import lm_logprob, lm_train
+
+    train = data_frame(spark, doc_id=[1], text=["a b a"])
+    prof = lm_train(train)
+    rows = {(r.kind, r.gram): r.cnt for r in prof.collect()}
+    assert rows == {("uni", "a"): 2, ("uni", "b"): 1,
+                    ("bi", "a b"): 1, ("bi", "b a"): 1}
+
+    apply = data_frame(spark, doc_id=[10, 11, 12],
+                       text=["a b c", "z q", ""])
+    out = (lm_logprob(apply, prof).df
+           .orderBy("doc_id").toPandas())
+
+    lap = lambda c: (c + 1) / (3 + 2)   # noqa: E731
+    mix = lambda pb, c: 0.75 * pb + 0.25 * lap(c)  # noqa: E731
+    want_abc = (math.log(lap(2))            # first token 'a'
+                + math.log(mix(1 / 2, 1))   # 'b' after 'a': bi/uni(a)
+                + math.log(mix(0, 0))) / 3  # 'c' OOV, 'b c' unseen
+    want_zq = (math.log(lap(0))             # 'z' OOV first token
+               + math.log(mix(0, 0))) / 2   # 'q' after OOV context
+    assert out.lm_logprob[0] == pytest.approx(want_abc, abs=1e-5)
+    assert out.lm_logprob[1] == pytest.approx(want_zq, abs=1e-5)
+    assert pd.isna(out.lm_logprob[2])
+
+    with pytest.raises(ValueError, match="lam"):
+        lm_logprob(apply, prof, lam=1.5)
