@@ -451,6 +451,30 @@ def main():
                 .withColumn("__rn", F.row_number().over(w2))
                 .filter(F.col("__rn") <= 100).drop("__rn"))
 
+    def lm_chain(d):
+        # train the bigram profile on the scaled corpus AND score it:
+        # both count shuffles are Heaps'-law bounded (distinct grams,
+        # not corpus rows); scoring is 3 equi joins + one per-doc agg
+        from siuba_spark.corpus.quality import lm_logprob, lm_train
+        prof = lm_train(d)
+        return lm_logprob(d, prof).df.select("doc_id", "lm_logprob")
+
+    def url_chain(d):
+        # the r11 web-corpus front door: derive urls, decompose, block
+        # one registrable domain, cap docs per domain
+        from siuba_spark.corpus.quality import cap_per_key
+        from siuba_spark.corpus.text import filter_blocklist, url_parts
+        df = d.df.withColumn(
+            "url", F.concat(F.lit("https://d"),
+                            (F.col("doc_id") % 50_000).cast("string"),
+                            F.lit(".example.com/p/"),
+                            F.col("doc_id").cast("string")))
+        t = url_parts(SparkTbl(df), "url")
+        bl = df.sparkSession.createDataFrame(
+            [("d7.example.com",)], "d string")
+        t = filter_blocklist(t, bl, col="host", mode="exact")
+        return cap_per_key(t, "domain", n=100, order_by="doc_id").df
+
     def quality_chain(d):
         # the composed training-data quality path (VERDICT r6 item 10):
         # gopher filter -> PII scrub -> unigram logprob -> token budget
@@ -536,6 +560,8 @@ def main():
         "ngram_contamination": lambda d: ngram_contamination(
             d, bench_docs(d), n=5).df,
         "unigram_logprob": lambda d: unigram_logprob(d).df,
+        "lm_chain": lm_chain,
+        "url_chain": url_chain,
         "text_stats": lambda d: text_stats(d).df,
         "fingerprint": lambda d: fingerprint(d).df,
     }
