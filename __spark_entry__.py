@@ -6334,6 +6334,78 @@ WHERE d.doc_id >= 250
 """
 
 
+def q_ccnet_buckets(spark, sf):
+    """The composed CCNet mixture step (Wenzek et al. 2020 §4.3): LM
+    perplexity scores split the corpus into head/middle/tail TERCILES —
+    lm_train on corpus A, lm_logprob over corpus B, then ``qcut(q=3)``
+    (exact ``F.percentile`` edges) and per-bucket counts + score ranges.
+    Composition grade: lm_logprob_split grades the scores and
+    cut_qcut_bands grades qcut; this entry grades them CHAINED, the way
+    the pipeline actually runs.  Scores are rounded to 4 decimals before
+    bucketing in BOTH engines, and with 250 scored docs the tercile
+    positions ((n-1)/3 = 83.0) are integral, so the edges are exact
+    order statistics — no interpolation-ulp boundary risk between
+    Spark's percentile and DuckDB's quantile_cont."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import lm_logprob, lm_train
+    from siuba_spark.operators.core import qcut
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    prof = lm_train(SparkTbl(docs.filter(docs.doc_id < 250)))
+    scored = lm_logprob(SparkTbl(docs.filter(docs.doc_id >= 250)), prof)
+    t = scored.evolve(df=scored.df.withColumn(
+        "lm4", F.round(F.col("lm_logprob"), 4)))
+    t = qcut(t, _.lm4, q=3, out="bucket",
+             labels=["tail", "middle", "head"])
+    return (t.df.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("lm4").alias("lo"), F.max("lm4").alias("hi"))
+            .select("bucket", "n_docs", "lo", "hi"))
+
+
+SQL_CCNET_BUCKETS = r"""
+WITH d AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> length(t) > 0) AS toks
+  FROM documents),
+uni AS (SELECT t AS gram, count(*) AS c
+        FROM (SELECT unnest(toks) AS t FROM d WHERE doc_id < 250) GROUP BY 1),
+bi AS (SELECT g, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(toks)-1,0)+1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM d WHERE doc_id < 250) GROUP BY 1),
+tot AS (SELECT sum(c) AS s, count(*) AS v FROM uni),
+pos AS (SELECT doc_id, toks, unnest(toks) AS cur,
+               generate_subscripts(toks, 1) AS p
+        FROM d WHERE doc_id >= 250),
+sc AS (SELECT doc_id, cur,
+              CASE WHEN p > 1 THEN toks[p-1] END AS prev FROM pos),
+lp AS (SELECT sc.doc_id,
+         CASE WHEN prev IS NULL THEN ln((coalesce(cu.c,0)+1) / (t.s + t.v))
+              ELSE ln(0.75 * (CASE WHEN pu.c IS NOT NULL AND b.c IS NOT NULL
+                                   THEN b.c / pu.c ELSE 0 END)
+                      + 0.25 * ((coalesce(cu.c,0)+1) / (t.s + t.v)))
+         END AS l
+       FROM sc LEFT JOIN uni cu ON cu.gram = sc.cur
+               LEFT JOIN uni pu ON pu.gram = sc.prev
+               LEFT JOIN bi b ON b.g = sc.prev || ' ' || sc.cur
+               CROSS JOIN tot t),
+per AS (SELECT doc_id, round(round(avg(l), 6), 4) AS lm4
+        FROM lp GROUP BY 1),
+edges AS (SELECT quantile_cont(lm4, [0, 1.0/3, 2.0/3, 1.0]) AS e FROM per),
+bk AS (SELECT per.lm4,
+         CASE WHEN per.lm4 >= e[1] AND per.lm4 <= e[2] THEN 'tail'
+              WHEN per.lm4 > e[2] AND per.lm4 <= e[3] THEN 'middle'
+              WHEN per.lm4 > e[3] AND per.lm4 <= e[4] THEN 'head'
+         END AS bucket
+       FROM per CROSS JOIN edges)
+SELECT bucket, count(*) AS n_docs, min(lm4) AS lo, max(lm4) AS hi
+FROM bk GROUP BY bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -6593,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parts_extract": q_url_parts_extract,
         "blocklist_filter": q_blocklist_filter,
         "lm_logprob_split": q_lm_logprob_split,
+        "ccnet_buckets": q_ccnet_buckets,
     })
     # Driver grades the FIRST 50 entries only.  Round-11 window
     # (VERDICT r10 item 2): the six never-graded r11 additions lead
@@ -6608,7 +6681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r11 (never driver-graded)
         "substring_store_compact", "lang_id_split", "dedup_segments_none",
         "domain_cap", "url_parts_extract", "blocklist_filter",
-        "lm_logprob_split",
+        "lm_logprob_split", "ccnet_buckets",
         # last graded r7 (all 42)
         "cumsum_running", "distinct_pairs", "dt_functions",
         "events_sessionize", "events_total_seconds", "events_tumbling",
@@ -6623,8 +6696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wider_glue", "rank_methods", "revenue_by_nation",
         "salted_join_agg", "select_rename", "semantic_dedup", "semi_anti",
         "sql_raw_mutate", "token_count_bpe",
-        # last graded r8 (alphabetical head; the rest rotate in r12)
-        "across_agg",
+        # the full r8-aged block rotates in r12 (the 8 r11 additions fill
+        # the head this round)
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -6836,6 +6909,7 @@ def oracle_sql() -> dict[str, str]:
         "url_parts_extract": SQL_URL_PARTS_EXTRACT,
         "blocklist_filter": SQL_BLOCKLIST_FILTER,
         "lm_logprob_split": SQL_LM_LOGPROB_SPLIT,
+        "ccnet_buckets": SQL_CCNET_BUCKETS,
         "normalize_text": SQL_NORMALIZE_TEXT,
         "substring_dedup_incr": SQL_SUBSTRING_DEDUP_INCR,
         "stream_substring_store": SQL_STREAM_SUBSTRING_STORE,

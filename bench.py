@@ -78,7 +78,7 @@ def main():
         # round-11 session-2 additions: the web-corpus URL surface +
         # the bigram LM quality scorer
         "domain_cap", "url_parts_extract", "blocklist_filter",
-        "lm_logprob_split",
+        "lm_logprob_split", "ccnet_buckets",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64
