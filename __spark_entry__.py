@@ -6659,8 +6659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_store_compact": q_substring_store_compact,
         "lang_id_split": q_lang_id_split,
         "dedup_segments_none": q_dedup_segments_none,
-        # new in r11 (session 2): the web-corpus URL surface — salted
-        # per-domain caps, URL decomposition, blocklist filtering
+        # new in r11 (session 2): the web-corpus URL surface —
+        # per-domain caps (UNsalted: WindowGroupLimit bounds the hot
+        # key; the salted variant measured 2.2x slower, SCALE.md),
+        # URL decomposition, blocklist filtering
         "domain_cap": q_domain_cap,
         "url_parts_extract": q_url_parts_extract,
         "blocklist_filter": q_blocklist_filter,

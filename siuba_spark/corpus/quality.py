@@ -406,11 +406,20 @@ def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
 
 @verb
 def cap_per_key(tbl: SparkTbl, *keys, n: int, order_by: str = "doc_id",
-                ascending: bool = True):
+                ascending: bool = True, tie_break=None):
     """Keep at most ``n`` rows per key — the RefinedWeb / C4 "max N
     documents per domain" mixture cap.  Keeps the n smallest (or largest,
     ``ascending=False``) ``order_by`` values per key, ties broken
-    deterministically by the remaining columns.
+    deterministically by ``tie_break``.
+
+    ``tie_break=None`` (default) appends EVERY remaining orderable
+    column — always deterministic, but on a wide corpus table that
+    means the map-side Partial top-n comparator sorts by entire
+    document bodies; when ``order_by`` (+ keys) already identifies rows
+    (a unique doc_id — the common case) that width is pure cost.  Pass
+    an explicit list of id-like columns (``tie_break=["doc_id"]``) or
+    ``tie_break=()`` when ``order_by`` is known unique, and only
+    determinism you actually need is paid for.
 
     Scale story: this lowers to ONE ``row_number`` window + a ``<= n``
     rank filter, a shape Spark's InferWindowGroupLimit rule (3.5+,
@@ -440,12 +449,14 @@ def cap_per_key(tbl: SparkTbl, *keys, n: int, order_by: str = "doc_id",
 
     oc = F.col(order_by)
     head = oc.asc_nulls_last() if ascending else oc.desc_nulls_last()
-    # deterministic total order: order_by, then every other orderable
-    # column (the slice family's shared with_ties=False tie-break —
-    # map/UDT columns are excluded, they cannot appear in an ORDER BY)
-    order = [head] + [
-        F.col(c).asc_nulls_last()
-        for c in orderable_tiebreak_cols(tbl, exclude=(order_by, *keys))]
+    # deterministic total order: order_by, then the tie-break columns
+    # (default: every other orderable column — map/UDT columns are
+    # excluded, they cannot appear in an ORDER BY)
+    if tie_break is None:
+        ties = orderable_tiebreak_cols(tbl, exclude=(order_by, *keys))
+    else:
+        ties = [str(c) for c in tie_break]
+    order = [head] + [F.col(c).asc_nulls_last() for c in ties]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
     df = (tbl.df.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") <= n).drop("__rn"))
@@ -652,8 +663,12 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
     ``id_col``.  No windows, no driver state."""
     from pyspark.sql.functions import broadcast
 
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError("lam must be in [0, 1]")
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(
+            "lam must be in [0, 1): at lam=1.0 an unseen bigram context "
+            "makes the mixture 0 and log(0) is NULL in Spark, which avg() "
+            "silently skips — the doc's score would be computed over only "
+            "its seen bigrams instead of penalized")
     prof = wrap_tbl(profile).df
     uni = (prof.filter(F.col("kind") == "uni")
            .select("gram", F.col("cnt").cast("long").alias("__uc")))

@@ -384,8 +384,11 @@ def registrable_domain_col(host):
     last-two rule).  A trailing root-dot FQDN ("example.com." — browser-
     equivalent to "example.com") is canonicalized first, so the dot is
     not a one-character blocklist evasion.  NULL/IP-literal hosts pass
-    through unchanged."""
-    host = F.regexp_replace(host, r"\.$", "")
+    through unchanged (IP literals and NULLs lowercased too — a no-op
+    for digits).  The host is LOWERCASED first (DNS hostnames are
+    case-insensitive), so `domain` group-by keys and blocklist probes
+    treat Example.com and example.com as the same key."""
+    host = F.lower(F.regexp_replace(host, r"\.$", ""))
     parts = F.split(host, r"\.")
     npart = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2),
@@ -433,7 +436,8 @@ def url_parts(tbl: SparkTbl, col: str = "url",
 
 @verb
 def filter_blocklist(tbl: SparkTbl, blocklist, col: str = "host",
-                     block_col: str | None = None, mode: str = "exact"):
+                     block_col: str | None = None, mode: str = "exact",
+                     drop_null_probe: bool = False):
     """Drop rows whose ``col`` matches a blocklist table — the UT1/
     adult-domain filtering step of C4/RefinedWeb-style pipelines.
 
@@ -454,6 +458,14 @@ def filter_blocklist(tbl: SparkTbl, blocklist, col: str = "host",
     broadcast when the list is small (typical blocklists are 1e5-1e6
     rows) and falls back to a shuffled hash join when it is not — no
     forced broadcast() to OOM on a huge list.
+
+    NULL probes PASS by default: a row whose ``col`` is NULL (a
+    malformed URL with no parsed host) never matches an anti-join key,
+    so it survives the filter in BOTH modes — the fail-open stance,
+    chosen because dropping NULLs silently would also hide data bugs.
+    Pipelines that must fail CLOSED on unparseable hosts pass
+    ``drop_null_probe=True``, which drops NULL-probe rows before the
+    anti-join (one extra codegen filter, no new shuffle).
     """
     if mode not in ("exact", "domain"):
         raise ValueError("mode must be 'exact' or 'domain'")
@@ -464,10 +476,14 @@ def filter_blocklist(tbl: SparkTbl, blocklist, col: str = "host",
     probe = F.lower(strip_root(F.col(col)))
     bkey = F.lower(strip_root(F.col(bcol)))
     if mode == "domain":
-        probe = F.lower(registrable_domain_col(F.col(col)))
-        bkey = F.lower(registrable_domain_col(F.col(bcol)))
+        # registrable_domain_col lowercases internally
+        probe = registrable_domain_col(F.col(col))
+        bkey = registrable_domain_col(F.col(bcol))
     block = bdf.select(bkey.alias("__blocked")).distinct()
-    out = (tbl.df.withColumn("__probe", probe)
+    src = tbl.df
+    if drop_null_probe:
+        src = src.filter(F.col(col).isNotNull() & probe.isNotNull())
+    out = (src.withColumn("__probe", probe)
            .join(block, F.col("__probe") == F.col("__blocked"), "left_anti")
            .drop("__probe"))
     return tbl.evolve(df=out)

@@ -769,3 +769,25 @@ def test_lm_logprob_interpolated_bigram_formula(spark):
 
     with pytest.raises(ValueError, match="lam"):
         lm_logprob(apply, prof, lam=1.5)
+
+
+def test_lm_logprob_lam_endpoints(spark):
+    """lam=0 is pure Laplace (finite everywhere); lam=1.0 is REFUSED —
+    at that endpoint an unseen bigram context makes the mixture 0 and
+    Spark's log(0) is NULL, which avg() silently skips, biasing the
+    score toward a doc's seen bigrams (VERDICT r11 item 1 / ADVICE)."""
+    import math
+
+    from siuba_spark.corpus.quality import lm_logprob, lm_train
+
+    train = data_frame(spark, doc_id=[1], text=["a b a"])
+    prof = lm_train(train)
+    apply = data_frame(spark, doc_id=[10], text=["a b c"])
+
+    lap = lambda c: (c + 1) / (3 + 2)  # noqa: E731
+    out0 = lm_logprob(apply, prof, lam=0.0).df.toPandas()
+    want0 = (math.log(lap(2)) + math.log(lap(1)) + math.log(lap(0))) / 3
+    assert out0.lm_logprob[0] == pytest.approx(want0, abs=1e-5)
+
+    with pytest.raises(ValueError, match=r"lam must be in \[0, 1\)"):
+        lm_logprob(apply, prof, lam=1.0)

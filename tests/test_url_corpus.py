@@ -286,3 +286,50 @@ def test_skew_watch_adjacency_not_key_based(spark):
     both = SparkTbl(capped.withColumn("csum", F.sum("n_chars").over(w)))
     r = both >> lint_plan()
     assert any("raw string" in x for x in r["skew_watch"]), r["skew_watch"]
+
+
+def test_registrable_domain_lowercases_host(spark):
+    # DNS hostnames are case-insensitive: the exported domain column
+    # must treat Example.com and example.com as ONE group-by key
+    t = data_frame(spark, host=["Example.COM", "A.Shop.AMAZON.co.JP",
+                                "LOCALHOST"])
+    out = (t.df.withColumn("d", registrable_domain_col(F.col("host")))
+           .toPandas())
+    assert out.d.tolist() == ["example.com", "amazon.co.jp", "localhost"]
+
+
+def test_filter_blocklist_mixed_case_host_is_blocked(spark):
+    t = data_frame(spark, host=["Ads.Tracker.COM", "ok.example.com"])
+    bl = data_frame(spark, blocked=["tracker.com"])
+    out = filter_blocklist(t, bl, col="host", mode="domain").df.toPandas()
+    assert out.host.tolist() == ["ok.example.com"]
+
+
+def test_filter_blocklist_null_probe_passthrough_and_fail_closed(spark):
+    t = data_frame(spark, host=["bad.com", "ok.com", None])
+    bl = data_frame(spark, blocked=["bad.com"])
+    # default: fail-open — the NULL-host row survives both modes
+    for mode in ("exact", "domain"):
+        out = (filter_blocklist(t, bl, col="host", mode=mode)
+               .df.toPandas())
+        assert sorted(out.host.fillna("~").tolist()) == ["ok.com", "~"]
+    # drop_null_probe=True: fail-closed — the NULL-host row is dropped
+    out = (filter_blocklist(t, bl, col="host", mode="exact",
+                            drop_null_probe=True).df.toPandas())
+    assert out.host.tolist() == ["ok.com"]
+
+
+def test_cap_per_key_explicit_tie_break(spark):
+    rows = [("k", 1, i, "x" * 50) for i in range(20)]
+    t = SparkTbl(spark.createDataFrame(
+        rows, "k string, v long, i long, body string"))
+    # explicit id-like tie-break: deterministic without ordering by body
+    out = (cap_per_key(t, "k", n=3, order_by="v", tie_break=["i"])
+           .df.orderBy("i").toPandas())
+    assert out.i.tolist() == [0, 1, 2]
+    # tie_break=() with a unique order_by: no extra sort columns at all
+    t2 = SparkTbl(spark.createDataFrame(
+        [("k", i, "y") for i in range(9)], "k string, v long, body string"))
+    out2 = (cap_per_key(t2, "k", n=2, order_by="v", tie_break=())
+            .df.orderBy("v").toPandas())
+    assert out2.v.tolist() == [0, 1]
