@@ -360,10 +360,11 @@ def normalize_text(tbl: SparkTbl, col: str = "text", out: str | None = None,
     return tbl.evolve(df=tbl.df.withColumn(out or col, c))
 
 
-# Common 2-level public suffixes for the registrable-domain heuristic.
-# NOT the full Mozilla Public Suffix List (no data files in this build) —
-# the long tail (city suffixes, private registries) falls back to the
-# last-two-labels rule; the docstring on registrable_domain_col says so.
+# Common 2-level public suffixes — the NO-DATA-FILE FALLBACK for
+# registrable_domain_col.  The primary path compiles the bundled PSL
+# rule file (corpus/psl.py); this list only applies when that file is
+# missing, and the long tail (city suffixes, wildcards, exceptions)
+# then falls back to the last-two-labels rule.
 TWO_LEVEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
@@ -375,19 +376,34 @@ TWO_LEVEL_SUFFIXES = (
 )
 
 
-def registrable_domain_col(host):
-    """Registrable domain ("example.co.uk" -> "example.co.uk",
-    "a.b.example.com" -> "example.com") as a pure codegen expression:
-    last two host labels, or last three when the last two are a known
-    2-level public suffix (TWO_LEVEL_SUFFIXES — a curated subset, not
-    the full PSL; unknown multi-level registries fall back to the
-    last-two rule).  A trailing root-dot FQDN ("example.com." — browser-
-    equivalent to "example.com") is canonicalized first, so the dot is
-    not a one-character blocklist evasion.  NULL/IP-literal hosts pass
-    through unchanged (IP literals and NULLs lowercased too — a no-op
-    for digits).  The host is LOWERCASED first (DNS hostnames are
-    case-insensitive), so `domain` group-by keys and blocklist probes
-    treat Example.com and example.com as the same key."""
+def registrable_domain_col(host, rules=None):
+    """Registrable domain / eTLD+1 ("a.b.example.com" -> "example.com",
+    "shop.amazon.co.jp" -> "amazon.co.jp") as a pure codegen expression.
+
+    By default this runs the real Public Suffix List ALGORITHM — normal,
+    wildcard (``*.ck``), and exception (``!www.ck``) rules, longest
+    match wins — compiled from the bundled rule file (a curated subset
+    of the MPL-2.0 PSL in upstream wire format; drop in the complete
+    ``public_suffix_list.dat`` from publicsuffix.org, or point
+    ``$SIUBA_SPARK_PSL`` at one, for full coverage).  Pass ``rules``
+    (a :class:`~siuba_spark.corpus.psl.PSLRules`) to override.  Only
+    when no rule file is present does it fall back to the
+    TWO_LEVEL_SUFFIXES heuristic below.
+
+    A trailing root-dot FQDN ("example.com." — browser-equivalent to
+    "example.com") is canonicalized first, so the dot is not a
+    one-character blocklist evasion.  NULL/IP-literal hosts pass
+    through unchanged, and a host that IS a public suffix passes
+    through rather than becoming NULL.  The host is LOWERCASED first
+    (DNS hostnames are case-insensitive), so `domain` group-by keys
+    and blocklist probes treat Example.com and example.com as the
+    same key."""
+    from .psl import load_default_rules, registrable_domain_expr
+
+    if rules is None:
+        rules = load_default_rules()
+    if rules is not None:
+        return registrable_domain_expr(host, rules)
     host = F.lower(F.regexp_replace(host, r"\.$", ""))
     parts = F.split(host, r"\.")
     npart = F.size(parts)

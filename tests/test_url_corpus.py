@@ -333,3 +333,96 @@ def test_cap_per_key_explicit_tie_break(spark):
     out2 = (cap_per_key(t2, "k", n=2, order_by="v", tie_break=())
             .df.orderBy("v").toPandas())
     assert out2.v.tolist() == [0, 1]
+
+
+# ---------------------------------------------------------------- PSL rules
+
+def test_psl_wildcard_exception_and_co_il(spark):
+    """The real PSL algorithm over the bundled rule file (VERDICT r11
+    item 3): wildcard *.ck (any label under .ck is a public suffix),
+    its exception !www.ck, the *.kobe.jp / !city.kobe.jp pair, and the
+    co.il-class registries the 39-entry curated subset got WRONG —
+    before the PSL, sub.bad.co.il collapsed to 'co.il' and a blocklist
+    entry for bad.co.il over-blocked ALL of .co.il."""
+    cases = {
+        # wildcard *.ck: <label>.ck is a public suffix
+        "a.b.gov.ck": "b.gov.ck",
+        "gov.ck": "gov.ck",          # IS a public suffix: passthrough
+        # exception !www.ck: www.ck is registrable despite *.ck
+        "www.ck": "www.ck",
+        "sub.www.ck": "www.ck",
+        # wildcard + exception under kobe.jp
+        "x.city.kobe.jp": "city.kobe.jp",
+        "city.kobe.jp": "city.kobe.jp",
+        "a.b.kobe.jp": "a.b.kobe.jp",   # b.kobe.jp is the suffix
+        "b.kobe.jp": "b.kobe.jp",       # IS a public suffix
+        # the co.il class (absent from the old curated subset)
+        "sub.bad.co.il": "bad.co.il",
+        "bad.co.il": "bad.co.il",
+        "x.site.co.th": "site.co.th",
+        "shop.allegro.com.pl": "allegro.com.pl",
+    }
+    t = data_frame(spark, host=list(cases))
+    out = (t.df.withColumn("d", registrable_domain_col(F.col("host")))
+           .toPandas())
+    assert dict(zip(out.host, out.d)) == cases
+
+
+def test_psl_python_twin_agrees_with_expression(spark):
+    from siuba_spark.corpus.psl import (
+        load_default_rules, registrable_domain_py,
+    )
+    rules = load_default_rules()
+    assert rules is not None
+    hosts = ["deep.a.b.c.example.co.uk", "EX.Ample.Com.", "a.co",
+             "x.y.gov.ck", "q.city.kawasaki.jp", "me.uk", "a.me.uk",
+             "1.2.3.4", "xn--bcher-kva.example", "trailing.dot.co.il."]
+    t = data_frame(spark, host=hosts)
+    out = (t.df.withColumn("d", registrable_domain_col(F.col("host")))
+           .toPandas())
+    for h, d in zip(out.host, out.d):
+        assert d == registrable_domain_py(h, rules), h
+
+
+def test_psl_parse_format_and_custom_rules(spark):
+    """parse_psl honors the upstream wire format (comments, first-token
+    reads, case), and registrable_domain_col accepts explicit rules —
+    including depths beyond the bundled file's."""
+    from siuba_spark.corpus.psl import parse_psl
+
+    rules = parse_psl("""
+// comment line
+com
+co.uk   trailing junk ignored
+*.deep.example
+!keep.deep.example
+a.b.c.tld
+""")
+    assert rules.norm_at(2) == frozenset({"co.uk"})
+    assert rules.norm_at(4) == frozenset({"a.b.c.tld"})   # depth-4 normal
+    assert rules.wild_at(2) == frozenset({"deep.example"})
+    assert rules.exc_at(3) == frozenset({"keep.deep.example"})
+    cases = {
+        "x.q.deep.example": "x.q.deep.example",  # *.deep.example suffix
+        "q.deep.example": "q.deep.example",      # IS a public suffix
+        "z.keep.deep.example": "keep.deep.example",  # exception
+        "w.a.b.c.tld": "w.a.b.c.tld",            # depth-4 normal rule
+        "plain.com": "plain.com",                # 1-label rule == default
+    }
+    t = data_frame(spark, host=list(cases))
+    out = (t.df.withColumn(
+        "d", registrable_domain_col(F.col("host"), rules=rules))
+           .toPandas())
+    assert dict(zip(out.host, out.d)) == cases
+
+
+def test_blocklist_co_il_no_longer_overblocks(spark):
+    """Regression pin for VERDICT r11 'what's wrong' item 3: with the
+    curated subset, blocking bad.co.il normalized both sides to co.il
+    and dropped EVERY .co.il host; with the PSL, only bad.co.il's
+    registrable domain falls."""
+    t = data_frame(spark, host=["x.bad.co.il", "bad.co.il",
+                                "good.co.il", "y.good.co.il"])
+    bl = data_frame(spark, blocked=["bad.co.il"])
+    out = filter_blocklist(t, bl, col="host", mode="domain").df.toPandas()
+    assert sorted(out.host) == ["good.co.il", "y.good.co.il"]
