@@ -450,6 +450,84 @@ def url_parts(tbl: SparkTbl, col: str = "url",
     return tbl.evolve(df=df)
 
 
+# Query-parameter keys that are pure click-tracking state — the C4 /
+# RefinedWeb canonicalization drops them before URL-keyed dedup.  Keys
+# are matched lowercased; override per-pipeline via drop_params=.
+DEFAULT_TRACKING_PARAMS = (
+    "^(utm_[a-z0-9_]*|gclid|dclid|gbraid|wbraid|fbclid|msclkid|mc_cid"
+    "|mc_eid|yclid|igshid|twclid|ttclid|_hsenc|_hsmi|vero_id|oly_anon_id"
+    "|oly_enc_id|s_cid|icid)$"
+)
+
+
+@verb
+def url_normalize(tbl: SparkTbl, col: str = "url", out: str = "url_norm",
+                  *, drop_params: str | None = DEFAULT_TRACKING_PARAMS,
+                  sort_query: bool = True):
+    """Canonicalize a URL column — the C4/RefinedWeb step that runs
+    BEFORE content dedup, so that the million spellings of one resource
+    collapse to one URL-dedup key:
+
+    * scheme and host lowercased (both case-insensitive per RFC 3986);
+      a trailing root-dot FQDN host is canonicalized;
+    * the fragment is DROPPED (never sent to the server);
+    * default ports stripped (http:80, https:443, ftp:21);
+    * duplicate slashes in the path collapsed, empty path -> "/";
+    * tracking query parameters dropped (``drop_params`` — a regex
+      matched against each LOWERCASED key; None keeps everything);
+    * surviving query parameters sorted (``sort_query`` — lexicographic
+      on the full "k=v" text, so reordered params compare equal);
+    * userinfo, when present, is preserved verbatim.
+
+    Percent-encoding is NOT rewritten (%2F vs /, hex case): decoding
+    can change which resource is named, so it stays byte-exact.
+
+    Malformed URLs (no parseable scheme or host) normalize to NULL —
+    honest for a dedup key, and composes with
+    ``filter_blocklist(drop_null_probe=True)`` to fail closed.
+
+    Pure projection built entirely from JVM expressions
+    (``try_parse_url`` + regexp/array ops inside whole-stage codegen):
+    zero shuffle, zero Python per row, at any corpus size.  Typical
+    chain: ``url_normalize >> exact_dedup(cols=("url_norm",)) >>
+    cap_per_key("domain", ...)``.
+    """
+    u = F.col(col)
+    part = lambda name: F.try_parse_url(u, F.lit(name))  # noqa: E731
+    scheme = F.lower(part("PROTOCOL"))
+    host = F.lower(F.regexp_replace(part("HOST"), r"\.$", ""))
+    port = F.regexp_extract(F.coalesce(part("AUTHORITY"), F.lit("")),
+                            r":(\d+)$", 1)
+    is_default = (((scheme == "http") & (port == "80"))
+                  | ((scheme == "https") & (port == "443"))
+                  | ((scheme == "ftp") & (port == "21")))
+    port_part = (F.when((port == "") | is_default, F.lit(""))
+                 .otherwise(F.concat(F.lit(":"), port)))
+    userinfo = part("USERINFO")
+    ui_part = (F.when(userinfo.isNull(), F.lit(""))
+               .otherwise(F.concat(userinfo, F.lit("@"))))
+    path = F.regexp_replace(F.coalesce(part("PATH"), F.lit("")),
+                            "/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qarr = F.filter(F.split(F.coalesce(part("QUERY"), F.lit("")), "&"),
+                    lambda p: F.length(p) > 0)
+    if drop_params is not None:
+        qarr = F.filter(
+            qarr,
+            lambda p: ~F.lower(F.substring_index(p, "=", 1))
+            .rlike(drop_params))
+    if sort_query:
+        qarr = F.array_sort(qarr)
+    qs = F.array_join(qarr, "&")
+    q_part = (F.when(qs == "", F.lit(""))
+              .otherwise(F.concat(F.lit("?"), qs)))
+    norm = F.when(
+        scheme.isNull() | host.isNull() | (host == ""), F.lit(None))\
+        .otherwise(F.concat(scheme, F.lit("://"), ui_part, host,
+                            port_part, path, q_part))
+    return tbl.evolve(df=tbl.df.withColumn(out, norm))
+
+
 @verb
 def filter_blocklist(tbl: SparkTbl, blocklist, col: str = "host",
                      block_col: str | None = None, mode: str = "exact",

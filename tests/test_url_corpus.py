@@ -426,3 +426,92 @@ def test_blocklist_co_il_no_longer_overblocks(spark):
     bl = data_frame(spark, blocked=["bad.co.il"])
     out = filter_blocklist(t, bl, col="host", mode="domain").df.toPandas()
     assert sorted(out.host) == ["good.co.il", "y.good.co.il"]
+
+
+# ------------------------------------------------------------- url_normalize
+
+def test_url_normalize_canonicalization(spark):
+    """The C4/RefinedWeb URL canonicalization: case, default ports,
+    fragments, tracking params, param order, duplicate slashes, empty
+    path, trailing root-dot host, userinfo preservation, and the
+    NULL-on-malformed contract."""
+    from siuba_spark.corpus.text import url_normalize
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a//b/?b=2&a=1&utm_source=x#frag",
+         "https://www.example.com/a/b/?a=1&b=2"),
+        ("https://www.example.com/a/b/?a=1&b=2",
+         "https://www.example.com/a/b/?a=1&b=2"),
+        # non-default port survives; fbclid dropped
+        ("http://example.com:8080//x?q=1&fbclid=abc",
+         "http://example.com:8080/x?q=1"),
+        ("http://user:pw@host.co.uk./p", "http://user:pw@host.co.uk/p"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/?", "https://example.com/"),
+        # tracking keys match case-insensitively
+        ("https://example.com/p?UTM_Campaign=z&z=9",
+         "https://example.com/p?z=9"),
+        ("ftp://files.example.com:21/pub", "ftp://files.example.com/pub"),
+        ("doc 123", None),
+        (None, None),
+        ("mailto:someone@example.com", None),  # non-hierarchical: no host
+    ]
+    t = SparkTbl(spark.createDataFrame([(u,) for u, _ in cases],
+                                       "url string"))
+    out = {r.url: r.url_norm
+           for r in url_normalize(t, "url").df.collect()}
+    for u, want in cases:
+        assert out[u] == want, (u, out[u], want)
+
+
+def test_url_normalize_knobs(spark):
+    from siuba_spark.corpus.text import url_normalize
+
+    t = SparkTbl(spark.createDataFrame(
+        [("https://h.com/p?b=2&a=1&utm_source=x",)], "url string"))
+    # drop_params=None keeps tracking params; sort still applies
+    out = url_normalize(t, "url", drop_params=None).df.collect()[0]
+    assert out.url_norm == "https://h.com/p?a=1&b=2&utm_source=x"
+    # sort_query=False keeps the original order
+    out = url_normalize(t, "url", sort_query=False).df.collect()[0]
+    assert out.url_norm == "https://h.com/p?b=2&a=1"
+
+
+def test_url_normalize_is_zero_shuffle(spark):
+    from siuba_spark.corpus.text import url_normalize
+
+    docs = _docs(spark)
+    t = docs.evolve(df=docs.df.withColumn(
+        "url", F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example.com/d/"),
+                        F.col("doc_id").cast("string"))))
+    plan = (url_normalize(t, "url").df
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_url_normalize_dedup_chain(spark):
+    """The composed web-corpus chain (VERDICT r11 item 1): normalize ->
+    exact_dedup on the canonical URL -> per-domain cap.  Three spellings
+    of one resource collapse to one row (lowest doc_id wins)."""
+    from siuba_spark.corpus.dedup import exact_dedup
+    from siuba_spark.corpus.quality import cap_per_key
+    from siuba_spark.corpus.text import url_normalize, url_parts
+
+    rows = [
+        (1, "https://A.com/x?b=2&a=1"),
+        (2, "HTTPS://a.COM:443/x?a=1&b=2&utm_source=t"),
+        (3, "https://a.com//x?a=1&b=2#sec"),
+        (4, "https://a.com/y"),
+        (5, "https://b.org/z"),
+    ]
+    t = SparkTbl(spark.createDataFrame(rows, "doc_id long, url string"))
+    t = url_normalize(t, "url")
+    t = url_parts(t, "url_norm", parts=("host",))
+    t = exact_dedup(t, cols=("url_norm",), keep="min")
+    t = cap_per_key(t, "domain", n=1, order_by="doc_id", tie_break=())
+    out = sorted((r.doc_id, r.url_norm, r.n_dups)
+                 for r in t.df.collect())
+    assert out == [(1, "https://a.com/x?a=1&b=2", 3),
+                   (5, "https://b.org/z", 1)]
