@@ -613,95 +613,158 @@ def unigram_logprob(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     return tbl.evolve(df=joined)
 
 
-def lm_train(tbl, col: str = "text"):
-    """Train an interpolated-bigram language-model profile over a corpus
+def lm_train(tbl, col: str = "text", order: int = 2):
+    """Train an interpolated n-gram language-model profile over a corpus
     — the distributed stand-in for CCNet's KenLM training step (Wenzek
-    et al. 2020 filter corpora by LM perplexity; a bigram
-    Jelinek-Mercer + Laplace mixture is the public-knowledge shape that
-    fits one profile table).  Returns a DataFrame ``(gram, kind, cnt)``
-    with ``kind`` in {'uni', 'bi'} (bigrams space-joined — unambiguous,
-    tokens cannot contain whitespace).  Persist with ``write_parquet``
-    and apply to later corpora with :func:`lm_logprob` — the
-    train-once / apply-many split.
+    et al. 2020 filter corpora by LM perplexity; a Jelinek-Mercer +
+    Laplace mixture is the public-knowledge shape that fits one profile
+    table).  Returns a DataFrame ``(gram, order, cnt)`` with one row per
+    distinct k-gram for every k in 1..order (grams space-joined —
+    unambiguous, tokens cannot contain whitespace).  Persist with
+    ``write_parquet`` and apply to later corpora with
+    :func:`lm_logprob` — the train-once / apply-many split.
 
-    Scale: two partial-combining count shuffles (Zipf skew absorbed
-    map-side; reducers see one row per distinct gram); the profile is
-    one row per distinct uni/bi-gram, never corpus-sized."""
+    ``order=2`` (default) keeps the r11 bigram behavior; ``order=3`` is
+    the CCNet-style trigram; KenLM-parity pipelines pass 5.
+
+    Scale: the k-gram arrays for every order are built in ONE
+    projection and explode once, so the profile costs a single
+    partial-combining count shuffle keyed on (gram, order) — Zipf skew
+    is absorbed map-side; reducers see one row per distinct gram.  The
+    profile is gram-distinct-sized, never corpus-sized."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
     t = wrap_tbl(tbl).df
     toks = F.filter(tokens_col(F.col(col)), lambda x: F.length(x) > 0)
     base = t.select(toks.alias("__toks"))
-    uni = (base.select(F.explode("__toks").alias("gram"))
-           .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
-           .withColumn("kind", F.lit("uni")))
-    bi = (base.select(F.explode(_bigrams(F.col("__toks"))).alias("gram"))
-          .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
-          .withColumn("kind", F.lit("bi")))
-    return uni.unionByName(bi).select("gram", "kind", "cnt")
+    # NB: a two-arg transform lambda would receive the ELEMENT INDEX as
+    # its second argument — bind k through a factory, not a default arg
+    def _tag(k):
+        return lambda g: F.struct(g.alias("g"), F.lit(k).alias("o"))
+
+    tagged = F.concat(*[F.transform(_ngrams(F.col("__toks"), k), _tag(k))
+                        for k in range(1, order + 1)])
+    return (base.select(F.explode(tagged).alias("__t"))
+            .groupBy(F.col("__t.g").alias("gram"),
+                     F.col("__t.o").alias("order"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("gram", "order", "cnt"))
 
 
 @verb
 def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
                id_col: str = "doc_id", out: str = "lm_logprob",
-               lam: float = 0.75):
-    """Interpolated-bigram LM quality score — the bigram edition of
-    :func:`unigram_logprob` and the apply side of :func:`lm_train`:
-    each document's mean token log-probability under
+               lam=0.75, order: int | None = None):
+    """Interpolated n-gram LM quality score — the apply side of
+    :func:`lm_train`: each document's mean token log-probability under
+    the recursive Jelinek-Mercer mixture
 
-        lam * P(cur | prev) + (1 - lam) * P_laplace(cur)
+        P_1       = P_laplace(cur) = (cnt(cur)+1) / (total+V)
+        P_k(cur)  = lam_k * ML_k + (1 - lam_k) * P_{k-1}     (k = 2..n)
 
-    where ``P(cur|prev) = cnt(prev cur) / cnt(prev)`` (0 when the
-    context is unseen) and ``P_laplace = (cnt(cur)+1) / (total+V)`` so
-    out-of-vocabulary tokens in a NEW corpus score finitely instead of
-    -inf; a document's first token is scored by the Laplace unigram
-    term alone.  Both perplexity tails get filtered in real pipelines
+    where ``ML_k = cnt(k-gram ending at cur) / cnt((k-1)-gram context)``
+    (0 when the context is unseen), so out-of-vocabulary tokens in a
+    NEW corpus score finitely instead of -inf.  A token at position i
+    is scored at the highest order its left context supports: the
+    first token by Laplace alone, the second by the bigram mixture, and
+    so on — for ``order=2`` this is bit-identical to the r11 bigram
+    scorer.  Both perplexity tails get filtered in real pipelines
     (gibberish scores low, boilerplate scores high).
 
+    ``lam`` is a scalar (shared by every mixture level) or a sequence
+    of ``order - 1`` per-level weights ``(lam_2, ..., lam_n)``; each
+    must lie in [0, 1) — at exactly 1.0 an unseen context would make
+    the mixture 0 and Spark's log(0) NULL, which avg() silently skips.
+    ``order=None`` infers the trained order from the profile (one
+    bounded 1-row aggregate over the pre-aggregated, gram-sized profile
+    — not a corpus scan).  Profiles from the r11 bigram trainer (the
+    ``kind`` uni/bi schema) are accepted and mapped to orders 1/2.
+
     Scale: the profile is pre-aggregated one-row-per-gram; scoring is
-    three EQUI joins (cur-unigram, prev-unigram, bigram) — AQE
-    broadcasts a small profile and falls back to shuffled hash joins
-    keyed on the gram otherwise — plus one per-doc mean shuffle on
-    ``id_col``.  No windows, no driver state."""
+    ``2*order - 1`` EQUI joins (one per suffix-gram length ending at
+    the token and at its predecessor) — AQE broadcasts a small profile
+    and falls back to shuffled hash joins keyed on the gram otherwise —
+    plus one per-doc mean shuffle on ``id_col``.  No windows, no
+    driver state beyond the 1-row order probe."""
     from pyspark.sql.functions import broadcast
 
-    if not 0.0 <= lam < 1.0:
-        raise ValueError(
-            "lam must be in [0, 1): at lam=1.0 an unseen bigram context "
-            "makes the mixture 0 and log(0) is NULL in Spark, which avg() "
-            "silently skips — the doc's score would be computed over only "
-            "its seen bigrams instead of penalized")
     prof = wrap_tbl(profile).df
-    uni = (prof.filter(F.col("kind") == "uni")
-           .select("gram", F.col("cnt").cast("long").alias("__uc")))
-    bi = (prof.filter(F.col("kind") == "bi")
-          .select(F.col("gram").alias("__bg"),
-                  F.col("cnt").cast("long").alias("__bc")))
-    consts = uni.agg(F.sum("__uc").alias("__tot"),
-                     F.count(F.lit(1)).alias("__v"))
+    if "kind" in prof.columns:  # r11 bigram profile schema
+        prof = prof.select(
+            "gram",
+            F.when(F.col("kind") == "uni", F.lit(1))
+            .otherwise(F.lit(2)).alias("order"), "cnt")
+    if order is None:
+        order = prof.agg(F.max("order")).collect()[0][0]
+        if order is None:
+            raise ValueError("empty profile: cannot infer order")
+    order = int(order)
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    lams = ([float(lam)] * (order - 1) if not isinstance(lam, (list, tuple))
+            else [float(x) for x in lam])
+    if len(lams) != order - 1:
+        raise ValueError(f"lam must be a scalar or {order - 1} weights "
+                         f"(lam_2..lam_{order}), got {len(lams)}")
+    for x in lams:
+        if not 0.0 <= x < 1.0:
+            raise ValueError(
+                "lam must be in [0, 1): at lam=1.0 an unseen context "
+                "makes the mixture 0 and log(0) is NULL in Spark, which "
+                "avg() silently skips — the doc's score would be "
+                "computed over only its seen contexts instead of "
+                "penalized")
+
+    counts = {
+        k: (prof.filter(F.col("order") == k)
+            .select("gram", F.col("cnt").cast("long").alias(f"__c{k}")))
+        for k in range(1, order + 1)}
+    consts = counts[1].agg(F.sum("__c1").alias("__tot"),
+                           F.count(F.lit(1)).alias("__v"))
 
     toks = F.filter(tokens_col(F.col(col)), lambda x: F.length(x) > 0)
     ex = (tbl.df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
           .select("__id", "__toks",
                   F.posexplode("__toks").alias("__pos", "__cur")))
-    prev = F.when(F.col("__pos") > 0,
-                  F.try_element_at("__toks", F.col("__pos")))
-    ex = ex.select("__id", "__cur", prev.alias("__prev"))
-    ex = ex.withColumn(
-        "__bg", F.when(F.col("__prev").isNotNull(),
-                       F.concat(F.col("__prev"), F.lit(" "),
-                                F.col("__cur"))))
-    j = (ex.join(uni.withColumnRenamed("gram", "__cur")
-                 .withColumnRenamed("__uc", "__cuc"), "__cur", "left")
-         .join(uni.withColumnRenamed("gram", "__prev")
-               .withColumnRenamed("__uc", "__puc"), "__prev", "left")
-         .join(bi, "__bg", "left")
-         .crossJoin(broadcast(consts)))
-    lap = ((F.coalesce(F.col("__cuc"), F.lit(0)) + 1)
+    pos = F.col("__pos")
+    arr = F.col("__toks")
+    # suffix gram of length k ending at the token (__a{k}) and of
+    # length j ending at its predecessor (__b{j}); NULL when the doc
+    # is too short — NULL join keys never match, and those positions
+    # take a lower-order CASE branch anyway
+    for k in range(1, order + 1):
+        ex = ex.withColumn(f"__a{k}", F.when(
+            pos >= k - 1,
+            F.concat_ws(" ", F.slice(arr, pos - (k - 2), k))))
+    for j in range(1, order):
+        ex = ex.withColumn(f"__b{j}", F.when(
+            pos >= j,
+            F.concat_ws(" ", F.slice(arr, pos - (j - 1), j))))
+    j = ex.drop("__toks", "__cur")
+    for k in range(1, order + 1):
+        j = j.join(counts[k].withColumnRenamed("gram", f"__a{k}"),
+                   f"__a{k}", "left")
+    for jj in range(1, order):
+        j = j.join(counts[jj].select(
+            F.col("gram").alias(f"__b{jj}"),
+            F.col(f"__c{jj}").alias(f"__d{jj}")), f"__b{jj}", "left")
+    j = j.crossJoin(broadcast(consts))
+
+    lap = ((F.coalesce(F.col("__c1"), F.lit(0)) + 1)
            / (F.col("__tot") + F.col("__v")))
-    pbi = (F.when(F.col("__puc").isNotNull() & F.col("__bc").isNotNull(),
-                  F.col("__bc") / F.col("__puc"))
-           .otherwise(F.lit(0.0)))
-    lp = (F.when(F.col("__prev").isNull(), F.log(lap))
-          .otherwise(F.log(F.lit(lam) * pbi + F.lit(1.0 - lam) * lap)))
+    mix = lap
+    mixes = [lap]
+    for k in range(2, order + 1):
+        ml = (F.when(F.col(f"__d{k - 1}").isNotNull()
+                     & F.col(f"__c{k}").isNotNull(),
+                     F.col(f"__c{k}") / F.col(f"__d{k - 1}"))
+              .otherwise(F.lit(0.0)))
+        mix = F.lit(lams[k - 2]) * ml + F.lit(1.0 - lams[k - 2]) * mix
+        mixes.append(mix)
+    # score at the highest order the left context supports
+    lp = F.log(mixes[-1])
+    for k in range(order - 1, 0, -1):
+        lp = F.when(pos == k - 1, F.log(mixes[k - 1])).otherwise(lp)
     per_doc = (j.withColumn("__lp", lp)
                .groupBy("__id").agg(F.round(F.avg("__lp"), 6).alias(out)))
     joined = (tbl.df.join(per_doc, tbl.df[id_col] == per_doc["__id"], "left")

@@ -747,9 +747,9 @@ def test_lm_logprob_interpolated_bigram_formula(spark):
 
     train = data_frame(spark, doc_id=[1], text=["a b a"])
     prof = lm_train(train)
-    rows = {(r.kind, r.gram): r.cnt for r in prof.collect()}
-    assert rows == {("uni", "a"): 2, ("uni", "b"): 1,
-                    ("bi", "a b"): 1, ("bi", "b a"): 1}
+    rows = {(r.order, r.gram): r.cnt for r in prof.collect()}
+    assert rows == {(1, "a"): 2, (1, "b"): 1,
+                    (2, "a b"): 1, (2, "b a"): 1}
 
     apply = data_frame(spark, doc_id=[10, 11, 12],
                        text=["a b c", "z q", ""])
@@ -791,3 +791,54 @@ def test_lm_logprob_lam_endpoints(spark):
 
     with pytest.raises(ValueError, match=r"lam must be in \[0, 1\)"):
         lm_logprob(apply, prof, lam=1.0)
+
+
+def test_lm_trigram_formula_and_compat(spark):
+    """Order-3 Jelinek-Mercer mixture against hand-computed values
+    (VERDICT r11 item 7), per-level lams, and acceptance of the r11
+    bigram (gram, kind, cnt) profile schema."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import lm_logprob, lm_train
+
+    train = data_frame(spark, doc_id=[1], text=["a b a b"])
+    prof3 = lm_train(train, order=3)
+    rows = {(r.order, r.gram): r.cnt for r in prof3.collect()}
+    assert rows == {(1, "a"): 2, (1, "b"): 2, (2, "a b"): 2,
+                    (2, "b a"): 1, (3, "a b a"): 1, (3, "b a b"): 1}
+
+    apply = data_frame(spark, doc_id=[20], text=["a b a"])
+    lap = lambda c: (c + 1) / 6  # noqa: E731  tot=4, V=2
+    m2 = lambda pb, c: 0.75 * pb + 0.25 * lap(c)  # noqa: E731
+    m3 = lambda pt, pb, c: 0.75 * pt + 0.25 * m2(pb, c)  # noqa: E731
+    want = (math.log(lap(2))                # 'a': Laplace only
+            + math.log(m2(2 / 2, 2))        # 'b' after 'a'
+            + math.log(m3(1 / 2, 1 / 2, 2))  # 'a' after 'a b'
+            ) / 3
+    out = lm_logprob(apply, prof3).df.collect()[0]
+    assert out.lm_logprob == pytest.approx(want, abs=1e-5)
+
+    # per-level weights (lam_2, lam_3)
+    m2b = lambda pb, c: 0.5 * pb + 0.5 * lap(c)  # noqa: E731
+    m3b = lambda pt, pb, c: 0.9 * pt + 0.1 * m2b(pb, c)  # noqa: E731
+    wantb = (math.log(lap(2)) + math.log(m2b(2 / 2, 2))
+             + math.log(m3b(1 / 2, 1 / 2, 2))) / 3
+    outb = lm_logprob(apply, prof3, lam=[0.5, 0.9]).df.collect()[0]
+    assert outb.lm_logprob == pytest.approx(wantb, abs=1e-5)
+
+    with pytest.raises(ValueError, match="scalar or 2 weights"):
+        lm_logprob(apply, prof3, lam=[0.5])
+    with pytest.raises(ValueError, match=r"lam must be in \[0, 1\)"):
+        lm_logprob(apply, prof3, lam=[0.5, 1.0])
+
+    # r11 bigram profile schema (gram, kind, cnt) still scores —
+    # bit-identical to the (gram, order, cnt) order-2 path
+    prof2 = lm_train(train)
+    legacy = prof2.select(
+        "gram", F.when(F.col("order") == 1, "uni").otherwise("bi")
+        .alias("kind"), "cnt")
+    a = lm_logprob(apply, prof2).df.collect()[0].lm_logprob
+    b = lm_logprob(apply, legacy).df.collect()[0].lm_logprob
+    assert a == b
