@@ -6406,6 +6406,205 @@ FROM bk GROUP BY bucket
 """
 
 
+
+def q_url_normalize(spark, sf):
+    """URL canonicalization (corpus/text.py url_normalize — the
+    C4/RefinedWeb dedup-by-URL precursor) graded across every
+    normalization branch a crawl exercises: case-folded scheme+host with
+    a default :443 port, tracking params (utm_source / fbclid), a
+    fragment, duplicate path slashes (v=0); a NON-default :8080 port
+    that must survive (v=1); userinfo plus a trailing root-dot FQDN
+    host (v=2); an empty path with unsorted query params (v=3); and
+    src9's malformed strings, which normalize to NULL instead of
+    erroring.  Pure zero-shuffle projection; the oracle re-derives the
+    canonical string per construction branch."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.text import url_normalize
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    grp = F.floor(docs.doc_id / 4).cast("long").cast("string")
+    v = docs.doc_id % 4
+    url = (F.when(docs.source == "src9",
+                  F.concat(F.lit("not a url "),
+                           docs.doc_id.cast("string")))
+           .when(v == 0, F.concat(
+               F.lit("HTTPS://WWW."), docs.source,
+               F.lit(".Example.COM:443/d//"), grp,
+               F.lit("?b=2&a=1&utm_source=feed#frag")))
+           .when(v == 1, F.concat(
+               F.lit("http://www."), docs.source,
+               F.lit(".example.com:8080/d/"), grp,
+               F.lit("?q=1&fbclid=zz")))
+           .when(v == 2, F.concat(
+               F.lit("https://u:p@www."), docs.source,
+               F.lit(".example.com./d/"), grp))
+           .otherwise(F.concat(
+               F.lit("https://www."), docs.source,
+               F.lit(".example.com?z=1&y=2&x=3"))))
+    out = url_normalize(SparkTbl(docs.withColumn("url", url)), "url")
+    return out.df.select("doc_id", "url_norm")
+
+
+SQL_URL_NORMALIZE = """
+SELECT doc_id,
+  CASE WHEN source = 'src9' THEN NULL
+       WHEN doc_id % 4 = 0 THEN
+         'https://www.' || source || '.example.com/d/'
+         || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+       WHEN doc_id % 4 = 1 THEN
+         'http://www.' || source || '.example.com:8080/d/'
+         || CAST(doc_id // 4 AS VARCHAR) || '?q=1'
+       WHEN doc_id % 4 = 2 THEN
+         'https://u:p@www.' || source || '.example.com/d/'
+         || CAST(doc_id // 4 AS VARCHAR)
+       ELSE 'https://www.' || source || '.example.com/?x=3&y=2&z=1'
+  END AS url_norm
+FROM documents
+"""
+
+
+def q_url_dedup_chain(spark, sf):
+    """The composed web-corpus chain (VERDICT r11 item 1), graded the
+    way C4/RefinedWeb actually run it: ``url_normalize`` collapses the
+    spellings of one resource (case, default port, tracking params,
+    fragments, param order), ``url_parts`` derives the registrable
+    domain of the canonical URL (PSL rules), ``exact_dedup`` on the
+    canonical URL keeps the lowest doc_id per resource and counts the
+    spellings (``n_dups``), and ``cap_per_key`` keeps the 5 earliest
+    survivors per domain.  NULL canonical URLs (src9's malformed rows)
+    are filtered before dedup — a NULL key would otherwise collapse
+    every malformed row into one.  Scale shape: two zero-shuffle
+    projections + ONE partial-combining min_by aggregate on url_norm +
+    the WindowGroupLimit-bounded per-domain cap; no windows keyed on
+    content.  The oracle replays the full chain in SQL."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import exact_dedup
+    from siuba_spark.corpus.quality import cap_per_key
+    from siuba_spark.corpus.text import url_normalize, url_parts
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df.select("doc_id", "source")
+    grp = F.floor(docs.doc_id / 4).cast("long").cast("string")
+    v = docs.doc_id % 4
+    url = (F.when(docs.source == "src9",
+                  F.concat(F.lit("not a url "),
+                           docs.doc_id.cast("string")))
+           .when(v == 0, F.concat(
+               F.lit("HTTPS://WWW."), docs.source, F.lit(".Com:443/d//"),
+               grp, F.lit("?b=2&a=1&utm_source=feed#frag")))
+           .when(v == 3, F.concat(
+               F.lit("https://www."), docs.source, F.lit(".com/d/"), grp,
+               F.lit("/x?a=1&b=2")))
+           .otherwise(F.concat(
+               F.lit("https://www."), docs.source, F.lit(".com/d/"), grp,
+               F.when(v == 1, F.lit("?a=1&b=2"))
+               .otherwise(F.lit("?b=2&a=1&gclid=xyz")))))
+    t = url_normalize(SparkTbl(docs.withColumn("url", url)), "url")
+    t = t.evolve(df=t.df.filter(F.col("url_norm").isNotNull()))
+    t = url_parts(t, "url_norm", parts=("host",))
+    t = exact_dedup(t, cols=("url_norm",), keep="min")
+    t = cap_per_key(t, "domain", n=5, order_by="doc_id", tie_break=())
+    return t.df.select("doc_id", "url_norm", "domain", "n_dups")
+
+
+SQL_URL_DEDUP_CHAIN = """
+WITH u AS (
+  SELECT doc_id, source,
+    CASE WHEN source = 'src9' THEN NULL
+         WHEN doc_id % 4 = 3 THEN
+           'https://www.' || source || '.com/d/'
+           || CAST(doc_id // 4 AS VARCHAR) || '/x?a=1&b=2'
+         ELSE 'https://www.' || source || '.com/d/'
+           || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+    END AS url_norm
+  FROM documents),
+d AS (
+  SELECT url_norm, min(doc_id) AS doc_id,
+         min_by(source, doc_id) AS source, count(*) AS n_dups
+  FROM u WHERE url_norm IS NOT NULL GROUP BY url_norm),
+c AS (
+  SELECT doc_id, url_norm, source || '.com' AS domain, n_dups,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM d)
+SELECT doc_id, url_norm, domain, n_dups FROM c WHERE rn <= 5
+"""
+
+
+def q_lm_trigram_split(spark, sf):
+    """Order-3 interpolated LM scoring (corpus/quality.py lm_train /
+    lm_logprob, order=3 — the CCNet-style trigram upgrade of
+    lm_logprob_split) in the same train/apply split: the (gram, order,
+    cnt) profile is trained on corpus A (doc_id < 250) and scores
+    corpus B (doc_id >= 250), exercising OOV tokens, unseen bigram AND
+    trigram contexts, and the per-position order ladder (first token
+    Laplace, second token bigram mixture, the rest trigram).  Five equi
+    joins against the gram-sized profile + one per-doc mean — no
+    windows; the oracle replays the identical recursive mixture."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import lm_logprob, lm_train
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    prof = lm_train(SparkTbl(docs.filter(docs.doc_id < 250)), order=3)
+    out = lm_logprob(SparkTbl(docs.filter(docs.doc_id >= 250)), prof)
+    return out.df.select("doc_id",
+                         F.round(F.col("lm_logprob"), 4).alias("lm3_lp"))
+
+
+SQL_LM_TRIGRAM_SPLIT = r"""
+WITH d AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> length(t) > 0) AS toks
+  FROM documents),
+uni AS (SELECT t AS gram, count(*) AS c
+        FROM (SELECT unnest(toks) AS t FROM d WHERE doc_id < 250) GROUP BY 1),
+bi AS (SELECT g, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(toks)-1,0)+1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM d WHERE doc_id < 250) GROUP BY 1),
+tri AS (SELECT g, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(toks)-2,0)+1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        FROM d WHERE doc_id < 250) GROUP BY 1),
+tot AS (SELECT sum(c) AS s, count(*) AS v FROM uni),
+pos AS (SELECT doc_id, toks, unnest(toks) AS cur,
+               generate_subscripts(toks, 1) AS p
+        FROM d WHERE doc_id >= 250),
+sc AS (SELECT doc_id, cur, p,
+              CASE WHEN p > 1 THEN toks[p-1] END AS prev,
+              CASE WHEN p > 2 THEN toks[p-2] END AS prev2 FROM pos),
+lp AS (SELECT sc.doc_id,
+         CASE WHEN p = 1 THEN ln((coalesce(cu.c,0)+1) / (t.s + t.v))
+              WHEN p = 2 THEN ln(
+                0.75 * (CASE WHEN pu.c IS NOT NULL AND b.c IS NOT NULL
+                             THEN b.c / pu.c ELSE 0 END)
+                + 0.25 * ((coalesce(cu.c,0)+1) / (t.s + t.v)))
+              ELSE ln(
+                0.75 * (CASE WHEN b2.c IS NOT NULL AND tr.c IS NOT NULL
+                             THEN tr.c / b2.c ELSE 0 END)
+                + 0.25 * (
+                  0.75 * (CASE WHEN pu.c IS NOT NULL AND b.c IS NOT NULL
+                               THEN b.c / pu.c ELSE 0 END)
+                  + 0.25 * ((coalesce(cu.c,0)+1) / (t.s + t.v))))
+         END AS l
+       FROM sc LEFT JOIN uni cu ON cu.gram = sc.cur
+               LEFT JOIN uni pu ON pu.gram = sc.prev
+               LEFT JOIN bi b ON b.g = sc.prev || ' ' || sc.cur
+               LEFT JOIN bi b2 ON b2.g = sc.prev2 || ' ' || sc.prev
+               LEFT JOIN tri tr
+                 ON tr.g = sc.prev2 || ' ' || sc.prev || ' ' || sc.cur
+               CROSS JOIN tot t),
+per AS (SELECT doc_id, round(round(avg(l), 6), 4) AS lm3_lp
+        FROM lp GROUP BY 1)
+SELECT d.doc_id, per.lm3_lp FROM d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id >= 250
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -6668,38 +6867,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "lm_logprob_split": q_lm_logprob_split,
         "ccnet_buckets": q_ccnet_buckets,
+        # new in r12: URL canonicalization + the composed
+        # normalize -> URL-dedup -> per-domain-cap chain, and the
+        # order-3 LM train/apply split
+        "url_normalize": q_url_normalize,
+        "url_dedup_chain": q_url_dedup_chain,
+        "lm_trigram_split": q_lm_trigram_split,
     })
-    # Driver grades the FIRST 50 entries only.  Round-11 window
-    # (VERDICT r10 item 2): the six never-graded r11 additions lead
-    # (store compaction, lang-id split, keep='none' segment dedup, and
-    # the URL surface: domain_cap / url_parts_extract /
-    # blocklist_filter), then every entry whose LAST driver grade is r7
-    # (the full 42-entry remainder — computed from the
-    # CORRECTNESS_r{1..10} artifacts, not eyeballed), then the
-    # alphabetical head of the r8-aged block fills the window.
-    # Everything else keeps its prior (green) grade and stays covered by
+    # Driver grades the FIRST 50 entries only.  Round-12 window
+    # (VERDICT r11 item 2): the three never-graded r12 additions
+    # lead (url_normalize, the composed url_dedup_chain, and the
+    # order-3 LM split), then the alphabetical head of the r8-aged
+    # block — every entry whose LAST driver grade is r8, computed
+    # from the CORRECTNESS_r{1..11} artifacts, not eyeballed.  The
+    # block's alphabetical tail (vector_mean, window_ranks,
+    # window_share) rotates in r13 together with the r9-aged block.  Everything else keeps its
+    # prior (green) grade and stays covered by
     # tools/oracle_sweep.py.
     front = [
-        # new in r11 (never driver-graded)
-        "substring_store_compact", "lang_id_split", "dedup_segments_none",
-        "domain_cap", "url_parts_extract", "blocklist_filter",
-        "lm_logprob_split", "ccnet_buckets",
-        # last graded r7 (all 42)
-        "cumsum_running", "distinct_pairs", "dt_functions",
-        "events_sessionize", "events_total_seconds", "events_tumbling",
-        "exact_dedup_incremental", "extract_regex", "fct_infreq_arrange",
-        "fct_lump", "fct_lump_prop", "fct_reorder_arrange", "ffill_gaps",
-        "filter_compound", "fingerprint", "full_join_coalesce",
-        "gather_long", "grouped_filter", "grouped_mutate_zscore",
-        "join_inner", "join_left_agg", "lang_score", "lead_lag",
-        "minhash_incremental", "minhash_prod_gate", "mutate_arith",
-        "nest_unnest", "ntile_quartiles", "null_semantics",
-        "nunique_window", "offsets_family", "pivot_longer", "pivot_wider",
-        "pivot_wider_glue", "rank_methods", "revenue_by_nation",
-        "salted_join_agg", "select_rename", "semantic_dedup", "semi_anti",
-        "sql_raw_mutate", "token_count_bpe",
-        # the full r8-aged block rotates in r12 (the 8 r11 additions fill
-        # the head this round)
+        # new in r12 (never driver-graded)
+        "url_normalize", "url_dedup_chain", "lm_trigram_split",
+        # last graded r8 (alphabetical head, 47 of 50)
+        "across_agg", "agg_moments", "ann_topk", "asof_last_purchase",
+        "audio_meta", "bind_rows_slices", "bpe_broadcast", "chunk_tokens",
+        "corr_matrix", "crosstab", "cumall_cumany", "cut_qcut_bands",
+        "describe_stats", "elwise_family", "events_sliding", "expand_grid",
+        "fct_remap", "first_last_agg", "hash_split", "interval_join_events",
+        "json_props", "one_hot", "rank_average", "rolling_time_window",
+        "rolling_window", "row_number_per_group", "semantic_dedup_incr",
+        "separate_unite", "slice_minmax", "spread_wide",
+        "str_findall_family", "str_functions", "str_pad_family",
+        "stream_minhash_store", "symbolic_dispatch_fn", "text_stats",
+        "theta_join", "top_n", "tpch_q10", "tpch_q12", "tpch_q14",
+        "tpch_q17", "tpch_q18", "tpch_q3", "tpch_q5", "tpch_q6",
+        "transmute_pricing",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -6911,6 +7112,9 @@ def oracle_sql() -> dict[str, str]:
         "url_parts_extract": SQL_URL_PARTS_EXTRACT,
         "blocklist_filter": SQL_BLOCKLIST_FILTER,
         "lm_logprob_split": SQL_LM_LOGPROB_SPLIT,
+        "url_normalize": SQL_URL_NORMALIZE,
+        "url_dedup_chain": SQL_URL_DEDUP_CHAIN,
+        "lm_trigram_split": SQL_LM_TRIGRAM_SPLIT,
         "ccnet_buckets": SQL_CCNET_BUCKETS,
         "normalize_text": SQL_NORMALIZE_TEXT,
         "substring_dedup_incr": SQL_SUBSTRING_DEDUP_INCR,

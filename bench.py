@@ -184,20 +184,43 @@ def main():
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    line = json.dumps({
+    sfv = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "aa_rerun_ratio": aa,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    })
-    # flush both streams and start the result at column 0 of a fresh line
-    # so any stray progress/log carriage returns can't truncate it
-    # (BENCH_r10.json recorded "parsed": null from exactly that)
+        "sf": sfv,
+    }
+    # The driver captures only the TAIL of stdout, and the full
+    # per-query dict (~2.5 KB compact) overflowed that buffer in BOTH
+    # r10 and r11 ("parsed": null — the tail began mid-object).  So:
+    # the full record goes to a file AND an early stdout line, and the
+    # LAST line is a short self-contained summary (metric/value/unit/
+    # sf + where the per-query detail lives) that always fits the tail.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full_last.json"), "w") as fh:
+            json.dump(full, fh, separators=(",", ":"))
+    except OSError as exc:  # bench result still prints
+        print(f"bench warning: could not write BENCH_full_last.json: "
+              f"{exc}", file=sys.stderr)
+    short = json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sfv,
+        "n_queries": len(timings),
+        "n_errors": sum(1 for v in timings.values() if v is None),
+        "queries_detail": "BENCH_full_last.json",
+    }, separators=(",", ":"))
+    # flush both streams and start each result at column 0 of a fresh
+    # line so stray progress/log carriage returns can't truncate it
     sys.stderr.flush()
     sys.stdout.flush()
-    print("\n" + line, flush=True)
+    print("\n" + json.dumps(full, separators=(",", ":")), flush=True)
+    print(short, flush=True)
     spark.stop()
 
 

@@ -451,6 +451,23 @@ def main():
                 .withColumn("__rn", F.row_number().over(w2))
                 .filter(F.col("__rn") <= 100).drop("__rn"))
 
+    def add_count_hot_join(d):
+        # the shipped method="join" lowering (operators/grouping.py
+        # add_count) on a 10%-hot count key: the partial-combining
+        # groupBy collapses the hot key map-side and the join back is
+        # AQE-skew-splittable
+        from siuba_spark.operators.grouping import add_count
+        return add_count(_hot_domain(d), "__dom", method="join").df
+
+    def add_count_hot_window(d):
+        """COUNTERFACTUAL: the default window lowering — every page of
+        the hot domain funnels into ONE Window task AQE cannot split.
+        Unlike the rank-limit cap (which SPARK-37099 bounds map-side),
+        a plain count-over-partition window has no group-limit rewrite,
+        so the hot task carries the full 10% of the corpus."""
+        from siuba_spark.operators.grouping import add_count
+        return add_count(_hot_domain(d), "__dom", method="window").df
+
     def lm_chain(d):
         # train the bigram profile on the scaled corpus AND score it:
         # both count shuffles are Heaps'-law bounded (distinct grams,
@@ -545,6 +562,9 @@ def main():
         "span_hot_window": span_hot_window,
         "domain_cap_hot": domain_cap_hot,
         "domain_cap_hot_salted": domain_cap_hot_salted,
+        # r12: add_count join-vs-window on the same 10%-hot key
+        "add_count_hot_join": add_count_hot_join,
+        "add_count_hot_window": add_count_hot_window,
         # ExactSubstr span dedup: the scale rig's id-shifted copies are a
         # deliberately ADVERSARIAL corpus (every copy duplicates ~the whole
         # base doc, so ~90% of windows are dup starts and the covered-
