@@ -79,6 +79,9 @@ def main():
         # the bigram LM quality scorer
         "domain_cap", "url_parts_extract", "blocklist_filter",
         "lm_logprob_split", "ccnet_buckets",
+        # round-12 additions: URL canonicalization + the composed
+        # URL-dedup chain + the trigram LM split
+        "url_normalize", "url_dedup_chain", "lm_trigram_split",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

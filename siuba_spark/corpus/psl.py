@@ -187,6 +187,53 @@ def registrable_domain_expr(host, rules: PSLRules):
     return expr.otherwise(keep(1))
 
 
+def attach_registrable_domain(df, host, out: str, rules: PSLRules):
+    """Two-stage lowering of :func:`registrable_domain_expr` for hot
+    paths: materialize the canonical host and its label split ONCE in a
+    first projection, then run the PSL CASE over cheap
+    ``try_element_at``/``concat_ws`` references in a second.
+
+    The single-expression form re-inlines ``host`` (often a
+    ``try_parse_url`` call) and the ``split`` into every CASE branch —
+    Catalyst's CollapseProject only keeps a projection boundary when a
+    non-cheap alias is referenced more than once, which is exactly what
+    the two ``withColumn`` stages below guarantee — so the parse and
+    split run per ROW instead of per REFERENCE (~12x for a deep rule
+    set; measured 3.4x end-to-end on a 500k-row url_parts, SCALE.md
+    r12).  Returns ``df`` with ``out`` added and no temp columns."""
+    h, p = "__psl_h", "__psl_p"
+    df = (df.withColumn(h, _canon_host(host))
+          .withColumn(p, F.split(F.col(h), r"\.")))
+    parts = F.col(p)
+    n = F.size(parts)
+
+    def lastk(k):
+        return F.concat_ws(".", *[F.try_element_at(parts, F.lit(-i))
+                                  for i in range(k, 0, -1)])
+
+    hc = F.col(h)
+
+    def keep(depth):
+        return F.when(n >= depth + 1, lastk(depth + 1)).otherwise(hc)
+
+    expr = F.when(hc.isNull() | hc.rlike(_IP_RE), hc)
+    for k, names in sorted(rules.exc, reverse=True):
+        expr = expr.when(lastk(k).isin(*sorted(names)), lastk(k))
+    wild = dict(rules.wild)
+    norm = dict(rules.norm)
+    for d in range(rules.max_suffix_depth, 1, -1):
+        cond = None
+        if d - 1 in wild:
+            c = lastk(d - 1).isin(*sorted(wild[d - 1])) & (n >= d)
+            cond = c if cond is None else (cond | c)
+        if d in norm:
+            c = lastk(d).isin(*sorted(norm[d]))
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            expr = expr.when(cond, keep(d))
+    return df.withColumn(out, expr.otherwise(keep(1))).drop(h, p)
+
+
 def registrable_domain_py(host, rules: PSLRules):
     """Pure-Python twin of :func:`registrable_domain_expr`, same
     conventions — the property-test oracle (tests compare the Spark

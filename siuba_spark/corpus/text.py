@@ -440,13 +440,28 @@ def url_parts(tbl: SparkTbl, col: str = "url",
     if bad:
         raise ValueError(f"unknown URL parts {bad}; "
                          f"choose from {URL_PART_NAMES}")
+    from .psl import attach_registrable_domain, load_default_rules
+
     df = tbl.df
     for p in parts:
         df = df.withColumn(prefix + p.lower(),
                            F.try_parse_url(F.col(col), F.lit(p.upper())))
     if domain:
-        host = F.try_parse_url(F.col(col), F.lit("HOST"))
-        df = df.withColumn(prefix + "domain", registrable_domain_col(host))
+        # reuse the just-derived host column when the caller asked for
+        # it, so the URL is parsed once per row, not once per reference
+        if any(p.lower() == "host" for p in parts):
+            host = F.col(prefix + "host")
+        else:
+            host = F.try_parse_url(F.col(col), F.lit("HOST"))
+        rules = load_default_rules()
+        if rules is not None:
+            # two-stage lowering: parse + split materialized once, the
+            # PSL CASE runs over cheap references (SCALE.md r12)
+            df = attach_registrable_domain(df, host, prefix + "domain",
+                                           rules)
+        else:
+            df = df.withColumn(prefix + "domain",
+                               registrable_domain_col(host))
     return tbl.evolve(df=df)
 
 
@@ -564,20 +579,31 @@ def filter_blocklist(tbl: SparkTbl, blocklist, col: str = "host",
     if mode not in ("exact", "domain"):
         raise ValueError("mode must be 'exact' or 'domain'")
     from ..plans.pipe import wrap_table
+    from .psl import attach_registrable_domain, load_default_rules
+
     bdf = wrap_table(blocklist).df
     bcol = block_col or bdf.columns[0]
     strip_root = lambda c: F.regexp_replace(c, r"\.$", "")  # noqa: E731
-    probe = F.lower(strip_root(F.col(col)))
-    bkey = F.lower(strip_root(F.col(bcol)))
-    if mode == "domain":
-        # registrable_domain_col lowercases internally
-        probe = registrable_domain_col(F.col(col))
-        bkey = registrable_domain_col(F.col(bcol))
-    block = bdf.select(bkey.alias("__blocked")).distinct()
-    src = tbl.df
+    rules = load_default_rules() if mode == "domain" else None
+    if rules is not None:
+        # two-stage PSL lowering on BOTH sides: host split once per
+        # row, the rule CASE over cheap references (SCALE.md r12)
+        src = attach_registrable_domain(tbl.df, F.col(col), "__probe",
+                                        rules)
+        block = (attach_registrable_domain(bdf, F.col(bcol), "__blocked",
+                                           rules)
+                 .select("__blocked").distinct())
+    else:
+        probe = (registrable_domain_col(F.col(col)) if mode == "domain"
+                 else F.lower(strip_root(F.col(col))))
+        bkey = (registrable_domain_col(F.col(bcol)) if mode == "domain"
+                else F.lower(strip_root(F.col(bcol))))
+        src = tbl.df.withColumn("__probe", probe)
+        block = bdf.select(bkey.alias("__blocked")).distinct()
     if drop_null_probe:
-        src = src.filter(F.col(col).isNotNull() & probe.isNotNull())
-    out = (src.withColumn("__probe", probe)
-           .join(block, F.col("__probe") == F.col("__blocked"), "left_anti")
+        src = src.filter(F.col(col).isNotNull()
+                         & F.col("__probe").isNotNull())
+    out = (src.join(block, F.col("__probe") == F.col("__blocked"),
+                    "left_anti")
            .drop("__probe"))
     return tbl.evolve(df=out)

@@ -314,7 +314,15 @@ def add_count(tbl: SparkTbl, *args, wt=None, sort: bool = False,
     AQE-skew-splittable.  Same rows, same values, one extra (small,
     pre-aggregated) shuffle — choose it when ``lint_plan``'s skew watch
     flags the window.  NULL keys count together in both lowerings (the
-    join uses null-safe equality, matching window partitioning)."""
+    join uses null-safe equality, matching window partitioning).
+
+    Measured crossover (SCALE.md r12 `add_count_hot_*`, 10%-hot key,
+    10M rows): wall parity locally, but the window form shuffles the
+    whole table (103 MB at 10x, one unsplittable hot task — a plain
+    count window gets NO WindowGroupLimit rewrite) vs 12.7 MB for the
+    join form — 8x less, growing with distinct keys instead of corpus
+    size.  Default stays "window" for bounded user keys; pass "join"
+    whenever the key is content-derived or can be hot."""
     if method not in ("window", "join"):
         raise ValueError("method must be 'window' or 'join'")
     work = mutate(tbl, **kwargs) if kwargs else tbl
