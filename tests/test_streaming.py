@@ -856,3 +856,43 @@ def test_stream_cap_per_key_matches_batch(spark):
     finally:
         spark.sql("DROP VIEW IF EXISTS cap_stream")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_url_dedup_composition(spark, event_dir):
+    """URL-keyed STREAMING dedup is a composition, not a new operator:
+    url_normalize is a pure stateless projection (zero shuffle), so it
+    applies to a streaming DataFrame unchanged, and running_dedup_stream
+    keyed on the canonical URL provides the stateful first-wins — the
+    streaming twin of the graded url_dedup_chain's normalize->dedup
+    front half."""
+    from siuba_spark.corpus.text import url_normalize
+    from siuba_spark.streaming.windows import running_dedup_stream
+
+    stream = read_event_stream(spark, event_dir, max_files=1)
+    # three spellings per user collapse to one canonical URL
+    spelled = stream.evolve(df=stream.df.withColumn(
+        "url",
+        F.concat(
+            F.when(F.col("event_id") % 3 == 0, F.lit("HTTPS://U"))
+            .otherwise(F.lit("https://u")),
+            F.col("user_id").cast("string"),
+            F.lit(".example.com/p"),
+            F.when(F.col("event_id") % 3 == 1,
+                   F.lit("?utm_source=x")).otherwise(F.lit("")),
+            F.when(F.col("event_id") % 3 == 2, F.lit("#f"))
+            .otherwise(F.lit("")))))
+    norm = url_normalize(spelled, "url")
+    ded = running_dedup_stream(norm, key_col="url_norm", ts="ts",
+                               watermark="2 hours",
+                               state_timeout_minutes=None)
+    q = (ded.df.writeStream.format("memory").queryName("url_dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300), "stream did not drain in 300s"
+    got = spark.sql("select * from url_dedup_stream").toPandas()
+    n_users = (spark.read.parquet(event_dir)
+               .select("user_id").distinct().count())
+    assert 0 < len(got) <= n_users
+    assert got["url_norm"].is_unique
+    # the projection really canonicalized on the stream path
+    assert got["url_norm"].str.startswith("https://u").all()
+    assert not got["url_norm"].str.contains("#|utm_").any()
