@@ -613,7 +613,8 @@ def unigram_logprob(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     return tbl.evolve(df=joined)
 
 
-def lm_train(tbl, col: str = "text", order: int = 2):
+def lm_train(tbl, col: str = "text", order: int = 2,
+             min_count: int = 1):
     """Train an interpolated n-gram language-model profile over a corpus
     — the distributed stand-in for CCNet's KenLM training step (Wenzek
     et al. 2020 filter corpora by LM perplexity; a Jelinek-Mercer +
@@ -627,6 +628,15 @@ def lm_train(tbl, col: str = "text", order: int = 2):
     ``order=2`` (default) keeps the r11 bigram behavior; ``order=3`` is
     the CCNet-style trigram; KenLM-parity pipelines pass 5.
 
+    ``min_count`` prunes grams of order >= 2 seen fewer times (KenLM
+    prunes singletons the same way): distinct higher-order grams grow
+    near-linearly with corpus size until saturation (SCALE.md r12
+    lm3_chain decade row), so an unpruned web-scale trigram profile is
+    corpus-sized — pruned, it re-approaches the Heaps-law bound.
+    Unigrams are never pruned (the Laplace floor needs the full vocab
+    and total).  Scoring semantics degrade gracefully: a pruned gram
+    scores as an unseen context, i.e. the next-lower order.
+
     Scale: the k-gram arrays for every order are built in ONE
     projection and explode once, so the profile costs a single
     partial-combining count shuffle keyed on (gram, order) — Zipf skew
@@ -634,6 +644,8 @@ def lm_train(tbl, col: str = "text", order: int = 2):
     profile is gram-distinct-sized, never corpus-sized."""
     if order < 1:
         raise ValueError("order must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
     t = wrap_tbl(tbl).df
     toks = F.filter(tokens_col(F.col(col)), lambda x: F.length(x) > 0)
     base = t.select(toks.alias("__toks"))
@@ -644,11 +656,15 @@ def lm_train(tbl, col: str = "text", order: int = 2):
 
     tagged = F.concat(*[F.transform(_ngrams(F.col("__toks"), k), _tag(k))
                         for k in range(1, order + 1)])
-    return (base.select(F.explode(tagged).alias("__t"))
+    prof = (base.select(F.explode(tagged).alias("__t"))
             .groupBy(F.col("__t.g").alias("gram"),
                      F.col("__t.o").alias("order"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select("gram", "order", "cnt"))
+    if min_count > 1:
+        prof = prof.filter((F.col("order") == 1)
+                           | (F.col("cnt") >= min_count))
+    return prof
 
 
 @verb

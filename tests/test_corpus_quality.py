@@ -842,3 +842,32 @@ def test_lm_trigram_formula_and_compat(spark):
     a = lm_logprob(apply, prof2).df.collect()[0].lm_logprob
     b = lm_logprob(apply, legacy).df.collect()[0].lm_logprob
     assert a == b
+
+
+def test_lm_train_min_count_prunes_higher_orders_only(spark):
+    """KenLM-style count pruning: grams of order >= 2 below min_count
+    are dropped (they then score as unseen contexts — the next-lower
+    order), unigrams never are (the Laplace floor needs full vocab)."""
+    from siuba_spark.corpus.quality import lm_logprob, lm_train
+
+    train = data_frame(spark, doc_id=[1], text=["a b a b c"])
+    pruned = lm_train(train, order=3, min_count=2)
+    rows = {(r.order, r.gram): r.cnt for r in pruned.collect()}
+    # bigram 'a b' (cnt 2) survives; 'b a'/'b c' (cnt 1) and every
+    # trigram (all cnt 1) are pruned; ALL unigrams survive incl. c=1
+    assert rows == {(1, "a"): 2, (1, "b"): 2, (1, "c"): 1, (2, "a b"): 2}
+    # pruned profile scores exactly like the unpruned profile with the
+    # same rows filtered out by hand (pruned grams = unseen contexts),
+    # and pruning really changes the score (the dropped 'b a' bigram)
+    apply = data_frame(spark, doc_id=[9], text=["b a b"])
+    got = lm_logprob(apply, pruned, order=3).df.collect()[0].lm_logprob
+    manual = lm_train(train, order=3).filter(
+        "order = 1 OR cnt >= 2")
+    want = lm_logprob(apply, manual, order=3).df.collect()[0].lm_logprob
+    assert got == want
+    unpruned = lm_logprob(apply, lm_train(train, order=3),
+                          order=3).df.collect()[0].lm_logprob
+    assert got != unpruned
+
+    with pytest.raises(ValueError, match="min_count"):
+        lm_train(train, min_count=0)

@@ -492,6 +492,44 @@ def main():
         t = filter_blocklist(t, bl, col="host", mode="exact")
         return cap_per_key(t, "domain", n=100, order_by="doc_id").df
 
+    def url_norm_chain(d):
+        # the r12 graded composition at rig scale: canonicalize ->
+        # URL-keyed exact_dedup (min_by aggregate) -> per-domain cap;
+        # two projections + one linear agg shuffle + the bounded cap
+        from siuba_spark.corpus.dedup import exact_dedup
+        from siuba_spark.corpus.quality import cap_per_key
+        from siuba_spark.corpus.text import url_normalize, url_parts
+        df = d.df.withColumn(
+            "url", F.concat(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://D"))
+                .otherwise(F.lit("https://d")),
+                (F.col("doc_id") % 50_000).cast("string"),
+                F.lit(".example.com/p//"),
+                (F.col("doc_id") % 500_000).cast("string"),
+                F.lit("?b=2&a=1&utm_source=x#f")))
+        t = url_normalize(SparkTbl(df), "url")
+        t = t.evolve(df=t.df.filter(F.col("url_norm").isNotNull()))
+        t = url_parts(t, "url_norm", parts=("host",))
+        t = exact_dedup(t, cols=("url_norm",), keep="min")
+        return cap_per_key(t, "domain", n=100, order_by="doc_id",
+                           tie_break=()).df
+
+    def lm3_chain(d):
+        # order-3 twin of lm_chain: one (gram, order) count shuffle to
+        # train (grams for all orders built in one explode), five equi
+        # joins + one per-doc mean to score
+        from siuba_spark.corpus.quality import lm_logprob, lm_train
+        prof = lm_train(d, order=3)
+        return lm_logprob(d, prof).df.select("doc_id", "lm_logprob")
+
+    def lm3_chain_pruned(d):
+        # KenLM-style singleton pruning: min_count=2 drops the
+        # near-linearly-growing unique-trigram tail, re-approaching the
+        # Heaps bound the bigram chain enjoys
+        from siuba_spark.corpus.quality import lm_logprob, lm_train
+        prof = lm_train(d, order=3, min_count=2)
+        return lm_logprob(d, prof).df.select("doc_id", "lm_logprob")
+
     def quality_chain(d):
         # the composed training-data quality path (VERDICT r6 item 10):
         # gopher filter -> PII scrub -> unigram logprob -> token budget
@@ -581,7 +619,10 @@ def main():
             d, bench_docs(d), n=5).df,
         "unigram_logprob": lambda d: unigram_logprob(d).df,
         "lm_chain": lm_chain,
+        "lm3_chain": lm3_chain,
+        "lm3_chain_pruned": lm3_chain_pruned,
         "url_chain": url_chain,
+        "url_norm_chain": url_norm_chain,
         "text_stats": lambda d: text_stats(d).df,
         "fingerprint": lambda d: fingerprint(d).df,
     }
