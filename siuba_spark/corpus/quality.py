@@ -693,7 +693,8 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
     the mixture 0 and Spark's log(0) NULL, which avg() silently skips.
     ``order=None`` infers the trained order from the profile (one
     bounded 1-row aggregate over the pre-aggregated, gram-sized profile
-    — not a corpus scan).  Profiles from the r11 bigram trainer (the
+    — not a corpus scan); an explicit ``order`` above the trained order
+    is refused rather than silently deflating every score.  Profiles from the r11 bigram trainer (the
     ``kind`` uni/bi schema) are accepted and mapped to orders 1/2.
 
     Scale: the profile is pre-aggregated one-row-per-gram; scoring is
@@ -710,13 +711,22 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
             "gram",
             F.when(F.col("kind") == "uni", F.lit(1))
             .otherwise(F.lit(2)).alias("order"), "cnt")
+    trained = prof.agg(F.max("order")).collect()[0][0]
+    if trained is None:
+        raise ValueError("empty profile: cannot infer order")
     if order is None:
-        order = prof.agg(F.max("order")).collect()[0][0]
-        if order is None:
-            raise ValueError("empty profile: cannot infer order")
+        order = trained
     order = int(order)
     if order < 1:
         raise ValueError("order must be >= 1")
+    if order > trained:
+        # scoring above the trained order would make every ML_k term 0
+        # and silently deflate all scores by (1 - lam_k) factors
+        raise ValueError(
+            f"profile was trained to order {trained}; cannot score at "
+            f"order {order} (every order-{order} context would be "
+            "'unseen' and all scores silently deflated) — retrain with "
+            f"lm_train(order={order}) or pass order<={trained}")
     lams = ([float(lam)] * (order - 1) if not isinstance(lam, (list, tuple))
             else [float(x) for x in lam])
     if len(lams) != order - 1:

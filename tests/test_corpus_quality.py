@@ -871,3 +871,13 @@ def test_lm_train_min_count_prunes_higher_orders_only(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         lm_train(train, min_count=0)
+
+
+def test_lm_logprob_refuses_order_above_trained(spark):
+    from siuba_spark.corpus.quality import lm_logprob, lm_train
+
+    train = data_frame(spark, doc_id=[1], text=["a b a"])
+    prof2 = lm_train(train)  # order 2
+    apply = data_frame(spark, doc_id=[9], text=["a b"])
+    with pytest.raises(ValueError, match="trained to order 2"):
+        lm_logprob(apply, prof2, order=3)

@@ -144,3 +144,22 @@ def test_url_normalize_idempotent_and_lowercase_host(spark, urls):
         if row.n1 is not None:
             assert row.p_host == row.p_host.lower(), row.n1
             assert not row.p_host.endswith("."), row.n1
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(psl_host_st, min_size=20, max_size=50))
+def test_psl_two_stage_lowering_equals_single_expression(spark, hosts):
+    """attach_registrable_domain (the hot-path two-stage lowering) and
+    registrable_domain_expr (the single expression) are the same
+    function of the host — pinned so a future optimization of one
+    cannot drift from the other."""
+    from siuba_spark.corpus.psl import attach_registrable_domain
+
+    t = SparkTbl(spark.createDataFrame([(h,) for h in hosts],
+                                       "host string"))
+    df = t.df.withColumn("d1", registrable_domain_col(F.col("host")))
+    df = attach_registrable_domain(df, F.col("host"), "d2", _RULES)
+    out = df.toPandas()
+    for h, d1, d2 in zip(out.host, out.d1, out.d2):
+        assert d1 == d2, h
