@@ -881,3 +881,61 @@ def test_lm_logprob_refuses_order_above_trained(spark):
     apply = data_frame(spark, doc_id=[9], text=["a b"])
     with pytest.raises(ValueError, match="trained to order 2"):
         lm_logprob(apply, prof2, order=3)
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher line/paragraph duplication fractions against hand counts,
+    including the all-distinct, all-duplicate, empty, and
+    paragraph-structure cases — and the zero-shuffle plan contract."""
+    from siuba_spark.corpus.quality import repetition_signals
+
+    docs = data_frame(
+        spark, doc_id=[1, 2, 3, 4],
+        text=["a\nb\na\n\nc c\n\na",   # lines a,b,a,c c,a; paras (a b a),(c c),(a)
+              "x\nyy",                      # all distinct
+              "",                            # empty
+              "dup\ndup"])                  # all lines identical
+    out = (repetition_signals(docs).df.orderBy("doc_id").toPandas())
+    r1 = out.iloc[0]
+    # doc 1: 5 lines [a,b,a,"c c",a] -> 3 distinct; chars 1+1+1+3+1=7,
+    # distinct chars 1+1+3=5.  paras: ["a\nb\na","c c\na"?] NO — split
+    # on blank-line runs: ["a\nb\na", "c c", "a"] -> 3 distinct of 3.
+    assert r1.dup_line_frac == round(1 - 3 / 5, 6)
+    assert r1.dup_line_char_frac == round((7 - 5) / 7, 6)
+    assert r1.dup_para_frac == 0.0
+    assert r1.dup_para_char_frac == 0.0
+    r2 = out.iloc[1]
+    assert (r2.dup_line_frac, r2.dup_line_char_frac) == (0.0, 0.0)
+    r3 = out.iloc[2]
+    assert (r3.dup_line_frac, r3.dup_line_char_frac,
+            r3.dup_para_frac, r3.dup_para_char_frac) == (0, 0, 0, 0)
+    r4 = out.iloc[3]
+    assert r4.dup_line_frac == 0.5
+    assert r4.dup_line_char_frac == 0.5
+    # paragraph-level: the whole doc is ONE paragraph ("dup\ndup")
+    assert r4.dup_para_frac == 0.0
+
+    plan = (repetition_signals(docs).df
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_repetition_signals_runs_on_streams(spark, tmp_path):
+    """The docstring's streaming-safety claim, executed: a pure
+    projection applies to a readStream unchanged (no stateful agg, no
+    output-mode constraints)."""
+    from siuba_spark.corpus.quality import repetition_signals
+    from siuba_spark.plans.tbl import SparkTbl
+
+    src = str(tmp_path / "docs")
+    data_frame(spark, doc_id=[1, 2],
+               text=["a\nb\na", "x\nx"]).df.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = SparkTbl(spark.readStream.schema(schema).parquet(src))
+    out = repetition_signals(stream)
+    q = (out.df.writeStream.format("memory").queryName("rep_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain"
+    got = (spark.sql("select * from rep_stream")
+           .orderBy("doc_id").toPandas())
+    assert got.dup_line_frac.tolist() == [round(1 - 2 / 3, 6), 0.5]
