@@ -82,7 +82,7 @@ def main():
         # round-12 additions: URL canonicalization + the composed
         # URL-dedup chain + the trigram LM split
         "url_normalize", "url_dedup_chain", "lm_trigram_split",
-        "repetition_signals",
+        "repetition_signals", "ngram_repetition",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

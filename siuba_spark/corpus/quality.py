@@ -381,6 +381,102 @@ def repetition_signals(tbl: SparkTbl, col: str = "text"):
 
 
 @verb
+def ngram_repetition_signals(tbl: SparkTbl, col: str = "text",
+                             id_col: str = "doc_id",
+                             top_ns=(3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """The remaining Gopher n-gram repetition fractions (Rae et al.
+    2021 A1.1), completing :func:`quality_signals` (word/2-gram) and
+    :func:`repetition_signals` (line/paragraph):
+
+    - ``top_{n}gram_frac`` (n in ``top_ns``) — fraction of document
+      characters covered by occurrences of the MOST frequent n-gram
+      (count x gram length / doc length, the top_2gram_frac convention;
+      tie-break: highest count, then first gram lexicographically);
+    - ``dup_{n}gram_frac`` (n in ``dup_ns``) — fraction of characters
+      contained in ALL occurrences of n-grams that appear more than
+      once (sum of count x gram length over duplicated grams / doc
+      length).  Overlapping occurrences each count their characters, so
+      the ratio is clamped at 1.0 (the published convention counts all
+      duplicate-gram occurrences; Gopher's reference implementation is
+      not public, so the convention is pinned here and replayed exactly
+      by the DuckDB oracle).
+
+    Docs with no n-grams of an order (shorter than n tokens) score 0.
+
+    Scale shape: the gram arrays for EVERY requested order are built in
+    one projection and exploded once (the lm_train pattern), so the
+    whole signal set costs one partial-combining count shuffle keyed on
+    (id, n, gram) + one per-(id, n) aggregate + one equi-join back on
+    ``id_col`` — grams are near-unique per doc, no skew funnel, and the
+    join back is AQE-planned.  Batch only: on a stream this would be an
+    unbounded stateful aggregation; use :func:`quality_signals`'s
+    higher-order-function form for streaming top-gram needs."""
+    if tbl.df.isStreaming:
+        raise ValueError(
+            "ngram_repetition_signals is batch-only (per-doc explode + "
+            "aggregate); quality_signals computes its gram signals "
+            "in-row on streams")
+    top_ns = tuple(int(n) for n in top_ns)
+    dup_ns = tuple(int(n) for n in dup_ns)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    if not all_ns or min(all_ns) < 2:
+        raise ValueError("n-gram orders must be >= 2")
+    c = F.col(col)
+    toks = tokens_col(c)
+
+    def _tag(n):
+        return lambda g: F.struct(g.alias("g"), F.lit(n).alias("n"))
+
+    tagged = F.concat(*[F.transform(_ngrams(toks, n), _tag(n))
+                        for n in all_ns])
+    ex = (tbl.df
+          .select(F.col(id_col).alias("__id"),
+                  F.explode(tagged).alias("__t"))
+          .select("__id", F.col("__t.g").alias("__g"),
+                  F.col("__t.n").alias("__n")))
+    cnt = (ex.groupBy("__id", "__n", "__g")
+           .agg(F.count(F.lit(1)).alias("__c")))
+    # per (doc, n): the top gram (same min(struct(-cnt, gram)) tie-break
+    # as quality_signals) and the duplicated-gram character mass
+    per = (cnt.groupBy("__id", "__n")
+           .agg(F.min(F.struct((-F.col("__c")).alias("neg"),
+                               F.col("__g").alias("g"))).alias("__top"),
+                F.sum(F.when(F.col("__c") > 1,
+                             F.col("__c") * F.length("__g"))
+                      .otherwise(F.lit(0))).alias("__dupchars")))
+    aggs = []
+    for n in top_ns:
+        aggs.append(F.max(F.when(
+            F.col("__n") == n,
+            (-F.col("__top.neg")) * F.length(F.col("__top.g"))))
+            .alias(f"__tc{n}"))
+    for n in dup_ns:
+        aggs.append(F.max(F.when(F.col("__n") == n, F.col("__dupchars")))
+                    .alias(f"__dc{n}"))
+    wide = per.groupBy("__id").agg(*aggs)
+
+    df = tbl.df.join(wide, tbl.df[id_col] == wide["__id"], "left")
+    dlen = F.length(c)
+    for n in top_ns:
+        df = df.withColumn(
+            f"top_{n}gram_frac",
+            F.when(dlen > 0, F.round(F.least(
+                F.lit(1.0),
+                F.coalesce(F.col(f"__tc{n}"), F.lit(0)) / dlen), 6))
+            .otherwise(F.lit(0.0)))
+    for n in dup_ns:
+        df = df.withColumn(
+            f"dup_{n}gram_frac",
+            F.when(dlen > 0, F.round(F.least(
+                F.lit(1.0),
+                F.coalesce(F.col(f"__dc{n}"), F.lit(0)) / dlen), 6))
+            .otherwise(F.lit(0.0)))
+    drop = (["__id"] + [f"__tc{n}" for n in top_ns]
+            + [f"__dc{n}" for n in dup_ns])
+    return tbl.evolve(df=df.drop(*drop))
+
+
+@verb
 def gopher_filter(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
                   keep_signals: bool = False, **thresholds):
     """Composite Gopher-rule quality filter: compute ``quality_signals``
@@ -690,7 +786,11 @@ def lm_train(tbl, col: str = "text", order: int = 2,
     corpus-sized — pruned, it re-approaches the Heaps-law bound.
     Unigrams are never pruned (the Laplace floor needs the full vocab
     and total).  Scoring semantics degrade gracefully: a pruned gram
-    scores as an unseen context, i.e. the next-lower order.
+    scores as an unseen context, i.e. the next-lower order.  Pruning
+    can legitimately empty an ENTIRE order (every trigram a singleton),
+    which lowers the profile's effective order — ``lm_logprob`` with
+    ``order=None`` infers the surviving order, and an explicit higher
+    order is refused like any other profile/order mismatch.
 
     Scale: the k-gram arrays for every order are built in ONE
     projection and explode once, so the profile costs a single

@@ -856,15 +856,18 @@ def test_lm_train_min_count_prunes_higher_orders_only(spark):
     # bigram 'a b' (cnt 2) survives; 'b a'/'b c' (cnt 1) and every
     # trigram (all cnt 1) are pruned; ALL unigrams survive incl. c=1
     assert rows == {(1, "a"): 2, (1, "b"): 2, (1, "c"): 1, (2, "a b"): 2}
-    # pruned profile scores exactly like the unpruned profile with the
-    # same rows filtered out by hand (pruned grams = unseen contexts),
-    # and pruning really changes the score (the dropped 'b a' bigram)
+    # pruning emptied the entire trigram order here (every trigram a
+    # singleton), so the profile's EFFECTIVE order is 2: order=None
+    # infers it, and an explicit order=3 is refused like any other
+    # profile/order mismatch (documented lm_train/min_count interaction)
     apply = data_frame(spark, doc_id=[9], text=["b a b"])
-    got = lm_logprob(apply, pruned, order=3).df.collect()[0].lm_logprob
-    manual = lm_train(train, order=3).filter(
-        "order = 1 OR cnt >= 2")
-    want = lm_logprob(apply, manual, order=3).df.collect()[0].lm_logprob
+    got = lm_logprob(apply, pruned).df.collect()[0].lm_logprob
+    manual = lm_train(train, order=3).filter("order = 1 OR cnt >= 2")
+    want = lm_logprob(apply, manual).df.collect()[0].lm_logprob
     assert got == want
+    with pytest.raises(ValueError, match="trained to order 2"):
+        lm_logprob(apply, pruned, order=3)
+    # and pruning really changes the score (the dropped 'b a' bigram)
     unpruned = lm_logprob(apply, lm_train(train, order=3),
                           order=3).df.collect()[0].lm_logprob
     assert got != unpruned
@@ -939,3 +942,34 @@ def test_repetition_signals_runs_on_streams(spark, tmp_path):
     got = (spark.sql("select * from rep_stream")
            .orderBy("doc_id").toPandas())
     assert got.dup_line_frac.tolist() == [round(1 - 2 / 3, 6), 0.5]
+
+
+def test_ngram_repetition_signals_hand_computed(spark):
+    """top-n and dup-n gram character fractions against hand counts:
+    'a b c a b c a b c' (len 17) has top 3-gram 'a b c' x3 (15/17) and
+    its five 5-grams contain two duplicated pairs (4 x 9 chars = 36 ->
+    clamped at 1.0); short and empty docs score 0; streaming refused."""
+    from siuba_spark.corpus.quality import ngram_repetition_signals
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = data_frame(spark, doc_id=[1, 2, 3],
+                      text=["a b c a b c a b c", "x y", ""])
+    out = (ngram_repetition_signals(docs, top_ns=(3,), dup_ns=(5,))
+           .df.orderBy("doc_id").toPandas())
+    assert out.top_3gram_frac.tolist() == [round(15 / 17, 6), 0.0, 0.0]
+    assert out.dup_5gram_frac.tolist() == [1.0, 0.0, 0.0]
+
+    # defaults expose the full Gopher set
+    cols = ngram_repetition_signals(docs).df.columns
+    for n in (3, 4):
+        assert f"top_{n}gram_frac" in cols
+    for n in range(5, 11):
+        assert f"dup_{n}gram_frac" in cols
+
+    with pytest.raises(ValueError, match=">= 2"):
+        ngram_repetition_signals(docs, top_ns=(1,))
+
+    stream = SparkTbl(spark.readStream.format("rate").load().select(
+        F.col("value").alias("doc_id"), F.lit("a").alias("text")))
+    with pytest.raises(ValueError, match="batch-only"):
+        ngram_repetition_signals(stream)

@@ -209,3 +209,33 @@ def test_exact_incremental_bucketed_store_no_store_exchange(spark, tmp_path):
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_incremental_url_dedup_composition(spark):
+    """Snapshot-over-snapshot URL dedup is url_normalize composed with
+    exact_dedup_incremental keyed on the canonical URL — the
+    incremental twin of the graded url_dedup_chain front half.  Two
+    spellings of one resource across two snapshots dedup across the
+    store boundary."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.dedup import exact_dedup_incremental
+    from siuba_spark.corpus.text import url_normalize
+    from siuba_spark.plans.tbl import SparkTbl
+
+    snap1 = SparkTbl(spark.createDataFrame(
+        [(1, "https://a.com/x?b=2&a=1"), (2, "https://a.com/y")],
+        "doc_id long, url string"))
+    snap2 = SparkTbl(spark.createDataFrame(
+        [(3, "HTTPS://A.com:443/x?a=1&b=2&utm_source=t"),  # dup of 1
+         (4, "https://b.org/z")],
+        "doc_id long, url string"))
+    kept1, store = exact_dedup_incremental(
+        url_normalize(snap1, "url"), None, cols=("url_norm",))
+    kept2, store2 = exact_dedup_incremental(
+        url_normalize(snap2, "url"), store, cols=("url_norm",))
+    assert sorted(r.doc_id for r in kept1.df.collect()) == [1, 2]
+    # doc 3 normalizes to doc 1's canonical URL -> dropped by the store
+    assert sorted(r.doc_id for r in kept2.df.collect()) == [4]
+    acc = {r.url_norm: r.n_dups for r in store2.df.collect()}
+    assert acc["https://a.com/x?a=1&b=2"] == 2
