@@ -38,6 +38,12 @@ and literal sets beat a broadcast join for a per-row scalar
 derivation).  :func:`registrable_domain_py` is the pure-Python twin
 used by the property tests to cross-check the expression.
 
+IDN note: rules and hosts are compared byte-wise after lowercasing —
+a punycode host (``xn--``) only matches punycode rules.  The upstream
+list carries its IDN rules in Unicode; IDNA-encode hosts (or the rule
+file) consistently on ingest if your crawl mixes the two forms — no
+silent conversion is attempted here.
+
 The bundled ``siuba_spark/data/public_suffix_list.dat`` is a curated
 SUBSET in the exact upstream wire format — drop in the complete file
 from publicsuffix.org to get full coverage without code changes (or

