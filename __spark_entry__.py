@@ -6745,6 +6745,231 @@ LEFT JOIN w2 ON doc.doc_id = w2.doc_id
 SQL_NGRAM_REPETITION = _ngram_rep_sql()
 
 
+# --- r12 session 2: HTML extraction, mojibake repair, NB classifier ----
+
+def q_html_extract(spark, sf):
+    """strip_html over a deterministic HTML wrapping of every document
+    (corpus/text.py strip_html — the C4/CommonCrawl extraction step
+    that runs before every quality/dedup operator).  The page is built
+    FROM the text column (title + style + script bodies to drop, the
+    text's own newlines as <p> boundaries, a list, a comment, entities)
+    so extraction is exercised per-row, not on one constant; the oracle
+    replays both the synthesis and every regex of the strip pipeline.
+    Zero shuffle: synthesis and extraction are one codegen projection."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.text import strip_html
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    html = F.concat(
+        F.lit("<html><head><title>t</title><style>p{x}</style></head>"
+              "<body><script>var a=1;</script><h1>"),
+        docs.source, F.lit(" &amp; "), docs.lang,
+        F.lit("</h1>\n<p>"),
+        F.replace(docs.text, F.lit("\n"), F.lit("</p>\n<p>")),
+        F.lit("</p><ul><li>id "), docs.doc_id.cast("string"),
+        F.lit("</li></ul><!-- c --><br/>tail&nbsp;&#39;quoted&#39;"
+              " 1 &lt; 2</body></html>"))
+    t = SparkTbl(docs.select("doc_id", html.alias("html")))
+    return strip_html(t).df.select("doc_id", "text")
+
+
+def _html_wrap_sql(textexpr):
+    """SQL expression wrapping ``textexpr`` in the q_html_extract page."""
+    return ("'<html><head><title>t</title><style>p{x}</style></head>"
+            "<body><script>var a=1;</script><h1>' || source || ' &amp; '"
+            " || lang || '</h1>' || chr(10) || '<p>'"
+            f" || replace({textexpr}, chr(10), '</p>' || chr(10) || '<p>')"
+            " || '</p><ul><li>id ' || doc_id || '</li></ul><!-- c -->"
+            "<br/>tail&nbsp;&#39;quoted&#39; 1 &lt; 2</body></html>'")
+
+
+def _strip_html_sql(c):
+    """DuckDB replay of the strip_html pipeline over expression ``c``,
+    generated from the SAME tag and entity tables as the implementation
+    so the two cannot drift."""
+    from siuba_spark.corpus.text import (
+        HTML_BLOCK_TAGS, HTML_DROP_TAGS, HTML_ENTITIES)
+
+    for t in HTML_DROP_TAGS:
+        c = (f"regexp_replace({c}, '(?is)<{t}\\b[^>]*>.*?</{t}\\s*>',"
+             " ' ', 'g')")
+    c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?i)<br\\s*/?>', chr(10), 'g')"
+    blk = "|".join(HTML_BLOCK_TAGS)
+    c = (f"regexp_replace({c}, '(?is)</?(?:{blk})\\b[^>]*>', chr(10),"
+         " 'g')")
+    c = f"regexp_replace({c}, '(?s)<[a-zA-Z/!?][^>]*>', '', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        e, h = ent.replace("'", "''"), ch.replace("'", "''")
+        c = f"replace({c}, '{e}', '{h}')"
+    c = f"regexp_replace({c}, '[ \\t\\x0B\\f\\r]+', ' ', 'g')"
+    c = f"regexp_replace({c}, ' *\\n *', chr(10), 'g')"
+    c = f"regexp_replace({c}, '\\n{{3,}}', chr(10)||chr(10), 'g')"
+    c = f"regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
+    return c
+
+
+def _html_extract_sql():
+    return (f"SELECT doc_id, {_strip_html_sql(_html_wrap_sql('text'))} "
+            "AS text FROM documents")
+
+
+SQL_HTML_EXTRACT = _html_extract_sql()
+
+# (injected char, mangled form) pairs for q_mojibake_fix's corruption
+# step: a subset of MOJIBAKE_TABLE targets chosen so no mangled form
+# contains another member of the subset — corruption order can then
+# not cascade (the repair side always applies the FULL table,
+# longest-first).
+_MOJI_INJECT = (
+    ("the", "th\u00e9 \u2014 "), ("order", "\u00f6rd\u00e9r"),
+    ("table", "t\u00e0ble\u2019s"), ("scan", "\u00abscan\u00bb"),
+    ("part", "p\u00e7rt"),
+)
+
+
+def q_mojibake_fix(spark, sf):
+    """fix_mojibake over per-document corrupted text (corpus/text.py
+    fix_mojibake — ftfy's UTF-8-as-cp1252 headline case as a codegen
+    replace chain).  Common tokens are first replaced with accented
+    forms (injection), every injected char is then mangled to its
+    UTF-8-bytes-read-as-cp1252 form via the SAME generated table the
+    repair uses, and the repaired text plus a boolean `restored`
+    (repair == injection, i.e. the mangling round-trips) is returned.
+    The oracle replays injection, corruption, and all 69 repair
+    replacements.  Zero shuffle — one projection end to end."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.text import _cp1252_mangle, fix_mojibake
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    inj = docs.text
+    for tok, rep in _MOJI_INJECT:
+        inj = F.replace(inj, F.lit(tok), F.lit(rep))
+    bad = inj
+    chars = sorted({ch for _, rep in _MOJI_INJECT
+                    for ch in rep if ord(ch) > 127})
+    for ch in chars:
+        bad = F.replace(bad, F.lit(ch), F.lit(_cp1252_mangle(ch)))
+    t = SparkTbl(docs.select("doc_id", inj.alias("__inj"),
+                             bad.alias("text")))
+    fixed = fix_mojibake(t)
+    return (fixed.df
+            .select("doc_id", "text",
+                    (F.col("text") == F.col("__inj")).alias("restored")))
+
+
+def _moji_inject_sql(c):
+    """SQL: inject accented forms of common tokens into expression ``c``."""
+    for tok, rep in _MOJI_INJECT:
+        c = f"replace({c}, '{tok}', '{rep}')"
+    return c
+
+
+def _moji_corrupt_sql(c):
+    """SQL: mangle every injected char of ``c`` via the generated table."""
+    from siuba_spark.corpus.text import _cp1252_mangle
+
+    chars = sorted({ch for _, rep in _MOJI_INJECT
+                    for ch in rep if ord(ch) > 127})
+    for ch in chars:
+        c = f"replace({c}, '{ch}', '{_cp1252_mangle(ch)}')"
+    return c
+
+
+def _moji_repair_sql(c):
+    """SQL replay of fix_mojibake over expression ``c`` (full table,
+    longest-first — the same order the implementation applies)."""
+    from siuba_spark.corpus.text import MOJIBAKE_TABLE
+
+    for b, g in MOJIBAKE_TABLE:
+        c = f"replace({c}, '{b}', '{g}')"
+    return c
+
+
+def _mojibake_fix_sql():
+    inj = _moji_inject_sql("text")
+    fixed = _moji_repair_sql(_moji_corrupt_sql(inj))
+    return (f"SELECT doc_id, {fixed} AS text, "
+            f"{fixed} = {inj} AS restored FROM documents")
+
+
+SQL_MOJIBAKE_FIX = _mojibake_fix_sql()
+
+
+def q_nb_classify_split(spark, sf):
+    """Multinomial Naive Bayes train/apply split (corpus/quality.py
+    nb_train/nb_score — the public analogue of the fastText
+    quality/domain classifiers CCNet/DCLM filter with): train
+    per-(label, token) counts and class priors on the even-doc_id half
+    with lang labels, persist nothing (the model is a vocab-sized
+    DataFrame), score the odd half, return each doc's argmax label and
+    rounded log-posterior.  Scale shape: training is two
+    partial-combining count shuffles; scoring is one token explode, one
+    equi join against the vocab-sized pair table, one (doc, label)
+    partial sum, and an id-keyed argmax window — label-count-bounded
+    broadcasts, no content-keyed windows, no driver collect.  The
+    oracle replays the smoothed scores and the (score desc, label asc)
+    tie-break exactly."""
+    from pyspark.sql import functions as F
+
+    from siuba_spark.corpus.quality import nb_score, nb_train
+    from siuba_spark.plans.tbl import SparkTbl
+
+    docs = _td(spark, sf).df
+    model = nb_train(docs.filter(F.col("doc_id") % 2 == 0), "lang")
+    scored = nb_score(SparkTbl(docs.filter(F.col("doc_id") % 2 == 1)),
+                      model)
+    return scored.df.select("doc_id", "nb_label", "nb_label_logprob")
+
+
+SQL_NB_CLASSIFY_SPLIT = r"""
+WITH train AS (
+  SELECT lang AS label,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents WHERE doc_id % 2 = 0),
+tokx AS (SELECT label, unnest(toks) AS token FROM train),
+pairs AS (SELECT label, token, count(*) AS cnt FROM tokx GROUP BY 1, 2),
+docc AS (SELECT label, count(*) AS ndocs FROM train GROUP BY 1),
+tot AS (SELECT label, sum(cnt) AS tot FROM pairs GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(DISTINCT token) FROM pairs) AS v,
+         (SELECT sum(ndocs) FROM docc) AS alldocs),
+labels AS (
+  SELECT d.label, d.ndocs, coalesce(t.tot, 0) AS tot
+  FROM docc d LEFT JOIN tot t USING (label)),
+sd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents WHERE doc_id % 2 = 1),
+base AS (SELECT doc_id, len(toks) AS ntok FROM sd),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM sd),
+adj AS (
+  SELECT e.doc_id, p.label, sum(ln((p.cnt + 1.0) / 1.0)) AS adj
+  FROM ex e JOIN pairs p USING (token) GROUP BY 1, 2),
+dense AS (
+  SELECT b.doc_id, l.label,
+         round(coalesce(a.adj, 0)
+               + b.ntok * (ln(1.0) - ln(l.tot + 1.0 * c.v))
+               + ln(l.ndocs / c.alldocs), 6) AS score
+  FROM base b CROSS JOIN labels l CROSS JOIN consts c
+  LEFT JOIN adj a ON a.doc_id = b.doc_id AND a.label = l.label),
+best AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM dense)
+SELECT doc_id, label AS nb_label, score AS nb_label_logprob
+FROM best WHERE rn = 1
+"""
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_tpch_q1(spark, "/root/testdata/sf0.001")
@@ -7015,6 +7240,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_trigram_split": q_lm_trigram_split,
         "repetition_signals": q_repetition_signals,
         "ngram_repetition": q_ngram_repetition,
+        # new in r12 (session 2): HTML -> text extraction, mojibake
+        # byte repair, and the Naive Bayes train/apply classifier
+        "html_extract": q_html_extract,
+        "mojibake_fix": q_mojibake_fix,
+        "nb_classify_split": q_nb_classify_split,
     })
     # Driver grades the FIRST 50 entries only.  Round-12 window
     # (VERDICT r11 item 2): the three never-graded r12 additions
@@ -7022,15 +7252,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order-3 LM split), then the alphabetical head of the r8-aged
     # block — every entry whose LAST driver grade is r8, computed
     # from the CORRECTNESS_r{1..11} artifacts, not eyeballed.  The
-    # block's alphabetical tail (tpch_q6, transmute_pricing,
-    # vector_mean, window_ranks, window_share) rotates in r13 together
-    # with the r9-aged block.  Everything else keeps its
+    # block's alphabetical tail (tpch_q18, tpch_q3, tpch_q5, tpch_q6,
+    # transmute_pricing, vector_mean, window_ranks, window_share —
+    # three more deferred by the session-2 additions) rotates in r13
+    # together with the r9-aged block.  Everything else keeps its
     # prior (green) grade and stays covered by
     # tools/oracle_sweep.py.
     front = [
         # new in r12 (never driver-graded)
         "url_normalize", "url_dedup_chain", "lm_trigram_split",
         "repetition_signals", "ngram_repetition",
+        "html_extract", "mojibake_fix", "nb_classify_split",
         # last graded r8 (alphabetical head, 45 of 50)
         "across_agg", "agg_moments", "ann_topk", "asof_last_purchase",
         "audio_meta", "bind_rows_slices", "bpe_broadcast", "chunk_tokens",
@@ -7043,7 +7275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "str_findall_family", "str_functions", "str_pad_family",
         "stream_minhash_store", "symbolic_dispatch_fn", "text_stats",
         "theta_join", "top_n", "tpch_q10", "tpch_q12", "tpch_q14",
-        "tpch_q17", "tpch_q18", "tpch_q3", "tpch_q5",
+        "tpch_q17",
     ]
     assert len(front) == 50, len(front)
     missing = [k for k in front if k not in raw]
@@ -7256,6 +7488,9 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": SQL_BLOCKLIST_FILTER,
         "lm_logprob_split": SQL_LM_LOGPROB_SPLIT,
         "url_normalize": SQL_URL_NORMALIZE,
+        "html_extract": SQL_HTML_EXTRACT,
+        "mojibake_fix": SQL_MOJIBAKE_FIX,
+        "nb_classify_split": SQL_NB_CLASSIFY_SPLIT,
         "url_dedup_chain": SQL_URL_DEDUP_CHAIN,
         "lm_trigram_split": SQL_LM_TRIGRAM_SPLIT,
         "repetition_signals": SQL_REPETITION_SIGNALS,

@@ -83,6 +83,9 @@ def main():
         # URL-dedup chain + the trigram LM split
         "url_normalize", "url_dedup_chain", "lm_trigram_split",
         "repetition_signals", "ngram_repetition",
+        # round-12 session-2 additions: HTML extraction, mojibake
+        # repair, NB classifier split
+        "html_extract", "mojibake_fix", "nb_classify_split",
     ]
     # The graded registry twins of these run on the SQL-portable md5_64
     # hash so DuckDB can cross-check them; the bench times the xxhash64

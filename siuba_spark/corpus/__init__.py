@@ -27,8 +27,8 @@ from .similarity import (  # noqa: F401
     cosine_sim_col, ivf_pq_topk, ivf_topk, lsh_topk, pq_topk,
 )
 from .text import (  # noqa: F401
-    filter_blocklist, fingerprint, hash_features, lang_id,
+    filter_blocklist, fingerprint, fix_mojibake, hash_features, lang_id,
     lang_profile_train, lang_score, normalize_text, registrable_domain_col,
-    text_stats, tf_idf, token_count_bpe, tokenize, url_parts,
+    strip_html, text_stats, tf_idf, token_count_bpe, tokenize, url_parts,
     vocab_topk,
 )

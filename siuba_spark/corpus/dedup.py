@@ -24,6 +24,7 @@ __all__ = [
     "exact_dedup_incremental", "minhash_near_dups_incremental",
     "hash64_col", "MD5_64_SQL", "substring_dedup",
     "substring_dedup_incremental", "substring_store_compact",
+    "lsh_tune",
 ]
 
 
@@ -152,6 +153,60 @@ def add_minhash(tbl: SparkTbl, shingle_col: str = "shingles",
            .select(F.col(id_col),
                    F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(out)))
     return SparkTbl(sig)
+
+
+def lsh_tune(threshold: float, num_perm: int,
+             fn_weight: float = 1.0, fp_weight: float = 1.0):
+    """Pick LSH banding parameters ``(bands, rows)`` for a target
+    Jaccard ``threshold`` and a signature of ``num_perm`` minhash
+    values — the standard S-curve optimization (Mining of Massive
+    Datasets §3.4; datasketch's ``_optimal_param`` solves the same
+    integrals): a pair with similarity s collides with probability
+    ``1 - (1 - s^rows)^bands``, and the chosen split minimizes
+
+        fn_weight * ∫_t^1 [1 - P(s)] ds  +  fp_weight * ∫_0^t P(s) ds
+
+    i.e. weighted false-negative area above the threshold plus
+    false-positive area below it (numerical midpoint quadrature —
+    deterministic, dependency-free).  Returns ``(bands, rows,
+    threshold_50)`` where ``threshold_50 = (1/bands)**(1/rows)`` is
+    the similarity at which collision probability crosses ~50% — the
+    usual sanity check that the curve is centered near the target.
+
+    Driver-side arithmetic over at most ``num_perm`` divisor splits —
+    no data, no Spark job; feed the result straight into
+    :func:`lsh_candidate_pairs` / :func:`minhash_near_dups`
+    ``bands=``/``rows=``.  Only splits with ``bands * rows ==
+    num_perm`` are considered (partial use of a signature wastes
+    trained permutations).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+    if fn_weight < 0 or fp_weight < 0 or fn_weight + fp_weight == 0:
+        raise ValueError("weights must be non-negative and not both 0")
+
+    def _err(bands, rows):
+        n = 200
+        fp = fn = 0.0
+        for i in range(n):
+            s = threshold * (i + 0.5) / n
+            fp += (1.0 - (1.0 - s ** rows) ** bands) * (threshold / n)
+            s = threshold + (1.0 - threshold) * (i + 0.5) / n
+            fn += ((1.0 - s ** rows) ** bands) * ((1.0 - threshold) / n)
+        return fp_weight * fp + fn_weight * fn
+
+    best = None
+    for rows in range(1, num_perm + 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        e = _err(bands, rows)
+        if best is None or e < best[0]:
+            best = (e, bands, rows)
+    _, bands, rows = best
+    return bands, rows, (1.0 / bands) ** (1.0 / rows)
 
 
 def _band_buckets(df, id_col, sig_col, bands, rows, bucket):

@@ -1082,3 +1082,126 @@ def dedup_segments(tbl: SparkTbl, col: str = "text", sep: str = "\n",
                    lambda st: st["s"])).alias(col))
            .select(*[F.col(c) for c in tbl.df.columns]))
     return tbl.evolve(df=out)
+
+
+def nb_train(tbl, label_col: str = "lang", col: str = "text",
+             min_count: int = 1):
+    """Train a multinomial Naive Bayes text classifier from a LABELED
+    corpus — the public-knowledge analogue of the fastText linear
+    classifiers real pipelines use for quality/domain filtering (CCNet
+    scores against a Wikipedia-trained classifier; DCLM and FineWeb-Edu
+    filter on a model-based quality score the same way).  Training IS
+    counting, so the whole step is two partial-combining aggregates:
+
+    * one ``(label, token)`` count shuffle over the corpus (Zipf skew
+      absorbed map-side, reducers see one row per distinct pair), and
+    * one per-label document count (the class priors).
+
+    Returns a model DataFrame ``(label, token, cnt)`` — token rows hold
+    per-(label, token) counts; rows with ``token`` NULL hold the
+    per-label DOCUMENT count (NULL never collides with a real token and
+    never matches a score-side equi join).  The model is
+    vocab x labels-sized, never corpus-sized; persist with
+    ``write_parquet`` and apply to later corpora with :func:`nb_score`
+    — the same train-once / apply-many split as :func:`lm_train`.
+
+    ``min_count`` prunes (label, token) pairs seen fewer times (the
+    fastText ``minCount`` knob): hapax features are noise and dominate
+    the vocab under Heaps' law.  Document counts are never pruned.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    t = wrap_tbl(tbl).df
+    toks = F.filter(tokens_col(F.col(col)), lambda x: F.length(x) > 0)
+    pairs = (t.select(F.col(label_col).alias("label"),
+                      F.explode(toks).alias("token"))
+             .groupBy("label", "token")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    if min_count > 1:
+        pairs = pairs.filter(F.col("cnt") >= min_count)
+    docs = (t.groupBy(F.col(label_col).alias("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("label", F.lit(None).cast("string").alias("token"),
+                    "cnt"))
+    return pairs.select("label", "token", "cnt").unionByName(docs)
+
+
+@verb
+def nb_score(tbl: SparkTbl, model, col: str = "text",
+             id_col: str = "doc_id", out: str = "nb_label",
+             alpha: float = 1.0):
+    """Score each document against a trained :func:`nb_train` model:
+    adds ``out`` (the argmax label) and ``{out}_logprob`` (that label's
+    log-posterior, rounded to 6 decimals — the cross-engine float
+    determinism convention shared with :func:`lm_logprob`).
+
+    Per label L with Laplace smoothing ``alpha``:
+
+        score_L = log P(L) + sum_t log[ (cnt(t, L) + alpha)
+                                        / (tot_L + alpha * V) ]
+
+    with V the model vocabulary size.  Rewritten so the corpus side
+    never needs the dense (token x label) grid: tokens UNSEEN by L each
+    contribute ``log(alpha / (tot_L + alpha*V))``, so
+
+        score_L = [sum over SEEN (t, L) of log((cnt+alpha)/alpha)]
+                  + n_tok * (log(alpha) - log(tot_L + alpha*V))
+                  + log(ndocs_L / ndocs)
+
+    — the first term is an INNER join on token (model pairs only), the
+    rest are per-label constants.  Ties at 6 decimals break on the
+    label name; a NULL/empty document scores on the priors alone.
+
+    Scale shape: the model aggregates (per-label totals, vocab size,
+    priors) are bounded label-sized tables, explicitly broadcast; the
+    corpus side is one token explode, one equi join against the
+    vocab-sized pair table (AQE broadcasts it when small), one
+    ``(doc, label)`` partial-combining sum, and a docs x labels
+    argmax window keyed on ``id_col`` — no content-keyed windows, no
+    driver collect.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if not alpha > 0:
+        raise ValueError("alpha must be > 0 (alpha=0 makes an unseen "
+                         "token's log-probability -inf)")
+    prof = wrap_tbl(model).df
+    pairs = prof.filter(F.col("token").isNotNull())
+    docs = (prof.filter(F.col("token").isNull())
+            .select("label", F.col("cnt").alias("__docs")))
+    tot = pairs.groupBy("label").agg(F.sum("cnt").alias("__tot"))
+    consts = (pairs.agg(F.count_distinct("token").alias("__v"))
+              .crossJoin(docs.agg(F.sum("__docs").alias("__alldocs"))))
+    labels = (docs.join(tot, "label", "left")
+              .withColumn("__tot", F.coalesce(F.col("__tot"), F.lit(0)))
+              .crossJoin(broadcast(consts)))
+
+    toks = F.filter(tokens_col(F.col(col)), lambda x: F.length(x) > 0)
+    base = (tbl.df.select(F.col(id_col).alias("__id"),
+                          toks.alias("__toks"))
+            .select("__id", F.size("__toks").alias("__ntok"), "__toks"))
+    ex = base.select("__id", F.explode("__toks").alias("token"))
+    adj = (ex.join(pairs, "token")
+           .groupBy("__id", "label")
+           .agg(F.sum(F.log((F.col("cnt") + F.lit(float(alpha)))
+                            / F.lit(float(alpha)))).alias("__adj")))
+    dense = (base.drop("__toks").crossJoin(broadcast(labels))
+             .join(adj, ["__id", "label"], "left"))
+    score = (F.coalesce(F.col("__adj"), F.lit(0.0))
+             + F.col("__ntok")
+             * (F.log(F.lit(float(alpha)))
+                - F.log(F.col("__tot") + F.lit(float(alpha))
+                        * F.col("__v")))
+             + F.log(F.col("__docs") / F.col("__alldocs")))
+    w = (Window.partitionBy("__id")
+         .orderBy(F.col("__score").desc_nulls_last(),
+                  F.col("label").asc()))
+    best = (dense.withColumn("__score", F.round(score, 6))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", F.col("label").alias(out),
+                    F.col("__score").alias(f"{out}_logprob")))
+    joined = (tbl.df.drop(out, f"{out}_logprob")
+              .join(best, tbl.df[id_col] == best["__id"], "left")
+              .drop("__id"))
+    return tbl.evolve(df=joined)
