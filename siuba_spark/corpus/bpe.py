@@ -26,16 +26,24 @@ Scale shape: per word the loop is ``max_word_len - 1`` materialized
 projections of O(word_len) array ops — CPU-linear in corpus tokens, no
 shuffle until the final per-document count aggregation (one shuffle,
 map-side combined).  The merges ranking ships in one of THREE tiers
-(auto-selected by size, overridable via ``broadcast=``/``engine=``):
+(``engine=``/``broadcast=``):
 
-1. flat literal plan map (<= BROADCAST_MERGES_THRESHOLD): zero setup,
-   fine while a linear ``element_at`` scan over the entries is cheap;
+1. flat literal plan map (expr tier, <= BROADCAST_MERGES_THRESHOLD):
+   zero setup, fine while a linear ``element_at`` scan over the entries
+   is cheap;
 2. bucketed broadcast map (map<int, map<string,int>>, crc32 % sqrt(N)
-   buckets): one broadcast exchange, constant plan size, ~2*sqrt(N)
-   compares per probe;
-3. Arrow mapInPandas tokenizer (> ARROW_MERGES_THRESHOLD): a real hash
-   table with O(1) lookups — the GPT-2-scale (50k merges) path, since
-   JVM MapType probes always scan.
+   buckets, ``broadcast=True``): one broadcast exchange, constant plan
+   size, ~2*sqrt(N) compares per probe;
+3. Arrow mapInPandas tokenizer: a real hash table with O(1) lookups and
+   a word-level memo, batches crossing the boundary with exactly two
+   columns.  **The r12 default** (auto picks it unless the caller set
+   ``broadcast=``): measured 7x faster end-to-end than the expression
+   tiers even at the DEFAULT 40-entry table (0.64 vs 4.37 s, sf0.1
+   min-of-3 noop — the expression tiers pay per-query plan construction
+   + Janino compilation of 15 chained projections plus interpreted
+   CodegenFallback higher-order functions per row; guide §4.2's "hand
+   batches to native code" point), and the only tier whose per-probe
+   cost is independent of vocabulary size (GPT-2's 50k merges).
 
 All tiers produce identical tokens (pinned by parity tests).
 
@@ -185,12 +193,33 @@ def _word_rows(df, col, id_col, max_word_len):
     to characters.  Words are truncated to ``max_word_len`` characters
     (bounds the merge-loop depth; count error only on longer words, and
     the truncation is replayed identically by the oracle)."""
+    return (_word_instances(df, col, id_col, max_word_len)
+            .withColumn("__s", _chars(F.col("__w")))
+            .drop("__w"))
+
+
+def _word_instances(df, col, id_col, max_word_len):
+    """(id, word-index, truncated word) instance rows: pre-tokenize and
+    explode, WITHOUT the per-instance character split — the shared front
+    of the distinct-vocabulary lowering below."""
     words = F.regexp_extract_all(F.lower(F.col(col)), F.lit(_BPE_RE), 0)
     return (df
             .select(F.col(id_col), F.posexplode(words).alias("__wi", "__w"))
-            .withColumn("__w", F.substring(F.col("__w"), 1, max_word_len))
-            .withColumn("__s", _chars(F.col("__w")))
-            .drop("__w"))
+            .withColumn("__w", F.substring(F.col("__w"), 1, max_word_len)))
+
+
+# r12 negative result (recorded so it is not retried): lowering the expr
+# tier to tokenize DISTINCT words only (distinct + merge loop over the
+# vocabulary + instance join-back) cuts merge-loop CPU by the Zipf factor
+# (~34x at sf0.1: ~275k instances vs ~8k distinct truncated words) but
+# REGRESSED the measured queries (bpe_train_gate 5.8 -> ~7 s warm): at
+# bench scale the binding cost is driver-side — Python/py4j construction
+# plus Catalyst/Janino processing of the 15 chained merge-step
+# projections, which AQE re-optimizes at every added stage boundary — and
+# the lowering added three stage boundaries while the executor CPU it
+# saved was already sub-second.  The Arrow tier (now the default engine)
+# gets the same Zipf win via its per-task word memo without any new
+# stages.
 
 
 def _run_merge_loop(rows, merges, max_word_len, broadcast=None):
@@ -238,9 +267,20 @@ def _arrow_bpe_fn(merges, col, id_col, max_word_len, out, mode):
 
     ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
     pat = re.compile(_BPE_RE)
+    # r12: word-level memo, bounded.  A word's segmentation is
+    # context-free and Zipf makes most instances repeats, so caching
+    # (truncated word -> tokens) removes the merge loop from all but the
+    # first occurrence per task.  The bound keeps a pathological
+    # all-unique-words partition from growing the cache without limit
+    # (Heaps' law keeps real-corpus hit rates high anyway).
+    cache: dict = {}
 
     def encode_word(word):
-        syms = list(word[:max_word_len])
+        word = word[:max_word_len]
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
         for _ in range(max(1, max_word_len - 1)):
             if len(syms) < 2:
                 break
@@ -252,6 +292,8 @@ def _arrow_bpe_fn(merges, col, id_col, max_word_len, out, mode):
             if best is None:
                 break
             syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        if len(cache) < (1 << 20):
+            cache[word] = syms
         return syms
 
     def fn(batches):
@@ -276,9 +318,22 @@ def _arrow_bpe(tbl, merges, col, id_col, out, max_word_len, mode):
             .mapInPandas(fn, f"{id_col} {id_type}, {out} {out_type}"))
 
 
-def _pick_engine(engine, merges):
+def _pick_engine(engine, merges, broadcast=None):
+    """Auto engine choice, r12 revision: Arrow by default.  The r12
+    measurement (guide §4.2) found the JVM expression tiers dominated by
+    costs that do NOT shrink with vocabulary size — per-query
+    construction + Janino compilation of the 15 chained merge-step
+    projections, and interpreted (CodegenFallback) higher-order-function
+    evaluation per row — while the Arrow tier's dict tokenizer runs the
+    same loop at O(1)/probe with one batch boundary crossing of exactly
+    two columns: 0.64 s vs 4.37 s end-to-end at sf0.1 (min-of-3, noop
+    sink) with the DEFAULT 40-entry merges, i.e. the Arrow tier wins at
+    EVERY vocabulary size, not just past ``ARROW_MERGES_THRESHOLD``.
+    An explicit ``broadcast=`` keeps the caller's chosen JVM tier (it is
+    a JVM-map-shipping knob; silently routing it to Python would grade
+    the wrong code path)."""
     if engine is None:
-        return "arrow" if len(merges) > ARROW_MERGES_THRESHOLD else "expr"
+        return "expr" if broadcast is not None else "arrow"
     if engine not in ("expr", "arrow"):
         raise ValueError("engine must be 'expr', 'arrow', or None (auto)")
     return engine
@@ -298,15 +353,17 @@ def bpe_token_count(tbl: SparkTbl, merges=None, col: str = "text",
     sibling ``token_count_bpe``), so text/metadata stay available
     downstream.
 
-    ``engine=`` picks the tokenizer tier (None = auto by merges size):
+    ``engine=`` picks the tokenizer tier (None = auto → ``"arrow"``
+    since r12 — measured 7x faster end-to-end than the expression tiers
+    at every vocabulary size, see the module docstring — unless the
+    caller set ``broadcast=``, which selects the JVM tier it configures):
     ``"expr"`` — pure JVM array expressions (literal map, or bucketed
-    broadcast map above ``BROADCAST_MERGES_THRESHOLD``); ``"arrow"`` —
-    mapInPandas with O(1) dict lookups, the GPT-2-scale path (JVM map
-    probes scan linearly, so vocabulary-independent cost needs a real
-    hash table).  All tiers produce identical tokens."""
+    broadcast map per ``broadcast=``); ``"arrow"`` — mapInPandas with
+    O(1) dict lookups and a word-level memo.  All tiers produce
+    identical tokens."""
     merges = DEFAULT_MERGES if merges is None else list(merges)
     base = tbl.df.drop(out)
-    if _pick_engine(engine, merges) == "arrow":
+    if _pick_engine(engine, merges, broadcast) == "arrow":
         counts = _arrow_bpe(tbl, merges, col, id_col, out,
                             max_word_len, "count")
         df = (base.join(counts, id_col, "left")
@@ -330,10 +387,10 @@ def bpe_encode(tbl: SparkTbl, merges=None, col: str = "text",
     """Per-document BPE token sequence (array<string>), word order
     preserved via the pre-tokenizer's position index.  Column-preserving:
     the sequence joins back onto the FULL input row.  ``engine=`` as in
-    ``bpe_token_count``."""
+    ``bpe_token_count`` (auto → the Arrow tier since r12)."""
     merges = DEFAULT_MERGES if merges is None else list(merges)
     base = tbl.df.drop(out)
-    if _pick_engine(engine, merges) == "arrow":
+    if _pick_engine(engine, merges, broadcast) == "arrow":
         seqs = _arrow_bpe(tbl, merges, col, id_col, out,
                           max_word_len, "encode")
     else:
