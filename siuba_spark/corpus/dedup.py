@@ -401,12 +401,21 @@ def drop_near_dups(tbl: SparkTbl, pairs, id_col: str = "doc_id",
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")
     clusters = dedup_clusters(pairs).df
-    agg = F.min if keep == "min" else F.max
-    canon = (clusters.groupBy("cluster")
-             .agg(agg("id").alias("__keep")))
-    drop = (clusters.join(canon, "cluster")
-            .filter(F.col("id") != F.col("__keep"))
-            .select(F.col("id").alias("__drop_id")))
+    if keep == "min":
+        # the propagated cluster label IS the component's minimum id
+        # (min-label propagation converges to exactly that), so the
+        # canonical row per cluster is the row whose id equals its label
+        # — the per-cluster min aggregation + join-back reduce to a
+        # filter (r12: one shuffle + one join removed from the default
+        # keep="min" path; keep="max" still needs the aggregate)
+        drop = (clusters.filter(F.col("id") != F.col("cluster"))
+                .select(F.col("id").alias("__drop_id")))
+    else:
+        canon = (clusters.groupBy("cluster")
+                 .agg(F.max("id").alias("__keep")))
+        drop = (clusters.join(canon, "cluster")
+                .filter(F.col("id") != F.col("__keep"))
+                .select(F.col("id").alias("__drop_id")))
     out = (tbl.df.join(drop,
                        tbl.df[id_col] == drop["__drop_id"], "left_anti"))
     return tbl.evolve(df=out)
@@ -460,6 +469,19 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
                             .withColumnRenamed("lbl", "n_lbl"), "dst")
                  .groupBy("src").agg(F.min("n_lbl").alias("n_min")))
+        if _i == 0:
+            # round 1: labels are still the identity (lbl == id), so the
+            # pointer-jump self-join would only recompute lbl — skip it
+            # (one join saved), and skip the convergence count too (a
+            # non-empty pair set always changes some label in round 1)
+            labels = (labels.join(neigh, labels["id"] == neigh["src"],
+                                  "left")
+                      .select(F.col("id"),
+                              F.least(F.col("lbl"),
+                                      F.coalesce(F.col("n_min"),
+                                                 F.col("lbl"))).alias("lbl"))
+                      .localCheckpoint())
+            continue
         # pointer jumping: also adopt the label OF my label — turns
         # O(diameter) convergence into O(log n) on chain-shaped components
         via = (labels.alias("x")
@@ -470,22 +492,18 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
                        F.col("x.lbl").alias("lbl"),
                        F.coalesce(F.col("p_lbl"), F.col("x.lbl"))
                        .alias("jump_lbl")))
+        # labels only ever DECREASE, so "changed" is (new < old) — carry
+        # the flag through the checkpoint and count it with a cheap scan
+        # of the materialized rows instead of a second labels-vs-labels
+        # join per round (r12: one shuffle join removed per round)
+        new_lbl = F.least(F.col("lbl"), F.col("jump_lbl"),
+                          F.coalesce(F.col("n_min"), F.col("lbl")))
         new_labels = (via.join(neigh, via["id"] == neigh["src"], "left")
-                      .select(F.col("id"),
-                              F.least(F.col("lbl"), F.col("jump_lbl"),
-                                      F.coalesce(F.col("n_min"),
-                                                 F.col("lbl"))).alias("lbl"))
+                      .select(F.col("id"), new_lbl.alias("lbl"),
+                              (new_lbl < F.col("lbl")).alias("__chg"))
                       .localCheckpoint())
-        if _i == 0:
-            # round 1 always changes labels on any non-empty pair set
-            # (some node has a smaller neighbor) — skip its convergence
-            # count, one whole job saved per call
-            labels = new_labels
-            continue
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     # superseded round checkpoints (and the final one, once the caller

@@ -53,7 +53,19 @@ def _cosine_pre(a, b, na_sq, nb_sq):
     array<double> at the row level: skips the per-PAIR ``_to_double``
     transform (two fresh 64-element arrays per candidate — measured
     ~15% of the pair-scoring stage even on double inputs, more on
-    float).  Same floats, same folds — bit-identical scores."""
+    float).  Same floats, same folds — bit-identical scores.
+
+    r12 negative result (recorded so it is not retried): unrolling the
+    dot to a flat codegen-able ``((0.0 + a0*b0) + a1*b1) + ...`` chain
+    over a driver-known dim — bit-identical association order, NULL
+    out-of-bounds via ``F.get``, size-guarded fallback to the fold —
+    REGRESSED every pair query that tried it (semantic_store_compact
+    3.6 → 6.7+ s, semantic_dedup_incr 2.7 → 6.1 s at sf0.1): each
+    256-node chain Janino-compiles per query execution (fresh expression
+    IDs defeat the codegen cache across the multi-join incremental
+    plans), and at bench cell sizes the interpreted fold it replaced
+    cost well under a second.  The fold stays; the pair-stage lever that
+    DID measure positive is the fragment-replicate blocking below."""
     return F.try_divide(_dot(a, b), F.sqrt(na_sq * nb_sq))
 
 
@@ -732,15 +744,69 @@ def _spread_cells(df):
     runtime broadcast AFTER the shuffle materializes — that reads the
     shuffled rows, never recomputes the subtree, and is safe."""
     spark = df.sparkSession
+    p = _spread_parallelism(spark)
+    keys = ["__cell"] + [c for c in ("__pba", "__pbb") if c in df.columns]
+    return df.repartition(p, *keys).hint("SHUFFLE_MERGE")
+
+
+def _spread_parallelism(spark):
     try:
         conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         conf_p = 0
-    p = max(conf_p, spark.sparkContext.defaultParallelism)
-    return df.repartition(p, "__cell").hint("SHUFFLE_MERGE")
+    return max(conf_p, spark.sparkContext.defaultParallelism)
 
 
-def _int8_prefiltered_pairs(assigned, threshold, round_to):
+def _pair_blocks(spark, n_lists):
+    """Fragment-replicate block count ``s`` for the intra-cell pair
+    joins (r12, guide §2.5): hash-partitioning on ``__cell`` alone caps
+    the CPU-dense fold stage's parallelism at the number of DISTINCT
+    cells — with n_lists=8 on 32 cores at most 8 tasks ever work, and a
+    fat cell serializes its whole Σ|cell|² share on ONE task (AQE skew
+    handling never fires: the stage is byte-light, CPU-dense).
+    Splitting each join side into ``s`` id-hash blocks and joining on
+    ``(cell, block_a, block_b)`` spreads every cell's pair work over
+    ``s²`` tasks at the cost of replicating each side ``s``x into the
+    shuffle.
+
+    ``s`` is the smallest integer with ``n_lists * s² >= 2 *
+    parallelism`` (capped at 8): scale-adaptive by construction — at
+    production scale ``n_lists`` ~ √N far exceeds the core count, so
+    s=1 and the plan is EXACTLY the r11 plan with zero replication; the
+    replication only pays where it buys idle cores back."""
+    if not n_lists or n_lists <= 0:       # unknown cell count: no blocks
+        return 1
+    p = _spread_parallelism(spark)
+    if n_lists >= 2 * p:
+        return 1
+    import math
+    return max(1, min(8, math.isqrt(max(0, 2 * p - 1) // n_lists) + 1))
+
+
+def _block_pair_sides(a, b, id_a, id_b, n_lists):
+    """Attach fragment-replicate block columns to the two sides of an
+    intra-cell pair join.  Side ``a`` keeps its own id-hash block as
+    ``__pba`` and replicates across all ``__pbb`` values; side ``b``
+    symmetrically — every (x, y) pair meets on exactly one
+    ``(cell, __pba, __pbb)`` key, so the joined pair SET is identical
+    to the plain cell join (the blocks are dropped after the join).
+    ``s == 1`` returns the sides untouched (the production path)."""
+    spark = a.sparkSession
+    s = _pair_blocks(spark, n_lists)
+    if s <= 1:
+        return a, b, []
+    blocks = F.explode(F.array(*[F.lit(j) for j in range(s)]))
+    a = (a.withColumn("__pba",
+                      F.pmod(F.xxhash64(F.col(id_a)), F.lit(s)).cast("int"))
+         .withColumn("__pbb", blocks))
+    b = (b.withColumn("__pbb",
+                      F.pmod(F.xxhash64(F.col(id_b)), F.lit(s)).cast("int"))
+         .withColumn("__pba", blocks))
+    return a, b, ["__pba", "__pbb"]
+
+
+def _int8_prefiltered_pairs(assigned, threshold, round_to,
+                            n_lists=None):
     """Intra-cell pair stage with an int8 ADC prefilter (VERDICT r8 item
     5 — classic quantize-prune-rerank): the cell self-join carries ONLY
     the int8 codes + per-row scalars (~8x less shuffle payload than the
@@ -827,7 +893,9 @@ def _int8_prefiltered_pairs(assigned, threshold, round_to):
            + F.size(F.col("__qa")).cast("double") / 4.0),
         F.sqrt(F.col("__na") * F.col("__nb")))
     cutoff = threshold - 0.5 * 10.0 ** (-round_to) - 1e-9
-    survivors = (_spread_cells(qa).join(_spread_cells(qb), ["__cell"])
+    qa, qb, bk = _block_pair_sides(qa, qb, "id_a", "id_b",
+                                   n_lists if n_lists is not None else 0)
+    survivors = (_spread_cells(qa).join(_spread_cells(qb), ["__cell"] + bk)
                  .filter(F.col("id_a") < F.col("id_b"))
                  .filter(bound >= F.lit(cutoff))
                  .select("id_a", "id_b"))
@@ -891,22 +959,24 @@ def semantic_dedup(tbl: SparkTbl, threshold: float = 0.95,
     assigned, _centers = _cells_and_centers(
         tbl, id_col, vec_col, n_lists, centroids, n_iters, seed, train_limit)
     if prefilter == "int8":
-        pairs = _int8_prefiltered_pairs(assigned, threshold, round_to)
+        pairs = _int8_prefiltered_pairs(assigned, threshold, round_to,
+                                        n_lists=n_lists)
     else:
         # NOTE: the self-join consumes the assignment subtree twice (a and
         # b output names differ, so ReuseExchange can't dedup them);
         # measured, persisting it here costs MORE than the recompute at
         # bench scale (extra caching job + pin lifetime) — left
         # unpersisted on purpose
-        a = _spread_cells(assigned.select(
+        a = assigned.select(
             F.col("nbr_id").alias("id_a"),
             F.col("nbr_vec").alias("vec_a"),
-            F.col("__nn").alias("__na"), "__cell"))
-        b = _spread_cells(assigned.select(
+            F.col("__nn").alias("__na"), "__cell")
+        b = assigned.select(
             F.col("nbr_id").alias("id_b"),
             F.col("nbr_vec").alias("vec_b"),
-            F.col("__nn").alias("__nb"), "__cell"))
-        pairs = (a.join(b, ["__cell"])
+            F.col("__nn").alias("__nb"), "__cell")
+        a, b, bk = _block_pair_sides(a, b, "id_a", "id_b", n_lists)
+        pairs = (_spread_cells(a).join(_spread_cells(b), ["__cell"] + bk)
                  .filter(F.col("id_a") < F.col("id_b"))
                  .withColumn("score", F.round(_cosine_pre(
                      F.col("vec_a"), F.col("vec_b"),
@@ -997,10 +1067,13 @@ def semantic_dedup_incremental(
     nb = new_asg.withColumn("__new", F.lit(True))
     all_b = nb if store_df is None else \
         nb.unionByName(store_df.withColumn("__new", F.lit(False)))
-    l, r = _spread_cells(nb).alias("l"), _spread_cells(all_b).alias("r")
-    pairs = (l.join(r, [F.col("l.__cell") == F.col("r.__cell"),
-                        (~F.col("r.__new"))
-                        | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))])
+    nb2, all2, bk = _block_pair_sides(nb, all_b, id_col, id_col, n_lists)
+    l, r = _spread_cells(nb2).alias("l"), _spread_cells(all2).alias("r")
+    cond = [F.col("l.__cell") == F.col("r.__cell"),
+            (~F.col("r.__new"))
+            | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))]
+    cond += [F.col(f"l.{k}") == F.col(f"r.{k}") for k in bk]
+    pairs = (l.join(r, cond)
              .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
              .withColumn("score", F.round(_cosine_pre(
                  F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"),
