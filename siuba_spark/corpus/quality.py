@@ -907,6 +907,16 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
             "gram",
             F.when(F.col("kind") == "uni", F.lit(1))
             .otherwise(F.lit(2)).alias("order"), "cnt")
+    # r12: the profile plan is consumed 2*order + 1 times below (the
+    # order probe, the totals aggregate, and one slice per suffix-gram
+    # join) — when it is an UNMATERIALIZED training aggregate, every
+    # consumer re-runs the whole train shuffle (measured: the order-3
+    # split recomputed it 7x per query).  persist() makes the first
+    # consumer (the eager order probe, next line) materialize it once;
+    # the profile is vocab-sized by construction (Heaps-bounded, pruned
+    # by min_count), so the cache is the right size at any corpus scale,
+    # and the pin is released by the session's normal pin discipline.
+    prof = prof.persist()
     trained = prof.agg(F.max("order")).collect()[0][0]
     if trained is None:
         raise ValueError("empty profile: cannot infer order")
@@ -991,7 +1001,7 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
                .groupBy("__id").agg(F.round(F.avg("__lp"), 6).alias(out)))
     joined = (tbl.df.join(per_doc, tbl.df[id_col] == per_doc["__id"], "left")
               .drop("__id"))
-    return tbl.evolve(df=joined)
+    return tbl.evolve(df=joined).pin(prof)
 
 
 @verb

@@ -226,9 +226,21 @@ def _char_ngrams(col, n):
     return norm, grams
 
 
-def _ranked_grams(df, part_col, col, n, k):
+def _ranked_grams(df, part_col, col, n, k, single_shuffle=False):
     """Top-``k`` character n-grams per ``part_col`` key, ranked 1..k by
-    (count desc, gram asc) — the CT out-of-place profile."""
+    (count desc, gram asc) — the CT out-of-place profile.
+
+    ``single_shuffle=True`` (r12, for PLENTIFUL-key sides like per-doc
+    ranking): repartition the exploded grams by ``part_col`` FIRST, so
+    the (key, gram) count aggregate and the per-key top-k window both
+    consume that one exchange (HashPartitioning(key) satisfies both
+    required distributions) — one shuffle instead of two.  Measured at
+    sf0.1: per-doc ranking 0.94 → 0.65 s.  The trade: no map-side
+    partial aggregation, which is ~free here because (doc, gram) keys
+    are near-unique.  Keep the default two-exchange shape for FEW-key
+    sides (per-language training: ~5 keys would collapse the aggregate
+    onto 5 tasks, and there the partial agg is the whole point — it
+    shrinks corpus-sized gram streams to vocabulary size map-side)."""
     from pyspark.sql import Window
 
     norm, grams = _char_ngrams(F.col(col), n)
@@ -237,9 +249,16 @@ def _ranked_grams(df, part_col, col, n, k):
             .select(part_col,
                     F.explode(F.when(F.length("__norm") >= n, grams)
                               .otherwise(F.array().cast("array<string>")))
-                    .alias("__g"))
-            .groupBy(part_col, "__g")
-            .agg(F.count(F.lit(1)).alias("__cnt")))
+                    .alias("__g")))
+    if single_shuffle:
+        spark = df.sparkSession
+        try:
+            conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            conf_p = 0
+        p = max(conf_p, spark.sparkContext.defaultParallelism)
+        rows = rows.repartition(p, part_col)
+    rows = rows.groupBy(part_col, "__g").agg(F.count(F.lit(1)).alias("__cnt"))
     w = (Window.partitionBy(part_col)
          .orderBy(F.col("__cnt").desc(), F.col("__g").asc()))
     return (rows.withColumn("__r", F.row_number().over(w))
@@ -302,7 +321,8 @@ def lang_id(tbl: SparkTbl, profiles, col: str = "text",
         F.col("lang").alias("__plang"), F.col("gram").alias("__pg"),
         F.col("rank").alias("__pr"))
     langs = prof.select(F.col("__plang").alias("__cand")).distinct()
-    doc = _ranked_grams(tbl.df.select(id_col, col), id_col, col, n, k)
+    doc = _ranked_grams(tbl.df.select(id_col, col), id_col, col, n, k,
+                        single_shuffle=True)
     scored = (doc.join(broadcast(langs))
               .join(broadcast(prof),
                     (F.col("__g") == F.col("__pg"))
