@@ -320,6 +320,11 @@ def lang_id(tbl: SparkTbl, profiles, col: str = "text",
     prof = wrap_tbl(profiles).df.select(
         F.col("lang").alias("__plang"), F.col("gram").alias("__pg"),
         F.col("rank").alias("__pr"))
+    # r12: the profile plan is consumed twice (language list + the
+    # scoring join) — when it is an unmaterialized lang_profile_train
+    # aggregate, both consumers re-run the training shuffle.  persist()
+    # materializes the languages x k table once (lm_logprob pattern).
+    prof = prof.persist()
     langs = prof.select(F.col("__plang").alias("__cand")).distinct()
     doc = _ranked_grams(tbl.df.select(id_col, col), id_col, col, n, k,
                         single_shuffle=True)
@@ -342,7 +347,7 @@ def lang_id(tbl: SparkTbl, profiles, col: str = "text",
     df = (tbl.df.drop(out, f"{out}_dist")
           .join(best, F.col(id_col) == F.col("__id"), "left")
           .drop("__id"))
-    return tbl.evolve(df=df)
+    return tbl.evolve(df=df).pin(prof)
 
 
 @verb
