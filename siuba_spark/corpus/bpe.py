@@ -527,18 +527,27 @@ def bpe_train(tbl, col: str = "text", n_merges: int = 256,
             .select(F.substring("__w", 1, max_word_len).alias("__w"))
             .groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") >= min_freq))
+    # r12: the size-guard aggregate and the collect are two separate
+    # driver actions over the same ordered-limit cut — unpersisted, each
+    # re-ran the full word-histogram shuffle; persist() materializes the
+    # bounded (<= max_vocab_words rows) cut once and the second action
+    # reads the cache
     cut = hist.orderBy(F.col("__n").desc(), F.col("__w")) \
-              .limit(max_vocab_words)
-    stats = cut.agg(F.sum(F.length("__w")).alias("chars"),
-                    F.count(F.lit(1)).alias("n")).first()
-    approx = (stats["chars"] or 0) + 16 * stats["n"]
-    if approx > MAX_TRAIN_VOCAB_BYTES:
-        raise ValueError(
-            f"training vocabulary slice ~{approx >> 20} MiB exceeds the "
-            f"{MAX_TRAIN_VOCAB_BYTES >> 20} MiB driver bound; lower "
-            "max_vocab_words (rare-word pair counts are negligible)")
-    pairs = sorted(((r["__w"], r["__n"]) for r in cut.collect()),
-                   key=lambda wn: (-wn[1], wn[0]))
+              .limit(max_vocab_words).persist()
+    try:
+        stats = cut.agg(F.sum(F.length("__w")).alias("chars"),
+                        F.count(F.lit(1)).alias("n")).first()
+        approx = (stats["chars"] or 0) + 16 * stats["n"]
+        if approx > MAX_TRAIN_VOCAB_BYTES:
+            raise ValueError(
+                f"training vocabulary slice ~{approx >> 20} MiB exceeds "
+                f"the {MAX_TRAIN_VOCAB_BYTES >> 20} MiB driver bound; "
+                "lower max_vocab_words (rare-word pair counts are "
+                "negligible)")
+        pairs = sorted(((r["__w"], r["__n"]) for r in cut.collect()),
+                       key=lambda wn: (-wn[1], wn[0]))
+    finally:
+        cut.unpersist()
     return _train_on_histogram(pairs, n_merges, min_freq)
 
 

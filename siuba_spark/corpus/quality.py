@@ -437,16 +437,22 @@ def ngram_repetition_signals(tbl: SparkTbl, col: str = "text",
     if not all_ns or min(all_ns) < 2:
         raise ValueError("n-gram orders must be >= 2")
     c = F.col(col)
-    toks = tokens_col(c)
 
     def _tag(n):
         return lambda g: F.struct(g.alias("g"), F.lit(n).alias("n"))
 
-    tagged = F.concat(*[F.transform(_ngrams(toks, n), _tag(n))
+    # r12: tokenize ONCE into a projection boundary, then build every
+    # order's grams from the materialized array — inlining tokens_col
+    # into each order's transform re-ran the split+filter per order
+    # (8x per row with the default orders; lm_train already used this
+    # shape).  CollapseProject keeps the boundary: the token array is
+    # non-cheap and referenced once per order.
+    tagged = F.concat(*[F.transform(_ngrams(F.col("__toks"), n), _tag(n))
                         for n in all_ns])
     ex = (tbl.df
           .select(F.col(id_col).alias("__id"),
-                  F.explode(tagged).alias("__t"))
+                  tokens_col(c).alias("__toks"))
+          .select("__id", F.explode(tagged).alias("__t"))
           .select("__id", F.col("__t.g").alias("__g"),
                   F.col("__t.n").alias("__n")))
     cnt = (ex.groupBy("__id", "__n", "__g")
