@@ -421,9 +421,47 @@ def drop_near_dups(tbl: SparkTbl, pairs, id_col: str = "doc_id",
     return tbl.evolve(df=out)
 
 
+def _driver_union_find(rows, spark, id_type):
+    """Exact connected components over a BOUNDED collected pair list
+    (gated by ``dedup_clusters(driver_cap=)``): path-compressed
+    union-find with union-by-min, so every set's root is its smallest
+    id — the same (id, cluster=component min) table the distributed
+    min-label loop converges to, bit-identical ids in the source key
+    type."""
+    from pyspark.sql import types as T
+
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for ra, rb in rows:
+        if ra not in parent:
+            parent[ra] = ra
+        if rb not in parent:
+            parent[rb] = rb
+        fa, fb = find(ra), find(rb)
+        if fa != fb:
+            # attach the larger root under the smaller: the component
+            # minimum can never be re-parented, so root == min id
+            if fb < fa:
+                fa, fb = fb, fa
+            parent[fb] = fa
+
+    schema = T.StructType([T.StructField("id", id_type),
+                           T.StructField("cluster", id_type)])
+    data = [(x, find(x)) for x in parent]
+    return SparkTbl(spark.createDataFrame(data, schema))
+
+
 @verb
 def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iter: int = 20):
+                   max_iter: int = 20, driver_cap: int = 100_000):
     """Connected components over a near-dup pair table -> (id, cluster)
     where cluster is the component's smallest id — the step between pair
     generation (LSH / fuzzy / jaccard) and canonical-document selection
@@ -434,16 +472,40 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
     no-graph-library formulation, e.g. Hash-to-Min, Rastogi et al. 2013):
     every node starts labeled with itself; each round, each node takes
     the min label over itself and its neighbors; converged when no label
-    changes.  Rounds = O(component diameter) — near-dup components are
-    shallow (dozens of docs, diameter ~2-4), so 3-5 rounds in practice;
-    ``max_iter`` bounds pathological chains.  Each round is one shuffle
-    on the node id (map-side combine on the min-agg) plus a convergence
-    count; labels table stays (n_nodes x 2) — never materializes paths.
+    changes.  Rounds = O(component diameter) — ``max_iter`` bounds
+    pathological chains.  Each round is one shuffle on the node id
+    (map-side combine on the min-agg) plus a convergence count; labels
+    table stays (n_nodes x 2) — never materializes paths.
+
+    Scale gate (r12): the pair table is persisted and counted first; at
+    or under ``driver_cap`` pairs (default 100k ≈ a few MB — the same
+    bounded-collect discipline as pivot specs and the BPE histogram cut)
+    the components are solved by a driver-side union-find in one collect,
+    value-identical to the loop.  Near-dup pair graphs can be
+    chain-shaped — the sf0.1 semantic pair table (~1k pairs) needed 11
+    propagation rounds even with pointer jumping, and a distributed
+    round costs two joins plus an eager checkpoint REGARDLESS of size —
+    while the collect cost is bounded by the cap.  Above the cap (dup
+    pair counts scale with corpus x dup rate, the 100 TB case) the
+    distributed loop below runs unchanged; NULL or mixed-type ids also
+    fall through to it.  ``driver_cap=0`` forces the distributed path.
     """
     from ..plans.pipe import wrap_table
 
     pdf = wrap_table(pairs).df
     a, b = F.col(id_a), F.col(id_b)
+    if (driver_cap
+            and pdf.schema[id_a].dataType == pdf.schema[id_b].dataType):
+        pdf = pdf.persist()
+        # the count materializes the expensive pair upstream exactly once
+        # (the distributed path below does the same via the edges
+        # checkpoint); above the cap the cached rows feed that checkpoint
+        if pdf.count() <= driver_cap:
+            rows = pdf.select(a, b).collect()
+            if all(r[0] is not None and r[1] is not None for r in rows):
+                pdf.unpersist()
+                return _driver_union_find(
+                    rows, pdf.sparkSession, pdf.schema[id_a].dataType)
     # undirected edge list, both directions.  The union scans the pair
     # plan twice, and pair generation is the expensive upstream (LSH
     # band join / intra-cell cosine) — persist it so the checkpoint job
@@ -460,28 +522,24 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
     # checkpoint dir configured, swap for .checkpoint() for fault
     # tolerance; the algorithm is identical.
     edges = edges.localCheckpoint()
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("lbl", F.col("id"))
-              .localCheckpoint())
     pdf.unpersist()
+    # round 1 fused into the init (r12): with identity starting labels,
+    # each node's post-round-1 label is simply min(id, min(neighbor ids))
+    # — one aggregate over the edge list, no labels table to join (every
+    # node appears as src because edges carry both directions).  This
+    # replaces the identity-labels distinct+checkpoint AND the round-1
+    # neighbor join+checkpoint: two eager actions and a shuffle removed.
+    # The convergence count is skipped here for the same reason as the
+    # old round-1 branch: a non-empty pair set always changes a label.
+    labels = (edges.groupBy("src")
+              .agg(F.least(F.col("src"), F.min("dst")).alias("lbl"))
+              .select(F.col("src").alias("id"), F.col("lbl"))
+              .localCheckpoint())
 
-    for _i in range(max_iter):
+    for _i in range(1, max_iter):
         neigh = (edges.join(labels.withColumnRenamed("id", "dst")
                             .withColumnRenamed("lbl", "n_lbl"), "dst")
                  .groupBy("src").agg(F.min("n_lbl").alias("n_min")))
-        if _i == 0:
-            # round 1: labels are still the identity (lbl == id), so the
-            # pointer-jump self-join would only recompute lbl — skip it
-            # (one join saved), and skip the convergence count too (a
-            # non-empty pair set always changes some label in round 1)
-            labels = (labels.join(neigh, labels["id"] == neigh["src"],
-                                  "left")
-                      .select(F.col("id"),
-                              F.least(F.col("lbl"),
-                                      F.coalesce(F.col("n_min"),
-                                                 F.col("lbl"))).alias("lbl"))
-                      .localCheckpoint())
-            continue
         # pointer jumping: also adopt the label OF my label — turns
         # O(diameter) convergence into O(log n) on chain-shaped components
         via = (labels.alias("x")

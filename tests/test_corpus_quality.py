@@ -415,6 +415,39 @@ def test_dedup_clusters_matches_duckdb_recursive(spark):
     assert_equal_query(got, exp)
 
 
+def test_dedup_clusters_driver_gate_matches_distributed(spark):
+    """The r12 driver_cap union-find gate must return exactly the
+    distributed min-label loop's table on a non-trivial graph (chains,
+    stars, singleton-free), same values AND same key dtype."""
+    import random
+
+    from siuba_spark.corpus.dedup import dedup_clusters
+    rng = random.Random(7)
+    ids = list(range(200))
+    pairs = ([(i, i + 1) for i in range(0, 40)]          # long chain
+             + [(100, 100 + i) for i in range(1, 20)]    # star
+             + [(rng.choice(ids), rng.choice(ids)) for _ in range(60)])
+    t = data_frame(spark, id_a=[p[0] for p in pairs],
+                   id_b=[p[1] for p in pairs])
+    via_driver = dedup_clusters(t).df               # n_pairs << default cap
+    via_loop = dedup_clusters(t, driver_cap=0).df   # forced distributed
+    assert via_driver.schema == via_loop.schema
+    got_d = dict(map(tuple, via_driver.toPandas().itertuples(index=False)))
+    got_l = dict(map(tuple, via_loop.toPandas().itertuples(index=False)))
+    assert got_d and got_d == got_l
+
+
+def test_dedup_clusters_null_ids_fall_back_to_loop(spark):
+    """NULL pair ids must route to the distributed loop (the driver
+    union-find cannot order None) and produce its exact labels."""
+    from siuba_spark.corpus.dedup import dedup_clusters
+    t = data_frame(spark, id_a=[1, 2, None], id_b=[2, 3, 4])
+    got = dedup_clusters(t).df.toPandas()
+    want = dedup_clusters(t, driver_cap=0).df.toPandas()
+    key = lambda df: sorted(map(tuple, df.fillna(-1).itertuples(index=False)))
+    assert key(got) == key(want)
+
+
 def test_dedup_clusters_end_to_end_canonical_keep(spark):
     """pairs -> clusters -> keep the cluster minimum: the full near-dup
     removal composition."""
