@@ -502,8 +502,8 @@ def bpe_train(tbl, col: str = "text", n_merges: int = 256,
       map-side-combined shuffle whose output is the VOCABULARY, which
       Heaps' law keeps sublinear in corpus size;
     - the histogram is cut to the top ``max_vocab_words`` words by
-      (count desc, word asc) — a deterministic bound, enforced against
-      ``MAX_TRAIN_VOCAB_BYTES`` before collect (the same explicit
+      (count desc, word asc) — a deterministic bound whose byte weight
+      is checked against ``MAX_TRAIN_VOCAB_BYTES`` (the same explicit
       driver-slice contract as the IVF Lloyd trainer) — and merge
       learning runs on those frequencies driver-side, exactly how
       single-node BPE trainers work on a word-count table.  Rare words
@@ -527,27 +527,25 @@ def bpe_train(tbl, col: str = "text", n_merges: int = 256,
             .select(F.substring("__w", 1, max_word_len).alias("__w"))
             .groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") >= min_freq))
-    # r12: the size-guard aggregate and the collect are two separate
-    # driver actions over the same ordered-limit cut — unpersisted, each
-    # re-ran the full word-histogram shuffle; persist() materializes the
-    # bounded (<= max_vocab_words rows) cut once and the second action
-    # reads the cache
+    # r13: ONE driver action.  The ordered-limit cut keeps Spark's
+    # TakeOrderedAndProject top-K path (no global sort, no single-
+    # partition GlobalLimit); the collect is bounded to max_vocab_words
+    # rows of <= max_word_len chars by construction, so the byte guard
+    # is computed from the collected rows instead of a second aggregate
+    # action (the r12 persist() of the cut materialized it through a
+    # full Sort + GlobalLimit and regressed the gate ~2x).
     cut = hist.orderBy(F.col("__n").desc(), F.col("__w")) \
-              .limit(max_vocab_words).persist()
-    try:
-        stats = cut.agg(F.sum(F.length("__w")).alias("chars"),
-                        F.count(F.lit(1)).alias("n")).first()
-        approx = (stats["chars"] or 0) + 16 * stats["n"]
-        if approx > MAX_TRAIN_VOCAB_BYTES:
-            raise ValueError(
-                f"training vocabulary slice ~{approx >> 20} MiB exceeds "
-                f"the {MAX_TRAIN_VOCAB_BYTES >> 20} MiB driver bound; "
-                "lower max_vocab_words (rare-word pair counts are "
-                "negligible)")
-        pairs = sorted(((r["__w"], r["__n"]) for r in cut.collect()),
-                       key=lambda wn: (-wn[1], wn[0]))
-    finally:
-        cut.unpersist()
+              .limit(max_vocab_words)
+    rows = cut.collect()
+    approx = sum(len(r["__w"]) for r in rows) + 16 * len(rows)
+    if approx > MAX_TRAIN_VOCAB_BYTES:
+        raise ValueError(
+            f"training vocabulary slice ~{approx >> 20} MiB exceeds "
+            f"the {MAX_TRAIN_VOCAB_BYTES >> 20} MiB driver bound; "
+            "lower max_vocab_words (rare-word pair counts are "
+            "negligible)")
+    pairs = sorted(((r["__w"], r["__n"]) for r in rows),
+                   key=lambda wn: (-wn[1], wn[0]))
     return _train_on_histogram(pairs, n_merges, min_freq)
 
 
