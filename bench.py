@@ -200,12 +200,22 @@ def main():
         "aa_rerun_ratio": aa,
         "sf": sfv,
     }
-    # The driver captures only the TAIL of stdout, and the full
-    # per-query dict (~2.5 KB compact) overflowed that buffer in BOTH
-    # r10 and r11 ("parsed": null — the tail began mid-object).  So:
-    # the full record goes to a file AND an early stdout line, and the
-    # LAST line is a short self-contained summary (metric/value/unit/
-    # sf + where the per-query detail lives) that always fits the tail.
+    # The driver captures only the LAST 2000 chars of stdout and parses
+    # the final complete JSON line out of that tail.  The full 3-decimal
+    # record (~2.5 KB compact) overflowed that buffer in r10 and r11
+    # ("parsed": null), and the r12 workaround (short summary last,
+    # detail in a file) parsed but left the driver's per-query and
+    # scaling comparisons EMPTY because the parsed line had no
+    # "queries".  r13: the LAST line is the full record with per-query
+    # times quantized just enough to fit the tail — precision is
+    # degraded largest-value-first (where relative quantization error
+    # is smallest: 2 decimals -> 1 decimal, bare integers for values
+    # >= 10 s or integral after rounding) until the line is <= 1950
+    # chars (the 97-query roster's name keys alone are 1.62 KB, so the
+    # 2-decimal form is ~2.09 KB and the fully-degraded floor ~1.97 KB;
+    # 1950 leaves headroom for a few "null" error entries and new
+    # queries).  Full 3-decimal precision still goes to
+    # BENCH_full_last.json and an early stdout line.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_full_last.json"), "w") as fh:
@@ -213,21 +223,43 @@ def main():
     except OSError as exc:  # bench result still prints
         print(f"bench warning: could not write BENCH_full_last.json: "
               f"{exc}", file=sys.stderr)
-    short = json.dumps({
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": sfv,
-        "n_queries": len(timings),
-        "n_errors": sum(1 for v in timings.values() if v is None),
-        "queries_detail": "BENCH_full_last.json",
-    }, separators=(",", ":"))
+
+    def contract_line(q, value):
+        return json.dumps({
+            "metric": "headline_queries_total_sec",
+            "value": value,
+            "unit": "sec",
+            "queries": q,
+            "sf": sfv,
+        }, separators=(",", ":"))
+
+    def degrade(v):
+        r1 = round(v, 1)
+        return int(r1) if (v >= 10 or r1 == int(r1)) else r1
+
+    q2 = {k: (None if v is None else round(v, 2))
+          for k, v in timings.items()}
+    last = contract_line(q2, round(total, 2))
+    if len(last) > 1950:
+        # degrade in descending value order; stop as soon as it fits
+        for v, k in sorted(((v, k) for k, v in timings.items()
+                            if v is not None and v >= 0.05),
+                           reverse=True):
+            q2[k] = degrade(v)
+            last = contract_line(q2, round(total, 1))
+            if len(last) <= 1950:
+                break
+    if len(last) > 1992:  # line + newline must fit the 2000-char tail
+        print(f"bench warning: contract line {len(last)} chars exceeds "
+              "the driver tail; falling back to totals only",
+              file=sys.stderr)
+        last = contract_line({}, round(total, 2))
     # flush both streams and start each result at column 0 of a fresh
     # line so stray progress/log carriage returns can't truncate it
     sys.stderr.flush()
     sys.stdout.flush()
     print("\n" + json.dumps(full, separators=(",", ":")), flush=True)
-    print(short, flush=True)
+    print(last, flush=True)
     spark.stop()
 
 
