@@ -252,11 +252,25 @@ def stratified_sample(tbl: SparkTbl, *strata, n: int | None = None,
             if len(keys) != 1:
                 raise ValueError(
                     "frac= as a dict needs exactly one stratum column")
-            thresh = F.lit(0)
-            for val, f in frac.items():
-                thresh = F.when(F.col(keys[0]) == val,
-                                F.lit(int(round(f * 10000)))).otherwise(thresh)
-            df = tbl.df.filter(bucket < thresh)
+            # ONE flat CaseWhen (when().when()...otherwise(0)), not a
+            # nested when().otherwise(prev) chain: nesting a CaseWhen
+            # inside each ELSE doubles the tree's serialized size per
+            # stratum (TreeNode.toJSON / plan listeners re-serialize the
+            # ELSE subtree at every level — a 20-stratum mixture OOMed an
+            # 8 GB driver), while the flat form is linear and evaluates
+            # identically because dict keys are distinct, so at most one
+            # branch matches
+            items = list(frac.items())
+            if not items:          # rate 0 everywhere, like the old chain
+                return tbl.evolve(df=tbl.df.filter(bucket < F.lit(0)))
+            thresh = F.when(F.col(keys[0]) == items[-1][0],
+                            F.lit(int(round(items[-1][1] * 10000))))
+            # reversed to preserve the nested chain's evaluation order
+            # (outermost when == last dict entry) bit-for-bit
+            for val, f in reversed(items[:-1]):
+                thresh = thresh.when(F.col(keys[0]) == val,
+                                     F.lit(int(round(f * 10000))))
+            df = tbl.df.filter(bucket < thresh.otherwise(F.lit(0)))
         else:
             df = tbl.df.filter(bucket < int(round(frac * 10000)))
         return tbl.evolve(df=df)

@@ -127,10 +127,11 @@ def cat_remove_categories(col, meta, removals):
 def cat_rename_categories(col, meta, mapping):
     """dict form remaps values (and levels, when known); list form needs
     known levels (positional rename, like pandas)."""
+    from .lowering import _flat_case
     if isinstance(mapping, dict):
-        out = col
-        for old, new in mapping.items():
-            out = F.when(col == F.lit(old), F.lit(new)).otherwise(out)
+        # flat CaseWhen, not a nested otherwise-chain (linear to
+        # serialize; same values — see lowering._flat_case)
+        out = _flat_case(col, mapping, col)
         if meta is not None and meta.levels is not None:
             return out, CatMeta(
                 tuple(mapping.get(l, l) for l in meta.levels), meta.ordered)
@@ -141,9 +142,7 @@ def cat_rename_categories(col, meta, mapping):
         raise _err(
             f".cat.rename_categories: got {len(new)} names for "
             f"{len(levels)} levels")
-    out = col
-    for old, nw in zip(levels, new):
-        out = F.when(col == F.lit(old), F.lit(nw)).otherwise(out)
+    out = _flat_case(col, dict(zip(levels, new)), col)
     return out, CatMeta(new, meta.ordered)
 
 

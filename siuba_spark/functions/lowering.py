@@ -207,20 +207,31 @@ def _astype(col, t):
     return col.cast(_CAST_MAP.get(t, t if isinstance(t, str) else None))
 
 
+def _flat_case(col, mapping, default):
+    """ONE flat CaseWhen over a {value: replacement} dict, in reversed
+    item order so it evaluates identically to the historical nested
+    when().otherwise(prev) chain (outermost when == last dict entry; the
+    keys are distinct so at most one branch can match anyway).  The
+    nested form serializes at 2^N cost in TreeNode.toJSON / plan-listener
+    paths — a large replace() map could OOM the driver just by being
+    inspected — while the flat form is linear."""
+    items = list(mapping.items())
+    if not items:
+        return default
+    out = F.when(col == F.lit(items[-1][0]), F.lit(items[-1][1]))
+    for k, v in reversed(items[:-1]):
+        out = out.when(col == F.lit(k), F.lit(v))
+    return out.otherwise(default)
+
+
 def _replace(col, mapping):
-    out = col
-    for k, v in mapping.items():
-        out = F.when(col == F.lit(k), F.lit(v)).otherwise(out)
-    return out
+    return _flat_case(col, mapping, col)
 
 
 def _map_dict(col, mapping, na_action=None):
     """pandas Series.map(dict): matched keys remap, UNMATCHED become NULL
     (unlike .replace, which keeps the original value)."""
-    out = F.lit(None)
-    for k, v in mapping.items():
-        out = F.when(col == F.lit(k), F.lit(v)).otherwise(out)
-    return out
+    return _flat_case(col, mapping, F.lit(None))
 
 
 ELWISE_METHODS = {

@@ -551,7 +551,20 @@ def _window_skew_watch(jdf):
     import json as _json
 
     try:
-        nodes = _json.loads(jdf.queryExecution().optimizedPlan().toJSON())
+        opt = jdf.queryExecution().optimizedPlan()
+        # TreeNode.toJSON re-serializes a CaseWhen's ELSE subtree at
+        # every nesting level, so a when().otherwise(when()...) chain
+        # N deep serializes at 2^N cost — 16 levels is ~100 MB of JSON
+        # and 20 OOMed an 8 GB driver (r13 e2e-pipeline failure).  The
+        # linear toString is a cheap sentinel: each nesting level prints
+        # exactly one "ELSE CASE WHEN", so deep chains are detected and
+        # the (advisory-only) JSON walk is skipped instead of risking
+        # the driver.
+        if opt.toString().count("ELSE CASE WHEN") > 8:
+            return ["skew watch skipped: plan has deeply nested CASE "
+                    "WHEN chains (exponential to serialize) — flatten "
+                    "them with when().when()...otherwise()"]
+        nodes = _json.loads(opt.toJSON())
     except Exception:                                  # pragma: no cover
         return []
 
