@@ -267,6 +267,10 @@ FROM customer
 
 
 def q_grouped_mutate_zscore(spark, sf):
+    """r13: ``_agg_method="broadcast"`` — l_returnflag is a 3-value enum,
+    so the AggOver window (ONE unsplittable task per flag shuffling the
+    whole fact table) lowers to a 3-row partial-agg + broadcast join:
+    zero full-table Exchange, value- and schema-identical (oracle-pinned)."""
     return (
         _t(spark, sf, "lineitem")
         >> group_by(_.l_returnflag)
@@ -274,6 +278,7 @@ def q_grouped_mutate_zscore(spark, sf):
             dev=(_.l_quantity - _.l_quantity.sum() / _.l_quantity.count()).round(4),
             pct_of_mean=(_.l_quantity
                          / (_.l_quantity.sum() / _.l_quantity.count())).round(6),
+            _agg_method="broadcast",
         )
         >> ungroup()
         >> select(_.l_orderkey, _.l_linenumber, _.l_returnflag, _.dev, _.pct_of_mean)
@@ -775,12 +780,16 @@ FROM lineitem GROUP BY 1
 
 
 def q_window_share(spark, sf):
+    """r13: same 3-value-enum broadcast lowering as grouped_mutate_zscore
+    (the decimal(30,6) sum is a plain grouped aggregate here instead of a
+    full-table window — identical values, oracle-pinned)."""
     return (
         _t(spark, sf, "lineitem")
         >> group_by(_.l_returnflag)
         >> mutate(share=(_.l_extendedprice
                          / _.l_extendedprice.astype("decimal(30,6)").sum()
-                         .astype("double")).round(8))
+                         .astype("double")).round(8),
+                  _agg_method="broadcast")
         >> ungroup()
         >> select(_.l_orderkey, _.l_linenumber, _.l_returnflag, _.share)
     ).df

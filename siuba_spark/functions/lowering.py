@@ -59,12 +59,13 @@ class WPool:
     arrange() before a window" fallback into ONE consistent ordering
     shared by every window in the mutate (ADVICE r6 item 3)."""
 
-    __slots__ = ("entries", "materialized", "_n")
+    __slots__ = ("entries", "materialized", "_n", "_prefix")
 
-    def __init__(self):
+    def __init__(self, prefix: str = "__wpool_"):
         self.entries = {}       # key -> (name, Column)
         self.materialized = []  # names already select()ed into the df
         self._n = 0
+        self._prefix = prefix
 
     def add(self, col):
         key = str(col)
@@ -72,7 +73,7 @@ class WPool:
             return col
         ent = self.entries.get(key)
         if ent is None:
-            name = f"__wpool_{self._n}__"
+            name = f"{self._prefix}{self._n}__"
             self._n += 1
             self.entries[key] = (name, col)
             return F.col(name)
@@ -107,6 +108,15 @@ class LowerCtx:
     # window-expression pool (see WPool) — set by verbs that can
     # materialize helper columns (mutate); None elsewhere = no pooling
     wpool: WPool | None = None
+    # when set (mutate(_agg_method="join"/"broadcast") with a non-empty
+    # grouping), order-free AggOver aggregates are collected here as
+    # PLAIN aggregate columns and the host verb materializes them as ONE
+    # groupBy(keys).agg(...) joined back on the keys — the scale-safe
+    # lowering for hot/low-cardinality partition keys, where the window
+    # form funnels every row of a hot key through a single Window task
+    # that AQE cannot split (guide §2.5; same crossover as
+    # add_count(method="join"))
+    aggpool: WPool | None = None
 
     def pooled(self, col):
         """Route a windowed aggregate through the verb's WPool (identity
@@ -706,6 +716,30 @@ def _lower_method(node, ctx):
                 return AGG_PLAIN_OVERRIDES[name](obj, *raw_args, **raw_kw), AGGED
             col = AGG_METHODS[name](lambda c: c, obj, *raw_args, **raw_kw)
             return col, AGGED
+        # ROW mode with the agg+join lowering active: pool the PLAIN
+        # aggregate (the host verb computes groupBy(keys).agg(...) once
+        # and joins it back) — value-identical to the AggOver window
+        # because the default window frame over an orderless partition
+        # is the whole partition, and NULL keys group together in both.
+        # nunique gets the real count_distinct here (windows must
+        # simulate it with collect_set).
+        # (nondeterministic inputs are never re-routed: WPool declines
+        # to pool them, and an unpooled plain aggregate would silently
+        # lose its grouping — those stay on the window path)
+        if (ctx.aggpool is not None and ctx.group_by
+                and not any(tok in str(obj) + str(raw_args)
+                            for tok in ("rand(", "randn(", "uuid(",
+                                        "shuffle("))):
+            if name in AGG_PLAIN_OVERRIDES:
+                # cast to the window lowering's dtype (size(collect_set)
+                # is int; count_distinct is bigint) so the two lowerings
+                # are schema-identical, not just value-identical
+                return ctx.aggpool.add(
+                    AGG_PLAIN_OVERRIDES[name](obj, *raw_args, **raw_kw)
+                    .cast("int")), SCALAR
+            col = AGG_METHODS[name](lambda c: ctx.aggpool.add(c),
+                                    obj, *raw_args, **raw_kw)
+            return col, SCALAR
         # ROW mode: aggregate broadcast back over the group window (AggOver)
         if name in AGG_WINDOW_OVERRIDES:
             return AGG_WINDOW_OVERRIDES[name](ctx, obj, *raw_args, **raw_kw), SCALAR

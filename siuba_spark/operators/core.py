@@ -188,12 +188,33 @@ def relocate(tbl: SparkTbl, *cols, _before: str | None = None,
 
 
 @verb
-def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
+def mutate(tbl: SparkTbl, *args, _by=None, _agg_method: str = "window",
+           **kwargs):
     """Add/overwrite columns; later kwargs see earlier ones; aggregates
     broadcast over the group window (reference: siuba/sql/verbs/mutate.py:20-118).
     ``_by=`` applies dplyr-1.1 per-operation grouping: aggregates window
     over those keys for THIS call only, and the result keeps the table's
     (un)grouped state.
+
+    ``_agg_method=`` picks the lowering for order-free grouped aggregates
+    (``_.x.sum()`` etc. under group_by) — the same crossover knob as
+    ``add_count(method=)``:
+
+    - ``"window"`` (default): AggOver — one full-table shuffle on the
+      group keys; right for bounded, well-distributed keys.
+    - ``"join"``: ``groupBy(keys).agg(...)`` + null-safe equi-join back.
+      The aggregate partial-combines hot keys map-side and the join is
+      AQE-skew-splittable, while a hot key's window partition is ONE
+      unsplittable task; choose it when the key is content-derived or
+      can be hot.  Values are identical (an orderless window frame is
+      the whole partition; NULL keys group together in both lowerings).
+    - ``"broadcast"``: ``"join"`` with the aggregate side broadcast —
+      zero full-table shuffle.  Only for keys with a PROVABLY bounded
+      domain (enum-like flags); the agg table has one row per distinct
+      key and is force-broadcast regardless of size.
+
+    Ordered windows (rank/cumsum/lead/lag) always stay windows; an
+    ungrouped mutate ignores ``_agg_method``.
     Chained ``withColumn`` projections are collapsed by Catalyst
     (CollapseProject), so no subquery-avoidance logic is needed (SURVEY §4).
     Positional args must be across() expansions (siuba/dply/across.py).
@@ -215,6 +236,9 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
     from ..functions.cat import rewrite_cat_dynamic
     from ..functions.forcats import rewrite_fct_lump
 
+    if _agg_method not in ("window", "join", "broadcast"):
+        raise ValueError(
+            "_agg_method must be 'window', 'join' or 'broadcast'")
     orig_groups = tbl.group_by
     work = _temp_by(tbl, _by, "mutate")
     kwargs = _merge_across(work, args, kwargs)
@@ -226,6 +250,8 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
     # window expression separately (functions/lowering.py WPool)
     from ..functions.lowering import WPool
     wpool = WPool()
+    aggpool = (WPool("__ajpool_")
+               if _agg_method != "window" and work.group_by else None)
     user_cols = set(df.columns)
     for name, expr in kwargs.items():
         from .across import IfAnyAll, expand_if_any_all
@@ -234,6 +260,7 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
         ctx = work.row_ctx()
         ctx.factors = dict(factors)
         ctx.wpool = wpool
+        ctx.aggpool = aggpool
         # fct_lump lowers to an agg→rank→broadcast-join plan, and dynamic
         # .cat.codes to a distinct→broadcast-join plan — not global
         # windows; rewrite the expression tree first (no-op otherwise)
@@ -242,6 +269,29 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
         df, node, tmps2 = rewrite_cat_dynamic(node, ctx, df)
         df, node, tmps3 = rewrite_consecutive_id(node, ctx, df)
         col, _ = lower(node, ctx)
+        if aggpool is not None:
+            # ONE groupBy over the group keys for every plain aggregate
+            # this kwarg pooled, null-safe-joined back (the "join" /
+            # "broadcast" AggOver lowering — see the docstring).  Runs
+            # BEFORE the window materialization so a window over an
+            # aggregate (e.g. rank of x - mean) resolves its helper.
+            pend_a = aggpool.pending()
+            if pend_a:
+                keys = list(work.group_by)
+                aggdf = (df.groupBy(*[F.col(k) for k in keys])
+                         .agg(*[c.alias(n) for n, c in pend_a])
+                         .select(*[F.col(k).alias(f"__aj_{k}")
+                                   for k in keys],
+                                 *[n for n, _c in pend_a]))
+                if _agg_method == "broadcast":
+                    aggdf = F.broadcast(aggdf)
+                cond = None
+                for k in keys:
+                    eq = F.col(k).eqNullSafe(F.col(f"__aj_{k}"))
+                    cond = eq if cond is None else (cond & eq)
+                df = (df.join(aggdf, cond, "left")
+                      .drop(*[f"__aj_{k}" for k in keys]))
+                aggpool.materialized.extend(n for n, _c in pend_a)
         pending = wpool.pending()
         if pending:
             df = df.select("*", *[c.alias(n) for n, c in pending])
@@ -252,6 +302,8 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
             # could now refer to stale data — forget the pool keys (the
             # already-materialized helpers are dropped at the end)
             wpool.invalidate()
+            if aggpool is not None:
+                aggpool.invalidate()
         user_cols.add(name)
         if tmps or tmps2 or tmps3:
             df = df.drop(*tmps, *tmps2, *tmps3)
@@ -274,6 +326,8 @@ def mutate(tbl: SparkTbl, *args, _by=None, **kwargs):
                 factors.pop(name, None)
     if wpool.materialized:
         df = df.drop(*wpool.materialized)
+    if aggpool is not None and aggpool.materialized:
+        df = df.drop(*aggpool.materialized)
     return work.evolve(df=df, group_by=orig_groups, factors=factors)
 
 

@@ -6,7 +6,7 @@ import pytest
 
 from siuba_spark import (
     _, group_by, ungroup, summarize, count, add_count, mutate, n,
-    n_distinct, TranslationError, lag, arrange, collect,
+    n_distinct, TranslationError, lag, arrange, collect, tbl,
 )
 from .helpers import data_frame, assert_equal_query
 
@@ -380,3 +380,63 @@ def test_add_count_join_method_matches_window(spark):
 
     with pytest.raises(ValueError):
         t >> add_count(_.g, method="broadcast")
+
+
+def test_mutate_agg_method_join_matches_window(spark):
+    """r13: the mutate(_agg_method=) agg+join lowering is value- AND
+    schema-identical to the AggOver window for order-free grouped
+    aggregates, including NULL group keys and nunique."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 3.0, 2), (None, 2.0, 2), (None, 6.0, 3),
+         ("b", 5.0, 3)], "g string, x double, k int")
+    t = tbl(df)
+
+    def run(method):
+        out = (t >> group_by(_.g)
+               >> mutate(dev=(_.x - _.x.mean()).round(6),
+                         sd=_.x.std(),
+                         nun=_.k.nunique(),
+                         _agg_method=method)
+               >> ungroup())
+        return out.df.orderBy("x").toPandas()
+
+    win = run("window")
+    for m in ("join", "broadcast"):
+        pd.testing.assert_frame_equal(win, run(m))
+
+    # plan: no Window node, a real join in its place; broadcast forces BHJ
+    d = (t >> group_by(_.g)
+         >> mutate(m_=_.x.mean(), _agg_method="broadcast")).df
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # ordered windows are unaffected by the knob; ungrouped mutate too
+    r = (t >> group_by(_.g)
+         >> mutate(rk=_.x.rank(), _agg_method="join") >> ungroup())
+    assert sorted(r.df.select("rk").toPandas().rk) == [1, 1, 1, 2, 2]
+    u = t >> mutate(m_=_.x.mean(), _agg_method="join")
+    assert u.df.select("m_").distinct().count() == 1
+
+    with pytest.raises(ValueError):
+        t >> mutate(m_=_.x.mean(), _agg_method="nope")
+
+
+def test_token_budget_sample_split_matches_single_window(spark):
+    """r13: the split= two-level prefix scan keeps exactly the same docs
+    as the single running-sum window (bucket ranges partition the md5
+    accumulation order)."""
+    from siuba_spark.corpus.quality import token_budget_sample
+
+    docs = tbl(spark, "/root/testdata/sf0.01/documents.parquet")
+    base = (token_budget_sample(docs, "lang", budget=2000)
+            .df.select("doc_id").toPandas().sort_values("doc_id")
+            .reset_index(drop=True))
+    for nsplit in (2, 16, 64):
+        alt = (token_budget_sample(docs, "lang", budget=2000, split=nsplit)
+               .df.select("doc_id").toPandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        import pandas as pd
+        pd.testing.assert_frame_equal(base, alt)

@@ -468,6 +468,24 @@ def main():
         from siuba_spark.operators.grouping import add_count
         return add_count(_hot_domain(d), "__dom", method="window").df
 
+    def _zscore_hot(d, method):
+        # r13: mutate(_agg_method=) join-vs-window on the same 10%-hot
+        # key — the grouped_mutate_zscore shape (sum/count AggOver) over
+        # a hot content key instead of the bench's 3-value enum
+        from siuba_spark import _ as s, group_by, mutate, ungroup
+        t = _hot_domain(d)
+        t = t >> group_by(s.__dom)
+        t = t >> mutate(dev=(s.page_id - s.page_id.sum()
+                             / s.page_id.count()),
+                        _agg_method=method)
+        return (t >> ungroup()).df
+
+    def zscore_hot_join(d):
+        return _zscore_hot(d, "join")
+
+    def zscore_hot_window(d):
+        return _zscore_hot(d, "window")
+
     def lm_chain(d):
         # train the bigram profile on the scaled corpus AND score it:
         # both count shuffles are Heaps'-law bounded (distinct grams,
@@ -603,6 +621,9 @@ def main():
         # r12: add_count join-vs-window on the same 10%-hot key
         "add_count_hot_join": add_count_hot_join,
         "add_count_hot_window": add_count_hot_window,
+        # r13: mutate(_agg_method=) join-vs-window on the same hot key
+        "zscore_hot_join": zscore_hot_join,
+        "zscore_hot_window": zscore_hot_window,
         # ExactSubstr span dedup: the scale rig's id-shifted copies are a
         # deliberately ADVERSARIAL corpus (every copy duplicates ~the whole
         # base doc, so ~90% of windows are dup starts and the covered-
