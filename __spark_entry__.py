@@ -3924,11 +3924,17 @@ SQL_GOPHER_FILTER = _SQL_GOPHER_FILTER_TPL.format(signals=SQL_QUALITY_SIGNALS)
 def q_token_budget_sample(spark, sf):
     """Per-language token-budget mixture sample: docs accumulate in
     md5(doc_id) order until each language holds ~2000 tokens (kept while
-    the running total before the doc is under budget)."""
+    the running total before the doc is under budget).
+
+    r13: ``split=16`` — lang is a handful of values, so the single
+    running-sum Window per language is one unsplittable task at corpus
+    scale; the md5 accumulation order splits into 16 contiguous
+    hash-prefix buckets whose offsets are broadcast back (two-level
+    prefix scan; identical kept set, oracle-pinned)."""
     from siuba_spark.corpus.quality import token_budget_sample
 
     return (token_budget_sample(_t(spark, sf, "documents"), "lang",
-                                budget=2000)
+                                budget=2000, split=16)
             .df.select("doc_id", "lang", "source"))
 
 

@@ -576,7 +576,8 @@ def gopher_filter(tbl: SparkTbl, col: str = "text", id_col: str = "doc_id",
 @verb
 def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
                         n_tokens_col: str | None = None, col: str = "text",
-                        id_col: str = "doc_id", tokenizer=None):
+                        id_col: str = "doc_id", tokenizer=None,
+                        split: int | None = None):
     """Deterministic per-stratum TOKEN budget sampling — the mixture
     question trainers actually ask ("~N tokens of each source"), vs
     stratified_sample's row counts.  Docs accumulate in md5(id) order
@@ -591,6 +592,17 @@ def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
     TRUE merge-table BPE counts, so budgets are measured in the same
     units the trainer's tokenizer will produce.  One window shuffle on
     the strata key.
+
+    ``split=N`` (r13) de-skews the running sum for LOW-CARDINALITY
+    strata (a handful of languages over a 100 TB corpus = one
+    unsplittable Window task per stratum): because the accumulation
+    order IS the md5 hash — uniform by construction — the order range
+    splits into N contiguous buckets on the hash prefix, the running
+    sum runs per (stratum, bucket) over N-times-smaller partitions, and
+    per-bucket totals (strata x N tiny rows) are prefix-summed and
+    broadcast-joined back as bucket offsets.  Exactly the same running
+    totals (bucket ranges partition the order), so identical rows kept;
+    the guide §2.5 two-level-aggregation shape applied to a prefix scan.
     """
     keys = [str(s) for s in strata] or list(tbl.group_by)
     if not keys:
@@ -605,6 +617,43 @@ def token_budget_sample(tbl: SparkTbl, *strata, budget: int,
     else:
         ntok = F.size(tokens_col(F.col(col)))
     h = F.md5(F.col(id_col).cast("string"))
+    if split is not None and split > 1:
+        nb = int(split)
+        # materialize the count once (it may be a full tokenize) and
+        # derive the order-range bucket from the hash PREFIX: bucket is
+        # monotone in h, so buckets are contiguous slices of the
+        # accumulation order and the two-level sum is exact
+        val = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+        work = (tbl.df
+                .withColumn("__tb_n", ntok)
+                .withColumn("__tb_b",
+                            F.floor(val * nb / F.lit(65536)).cast("int")))
+        win = (Window.partitionBy(*[F.col(k) for k in keys], "__tb_b")
+               .orderBy(h.asc(), F.col(id_col).asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        run_in = F.sum("__tb_n").over(win)       # inclusive, per bucket
+        # per-(stratum, bucket) totals: strata x nb rows — the offset
+        # prefix-sum and the join back are on a tiny broadcast table
+        tot = (work.groupBy(*[F.col(k) for k in keys], "__tb_b")
+               .agg(F.sum("__tb_n").alias("__tb_t"))
+               .select(*[F.col(k).alias(f"__tbk_{k}") for k in keys],
+                       F.col("__tb_b").alias("__tbb2"),
+                       F.coalesce(F.sum("__tb_t").over(
+                           Window.partitionBy(
+                               *[F.col(k) for k in keys])
+                           .orderBy("__tb_b")
+                           .rowsBetween(Window.unboundedPreceding, -1)),
+                           F.lit(0)).alias("__tb_off")))
+        cond = F.col("__tb_b") == F.col("__tbb2")
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__tbk_{k}"))
+        df = (work.withColumn("__tb_run", run_in)
+              .join(F.broadcast(tot), cond, "left")
+              .filter((F.col("__tb_off") + F.col("__tb_run")
+                       - F.col("__tb_n")) < budget)
+              .drop("__tb_n", "__tb_b", "__tb_run", "__tbb2", "__tb_off",
+                    *[f"__tbk_{k}" for k in keys]))
+        return tbl.evolve(df=df)
     w = (Window.partitionBy(*[F.col(k) for k in keys])
          .orderBy(h.asc(), F.col(id_col).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
