@@ -963,11 +963,13 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
     ``kind`` uni/bi schema) are accepted and mapped to orders 1/2.
 
     Scale: the profile is pre-aggregated one-row-per-gram; scoring is
-    ``2*order - 1`` EQUI joins (one per suffix-gram length ending at
-    the token and at its predecessor) — AQE broadcasts a small profile
-    and falls back to shuffled hash joins keyed on the gram otherwise —
-    plus one per-doc mean shuffle on ``id_col``.  No windows, no
-    driver state beyond the 1-row order probe."""
+    ``order`` EQUI joins (one per suffix-gram length ending at the
+    token) — AQE broadcasts a small profile and falls back to shuffled
+    hash joins keyed on the gram otherwise.  The predecessor-context
+    counts need NO joins (r13): the j-gram ending at position p-1 is
+    position p-1's own suffix gram, so its count is a ``lag`` over the
+    doc — one Window on ``id_col`` whose exchange the per-doc mean
+    aggregate reuses.  No driver state beyond the 1-row order probe."""
     from pyspark.sql.functions import broadcast
 
     prof = wrap_tbl(profile).df
@@ -1029,26 +1031,33 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
                   F.posexplode("__toks").alias("__pos", "__cur")))
     pos = F.col("__pos")
     arr = F.col("__toks")
-    # suffix gram of length k ending at the token (__a{k}) and of
-    # length j ending at its predecessor (__b{j}); NULL when the doc
-    # is too short — NULL join keys never match, and those positions
-    # take a lower-order CASE branch anyway
+    # suffix gram of length k ending at the token (__a{k}); NULL when
+    # the doc is too short — NULL join keys never match, and those
+    # positions take a lower-order CASE branch anyway
     for k in range(1, order + 1):
         ex = ex.withColumn(f"__a{k}", F.when(
             pos >= k - 1,
             F.concat_ws(" ", F.slice(arr, pos - (k - 2), k))))
-    for j in range(1, order):
-        ex = ex.withColumn(f"__b{j}", F.when(
-            pos >= j,
-            F.concat_ws(" ", F.slice(arr, pos - (j - 1), j))))
     j = ex.drop("__toks", "__cur")
     for k in range(1, order + 1):
         j = j.join(counts[k].withColumnRenamed("gram", f"__a{k}"),
                    f"__a{k}", "left")
-    for jj in range(1, order):
-        j = j.join(counts[jj].select(
-            F.col("gram").alias(f"__b{jj}"),
-            F.col(f"__c{jj}").alias(f"__d{jj}")), f"__b{jj}", "left")
+    # r13 (VERDICT item 4): the order-1 CONTEXT counts (count of the
+    # j-gram ending at the PREDECESSOR, previously __b{j} — another
+    # j-1 corpus-wide joins) are recovered without any join at all:
+    # the j-gram ending at position p-1 IS __a{j} of position p-1, so
+    # its joined count is lag(__c{j}) over the doc.  One Window keyed
+    # on __id carries every lag, it replaces order-1 joins of the full
+    # exploded corpus, and its hashpartitioning(__id) exchange is
+    # REUSED by the per-doc mean aggregate just below (guide §2.4) —
+    # net shuffles do not increase.  NULL semantics are identical:
+    # lag is NULL at pos=0, and __a{j} at pos-1 is NULL exactly when
+    # pos < j (the old __b{j} guard) or the gram is unseen.
+    if order > 1:
+        wlag = Window.partitionBy("__id").orderBy("__pos")
+        for jj in range(1, order):
+            j = j.withColumn(f"__d{jj}",
+                             F.lag(F.col(f"__c{jj}")).over(wlag))
     j = j.crossJoin(broadcast(consts))
 
     lap = ((F.coalesce(F.col("__c1"), F.lit(0)) + 1)
