@@ -193,6 +193,24 @@ def registrable_domain_expr(host, rules: PSLRules):
     return expr.otherwise(keep(1))
 
 
+# compiled-CASE cache for attach_registrable_domain: the PSL CASE over
+# the FIXED temp column names depends only on the rules object (stable —
+# load_default_rules lru-caches it), and building it costs ~0.9 s of
+# pure driver/py4j time (one Literal round-trip per suffix name; ~470
+# names in the default set).  A Column is an unresolved expression AST,
+# reusable across DataFrames and queries within the same JVM gateway —
+# cache it per (rules, gateway) so every PSL consumer after the first
+# pays ~0 driver time (VERDICT r12 item 7).  Keyed on the gateway too:
+# a restarted JVM invalidates old JavaObjects.
+_CASE_CACHE: dict = {}
+
+
+def _gateway_key():
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    return id(sc._gateway) if sc is not None else None
+
+
 def attach_registrable_domain(df, host, out: str, rules: PSLRules):
     """Two-stage lowering of :func:`registrable_domain_expr` for hot
     paths: materialize the canonical host and its label split ONCE in a
@@ -210,6 +228,10 @@ def attach_registrable_domain(df, host, out: str, rules: PSLRules):
     h, p = "__psl_h", "__psl_p"
     df = (df.withColumn(h, _canon_host(host))
           .withColumn(p, F.split(F.col(h), r"\.")))
+    key = (id(rules), _gateway_key())
+    cached = _CASE_CACHE.get(key)
+    if cached is not None:
+        return df.withColumn(out, cached).drop(h, p)
     parts = F.col(p)
     n = F.size(parts)
 
@@ -237,7 +259,10 @@ def attach_registrable_domain(df, host, out: str, rules: PSLRules):
             cond = c if cond is None else (cond | c)
         if cond is not None:
             expr = expr.when(cond, keep(d))
-    return df.withColumn(out, expr.otherwise(keep(1))).drop(h, p)
+    case = expr.otherwise(keep(1))
+    _CASE_CACHE.clear()     # one live gateway; stale entries are dead
+    _CASE_CACHE[key] = case
+    return df.withColumn(out, case).drop(h, p)
 
 
 def registrable_domain_py(host, rules: PSLRules):
