@@ -331,8 +331,23 @@ def _pick_engine(engine, merges, broadcast=None):
     EVERY vocabulary size, not just past ``ARROW_MERGES_THRESHOLD``.
     An explicit ``broadcast=`` keeps the caller's chosen JVM tier (it is
     a JVM-map-shipping knob; silently routing it to Python would grade
-    the wrong code path)."""
+    the wrong code path) — EXCEPT above ``ARROW_MERGES_THRESHOLD``,
+    where the expr tier's literal/broadcast plan map is exactly the
+    plan-size blowup the threshold exists to prevent (a >8k-entry
+    merges builds a multi-MB expression tree and minutes of Janino):
+    there the auto choice stays Arrow with a warning, restoring the
+    pre-r12 protective behavior (ADVICE r12).  Pass ``engine="expr"``
+    explicitly to override."""
     if engine is None:
+        if broadcast is not None and len(merges) > ARROW_MERGES_THRESHOLD:
+            import warnings
+            warnings.warn(
+                f"bpe: broadcast= requests the JVM expression tier but "
+                f"{len(merges)} merges exceed ARROW_MERGES_THRESHOLD "
+                f"({ARROW_MERGES_THRESHOLD}) — using the Arrow tier to "
+                "avoid an oversized literal/broadcast plan map; pass "
+                "engine='expr' to force the JVM tier")
+            return "arrow"
         return "expr" if broadcast is not None else "arrow"
     if engine not in ("expr", "arrow"):
         raise ValueError("engine must be 'expr', 'arrow', or None (auto)")

@@ -494,8 +494,19 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
 
     pdf = wrap_table(pairs).df
     a, b = F.col(id_a), F.col(id_b)
+    # the union-find gate requires Python `<` ordering to agree with
+    # Spark's F.min/F.least on the key type — true for integral,
+    # string, binary and date/timestamp keys, NOT for floats with NaN
+    # (Python orders them, Spark's min skips/propagates differently) or
+    # exotic orderable types (arrays/structs) (ADVICE r12): those fall
+    # through to the distributed loop
+    from pyspark.sql import types as _T
+    _SAFE_KEY = (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
+                 _T.StringType, _T.BinaryType, _T.DateType,
+                 _T.TimestampType)
     if (driver_cap
-            and pdf.schema[id_a].dataType == pdf.schema[id_b].dataType):
+            and pdf.schema[id_a].dataType == pdf.schema[id_b].dataType
+            and isinstance(pdf.schema[id_a].dataType, _SAFE_KEY)):
         pdf = pdf.persist()
         # the count materializes the expensive pair upstream exactly once
         # (the distributed path below does the same via the edges

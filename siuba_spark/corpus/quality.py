@@ -978,7 +978,7 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
             "gram",
             F.when(F.col("kind") == "uni", F.lit(1))
             .otherwise(F.lit(2)).alias("order"), "cnt")
-    # r12: the profile plan is consumed 2*order + 1 times below (the
+    # r12: the profile plan is consumed order + 2 times below (the
     # order probe, the totals aggregate, and one slice per suffix-gram
     # join) — when it is an UNMATERIALIZED training aggregate, every
     # consumer re-runs the whole train shuffle (measured: the order-3
@@ -987,37 +987,45 @@ def lm_logprob(tbl: SparkTbl, profile, col: str = "text",
     # the profile is vocab-sized by construction (Heaps-bounded, pruned
     # by min_count), so the cache is the right size at any corpus scale,
     # and the pin is released by the session's normal pin discipline.
-    prof = prof.persist()
-    trained = prof.agg(F.max("order")).collect()[0][0]
-    if trained is None:
-        raise ValueError("empty profile: cannot infer order")
-    if order is None:
-        order = trained
-    order = int(order)
-    if order < 1:
-        raise ValueError("order must be >= 1")
-    if order > trained:
-        # scoring above the trained order would make every ML_k term 0
-        # and silently deflate all scores by (1 - lam_k) factors
-        raise ValueError(
-            f"profile was trained to order {trained}; cannot score at "
-            f"order {order} (every order-{order} context would be "
-            "'unseen' and all scores silently deflated) — retrain with "
-            f"lm_train(order={order}) or pass order<={trained}")
-    lams = ([float(lam)] * (order - 1) if not isinstance(lam, (list, tuple))
-            else [float(x) for x in lam])
-    if len(lams) != order - 1:
-        raise ValueError(f"lam must be a scalar or {order - 1} weights "
-                         f"(lam_2..lam_{order}), got {len(lams)}")
-    for x in lams:
-        if not 0.0 <= x < 1.0:
+    # r13 (ADVICE): persist a DERIVED plan — when the profile carries no
+    # 'kind' column, prof IS the caller's DataFrame object, and pinning
+    # that would later unpersist a cache the caller may own — and
+    # unpersist on every validation error path so a raise cannot leak
+    # the cache until session end.
+    prof = prof.select("*").persist()
+    try:
+        trained = prof.agg(F.max("order")).collect()[0][0]
+        if trained is None:
+            raise ValueError("empty profile: cannot infer order")
+        if order is None:
+            order = trained
+        order = int(order)
+        if order < 1:
+            raise ValueError("order must be >= 1")
+        if order > trained:
+            # scoring above the trained order would make every ML_k term 0
+            # and silently deflate all scores by (1 - lam_k) factors
             raise ValueError(
-                "lam must be in [0, 1): at lam=1.0 an unseen context "
-                "makes the mixture 0 and log(0) is NULL in Spark, which "
-                "avg() silently skips — the doc's score would be "
-                "computed over only its seen contexts instead of "
-                "penalized")
-
+                f"profile was trained to order {trained}; cannot score at "
+                f"order {order} (every order-{order} context would be "
+                "'unseen' and all scores silently deflated) — retrain with "
+                f"lm_train(order={order}) or pass order<={trained}")
+        lams = ([float(lam)] * (order - 1) if not isinstance(lam, (list, tuple))
+                else [float(x) for x in lam])
+        if len(lams) != order - 1:
+            raise ValueError(f"lam must be a scalar or {order - 1} weights "
+                             f"(lam_2..lam_{order}), got {len(lams)}")
+        for x in lams:
+            if not 0.0 <= x < 1.0:
+                raise ValueError(
+                    "lam must be in [0, 1): at lam=1.0 an unseen context "
+                    "makes the mixture 0 and log(0) is NULL in Spark, which "
+                    "avg() silently skips — the doc's score would be "
+                    "computed over only its seen contexts instead of "
+                    "penalized")
+    except Exception:
+        prof.unpersist()
+        raise
     counts = {
         k: (prof.filter(F.col("order") == k)
             .select("gram", F.col("cnt").cast("long").alias(f"__c{k}")))

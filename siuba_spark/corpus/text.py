@@ -324,6 +324,11 @@ def lang_id(tbl: SparkTbl, profiles, col: str = "text",
     # scoring join) — when it is an unmaterialized lang_profile_train
     # aggregate, both consumers re-run the training shuffle.  persist()
     # materializes the languages x k table once (lm_logprob pattern).
+    # CACHE LIFETIME (ADVICE r12): the pin is released after the FIRST
+    # consuming action on the returned table (or by release_all_pins),
+    # so a caller running SEVERAL actions over the result re-trains the
+    # profile on the later ones — pre-materialize the profile yourself
+    # (train, persist, pass the cached table in) for multi-action use.
     prof = prof.persist()
     langs = prof.select(F.col("__plang").alias("__cand")).distinct()
     doc = _ranked_grams(tbl.df.select(id_col, col), id_col, col, n, k,
