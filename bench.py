@@ -119,7 +119,13 @@ def main():
     EXTRA_REPS = {"simhash", "pivot_wider", "minhash_near_dups", "tpch_q3",
                   "tpch_q4", "rolling_stats", "ivf_topk_lloyd",
                   "pack_sequences", "rolling_time_window",
-                  "interval_join_events", "set_ops"}
+                  "interval_join_events", "set_ops",
+                  # VERDICT r12 item 9: the r12 profile-persist showed a
+                  # 26->23-Exchange plan win but a flat-to-noisy wall
+                  # delta (1.75->1.98 driver-to-driver) — min-of-5
+                  # adjudicates whether the persist pays at driver
+                  # conditions
+                  "lang_id_ngram"}
     # ivf_topk_lloyd has flip-flopped three rounds (1.48-2.8 s, run-b and
     # run-c flagging OPPOSITE directions); VERDICT r9 item 5 escalates it
     # to min-of-7 so the r10 compare adjudicates it finally
