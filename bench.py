@@ -255,7 +255,13 @@ def main():
             last = contract_line(q2, round(total, 1))
             if len(last) <= 1950:
                 break
-    if len(last) > 1992:  # line + newline must fit the 2000-char tail
+    # hard cap: the driver tail keeps the last 2000 chars, so the line
+    # plus its trailing newline must fit 2000 — 1996 leaves slack for a
+    # stray carriage return.  (The fully-degraded floor for the current
+    # 97-query roster measures 1983-1993 chars run-to-run; only a run
+    # with several errored queries, whose "null" entries are a char
+    # wider, can overflow into the totals-only fallback.)
+    if len(last) > 1996:
         print(f"bench warning: contract line {len(last)} chars exceeds "
               "the driver tail; falling back to totals only",
               file=sys.stderr)
